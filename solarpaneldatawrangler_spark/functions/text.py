@@ -1,0 +1,142 @@
+"""Text-analysis column expressions for large-scale training-data
+pipelines (SURVEY.md §2.12): tokenization, n-gram shingles, quality
+scoring, language-ID heuristics, fingerprinting.
+
+Everything here is a pure Catalyst expression (JVM-side, codegen'd) —
+no Python UDFs in the hot path. At 100 TB these run inside the scan
+stage with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword marker sets for the n-gram language-ID
+# heuristic. Deliberately tiny and deterministic — this is a heuristic
+# scorer, not a model.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+EN_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this",
+]
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string> of non-empty lowercase tokens."""
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-ish token segmentation: split into word pieces, numbers, and
+    punctuation runs (a GPT-2-style pre-tokenizer regex, simplified).
+    Token COUNT over this is the standard cheap proxy for LLM token cost.
+    """
+    return F.filter(
+        F.split(text, r"(?=[A-Za-z])(?<![A-Za-z])|(?=[0-9])(?<![0-9])|(?=[^A-Za-z0-9\s])|\s+"),
+        lambda t: F.length(t) > 0,
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Character n-gram shingles of the lowercased text → array<string>.
+
+    Built with sequence+transform (pure expressions): substrings of
+    length n at every offset.
+    """
+    t = F.lower(text)
+    count = F.length(t) - F.lit(n - 1)
+    # guard: sequence(1, 0) would produce a DESCENDING range in Spark
+    return F.when(
+        count >= 1,
+        F.transform(F.sequence(F.lit(1), count), lambda i: t.substr(i, F.lit(n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles joined with a space → array<string> (distinct)."""
+    toks = tokens(text)
+    count = F.size(toks) - F.lit(k - 1)
+    return F.when(
+        count >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return n_sw.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are not alphanumeric or whitespace."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped).cast("double") / F.greatest(
+        F.length(text), F.lit(1)
+    ).cast("double")
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    )
+    return total / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document quality in [0,1]: rewards stopword presence and
+    moderate word length, penalizes punctuation soup. Deterministic,
+    expression-only — the shape of a Gopher/C4-style quality rule.
+    """
+    sw = stopword_ratio(text)
+    pr = punct_ratio(text)
+    mwl = mean_word_length(text)
+    length_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    score = sw * F.lit(0.5) + (F.lit(1.0) - pr) * F.lit(0.3) + length_ok * F.lit(0.2)
+    return F.round(score, 6)
+
+
+def lang_marker_score(text: Column, lang: str) -> Column:
+    """Count of marker-word occurrences for a language (token matches)."""
+    toks = tokens(text)
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized
+    lowercased text. Stable across engines (md5 is standard), so it
+    doubles as an exact-dedup key.
+    """
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def md5_long(s: Column) -> Column:
+    """First 32 bits of md5(s) as a non-negative bigint.
+
+    Cross-engine-reproducible token hash (DuckDB:
+    ('0x'||substr(md5(s),1,8))::BIGINT) used by the oracle-checkable
+    MinHash variant. The production path uses xxhash64 (faster, JVM).
+    """
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")

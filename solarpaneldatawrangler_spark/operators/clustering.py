@@ -1,0 +1,77 @@
+"""Connected components over the 4-adjacent tile grid (SURVEY.md G1).
+
+The reference flood-fills with recursive Python over an in-memory dict
+(/root/reference/run_inference.py:21-60) — single-threaded, bounded by
+driver RAM, and its recursion depth explodes on long components. Here:
+iterative min-label propagation as a DataFrame loop — each iteration is
+one join + one aggregation, label = min(cell id) over the component, so
+cluster ids are DETERMINISTIC across runs (SURVEY.md §1.4 mandates this
+over monotonically_increasing_id).
+
+Scale notes:
+- localCheckpoint every iteration truncates lineage (otherwise the plan
+  doubles per iteration and Catalyst analysis time dominates).
+- Label propagation converges in O(diameter) iterations; tile clusters
+  (solar farms) have tiny diameters. For adversarial graphs swap in the
+  large-star/small-star algorithm (Kiveris et al., "Connected Components
+  in MapReduce and Beyond", SoCC'14) — same join-agg loop shape.
+- Each iteration shuffles on cell id; partition count follows
+  spark.sql.shuffle.partitions (AQE coalesces the tail iterations where
+  few labels still change).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.operators.grid import neighbor_edges, pack_cell
+
+
+def connected_components(
+    tiles: DataFrame,
+    col_name: str = "column",
+    row_name: str = "row",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Label each tile with cluster_id = min packed cell id reachable via
+    4-adjacency. Returns (column, row, cluster_id).
+
+    Isolated tiles keep their own id — matching the reference, where
+    every positive tile gets a cluster (a singleton one if no neighbors).
+    """
+    cells = tiles.select(F.col(col_name), F.col(row_name)).dropDuplicates(
+        [col_name, row_name]
+    )
+    nodes = cells.select(
+        pack_cell(col_name, row_name).alias("id"), col_name, row_name
+    ).localCheckpoint()
+    edges = neighbor_edges(nodes, col_name, row_name).localCheckpoint()
+
+    labels = nodes.select("id", F.col("id").alias("label"))
+    for _ in range(max_iterations):
+        # candidate labels: own + min neighbor label
+        neighbor_labels = (
+            edges.join(labels, edges.src == labels.id, "inner")
+            .select(F.col("dst").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return nodes.join(labels, "id").select(
+        col_name, row_name, F.col("label").alias("cluster_id")
+    )

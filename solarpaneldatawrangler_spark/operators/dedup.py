@@ -1,0 +1,313 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.12).
+
+Exact, MinHash+LSH, SimHash, and n-gram Jaccard near-dup — each designed
+as a shuffle-minimal DataFrame plan:
+
+- exact: fingerprint (md5 of normalized text) group-by — one shuffle on
+  a short key, map-side combinable.
+- MinHash LSH: shingle -> K hash mins -> band buckets -> self-join on
+  (band, bucket-hash). The self-join is an equi-join on the band key, so
+  it hash-partitions instead of cross-producting; candidate pairs then
+  get an exact Jaccard verify. This is the standard 100 TB near-dup
+  architecture (cf. the MinHashLSH design in Spark MLlib and
+  Broder'97 "On the resemblance and containment of documents").
+- SimHash: 64-bit weighted-bit signature; near-dups = equal signature
+  bands (Hamming-adjacent candidates via band equality).
+
+Hashing: the production path uses xxhash64 (JVM, fast). ``seeded_hash``
+offers an md5-based hash reproducible in any SQL engine for
+oracle-checked variants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.functions.text import fingerprint, tokens, word_shingles
+
+# a large prime < 2^31 for universal hashing
+_P = 2147483647
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one deterministic representative (min id) per exact-duplicate
+    group of normalized text. Returns (fingerprint, keep_id, n_copies).
+    """
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def seeded_hash(token: Column, a: int, b: int, reproducible: bool = True) -> Column:
+    """Universal hash h(t) = (a * base(t) + b) mod P.
+
+    reproducible=True -> base = first 32 bits of md5 (portable to any
+    engine); False -> base = xxhash64 (fast JVM path).
+    """
+    if reproducible:
+        base = F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("bigint")
+    else:
+        base = F.pmod(F.xxhash64(token), F.lit(_P))
+    return F.pmod(F.lit(a) * base + F.lit(b), F.lit(_P))
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 16, reproducible: bool = True
+) -> Column:
+    """MinHash signature: array of min over shingles of h_i(shingle),
+    with h_i(t) = ((2i+1) * base(t) + 13*i) mod P. Pure expressions —
+    the whole signature computes inside the scan stage.
+
+    Perf: higher-order functions evaluate interpreted (no codegen), so
+    the expensive base hash (md5/xxhash) is computed ONCE per shingle
+    into a bases array; the num_hashes permutations are then cheap
+    arithmetic over it. Computing base inside each h_i multiplies the
+    hash cost by num_hashes (measured 4-8x slower end-to-end).
+    """
+    if reproducible:
+        def base(t):
+            return F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    else:
+        def base(t):
+            return F.pmod(F.xxhash64(t), F.lit(_P))
+
+    bases = F.transform(shingles, base)
+
+    def perm(i: int):
+        # single-param lambda: F.transform passes the array INDEX as a
+        # second arg to 2-param lambdas, which would clobber a closure i
+        return lambda b: F.pmod(F.lit(2 * i + 1) * b + F.lit(13 * i), F.lit(_P))
+
+    sigs = [F.array_min(F.transform(bases, perm(i))) for i in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def _base_hash(col: Column, reproducible: bool) -> Column:
+    if reproducible:
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+    return F.pmod(F.xxhash64(col), F.lit(_P))
+
+
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct k-word shingles as ROWS (id, t) — the scale-path twin of
+    functions.text.word_shingles.
+
+    posexplode tokens -> lead() window over token position -> concat.
+    Everything stays in whole-stage codegen; the only shuffle is the
+    per-document window (hash on id). The array-expression form
+    (word_shingles) runs interpreted and copies O(n^2) elements per doc
+    via slice() — fine for small docs, pathological in bulk (measured
+    75s vs 2s for 500 x ~400-token docs).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "t0"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("t0")] + [F.lead("t0", j).over(w) for j in range(1, k)]
+    sh = toks.select("id", F.concat_ws(" ", *parts).alias("t"), parts[-1].alias("_last"))
+    return (
+        sh.filter(F.col("_last").isNotNull())
+        .select("id", "t")
+        .dropDuplicates(["id", "t"])
+    )
+
+
+def minhash_from_shingle_rows(
+    shx: DataFrame,
+    num_hashes: int = 16,
+    reproducible: bool = False,
+) -> DataFrame:
+    """MinHash signatures from (id, t) shingle rows: hash as plain
+    codegen'd column expressions, groupBy-min per permutation (map-side
+    combined). Returns (id, m0..m{k-1}). Docs with zero shingles have no
+    rows and naturally drop out — matching the SQL-oracle semantics."""
+    b = _base_hash(F.col("t"), reproducible)
+    hv = shx.select(
+        "id",
+        *[
+            F.pmod(F.lit(2 * i + 1) * b + F.lit(13 * i), F.lit(_P)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return hv.groupBy("id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    reproducible: bool = False,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, verified with
+    exact shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Plan shape: shingle once -> exploded codegen signature compute
+    (minhash_from_shingle_rows) -> explode to ``bands`` rows with a SCALAR
+    string band key (array join keys would demote the self-join to a
+    nested loop) -> equi-join on (band, band_sig) -> candidate dedup ->
+    exact Jaccard verify via a join back to the shingle arrays.
+    """
+    rows_per_band = num_hashes // bands
+    # the shingle relation feeds the signature, both self-join branches,
+    # and both verify joins — without a checkpoint the tokenize+window
+    # lineage re-executes ~6x (measured 57s -> ~10s at sf0.1)
+    shx = shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint()
+    sh = shx.groupBy("id").agg(F.collect_list("t").alias("shingles"))
+    sig = minhash_from_shingle_rows(shx, num_hashes, reproducible)
+
+    def band_key(b: int):
+        return F.concat_ws(
+            ",",
+            *[
+                F.col(f"m{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
+        )
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("band_sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.band_sig")
+
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        pairs.join(
+            sh.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard", ngram_jaccard(F.col("sh_a"), F.col("sh_b")))
+    )
+    return verified.filter(F.col("jaccard") >= jaccard_threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def ngram_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity between two token/shingle arrays."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(
+        F.array_union(a, b)
+    ).cast("double")
+
+
+def simhash_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    reproducible: bool = False,
+) -> DataFrame:
+    """64-bit SimHash via the scale plan: explode tokens, hash once per
+    token (codegen), one groupBy with 64 conditional-sum vote columns,
+    then pack bits. Returns (id_col, simhash). Same semantics as the
+    expression-form simhash64 (which runs interpreted and is only for
+    embedding in other array expressions)."""
+    tk = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t")
+    )
+    if reproducible:
+        h = F.conv(F.substring(F.md5(F.col("t")), 1, 15), 16, 10).cast("bigint")
+    else:
+        h = F.xxhash64(F.col("t"))
+    hv = tk.select(id_col, h.alias("h"))
+    votes = hv.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    packed = votes.select(
+        id_col,
+        sum(
+            [
+                F.shiftleft(
+                    F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(
+                        F.lit(0).cast("long")
+                    ),
+                    b,
+                )
+                for b in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    return packed
+
+
+def simhash64(text: Column, reproducible: bool = False) -> Column:
+    """64-bit SimHash over whitespace tokens (Charikar'02): for each bit
+    position, sum +1/-1 votes weighted by token hash bits; sign -> bit.
+    Computed 16 bits at a time via aggregate to keep expression depth sane.
+    """
+    toks = tokens(text)
+    if reproducible:
+        # 60 bits from md5 (15 hex chars) — fits a signed long in any engine
+        h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint")  # noqa: E731
+    else:
+        h = F.xxhash64
+    def vote_fn(i: int):
+        return lambda acc, t: acc + F.when(
+            F.shiftright(h(t), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+        ).otherwise(F.lit(-1))
+
+    out = F.lit(0).cast("long")
+    for i in range(64):
+        vote = F.aggregate(toks, F.lit(0), vote_fn(i))
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        out = out + F.shiftleft(bit, i)
+    return out
+
+
+def simhash_bands(sim: Column, bands: int = 4) -> Column:
+    """Split a 64-bit simhash into ``bands`` equal bit-bands for LSH
+    bucketing (two docs within Hamming distance bands-1 share >=1 band).
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(sim, i * width).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+            for i in range(bands)
+        ]
+    )

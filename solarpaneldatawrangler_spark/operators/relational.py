@@ -1,0 +1,118 @@
+"""Core relational operator idioms (SURVEY.md §2.2-2.7).
+
+The reference expresses these as SQLAlchemy query builders over SQLite
+(/root/reference/solardb.py); here each is a composable
+DataFrame -> DataFrame transform. Catalyst provides predicate pushdown,
+column pruning, and TakeOrderedAndProject top-k automatically — the
+hand-rolled optimizations inventoried in SURVEY.md §4 disappear.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def priority_scan(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    n: int,
+    predicate: Column | None = None,
+) -> DataFrame:
+    """Top-k priority feed (SURVEY.md O1; reference
+    /root/reference/solardb.py:215-221 served by a secondary index).
+
+    orderBy().limit() plans as TakeOrderedAndProject — a true
+    distributed top-k: each partition keeps its local k, the driver
+    merges k*num_partitions rows, no global sort. At 100 TB this is a
+    single narrow pass. Callers should include a unique tiebreaker in
+    ``order_cols`` so the k-boundary is deterministic.
+    """
+    if predicate is not None:
+        df = df.filter(predicate)
+    return df.orderBy(*order_cols).limit(n)
+
+
+def dedup_by_key(
+    df: DataFrame, key: Sequence[str], order_col: str | Column | None = None
+) -> DataFrame:
+    """Insert-time PK dedup (SURVEY.md U3; reference ON CONFLICT IGNORE,
+    /root/reference/solardb.py:50-51).
+
+    With ``order_col``: deterministic winner (min by order) via a
+    map-side-combinable min_by aggregation — NOT dropDuplicates, whose
+    survivor depends on partition scan order.
+    """
+    if order_col is None:
+        return df.dropDuplicates(list(key))
+    order_col = F.col(order_col) if isinstance(order_col, str) else order_col
+    payload = [c for c in df.columns if c not in key]
+    agg = df.groupBy(*key).agg(
+        *[F.min_by(c, order_col).alias(c) for c in payload]
+    )
+    return agg.select(*df.columns)
+
+
+def upsert_by_key(
+    existing: DataFrame, incoming: DataFrame, key: Sequence[str]
+) -> DataFrame:
+    """ON-CONFLICT-IGNORE upsert: keep every existing row, append only
+    incoming rows whose key is unseen (reference persist_coords,
+    /root/reference/solardb.py:83-97). left_anti + unionByName; at scale
+    this is the MERGE-less idempotent-append pattern — the incoming side
+    is typically small, so Catalyst broadcasts the probe.
+    """
+    key = list(key)
+    fresh = dedup_by_key(incoming, key).join(
+        existing.select(*key), on=key, how="left_anti"
+    )
+    return existing.unionByName(fresh.select(*existing.columns))
+
+
+def incremental_remainder(
+    universe: DataFrame, done: DataFrame, key: Sequence[str]
+) -> DataFrame:
+    """Restartable incremental processing (SURVEY.md §2.2 P10/§4): rows
+    not yet processed = universe anti-join done-set on key. Replaces the
+    reference's persisted boolean flags (inner_coords_calculated,
+    inference_ran) with a stateless anti-join — idempotent under retry.
+    """
+    return universe.join(done.select(*key), on=list(key), how="left_anti")
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_cols: Sequence[Column],
+    k: int,
+    rank_name: str = "rn",
+) -> DataFrame:
+    """Per-group top-k via row_number window (SURVEY.md W1/W2).
+
+    One shuffle on the group key; with AQE skew handling a hot group
+    splits at runtime. Callers include a unique tiebreaker for
+    determinism.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )
+
+
+def exact_sum(col: str | Column, scale: int = 2) -> Column:
+    """Order-insensitive exact monetary sum: cast to decimal(18,scale)
+    before summing so the result is identical regardless of partition
+    merge order (double sums differ in the last ulps between runs and
+    engines), then back to double for a stable output schema.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(18,{scale})")).cast("double")
+
+
+def exact_avg(col: str | Column, scale: int = 4) -> Column:
+    """Deterministic mean: exact decimal sum divided by count, in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(22,{scale})")).cast("double") / F.count(c)

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (SURVEY.md §2.12).
+
+Two tiers, both pure DataFrame plans:
+
+- brute_force_topk: exact cosine top-k. Queries are broadcast (they are
+  few); the corpus streams through one narrow stage computing cosines,
+  then a per-query row_number window keeps k. At 100 TB the corpus scan
+  dominates and parallelizes linearly; no shuffle of the corpus itself —
+  only the (queries x k) survivors shuffle into the window.
+- lsh_bucketed_topk: approximate path — random-hyperplane LSH signature
+  buckets both sides; candidates = bucket collisions (multi-probe via
+  several independent tables), then exact cosine re-rank. Turns the
+  cross product into an equi-join; the 100 TB scale path.
+
+An IVF variant (k-means coarse quantizer) has the same join shape with
+learned centroids; hyperplanes here are deterministic constants so
+results are reproducible without a training step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.functions.vectors import cosine, random_hyperplane_signature
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query.
+
+    Returns (query_id, neighbor_id, cosine_sim, rank), excluding
+    self-matches; rank ties broken by neighbor id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_sim", cosine(F.col("_qvec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _default_planes(dim: int, n_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG, no RNG state) so
+    signatures are stable across runs and engines."""
+    planes = []
+    state = 1234567
+    for _ in range(n_planes):
+        plane = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            plane.append((state / 2**31) * 2.0 - 1.0)
+        planes.append(plane)
+    return planes
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates from any of ``n_tables`` independent
+    sign-LSH signatures, exact cosine re-rank. Same output schema as
+    brute_force_topk (rank over retrieved candidates only).
+    """
+    tables = [
+        _default_planes(dim, n_planes) for _ in range(n_tables)
+    ]
+
+    def signed(df: DataFrame, idn: str, vecn: str) -> DataFrame:
+        out = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vecn))
+        sig = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    random_hyperplane_signature(F.col(vecn), planes).alias("sig"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return out.withColumn("_b", F.explode(sig)).select(
+            idn, vecn, F.col("_b.table").alias("table"), F.col("_b.sig").alias("sig")
+        )
+
+    cs = signed(corpus, "neighbor_id", "_cvec")
+    qs = signed(queries, "query_id", "_qvec")
+    cands = (
+        cs.join(qs, ["table", "sig"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine_sim", cosine(F.col("_qvec"), F.col("_cvec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

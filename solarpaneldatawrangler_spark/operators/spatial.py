@@ -1,0 +1,154 @@
+"""Spatial operators without a geo library (SURVEY.md §2.2 P8, §2.3 J6,
+§2.9 G2/G9).
+
+Catalyst has no spatial awareness and this environment has no
+Shapely/Sedona, so geometry is done two ways, mirroring the reference's
+own two-phase design (R-tree bbox probe then exact contains,
+/root/reference/maproulette.py:69-83):
+
+1. bbox prefilter — ordinary range predicates Catalyst can push/plan
+   (the distributed stand-in for the reference's R-tree);
+2. exact point-in-ring — ray-casting crossing count expressed as a pure
+   higher-order-function Catalyst expression over the ring array. No
+   UDF: comparisons/multiply/divide on doubles are IEEE-deterministic,
+   so the same formula is oracle-checkable in any engine.
+
+Rings are GeoJSON-shaped: array<array<double>> of [lon, lat] points,
+closed (first == last).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ring_x(ring: Column) -> Column:
+    return F.transform(ring, lambda p: F.element_at(p, 1))
+
+
+def ring_y(ring: Column) -> Column:
+    return F.transform(ring, lambda p: F.element_at(p, 2))
+
+
+def ring_bbox(ring: Column) -> Column:
+    """struct(xmin, xmax, ymin, ymax) of a ring."""
+    return F.struct(
+        F.array_min(ring_x(ring)).alias("xmin"),
+        F.array_max(ring_x(ring)).alias("xmax"),
+        F.array_min(ring_y(ring)).alias("ymin"),
+        F.array_max(ring_y(ring)).alias("ymax"),
+    )
+
+
+def point_in_ring(px: Column, py: Column, ring: Column) -> Column:
+    """Ray-casting point-in-polygon (crossing number, odd = inside).
+
+    For each edge (ring[i], ring[i+1]): count it when the edge straddles
+    the horizontal line y=py and the intersection is right of px.
+    Boundary points follow the standard crossing-number convention
+    (same as the reference's shapely.contains for interior points).
+    """
+
+    def crosses(i: Column) -> Column:
+        p1, p2 = F.element_at(ring, i), F.element_at(ring, i + F.lit(1))
+        x1, y1 = F.element_at(p1, 1), F.element_at(p1, 2)
+        x2, y2 = F.element_at(p2, 1), F.element_at(p2, 2)
+        straddles = (y1 > py) != (y2 > py)
+        x_at_y = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        return straddles & (px < x_at_y)
+
+    n_cross = F.size(F.filter(F.sequence(F.lit(1), F.size(ring) - 1), crosses))
+    return n_cross % 2 == F.lit(1)
+
+
+def polygon_area(ring: Column) -> Column:
+    """Shoelace area of a closed ring (SURVEY.md G9) as a pure
+    expression: |sum_i (x_i * y_{i+1} - x_{i+1} * y_i)| / 2."""
+    def term(i: Column) -> Column:
+        p1, p2 = F.element_at(ring, i), F.element_at(ring, i + F.lit(1))
+        return F.element_at(p1, 1) * F.element_at(p2, 2) - F.element_at(
+            p2, 1
+        ) * F.element_at(p1, 2)
+
+    twice = F.aggregate(
+        F.sequence(F.lit(1), F.size(ring) - 1), F.lit(0.0), lambda acc, i: acc + term(i)
+    )
+    return F.abs(twice) / F.lit(2.0)
+
+
+def spatial_join_contains(
+    polygons: DataFrame,
+    points: DataFrame,
+    ring_col: str = "ring",
+    px_col: str = "longitude",
+    py_col: str = "latitude",
+    how: str = "inner",
+) -> DataFrame:
+    """Two-phase contains-join: bbox range theta-join prefilter, then
+    exact ray-cast check. ``how`` in {"inner", "left_semi", "left_anti"}
+    (left_anti = the reference's MapRoulette spatial anti-join J6: keep
+    polygons containing NO known OSM panel node).
+
+    Scale note: a bbox theta-join is a broadcast-nested-loop when one
+    side is small (OSM nodes per city: thousands — broadcast the
+    points). For two huge sides, grid-bucket both on a coarse tile key
+    first (equi-join on bucket), which turns it into a hash join; that
+    variant is grid_bucketed_contains_join below.
+    """
+    bbox = ring_bbox(F.col(ring_col))
+    polys = polygons.withColumn("_bbox", bbox)
+    px, py = F.col(px_col), F.col(py_col)
+    cond = (
+        (px >= F.col("_bbox.xmin"))
+        & (px <= F.col("_bbox.xmax"))
+        & (py >= F.col("_bbox.ymin"))
+        & (py <= F.col("_bbox.ymax"))
+        & point_in_ring(px, py, F.col(ring_col))
+    )
+    joined = polys.join(F.broadcast(points), cond, how)
+    return joined.drop("_bbox")
+
+
+def grid_bucketed_contains_join(
+    polygons: DataFrame,
+    points: DataFrame,
+    cell_size: float,
+    ring_col: str = "ring",
+    px_col: str = "longitude",
+    py_col: str = "latitude",
+) -> DataFrame:
+    """Hash-joinable contains-join for two LARGE sides: explode each
+    polygon's bbox into the coarse grid cells it overlaps, bucket points
+    by cell, equi-join on cell, then exact ray-cast. Turns the O(N*M)
+    theta-join into a shuffle hash join on cell keys — the 100 TB path.
+    """
+    bbox = ring_bbox(F.col(ring_col))
+    polys = (
+        polygons.withColumn("_bbox", bbox)
+        .withColumn(
+            "_cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_bbox.xmin") / cell_size),
+                    F.floor(F.col("_bbox.xmax") / cell_size),
+                )
+            ),
+        )
+        .withColumn(
+            "_cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_bbox.ymin") / cell_size),
+                    F.floor(F.col("_bbox.ymax") / cell_size),
+                )
+            ),
+        )
+    )
+    pts = points.withColumn("_cx", F.floor(F.col(px_col) / cell_size)).withColumn(
+        "_cy", F.floor(F.col(py_col) / cell_size)
+    )
+    joined = polys.join(pts, ["_cx", "_cy"], "inner").filter(
+        point_in_ring(F.col(px_col), F.col(py_col), F.col(ring_col))
+    )
+    return joined.drop("_cx", "_cy", "_bbox")

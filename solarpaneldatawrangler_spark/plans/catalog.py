@@ -1,0 +1,45 @@
+"""Named query catalog: the driver-facing registry behind
+__spark_entry__.queries() / oracle_sql().
+
+Each entry pairs a Spark DataFrame builder (spark, sf_dir) -> DataFrame
+with an equivalent ANSI-SQL oracle string DuckDB can run over the same
+parquet tables. Column names/aliases MUST match between the two — the
+driver sorts columns by name before value-hashing.
+
+Determinism rules every query here follows:
+- any LIMIT has a total order with a unique tiebreaker;
+- double aggregations go through exact decimal sums (operators.relational
+  .exact_sum) so partition merge order can't change the value;
+- per-row double math uses only IEEE-deterministic ops (+,-,*,/ sqrt)
+  or is rounded before output where transcendentals are involved.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None -> driver runs a weaker rows-only check
+    doc: str = ""
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in CATALOG:
+            raise ValueError(f"duplicate query name: {name}")
+        CATALOG[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco

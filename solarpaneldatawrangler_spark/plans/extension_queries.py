@@ -1,0 +1,458 @@
+"""Extension operators for large-scale training-data pipelines
+(SURVEY.md §2.12, driver mandate): dedup (exact / MinHash-LSH / SimHash
+/ n-gram Jaccard), embedding similarity search, text analysis, and
+multimodal binary-column plumbing — over the documents / embeddings
+tables, each with a DuckDB oracle where SQL can express it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.functions.text import (
+    lang_marker_score,
+    mean_word_length,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    tokens,
+)
+from solarpaneldatawrangler_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+)
+from solarpaneldatawrangler_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from solarpaneldatawrangler_spark.functions.text import EN_STOPWORDS, word_shingles
+from solarpaneldatawrangler_spark.plans.catalog import register
+from solarpaneldatawrangler_spark.sources.star import load_table
+
+# DuckDB fragment: whitespace tokens of lowercased text, empties dropped
+_SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+
+# --- exact dedup (hash-groupBy) ---------------------------------------------
+
+@register(
+    "q50_exact_dedup",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Exact dedup: md5 fingerprint of normalized text, deterministic "
+    "min-id representative. One shuffle on a 32-byte key; map-side "
+    "combinable.",
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# --- token counting ----------------------------------------------------------
+
+@register(
+    "q51_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_SQL_TOKS}) AS n_tokens,
+           length(text) AS n_chars_actual,
+           ROUND(CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum') AS DOUBLE)
+                 / GREATEST(len({_SQL_TOKS}), 1), 6) AS mean_word_len
+    FROM documents
+    """,
+    doc="Token counting + mean word length as pure array expressions — "
+    "runs inside the scan stage, zero shuffle.",
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+    )
+
+
+# --- quality scoring ---------------------------------------------------------
+
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
+
+@register(
+    "q52_quality_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+            CAST(len(list_filter({_SQL_TOKS}, t -> list_contains({_SW_LIST}, t))) AS DOUBLE)
+              / GREATEST(len({_SQL_TOKS}), 1) AS sw,
+            CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+              / GREATEST(length(text), 1) AS pr,
+            CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum') AS DOUBLE)
+              / GREATEST(len({_SQL_TOKS}), 1) AS mwl
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(sw * 0.5 + (1.0 - pr) * 0.3
+                 + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
+                 6) AS quality
+    FROM feats
+    """,
+    doc="Gopher/C4-style quality score: stopword ratio + punctuation ratio "
+    "+ word-length gate, combined deterministically. Expression-only.",
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+# --- language ID -------------------------------------------------------------
+
+@register(
+    "q53_lang_id",
+    oracle=f"""
+    WITH scores AS (
+        SELECT doc_id, lang,
+            len(list_filter({_SQL_TOKS}, t -> list_contains(['the','and','of','to','a'], t))) AS s_en,
+            len(list_filter({_SQL_TOKS}, t -> list_contains(['el','la','de','que','y'], t))) AS s_es,
+            len(list_filter({_SQL_TOKS}, t -> list_contains(['le','la','et','les','des'], t))) AS s_fr,
+            len(list_filter({_SQL_TOKS}, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr >= s_de THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM scores
+    """,
+    doc="Language-ID heuristic: marker-token counts per language, "
+    "deterministic argmax (ties break en>es>fr>de).",
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    s_en, s_es = lang_marker_score(t, "en"), lang_marker_score(t, "es")
+    s_fr, s_de = lang_marker_score(t, "fr"), lang_marker_score(t, "de")
+    pred = (
+        F.when((s_en >= s_es) & (s_en >= s_fr) & (s_en >= s_de), F.lit("en"))
+        .when((s_es >= s_fr) & (s_es >= s_de), F.lit("es"))
+        .when(s_fr >= s_de, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+
+
+# --- MinHash signatures (oracle-checkable md5 hash family) ------------------
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(1, GREATEST(len(toks) - 1, 1)), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+)
+
+@register(
+    "q54_minhash_signature",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest({_SQL_SHINGLES}) AS t FROM toks
+    ),
+    hv AS (
+        SELECT doc_id, g.i,
+               ((2 * g.i + 1) * (('0x' || substr(md5(t), 1, 8))::BIGINT) + 13 * g.i)
+                 % 2147483647 AS h
+        FROM sh CROSS JOIN generate_series(0, 7) g(i)
+    )
+    SELECT doc_id, i AS hash_idx, MIN(h) AS min_hash
+    FROM hv GROUP BY doc_id, i
+    """,
+    doc="MinHash signature (8 perms) over distinct 3-word shingles; "
+    "md5-derived universal hashes so any engine reproduces it. Production "
+    "path swaps in xxhash64 (reproducible=False).",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        minhash_from_shingle_rows,
+        shingle_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    shx = shingle_rows(docs, "text", "doc_id", 3)
+    sig = minhash_from_shingle_rows(shx, num_hashes=8, reproducible=True)
+    # unpivot (id, m0..m7) -> (doc_id, hash_idx, min_hash)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("hash_idx"), F.col(f"m{i}").alias("min_hash")
+                    )
+                    for i in range(8)
+                ]
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.hash_idx", "s.min_hash")
+
+
+# --- MinHash LSH near-dup pairs ---------------------------------------------
+
+@register(
+    "q55_minhash_neardup",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    toks AS (
+        SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0) AS toks
+        FROM corpus
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, GREATEST(len(toks) - 1, 1)),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+        FROM toks
+    ),
+    shx AS (SELECT doc_id, unnest(shingles) AS t FROM sh),
+    hv AS (
+        SELECT doc_id, g.i,
+               MIN(((2 * g.i + 1) * (('0x' || substr(md5(t), 1, 8))::BIGINT) + 13 * g.i)
+                   % 2147483647) AS mh
+        FROM shx CROSS JOIN generate_series(0, 15) g(i)
+        GROUP BY doc_id, g.i
+    ),
+    bands AS (
+        SELECT doc_id, i // 4 AS band,
+               string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_sig
+        FROM hv GROUP BY doc_id, i // 4
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+    FROM pairs p
+    JOIN sh sa ON sa.doc_id = p.id_a
+    JOIN sh sb ON sb.doc_id = p.id_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+    """,
+    doc="MinHash LSH near-dup pairs (16 hashes, 4 bands) + exact Jaccard "
+    "verify, over documents augmented with planted duplicates. The banded "
+    "self-join is an equi-join on (band, band_sig) — hash-partitioned, "
+    "no cross product. Oracle mirrors the banding exactly.",
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    return minhash_near_dup_pairs(
+        corpus,
+        num_hashes=16,
+        bands=4,
+        shingle_k=3,
+        jaccard_threshold=0.5,
+        reproducible=True,
+    )
+
+
+# --- SimHash fingerprints ----------------------------------------------------
+
+@register(
+    "q56_simhash",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
+    ),
+    hv AS (
+        SELECT doc_id, t, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tk
+    ),
+    bits AS (
+        SELECT doc_id, g.b,
+               CASE WHEN SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                    THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        FROM hv CROSS JOIN generate_series(0, 63) g(b)
+        GROUP BY doc_id, g.b
+    )
+    SELECT doc_id, SUM(bit << b) AS simhash FROM bits GROUP BY doc_id
+    """,
+    doc="64-bit SimHash (Charikar'02) over tokens, md5-based reproducible "
+    "hash family; near-dup candidates come from band equality "
+    "(operators.dedup.simhash_bands).",
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.dedup import simhash_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_df(docs, "text", "doc_id", reproducible=True)
+
+
+# --- n-gram Jaccard between consecutive docs --------------------------------
+
+@register(
+    "q57_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(1, GREATEST(length(lower(text)) - 1, 1)),
+                   i -> substr(lower(text), i, 3))) AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="Character-3-gram Jaccard similarity between consecutive doc ids — "
+    "the exact-verify kernel used by every near-dup path, as pure array "
+    "expressions.",
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.functions.text import char_ngrams
+    from solarpaneldatawrangler_spark.operators.dedup import ngram_jaccard
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(char_ngrams(F.col("text"), 3)).alias("grams")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(ngram_jaccard(F.col("a.grams"), F.col("b.grams")), 6).alias("jaccard"),
+        )
+    )
+
+
+# --- brute-force ANN (exact cosine top-k) -----------------------------------
+
+@register(
+    "q58_ann_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND(list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                            CAST(c.embedding AS DOUBLE[])), 4) AS cosine_sim_r
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine_sim_r,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim_r DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim_r, rank FROM ranked WHERE rank <= 10
+    """,
+    doc="Exact cosine top-k: queries broadcast, corpus streamed through one "
+    "narrow stage (F.aggregate/zip_with dot product, JVM-side), per-query "
+    "row_number keeps k. Cosine rounded to 4dp before ranking with id "
+    "tiebreak so float-summation-order differences can't flip ranks.",
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    )
+    # re-rank on the rounded value (matching the oracle exactly)
+    from pyspark.sql import Window
+
+    rounded = out.withColumn("cosine_sim_r", F.round("cosine_sim", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim_r"), F.asc("neighbor_id")
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cosine_sim_r", "rank")
+    )
+
+
+# --- LSH-bucketed ANN (scale path; rows-only check) -------------------------
+
+@register(
+    "q59_ann_lsh",
+    oracle=None,
+    doc="Approximate ANN via random-hyperplane LSH bucketing + exact "
+    "re-rank — the 100 TB path (equi-join on signature buckets instead of "
+    "a cross product). No SQL oracle (hyperplane constants live in the "
+    "plan); driver records rows-only; recall is pytest-checked against "
+    "brute force.",
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64)
+
+
+# --- embedding group stats ---------------------------------------------------
+
+@register(
+    "q60_embedding_stats",
+    oracle="""
+    WITH norms AS (
+        SELECT label, vec_id,
+               CAST(ROUND(sqrt(list_aggregate(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
+                    AS DECIMAL(18,4)) AS nrm
+        FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(nrm) AS DOUBLE) AS total_norm
+    FROM norms GROUP BY label
+    """,
+    doc="Per-label embedding stats: L2 norm per vector (rounded, then "
+    "exact-decimal summed so partition order can't change the total).",
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.functions.vectors import norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.round(norm(F.col("embedding")), 4).cast("decimal(18,4)")
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("nrm").cast("double").alias("total_norm"))
+    )
+
+
+# --- multimodal binary-column plumbing --------------------------------------
+
+@register(
+    "q61_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents
+    """,
+    doc="Multimodal binary-column plumbing: opaque binary payload + typed "
+    "metadata (byte length, content hash) — the schema/partitioning "
+    "pattern for image/audio columns (SURVEY §2.9 G4-G8; decode stubs "
+    "live in operators.multimodal).",
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    content = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(content).alias("n_bytes"),
+        F.sha2(content, 256).alias("content_sha"),
+    )

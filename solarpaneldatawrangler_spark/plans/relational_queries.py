@@ -1,0 +1,531 @@
+"""Relational operator queries (SURVEY.md §2.2-2.8) over the driver star
+schema, each with a DuckDB oracle. The reference analogue for each is
+cited as (SURVEY §2 id — /root/reference file:line).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.operators.relational import (
+    dedup_by_key,
+    exact_sum,
+    priority_scan,
+    top_k_per_group,
+)
+from solarpaneldatawrangler_spark.plans.catalog import register
+from solarpaneldatawrangler_spark.sources.star import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- O1: top-k priority scan (the flagship; solardb.py:215-221) -------------
+
+@register(
+    "q01_priority_scan",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity, l_shipdate
+    FROM lineitem
+    WHERE l_quantity >= 30 AND l_returnflag = 'N'
+    ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber
+    LIMIT 400
+    """,
+    doc="O1 top-k inference feed: conjunctive filter + multi-key sort + limit "
+    "(solardb.py:215-221). Plans as TakeOrderedAndProject — distributed top-k.",
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return priority_scan(
+        li.select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity", "l_shipdate"),
+        ["l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber"],
+        400,
+        predicate=(F.col("l_quantity") >= 30) & (F.col("l_returnflag") == "N"),
+    )
+
+
+# --- P1-P3: projection + equality filter (solardb.py:100-118) ---------------
+
+@register(
+    "q02_filter_project",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 200000
+    """,
+    doc="P1-P3 projection + boolean/equality filter (solardb.py:100-118); "
+    "predicate + projection push to the parquet scan.",
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- P4: null-test filter (solardb.py:124-126) ------------------------------
+
+@register(
+    "q03_null_filter",
+    oracle="""
+    SELECT event_id, event_type
+    FROM events
+    WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
+      AND event_type = 'error' AND value IS NOT NULL
+    """,
+    doc="P4 null-test predicates (solardb.py:124-126).",
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        F.get_json_object("props", "$.k").isNotNull()
+        & (F.col("event_type") == "error")
+        & F.col("value").isNotNull()
+    ).select("event_id", "event_type")
+
+
+# --- P6: threshold filter (solardb.py:231-242) ------------------------------
+
+@register(
+    "q04_threshold_filter",
+    oracle="""
+    SELECT event_id, value
+    FROM events
+    WHERE value IS NOT NULL AND value >= 0.25 AND event_type = 'purchase'
+    """,
+    doc="P6 softmax-threshold filter shape (solardb.py:231-242).",
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & (F.col("value") >= 0.25)
+            & (F.col("event_type") == "purchase")
+        )
+        .select("event_id", "value")
+    )
+
+
+# --- P7: 2-D range predicate (solardb.py:142-144) ---------------------------
+
+@register(
+    "q05_range2d",
+    oracle="""
+    SELECT p_partkey, p_size, p_retailprice
+    FROM part
+    WHERE p_size BETWEEN 10 AND 20 AND p_retailprice BETWEEN 1000 AND 1500
+    """,
+    doc="P7 2-D range predicate — the grid-cell window probe (solardb.py:142-144).",
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(10, 20) & F.col("p_retailprice").between(1000, 1500))
+        .select("p_partkey", "p_size", "p_retailprice")
+    )
+
+
+# --- J1 + A: broadcast FK join + aggregation (solardb.py:129-132) -----------
+
+@register(
+    "q06_broadcast_join_agg",
+    oracle="""
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    doc="J1 broadcast FK equi-join + group agg (solardb.py:129-132 ORM lazy "
+    "loads -> one broadcast hash join). Exact decimal sum for determinism.",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            # scale 6: the source columns are exact 2-decimal values, so the
+            # product has <=4 decimals — decimal(18,6) casts without hitting
+            # a rounding boundary (engines disagree on half-rounding doubles)
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), scale=6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --- J2: left-semi existence (solardb.py:75-78) -----------------------------
+
+@register(
+    "q07_semi_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """,
+    doc="J2 existence check as left-semi join (solardb.py:75-78).",
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+# --- J3/U2: anti-join (solardb.py:148-160) ----------------------------------
+
+@register(
+    "q08_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    doc="J3 hash anti-join — the meshgrid-minus-existing / incremental "
+    "remainder pattern (solardb.py:148-160).",
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --- A1/O3: group-by count + top-k (solardb.py:262-280) ---------------------
+
+@register(
+    "q09_groupby_topk",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY n_orders DESC, o_custkey
+    LIMIT 10
+    """,
+    doc="A1/O3 largest-10-clusters shape: groupBy count + count-desc top-k "
+    "(solardb.py:262-280; fixes the reference's unimported-count NameError).",
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("total_spend"),
+        )
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(10)
+    )
+
+
+# --- A3 + A6: per-group max/min, global sums (maproulette.py:60) ------------
+
+@register(
+    "q10_group_minmax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           MAX(l_extendedprice) AS max_price,
+           MIN(l_discount) AS min_discount,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A3 per-group max (cluster confidence, maproulette.py:60) + A6 sums; "
+    "partial (map-side) aggregation then one shuffle on the group key.",
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.max("l_extendedprice").alias("max_price"),
+            F.min("l_discount").alias("min_discount"),
+            exact_sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- A2/W2: per-group representative row (solardb.py:277-278) ---------------
+
+@register(
+    "q11_rep_row",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+    ) WHERE rn = 1
+    """,
+    doc="A2/W2 per-group representative row via row_number window "
+    "(solardb.py:277-278 'any one tile' made deterministic).",
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        top_k_per_group(
+            _t(spark, sf_dir, "customer"),
+            ["c_mktsegment"],
+            [F.desc("c_acctbal"), F.asc("c_custkey")],
+            1,
+        )
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )
+
+
+# --- W1: per-group ordered scan (solardb.py:217-219) ------------------------
+
+@register(
+    "q12_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="W1 per-group ordered scan: first 3 orders per customer "
+    "(the centroid_distance-ordered batching of solardb.py:217-219).",
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_k_per_group(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate"),
+        ["o_custkey"],
+        [F.asc("o_orderdate"), F.asc("o_orderkey")],
+        3,
+    ).select("o_custkey", "o_orderkey", "o_orderdate", "rn")
+
+
+# --- A5/F5: round + distinct (solardb.py:169,188-190) -----------------------
+
+@register(
+    "q13_distinct_round",
+    oracle="""
+    SELECT DISTINCT event_type, ROUND(value, 1) AS v
+    FROM events WHERE value IS NOT NULL
+    """,
+    doc="A5 rounded-coordinate dedup of OSM nodes (solardb.py:169,188-190).",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", F.round("value", 1).alias("v"))
+        .distinct()
+    )
+
+
+# --- A6/F6: global sum + ceil (process_city_shapes.py:249-253) --------------
+
+@register(
+    "q14_global_sum",
+    oracle="""
+    SELECT CAST(CEIL(SUM(CAST(l_quantity AS DECIMAL(18,2)))) AS BIGINT) AS total_area
+    FROM lineitem
+    """,
+    doc="A6/F6 global area sum + ceil (process_city_shapes.py:249-253), "
+    "exact via decimal.",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").agg(
+        F.ceil(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).cast("bigint").alias("total_area")
+    )
+
+
+# --- U1: union (solardb.py:178-182) -----------------------------------------
+
+@register(
+    "q15_union",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM (
+        SELECT event_type FROM events WHERE event_type = 'view'  AND value > 5
+        UNION ALL
+        SELECT event_type FROM events WHERE event_type = 'click' AND value > 5
+        UNION ALL
+        SELECT event_type FROM events WHERE event_type = 'signup'
+    ) GROUP BY event_type
+    """,
+    doc="U1 node+way+relation-style source union (solardb.py:178-182) as "
+    "unionByName of three filtered scans.",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter((F.col("event_type") == "view") & (F.col("value") > 5))
+    b = ev.filter((F.col("event_type") == "click") & (F.col("value") > 5))
+    c = ev.filter(F.col("event_type") == "signup")
+    return (
+        a.select("event_type")
+        .unionByName(b.select("event_type"))
+        .unionByName(c.select("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- U2: except/minus (run_inference.py:79-83) ------------------------------
+
+@register(
+    "q16_except",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'view'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    """,
+    doc="U2 key-based except: viewers who never purchased "
+    "(the full-minus-dilated GC shape, run_inference.py:79-83).",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return viewers.join(buyers, "user_id", "left_anti")
+
+
+# --- U3/S13: insert-time key dedup (solardb.py:50-51) -----------------------
+
+@register(
+    "q17_dedup_first",
+    oracle="""
+    SELECT user_id, event_type,
+           MIN(event_id) AS event_id,
+           MIN_BY(value, event_id) AS value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    doc="U3 ON-CONFLICT-IGNORE key dedup (solardb.py:50-51) with a "
+    "deterministic winner (min event_id) via map-side-combinable min_by.",
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "value")
+    return dedup_by_key(ev, ["user_id", "event_type"], order_col="event_id").select(
+        "user_id", "event_type", "event_id", "value"
+    )
+
+
+# --- F7/S2: string sanitize/concat (gather_city_shapes.py:9-10) -------------
+
+@register(
+    "q18_string_fns",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, ' ', '_', 'g') || '.' || c_mktsegment AS file_key,
+           concat_ws(', ', c_name, n_name) AS display_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    doc="F7/S2 filename sanitize + display-name concat "
+    "(gather_city_shapes.py:9-10, process_city_shapes.py:74,199) over a "
+    "broadcast dimension join.",
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "c_custkey",
+            F.concat(
+                F.regexp_replace("c_name", " ", "_"), F.lit("."), F.col("c_mktsegment")
+            ).alias("file_key"),
+            F.concat_ws(", ", "c_name", "n_name").alias("display_name"),
+        )
+    )
+
+
+# --- F13: JSON field access (gather_city_shapes.py:50-52) -------------------
+
+@register(
+    "q19_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) AS avg_k
+    FROM events
+    WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
+    GROUP BY event_type
+    """,
+    doc="F13 JSON field access (gather_city_shapes.py:50-52) via "
+    "get_json_object + exact integer-mean aggregation.",
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.filter(k.isNotNull())
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg((F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"))
+    )
+
+
+# --- A9-ish: sessionization (the W-pattern bonus; run_inference.py:100) -----
+
+@register(
+    "q20_sessionize",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    flags AS (
+        SELECT user_id,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 3600
+                    THEN 1 ELSE 0 END AS new_session
+        FROM seq
+    )
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM flags GROUP BY user_id
+    """,
+    doc="Sessionization via lag window + gap flag — the streaming-shaped "
+    "batch pattern (cf. run_inference.py:100-128 incremental loop).",
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 3600), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# --- time-bucketed agg (streaming-window shape, SURVEY §2.10) ---------------
+
+@register(
+    "q21_time_bucket",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    doc="Tumbling-window aggregation (batch form of the Structured "
+    "Streaming windowed agg, SURVEY §2.10).",
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), F.col("event_type")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )

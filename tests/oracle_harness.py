@@ -1,0 +1,63 @@
+"""Local mirror of the driver's DuckDB-oracle comparison: run the Spark
+query and the oracle SQL on the same parquet, sort columns by name,
+compare row multisets (exact for non-floats, tiny-tolerance for floats
+so genuinely nondeterministic queries are caught while IEEE-identical
+math passes)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+from solarpaneldatawrangler_spark.sources.star import STAR_TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con.execute(sql).fetchdf()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            # decimals, bytes -> canonical types
+            df[c] = df[c].map(
+                lambda v: float(v)
+                if type(v).__name__ == "Decimal"
+                else (v.hex() if isinstance(v, (bytes, bytearray)) else v)
+            )
+    sort_cols = list(df.columns)
+    df = df.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def compare(spark_df, oracle_df: pd.DataFrame, name: str, rtol: float = 1e-9) -> None:
+    got = _normalize(spark_df.toPandas())
+    want = _normalize(oracle_df)
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
+    for c in got.columns:
+        g, w = got[c], want[c]
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            for i, (a, b) in enumerate(zip(g, w)):
+                if pd.isna(a) and pd.isna(b):
+                    continue
+                assert a is not None and b is not None and math.isclose(
+                    float(a), float(b), rel_tol=rtol, abs_tol=1e-12
+                ), f"{name}: col {c} row {i}: {a} != {b}"
+        else:
+            ga, wa = g.astype(str).tolist(), w.astype(str).tolist()
+            assert ga == wa, (
+                f"{name}: col {c} differs; first diff at "
+                f"{next(i for i in range(len(ga)) if ga[i] != wa[i])}: "
+                f"{[x for x in zip(ga, wa) if x[0] != x[1]][:3]}"
+            )

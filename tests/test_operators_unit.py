@@ -1,0 +1,121 @@
+"""Unit tests: upsert/dedup semantics, grid dilation/GC goldens
+(FIXTURES.md §2), multimodal plumbing, incremental remainder."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.operators.grid import dilate, enumerate_grid, gc_retention
+from solarpaneldatawrangler_spark.operators.multimodal import (
+    classify_tiles,
+    decode_image,
+    fake_image,
+    slice_grid,
+    stitch_3x3,
+)
+from solarpaneldatawrangler_spark.operators.relational import (
+    dedup_by_key,
+    incremental_remainder,
+    upsert_by_key,
+)
+
+
+def test_upsert_ignores_conflicts(spark):
+    existing = spark.createDataFrame(
+        [(1, 1, 21, "a"), (2, 2, 21, "b")], "row long, column long, zoom int, v string"
+    )
+    incoming = spark.createDataFrame(
+        [(1, 1, 21, "NEW"), (3, 3, 21, "c"), (3, 3, 21, "c-dup")],
+        "row long, column long, zoom int, v string",
+    )
+    out = upsert_by_key(existing, incoming, ["row", "column", "zoom"])
+    got = {(r.row, r.column): r.v for r in out.collect()}
+    assert got[(1, 1)] == "a"  # conflict ignored, existing wins
+    assert got[(2, 2)] == "b"
+    assert (3, 3) in got and got[(3, 3)] in ("c", "c-dup")
+    assert out.count() == 3
+
+
+def test_dedup_by_key_deterministic_winner(spark):
+    df = spark.createDataFrame(
+        [(1, 10, "late"), (1, 5, "early"), (2, 7, "only")], "k long, ord long, v string"
+    )
+    out = {r.k: (r.ord, r.v) for r in dedup_by_key(df, ["k"], "ord").collect()}
+    assert out == {1: (5, "early"), 2: (7, "only")}
+
+
+def test_incremental_remainder(spark):
+    universe = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    done = spark.createDataFrame([(i,) for i in range(0, 10, 2)], "id long")
+    rest = sorted(r.id for r in incremental_remainder(universe, done, ["id"]).collect())
+    assert rest == [1, 3, 5, 7, 9]
+
+
+def test_dilate_golden(spark):
+    df = spark.createDataFrame([(5, 5), (6, 5)], "column long, row long")
+    out = {(r.column, r.row) for r in dilate(df).collect()}
+    expected = {(c, r) for c in range(4, 8) for r in range(4, 7)}
+    assert out == expected  # 4x3 block from two horizontally-adjacent seeds
+
+
+def test_gc_retention_golden(spark):
+    tiles = spark.createDataFrame(
+        [(c, r) for c in range(10) for r in range(10)], "column long, row long"
+    )
+    pos = spark.createDataFrame([(5, 5)], "column long, row long")
+    doomed = {(r.column, r.row) for r in gc_retention(tiles, pos).collect()}
+    survivors = {(c, r) for c in range(4, 7) for r in range(4, 7)}
+    assert doomed == {(c, r) for c in range(10) for r in range(10)} - survivors
+
+
+def test_enumerate_grid_golden(spark):
+    bboxes = spark.createDataFrame(
+        [("a", 0, 2, 10, 11)], "name string, xmin long, xmax long, ymin long, ymax long"
+    )
+    cells = {(r.column, r.row) for r in enumerate_grid(bboxes).collect()}
+    assert cells == {(c, r) for c in range(0, 3) for r in range(10, 12)}
+
+
+def test_fake_image_roundtrip():
+    img = fake_image(1280, 1280, b"seed")
+    assert decode_image(img) == (1280, 1280)
+
+
+def test_slice_grid_fanout(spark):
+    imgs = spark.createDataFrame(
+        [(100, 200, 21, fake_image(1280, 1280, b"x"))],
+        "column long, row long, zoom int, content binary",
+    )
+    out = slice_grid(imgs, grid_size=5)
+    rows = out.collect()
+    assert len(rows) == 25
+    coords = {(r.column, r.row) for r in rows}
+    assert coords == {(100 + dc, 200 + dr) for dc in range(5) for dr in range(5)}
+    assert all(decode_image(bytes(r.content)) == (256, 256) for r in rows)
+
+
+def test_stitch_and_classify(spark):
+    tiles = spark.createDataFrame(
+        [(c, r, 21, fake_image(256, 256, bytes([c, r]))) for c in range(3) for r in range(3)],
+        "column long, row long, zoom int, content binary",
+    )
+    stitched = stitch_3x3(tiles)
+    got = {(r.column, r.row): r.n_neighbors for r in stitched.collect()}
+    assert len(got) == 9  # every input tile gets a stitched context image
+    assert got[(1, 1)] == 8  # center has all 8 neighbors
+    assert got[(0, 0)] == 3  # corner has 3
+    scored = classify_tiles(stitched)
+    rows = scored.collect()
+    assert len(rows) == 9
+    assert all(0.0 <= r.panel_softmax <= 1.0 for r in rows)
+
+
+def test_streaming_windowed_counts(spark, sf_dir):
+    from solarpaneldatawrangler_spark.sources.star import load_table
+    from solarpaneldatawrangler_spark.streaming.incremental import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    out = windowed_event_counts(ev)
+    assert out.count() > 0
+    # batch twin consistency: total events preserved
+    assert out.agg(F.sum("n")).collect()[0][0] == ev.count()

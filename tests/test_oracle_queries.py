@@ -1,0 +1,38 @@
+"""Every catalog query with an oracle must match DuckDB at sf0.01 —
+the local mirror of the driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from solarpaneldatawrangler_spark.plans import CATALOG
+from tests.oracle_harness import compare, run_oracle
+
+ORACLE_QUERIES = sorted(n for n, s in CATALOG.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in CATALOG.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, sf_dir, name):
+    spec = CATALOG[name]
+    got = spec.fn(spark, sf_dir)
+    want = run_oracle(spec.oracle, sf_dir)
+    compare(got, want, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, sf_dir, name):
+    spec = CATALOG[name]
+    df = spec.fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    names = set(e.queries())
+    oracles = e.oracle_sql()
+    assert set(oracles) <= names
