@@ -48,30 +48,37 @@ def connected_components(
     ).localCheckpoint()
     edges = neighbor_edges(nodes, col_name, row_name).localCheckpoint()
 
-    labels = nodes.select("id", F.col("id").alias("label"))
+    # singletons (no 4-neighbor present) — usually the majority on sparse
+    # grids — need no iteration: their label is their own id. The loop
+    # runs only over edge-connected nodes, typically a small fraction.
+    edge_ids = edges.select(F.col("src").alias("id")).distinct()
+    active = nodes.join(edge_ids, "id", "left_semi")
+    singletons = nodes.join(edge_ids, "id", "left_anti").select(
+        col_name, row_name, F.col("id").alias("cluster_id")
+    )
+
+    labels = active.select("id", F.col("id").alias("label"))
+    # min-labels only ever decrease, so the global label sum is a strict
+    # monotone: equal sums <=> fixpoint. One scalar agg per iteration
+    # instead of a join-based diff.
+    prev_sum = None
     for _ in range(max_iterations):
-        # candidate labels: own + min neighbor label
         neighbor_labels = (
             edges.join(labels, edges.src == labels.id, "inner")
             .select(F.col("dst").alias("id"), F.col("label"))
         )
-        new_labels = (
+        labels = (
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        label_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
 
-    return nodes.join(labels, "id").select(
+    clustered = active.join(labels, "id").select(
         col_name, row_name, F.col("label").alias("cluster_id")
     )
+    return clustered.unionByName(singletons)

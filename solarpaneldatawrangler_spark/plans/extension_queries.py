@@ -436,6 +436,53 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal binary-column plumbing --------------------------------------
 
 @register(
+    "q62_multimodal_pipeline",
+    oracle=None,
+    doc="G4-G8 imagery pipeline over the multimodal binary-column plumbing: "
+    "deterministic fake super-images -> 25-way slice (mapInPandas "
+    "flatMap) -> 3x3 stitch (explode-to-center + applyInPandas, one "
+    "shuffle) -> batched mock inference (iterator pandas UDF) -> count "
+    "of positives per zoom. Rows-only check: the pixel codec is stubbed "
+    "(no imaging lib in the container); plumbing and plan shape are real.",
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.multimodal import (
+        classify_tiles,
+        fake_image,
+        slice_grid,
+        stitch_3x3,
+    )
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+
+    def to_image(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "column": (pdf["doc_id"] % 10) * 5,
+                    "row": (pdf["doc_id"] // 10) * 5,
+                    "zoom": 21,
+                    "content": [
+                        fake_image(1280, 1280, t.encode("utf-8")[:32])
+                        for t in pdf["text"]
+                    ],
+                }
+            )
+
+    supers = docs.mapInPandas(
+        to_image, "column long, row long, zoom int, content binary"
+    )
+    tiles = slice_grid(supers, grid_size=5)
+    stitched = stitch_3x3(tiles)
+    scored = classify_tiles(stitched)
+    return scored.groupBy("zoom").agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.sum(F.when(F.col("panel_softmax") >= 0.25, 1).otherwise(0)).alias("n_positive"),
+    )
+
+
+@register(
     "q61_binary_meta",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,329 @@
+"""Second batch of relational/operator queries: running windows (A9),
+pivot/rollup, distinct-count, ON-CONFLICT upsert (U3/S13), grid-neighbor
+self-join (J8), group-collect (A4), polygon coord-string building (F9),
+and the Structured Streaming windowed aggregation (§2.10) — each with a
+DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from solarpaneldatawrangler_spark.operators.grid import neighbor_edges
+from solarpaneldatawrangler_spark.operators.relational import exact_sum, upsert_by_key
+from solarpaneldatawrangler_spark.plans.catalog import register
+from solarpaneldatawrangler_spark.sources.star import load_table
+
+
+# --- A9: running mean (run_inference.py:100,126-128) ------------------------
+
+@register(
+    "q22_running_avg",
+    oracle="""
+    SELECT user_id, event_id,
+           SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_avg
+    FROM events
+    """,
+    doc="A9 running mean (the reference's hand-rolled avg_tiles_per_sec, "
+    "run_inference.py:126-128) as an ordered window frame — the "
+    "accumulation order is total, so double math is engine-identical.",
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.sum("value").over(w) / F.count(F.lit(1)).over(w)).alias("running_avg"),
+    )
+
+
+# --- pivot (wide-table reshaping, SURVEY §2.4 extension) --------------------
+
+@register(
+    "q23_pivot",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot: per-user event-type counts as columns. Spark .pivot() with "
+    "explicit values (no discovery pass); oracle via FILTER aggregates.",
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id",
+        F.coalesce("view", F.lit(0)).alias("n_view"),
+        F.coalesce("click", F.lit(0)).alias("n_click"),
+        F.coalesce("purchase", F.lit(0)).alias("n_purchase"),
+    )
+
+
+# --- rollup (hierarchical aggregates) ---------------------------------------
+
+@register(
+    "q24_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="Rollup: hierarchical subtotals (flag, flag+status, grand total) in "
+    "one pass — partial aggregation handles all levels map-side.",
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- exact distinct count ----------------------------------------------------
+
+@register(
+    "q25_distinct_count",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Exact distinct aggregation (expand+two-phase agg in Spark); the "
+    "approximate twin is approx_count_distinct (not oracle-comparable).",
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# --- U3/S13: ON-CONFLICT-IGNORE upsert (solardb.py:83-97) -------------------
+
+@register(
+    "q26_upsert",
+    oracle="""
+    WITH existing AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        WHERE o_orderkey % 3 = 0
+    ),
+    incoming AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+    ),
+    merged AS (
+        SELECT * FROM existing
+        UNION ALL
+        SELECT * FROM incoming i
+        WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.o_orderkey = i.o_orderkey)
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+    doc="U3/S13 ON-CONFLICT-IGNORE upsert (solardb.py:83-97): existing rows "
+    "win on key conflict (the doubled incoming price must NOT appear for "
+    "overlapping keys); left_anti + unionByName, then an aggregate over "
+    "the merged table proves which version survived.",
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    existing = orders.filter(F.col("o_orderkey") % 3 == 0)
+    incoming = orders.filter(F.col("o_orderkey") % 2 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    merged = upsert_by_key(existing, incoming, ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), exact_sum("o_totalprice").alias("total")
+    )
+
+
+# --- J8: grid-neighbor self-join (imagery.py:196-209) -----------------------
+
+@register(
+    "q27_neighbor_edges",
+    oracle="""
+    WITH cells AS (
+        SELECT DISTINCT user_id % 200 AS c, event_id % 200 AS r FROM events
+    ),
+    nodes AS (SELECT c * 4294967296 + r AS id, c, r FROM cells),
+    half AS (
+        SELECT a.id AS src, b.id AS dst
+        FROM nodes a JOIN nodes b ON b.c = a.c + 1 AND b.r = a.r
+        UNION ALL
+        SELECT a.id AS src, b.id AS dst
+        FROM nodes a JOIN nodes b ON b.c = a.c AND b.r = a.r + 1
+    )
+    SELECT src, dst FROM half
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM half
+    """,
+    doc="J8 grid-neighbor self-join (the 3x3 stitch neighborhood lookup, "
+    "imagery.py:196-209; also the CC edge builder): equi-join on shifted "
+    "keys, E/S generated then symmetrized to halve join work.",
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.select(
+        (F.col("user_id") % 200).alias("column"), (F.col("event_id") % 200).alias("row")
+    ).distinct()
+    return neighbor_edges(cells)
+
+
+# --- A4: group collect (maproulette.py:39-40) -------------------------------
+
+@register(
+    "q28_group_collect",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_custkey
+    """,
+    doc="A4 group-collect (the defaultdict(list) tile grouping, "
+    "maproulette.py:39-40): collect_list sorted for deterministic "
+    "comparison. At scale prefer streaming aggregates over collecting "
+    "payloads — collect only bounded groups (clusters are small).",
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # serialized as a string: array-typed result columns compare
+    # ambiguously across engines (numpy vs list renderings)
+    keys = F.concat_ws(
+        ",",
+        F.transform(
+            F.sort_array(F.collect_list("o_orderkey")), lambda x: x.cast("string")
+        ),
+    )
+    return orders.groupBy("o_custkey").agg(
+        keys.alias("orderkeys"), F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- F9: polygon -> coordinate string (solardb.py:172) ----------------------
+
+@register(
+    "q29_ring_coord_string",
+    oracle="""
+    WITH polys AS (
+        SELECT n_nationkey,
+               [[CAST(n_nationkey AS DOUBLE), 0.0],
+                [CAST(n_nationkey + 1 AS DOUBLE), 0.0],
+                [CAST(n_nationkey + 1 AS DOUBLE), 1.0],
+                [CAST(n_nationkey AS DOUBLE), 1.0],
+                [CAST(n_nationkey AS DOUBLE), 0.0]] AS ring
+        FROM nation
+    )
+    SELECT n_nationkey,
+           array_to_string(
+               list_transform(ring, p -> p[2]::VARCHAR || ' ' || p[1]::VARCHAR),
+               ' ') AS poly_string
+    FROM polys
+    """,
+    doc="F9 Overpass poly-filter string: '<lat> <lon> ...' from a ring "
+    "(reference reverses each pair and joins, solardb.py:172) — "
+    "transform + concat_ws, no UDF.",
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("double")
+    ring = F.array(
+        F.array(k, F.lit(0.0)),
+        F.array(k + 1, F.lit(0.0)),
+        F.array(k + 1, F.lit(1.0)),
+        F.array(k, F.lit(1.0)),
+        F.array(k, F.lit(0.0)),
+    )
+    poly_string = F.concat_ws(
+        " ",
+        F.transform(
+            ring,
+            lambda p: F.concat_ws(
+                " ",
+                F.element_at(p, 2).cast("string"),
+                F.element_at(p, 1).cast("string"),
+            ),
+        ),
+    )
+    return nation.select("n_nationkey", poly_string.alias("poly_string"))
+
+
+# --- §2.10: Structured Streaming windowed aggregation -----------------------
+
+@register(
+    "q70_streaming_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="A REAL Structured Streaming job (readStream over the events "
+    "parquet, watermarked 1-hour tumbling window, complete-mode memory "
+    "sink, availableNow semantics via processAllAvailable) whose result "
+    "is SQL-oracle-checked — the §2.10 batch/stream unification: same "
+    "aggregation, same answer, late-data handling for free.",
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),  # nanos (see sources.star)
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
+    name = "q70_out"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )

@@ -91,7 +91,13 @@ def http_source(
             already_fetched.select(*key_cols), on=key_cols, how="left_anti"
         )
     requests_df = requests_df.repartition(max_concurrency)
-    schema = requests_df.schema.add("content", "binary")
+    # fresh StructType: df.schema is cached on the DataFrame and .add()
+    # mutates it in place, which would corrupt requests_df.columns
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(requests_df.schema.fields) + [T.StructField("content", T.BinaryType())]
+    )
 
     def fetch_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,0 +1,46 @@
+"""Quality checks for the approximate similarity paths: LSH recall vs
+brute force, and near-dup detection of planted duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.operators.dedup import minhash_near_dup_pairs
+from solarpaneldatawrangler_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from solarpaneldatawrangler_spark.sources.star import load_table
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = lsh_bucketed_topk(emb, queries, k=5, dim=64, n_planes=4, n_tables=10)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # these embeddings are near-random (top-5 cosine ~0.3-0.5), the worst
+    # case for sign-LSH; measured 0.72 with 4 planes x 10 distinct tables
+    # — planes are deterministic, so pin a floor under the measurement.
+    # (This test caught a real bug: identical per-table seeds -> 0.18.)
+    assert recall >= 0.5, f"LSH recall collapsed: {recall}"
+    assert {q for q, _ in approx_set} == {q for q, _ in exact_set}
+
+
+def test_minhash_finds_planted_duplicates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    n_planted = planted.count()
+    pairs = minhash_near_dup_pairs(
+        docs.unionByName(planted), jaccard_threshold=0.9, reproducible=False
+    )
+    found = {
+        (r.id_a, r.id_b) for r in pairs.collect() if r.id_b - r.id_a == 500000
+    }
+    # every planted exact duplicate has identical signatures in every
+    # band -> guaranteed candidate -> jaccard 1.0 -> must be found
+    assert len(found) == n_planted

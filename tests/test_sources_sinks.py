@@ -1,0 +1,129 @@
+"""Source/sink round-trips (SURVEY §2.1): CSV city scan (S1/S2), GeoJSON
+JSONL sink (S12), partitioned binary image store (S9/S10), HTTP source
+with injected fetcher + backoff (S3/S8), schema evolution (alembic
+parity via mergeSchema)."""
+
+from __future__ import annotations
+
+import json
+import tempfile
+
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.schemas import CITIES_CSV
+from solarpaneldatawrangler_spark.sources.geojson import (
+    feature_collection_lines,
+    write_jsonl,
+)
+from solarpaneldatawrangler_spark.sources.http import (
+    fetch_with_backoff,
+    http_source,
+    nominatim_city_requests,
+)
+
+
+def test_csv_city_scan_and_derived_path(spark, tmp_path):
+    csv = tmp_path / "cities.csv"
+    csv.write_text("San Francisco,California\nNew York,New York\n")
+    cities = spark.read.schema(CITIES_CSV).csv(str(csv))
+    # S2 derived-path projection (gather_city_shapes.py:9-10,22-24)
+    with_path = cities.withColumn(
+        "path",
+        F.concat(
+            F.lit("data/geoJSON/"),
+            F.regexp_replace("city", " ", "_"),
+            F.lit("."),
+            F.regexp_replace("state", " ", "_"),
+            F.lit(".json"),
+        ),
+    )
+    rows = {r.city: r.path for r in with_path.collect()}
+    assert rows["San Francisco"] == "data/geoJSON/San_Francisco.California.json"
+    assert len(rows) == 2
+
+
+def test_jsonl_geojson_sink_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]], 0.9)],
+        "ring array<array<double>>, confidence double",
+    )
+    lines_df = feature_collection_lines(df)
+    out = str(tmp_path / "out")
+    write_jsonl(lines_df, out, single_file=True)
+    back = spark.read.text(out).collect()
+    assert len(back) == 1
+    obj = json.loads(back[0].value)
+    assert obj["features"][0]["properties"]["prediction_confidence"] == 0.9
+    assert obj["features"][0]["geometry"]["coordinates"][0][0] == [0.0, 0.0]
+
+
+def test_partitioned_binary_image_store(spark, tmp_path):
+    from solarpaneldatawrangler_spark.operators.multimodal import fake_image
+
+    tiles = spark.createDataFrame(
+        [(c, r, 21, fake_image(256, 256, bytes([c, r]))) for c in range(3) for r in range(2)],
+        "column long, row long, zoom int, content binary",
+    )
+    out = str(tmp_path / "imagery")
+    # S10: hive-partitioned binary store (imagery.py:34-48 directory scheme)
+    tiles.write.partitionBy("zoom", "row").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == 6
+    # partition pruning: row filter prunes directories
+    plan = back.filter(F.col("row") == 1)._jdf.queryExecution().executedPlan().toString()
+    assert back.filter(F.col("row") == 1).count() == 3
+    assert "PartitionFilters: [" in plan
+
+
+def test_http_source_injected_fetch_and_idempotency(spark):
+    cities = spark.createDataFrame(
+        [("Springfield", "Illinois"), ("Portland", "Oregon")], "city string, state string"
+    )
+    reqs = nominatim_city_requests(cities)
+    url = [r.url for r in reqs.filter(F.col("city") == "Springfield").collect()][0]
+    assert "city=Springfield&state=Illinois" in url
+
+    fetched = http_source(
+        reqs, "url", fetch_fn=lambda u: b"GEOJSON:" + u.encode()[:40], max_concurrency=2
+    )
+    rows = fetched.collect()
+    assert len(rows) == 2 and all(bytes(r.content).startswith(b"GEOJSON:") for r in rows)
+
+    # idempotent incremental: already-fetched keys are skipped (S4)
+    done = cities.filter(F.col("city") == "Springfield")
+    remaining = http_source(
+        reqs,
+        "url",
+        fetch_fn=lambda u: b"x",
+        already_fetched=done,
+        key_cols=["city", "state"],
+    )
+    assert [r.city for r in remaining.collect()] == ["Portland"]
+
+
+def test_backoff_retries_then_succeeds():
+    calls = {"n": 0}
+
+    def flaky(url):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("boom")
+        return b"ok"
+
+    sleeps = []
+    out = fetch_with_backoff(flaky, "u", base_sleep=1.0, sleep_fn=sleeps.append)
+    assert out == b"ok"
+    assert sleeps == [1.0, 2.0]  # exponential
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    # alembic-migration parity (SURVEY §1.3): old rows lack the new column
+    out = str(tmp_path / "tiles")
+    spark.createDataFrame([(1, 1)], "row long, column long").write.parquet(out + "/v1")
+    spark.createDataFrame(
+        [(2, 2, 7)], "row long, column long, cluster_id long"
+    ).write.parquet(out + "/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(out + "/v1", out + "/v2")
+    assert set(merged.columns) == {"row", "column", "cluster_id"}
+    vals = {r.row: r.cluster_id for r in merged.collect()}
+    assert vals[1] is None and vals[2] == 7
