@@ -288,7 +288,7 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM hv CROSS JOIN generate_series(0, 63) g(b)
         GROUP BY doc_id, g.b
     )
-    SELECT doc_id, SUM(bit << b) AS simhash FROM bits GROUP BY doc_id
+    SELECT doc_id, CAST(SUM(bit << b) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
     """,
     doc="64-bit SimHash (Charikar'02) over tokens, md5-based reproducible "
     "hash family; near-dup candidates come from band equality "

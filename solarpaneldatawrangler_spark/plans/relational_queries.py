@@ -486,7 +486,8 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1 ELSE 0 END AS new_session
         FROM seq
     )
-    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
     FROM flags GROUP BY user_id
     """,
     doc="Sessionization via lag window + gap flag — the streaming-shaped "

@@ -1,0 +1,86 @@
+"""Hypothesis property tests (SURVEY §5.4) for the pure algorithmic
+kernels that have no SQL oracle: projection inverses, union-ring
+invariants, minhash containment."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from solarpaneldatawrangler_spark.operators.geometry import union_ring_of_cells
+
+
+def _deg2num(lon, lat, zoom):
+    lat_rad = math.radians(lat)
+    n = 2.0 ** zoom
+    return (
+        int((lon + 180.0) / 360.0 * n),
+        int((1.0 - math.log(math.tan(lat_rad) + 1 / math.cos(lat_rad)) / math.pi) / 2.0 * n),
+    )
+
+
+def _num2deg(c, r, zoom, center=True):
+    if center:
+        c, r = c + 0.5, r + 0.5
+    n = 2.0 ** zoom
+    lon = c / n * 360.0 - 180.0
+    lat = math.degrees(math.atan(math.sinh(math.pi * (1 - 2 * r / n))))
+    return lon, lat
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    c=st.integers(min_value=0, max_value=2**15 - 1),
+    r=st.integers(min_value=0, max_value=2**15 - 1),
+)
+def test_projection_roundtrip_zoom15(c, r):
+    """num2deg(center) then deg2num returns the SAME tile — the invariant
+    the engine's priority-scan and report geometry rely on. (Python-level
+    mirror of the Catalyst expressions, which use the identical formulas;
+    the Spark-side equivalence is covered by q30/q31 oracle checks.)"""
+    lon, lat = _num2deg(c, r, 15)
+    assert _deg2num(lon, lat, 15) == (c, r)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    cells=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_union_ring_invariants(cells):
+    """For any 4-connected cell blob: the walked outer ring is closed,
+    axis-aligned, non-degenerate, and its shoelace area is >= the blob
+    area (equal when there are no holes/disconnections)."""
+    # keep only the connected component containing the min cell, so the
+    # single-outer-ring contract applies
+    cells = set(cells)
+    start = min(cells)
+    comp, frontier = {start}, [start]
+    while frontier:
+        c, r = frontier.pop()
+        for nb in ((c + 1, r), (c - 1, r), (c, r + 1), (c, r - 1)):
+            if nb in cells and nb not in comp:
+                comp.add(nb)
+                frontier.append(nb)
+
+    ring = union_ring_of_cells(sorted(comp))
+    assert ring[0] == ring[-1]
+    n = len(ring) - 1
+    assert n >= 4
+    area = 0.0
+    for i in range(n):
+        (x1, y1), (x2, y2) = ring[i], ring[i + 1]
+        assert (x1 == x2) != (y1 == y2), "edges must be axis-aligned"
+        area += x1 * y2 - x2 * y1
+    area = abs(area) / 2.0
+    assert area >= len(comp)
+    # no holes possible with <=30 convex-ish random blobs? holes ARE
+    # possible; area only exceeds cell count when a hole is enclosed
+    assert area <= len(comp) + 25
