@@ -102,6 +102,59 @@ def top_k_per_group(
     )
 
 
+def asof_join_last(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: Sequence[str],
+    value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the value columns of
+    the LATEST right row with right.ts <= left.ts within the same ``by``
+    group (inclusive at equal timestamps).
+
+    Spark has no native as-of join; the scalable plan is the union-tag
+    trick: tag sides, union, ONE window per by-group ordered by
+    (ts, side) with last(..., ignorenulls) carrying right values forward.
+    Cost: a single shuffle on ``by`` — no range join, no per-row probe;
+    this beats bucketize-and-filter whenever both sides share the
+    partition key (cf. the merge_asof pattern in pyspark_guide).
+    """
+    by = list(by)
+    lcols = left.columns
+    l_tagged = left
+    for c in value_cols:
+        l_tagged = l_tagged.withColumn(f"_r_{c}", F.lit(None).cast(right.schema[c].dataType))
+    l_tagged = l_tagged.withColumn("_side", F.lit(1))
+    r_tagged = right.select(
+        *by,
+        F.col(ts_col),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    ).withColumn("_side", F.lit(0))
+    for c in lcols:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    unioned = l_tagged.unionByName(r_tagged.select(*l_tagged.columns))
+    # right rows (side 0) sort before left rows at equal ts -> inclusive
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("_side"),
+        *[
+            F.last(F.when(F.col("_side") == 0, F.col(f"_r_{c}")), ignorenulls=True)
+            .over(w)
+            .alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return carried.filter(F.col("_side") == 1).drop("_side")
+
+
 def exact_sum(col: str | Column, scale: int = 2) -> Column:
     """Order-insensitive exact monetary sum: cast to decimal(18,scale)
     before summing so the result is identical regardless of partition

@@ -5,5 +5,6 @@ from solarpaneldatawrangler_spark.plans import relational_queries  # noqa: F401,
 from solarpaneldatawrangler_spark.plans import relational_queries2  # noqa: F401,E402
 from solarpaneldatawrangler_spark.plans import domain_queries  # noqa: F401,E402
 from solarpaneldatawrangler_spark.plans import extension_queries  # noqa: F401,E402
+from solarpaneldatawrangler_spark.plans import extension_queries2  # noqa: F401,E402
 
 __all__ = ["CATALOG", "QuerySpec", "register"]

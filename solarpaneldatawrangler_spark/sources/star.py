@@ -31,9 +31,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # epoch nanos — convert to a real timestamp (micro precision)
         field = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
         if field.get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer div: ts/1000 via double loses +-1us (epoch nanos
+            # exceed 2^53, beyond double's exact-integer range)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
