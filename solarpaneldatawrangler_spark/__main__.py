@@ -1,0 +1,114 @@
+"""CLI entry point — the Spark-native counterpart of the reference's
+run_entire_process.py / process_city_shapes.py argparse tools.
+
+    python -m solarpaneldatawrangler_spark list
+    python -m solarpaneldatawrangler_spark query q01_priority_scan \
+        --sf-dir /root/testdata/sf0.01 --limit 20
+    python -m solarpaneldatawrangler_spark explain q06_broadcast_join_agg
+    python -m solarpaneldatawrangler_spark pipeline-demo --out /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _spark(cpus: int | None = None):
+    from solarpaneldatawrangler_spark.session import get_spark
+
+    return get_spark("spark-wrangler-cli", cpus=cpus)
+
+
+def cmd_list(_args) -> int:
+    from solarpaneldatawrangler_spark.plans import CATALOG
+
+    for name, spec in sorted(CATALOG.items()):
+        kind = "oracle" if spec.oracle else "rows-only"
+        first_line = (spec.doc or "").split(". ")[0][:100]
+        print(f"{name:28s} [{kind}] {first_line}")
+    return 0
+
+
+def cmd_query(args) -> int:
+    from solarpaneldatawrangler_spark.plans import CATALOG
+
+    if args.name not in CATALOG:
+        print(f"unknown query: {args.name} (see `list`)", file=sys.stderr)
+        return 2
+    df = CATALOG[args.name].fn(_spark(args.cpus), args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def cmd_explain(args) -> int:
+    from solarpaneldatawrangler_spark.plans import CATALOG
+
+    if args.name not in CATALOG:
+        print(f"unknown query: {args.name} (see `list`)", file=sys.stderr)
+        return 2
+    CATALOG[args.name].fn(_spark(args.cpus), args.sf_dir).explain("formatted")
+    return 0
+
+
+def cmd_pipeline_demo(args) -> int:
+    """Run the full E1 pipeline on a synthetic city with the mock
+    classifier and write MapRoulette JSONL (offline-safe demo)."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.pipeline import run_pipeline
+    from solarpaneldatawrangler_spark.sources.geojson import write_jsonl
+
+    spark = _spark(args.cpus)
+    d = 0.05
+    lon0, lat0 = -100.0, 40.0
+    ring = [[lon0, lat0], [lon0 + d, lat0], [lon0 + d, lat0 + d], [lon0, lat0 + d], [lon0, lat0]]
+    city = spark.createDataFrame(
+        [("Demo City, DC", ring)], "name string, ring array<array<double>>"
+    )
+    osm = spark.createDataFrame([(lon0 + d / 2, lat0 + d / 2)], "longitude double, latitude double")
+
+    def mock_classify(tiles):
+        return tiles.withColumn(
+            "panel_softmax",
+            F.when((F.col("column") + F.col("row")) % 7 == 0, 0.9).otherwise(0.05),
+        )
+
+    out = run_pipeline(city, osm, mock_classify, zoom=args.zoom)
+    write_jsonl(out, args.out, single_file=True)
+    n = spark.read.text(args.out).count()
+    print(f"wrote {n} GeoJSON feature lines to {args.out}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="solarpaneldatawrangler_spark")
+    p.add_argument("--cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list catalog queries")
+
+    q = sub.add_parser("query", help="run a catalog query and show rows")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--limit", type=int, default=20)
+
+    e = sub.add_parser("explain", help="print a query's physical plan")
+    e.add_argument("name")
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
+    d = sub.add_parser("pipeline-demo", help="run the E2E pipeline on a synthetic city")
+    d.add_argument("--out", default="/tmp/spark_wrangler_demo_out")
+    d.add_argument("--zoom", type=int, default=15)
+
+    args = p.parse_args(argv)
+    return {
+        "list": cmd_list,
+        "query": cmd_query,
+        "explain": cmd_explain,
+        "pipeline-demo": cmd_pipeline_demo,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
