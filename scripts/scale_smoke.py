@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Scale-headroom smoke: drive the scale-critical operators at 10-100x
+the bench data volume on local[32] and print throughput. Not part of the
+default pytest suite (run manually: python scripts/scale_smoke.py).
+
+The point: demonstrate the plan SHAPES survive volume — generation is
+distributed (no driver materialization), shuffles stay bounded, and
+runtime scales ~linearly. Numbers land in DESIGN.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from solarpaneldatawrangler_spark.operators.clustering import connected_components  # noqa: E402
+from solarpaneldatawrangler_spark.operators.dedup import (  # noqa: E402
+    minhash_near_dup_pairs,
+)
+from solarpaneldatawrangler_spark.operators.grid import (  # noqa: E402
+    dilate,
+    enumerate_grid,
+    gc_retention,
+)
+from solarpaneldatawrangler_spark.operators.similarity import brute_force_topk  # noqa: E402
+from solarpaneldatawrangler_spark.session import get_spark  # noqa: E402
+
+
+def timed(label, fn):
+    t0 = time.perf_counter()
+    out = fn()
+    dt = time.perf_counter() - t0
+    print(f"{label}: {out:,} rows in {dt:.1f}s ({out/dt/1e6:.2f} M rows/s)", flush=True)
+    return dt
+
+
+def main():
+    spark = get_spark("scale-smoke")
+
+    # G3: 40 city-scale bboxes -> 100M cells total, generated distributed
+    bboxes = spark.range(40).select(
+        F.col("id").alias("name"),
+        (F.col("id") * 3000).alias("xmin"),
+        (F.col("id") * 3000 + 2499).alias("xmax"),
+        F.lit(0).alias("ymin"),
+        F.lit(999).alias("ymax"),
+    )
+    timed("G3 enumerate_grid 100M cells", lambda: enumerate_grid(bboxes).count())
+
+    # G10+J5: 10M tiles, 100k positives -> dilation + anti-join
+    tiles = spark.range(10_000_000).select(
+        (F.col("id") % 4000).alias("column"), (F.col("id") / 4000).cast("long").alias("row")
+    )
+    pos = tiles.filter(F.pmod(F.xxhash64("column", "row"), 100) == 0)
+    timed("J5 gc_retention 10M tiles / ~100k positives",
+          lambda: gc_retention(tiles, pos).count())
+
+    # G1: connected components, ~5M cells at ~1.2% density in a 20k x 20k
+    # grid — solar-farm-like sparsity; dense-random grids (>15% fill)
+    # form giant components whose diameter drives iteration count, which
+    # is a label-propagation worst case, not a realistic tile workload
+    cells = spark.range(5_000_000).select(
+        (F.pmod(F.xxhash64("id"), 20_000)).alias("column"),
+        (F.pmod(F.xxhash64("id", "id"), 20_000)).alias("row"),
+    ).dropDuplicates(["column", "row"])
+    timed("G1 connected_components ~5M cells (1.2% density)",
+          lambda: connected_components(cells).count())
+
+    # MinHash near-dup at 55k docs (10x sf0.1)
+    import pyspark.sql.functions as FF
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    big = docs
+    for i in range(1, 10):
+        big = big.unionByName(
+            docs.select((FF.col("doc_id") + 100000 * i).alias("doc_id"),
+                        "text", "lang", "source", "n_chars")
+        )
+    big = big.select("doc_id", "text")
+    timed("minhash_near_dup 55k docs",
+          lambda: minhash_near_dup_pairs(big, jaccard_threshold=0.5).count())
+
+    # ANN brute force: 50k corpus x 100 queries x 64 dims
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    bigc = emb
+    for i in range(1, 10):
+        bigc = bigc.unionByName(
+            emb.select((FF.col("vec_id") + 100000 * i).alias("vec_id"), "embedding", "label")
+        )
+    queries = emb.filter(FF.col("vec_id") < 100)
+    timed("ANN brute-force 50k corpus x 100 queries",
+          lambda: brute_force_topk(bigc, queries, k=10).count())
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,9 @@ def connected_components(
     # grids — need no iteration: their label is their own id. The loop
     # runs only over edge-connected nodes, typically a small fraction.
     edge_ids = edges.select(F.col("src").alias("id")).distinct()
-    active = nodes.join(edge_ids, "id", "left_semi")
+    # checkpoint: active feeds every loop iteration AND the final join —
+    # without it the 5M-row semi-join re-executes per use
+    active = nodes.join(edge_ids, "id", "left_semi").localCheckpoint()
     singletons = nodes.join(edge_ids, "id", "left_anti").select(
         col_name, row_name, F.col("id").alias("cluster_id")
     )
@@ -67,13 +69,31 @@ def connected_components(
             edges.join(labels, edges.src == labels.id, "inner")
             .select(F.col("dst").alias("id"), F.col("label"))
         )
-        labels = (
+        propagated = (
             labels.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
+        )
+        # pointer jump (path compression): label <- label's label. Takes
+        # convergence from O(diameter) to O(log diameter) hops — the
+        # difference between ~10 and ~1000 iterations on a long snake of
+        # tiles. Labels always reference active node ids, so the
+        # self-join hits; coalesce guards the root (label == own id).
+        lab2 = propagated.select(
+            F.col("id").alias("lid"), F.col("label").alias("llabel")
+        )
+        labels = (
+            propagated.join(lab2, propagated.label == lab2.lid, "left")
+            .select(
+                "id", F.coalesce("llabel", "label").alias("label")
+            )
             .localCheckpoint()
         )
-        label_sum = labels.agg(F.sum("label")).collect()[0][0]
+        # decimal(38,0): packed labels reach ~2^45, so a long SUM overflows
+        # past ~300k active nodes (found by scripts/scale_smoke.py)
+        label_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         if label_sum == prev_sum:
             break
         prev_sum = label_sum

@@ -112,27 +112,26 @@ def neighbor_edges(
     tiles: DataFrame, col_name: str = "column", row_name: str = "row"
 ) -> DataFrame:
     """4-adjacency edges between present tiles (feeds connected
-    components, SURVEY.md G1). Self-equi-join on shifted keys — only E
-    and S offsets generated, then symmetrized, to halve the join input.
-    Returns columns (src, dst) of packed cell ids.
+    components, SURVEY.md G1). Returns columns (src, dst) of packed ids.
+
+    Joins on the SINGLE packed bigint key: east neighbor = id + 2^32,
+    south neighbor = id + 1 (valid while 0 <= row < 2^32, which zoom-21
+    slippy rows satisfy by 10 orders of magnitude). A one-column bigint
+    equi-join hash-partitions tighter than a two-expression key and
+    halves the shuffle payload. Only E/S generated, then symmetrized.
     """
-    packed = tiles.select(pack_cell(col_name, row_name).alias("id"),
-                          F.col(col_name), F.col(row_name))
-    shifted = packed.select(
-        F.col("id").alias("dst_id"),
-        F.col(col_name).alias("_c"),
-        F.col(row_name).alias("_r"),
-    )
+    packed = tiles.select(pack_cell(col_name, row_name).alias("id"))
+    other = packed.select(F.col("id").alias("dst"))
     edges = []
-    for dc, dr in ((1, 0), (0, 1)):
+    for delta in (4294967296, 1):  # east (+1 column), south (+1 row)
         e = packed.join(
-            shifted,
-            (F.col(col_name) + dc == F.col("_c")) & (F.col(row_name) + dr == F.col("_r")),
-            "inner",
-        ).select(F.col("id").alias("src"), F.col("dst_id").alias("dst"))
+            other, F.col("id") + F.lit(delta).cast("long") == F.col("dst"), "inner"
+        ).select(F.col("id").alias("src"), F.col("dst"))
         edges.append(e)
     half = edges[0].unionByName(edges[1])
-    return half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
 
 
 def pack_cell(col_name: str = "column", row_name: str = "row"):

@@ -137,6 +137,23 @@ def cluster_positive_tiles(scored: DataFrame, threshold: float = POSITIVE_THRESH
     return pos.join(labeled, ["column", "row"])
 
 
+def simple_tile_report(scored: DataFrame, zoom: int, threshold: float = POSITIVE_THRESHOLD) -> DataFrame:
+    """Per-tile (non-clustered) MapRoulette report
+    (/root/reference/maproulette.py:17-33): every tile over threshold
+    becomes one single-feature FeatureCollection line with its bbox ring
+    and its own softmax as confidence."""
+    from solarpaneldatawrangler_spark.functions.tiles import tile_bbox_ring
+
+    pos = scored.filter(
+        F.col("panel_softmax").isNotNull() & (F.col("panel_softmax") >= threshold)
+    )
+    ringed = pos.select(
+        tile_bbox_ring(F.col("column"), F.col("row"), zoom).alias("ring"),
+        F.col("panel_softmax").alias("confidence"),
+    )
+    return feature_collection_lines(ringed)
+
+
 def cluster_report(
     clustered: DataFrame, osm_nodes: DataFrame, zoom: int
 ) -> DataFrame:
