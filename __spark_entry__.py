@@ -9,15 +9,22 @@ oracle_sql()   — matching DuckDB SQL per query (None-oracle queries are
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from solarpaneldatawrangler_spark.plans import CATALOG
+# the driver may import this file by path; make the package importable
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from solarpaneldatawrangler_spark.plans import CATALOG  # noqa: E402
+from solarpaneldatawrangler_spark.sources.star import ensure_session_confs  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: O1 top-k priority scan (SURVEY.md §7 step 1) at sf0.001."""
+    ensure_session_confs(spark)
     return CATALOG["q01_priority_scan"].fn(spark, "/root/testdata/sf0.001")
 
 

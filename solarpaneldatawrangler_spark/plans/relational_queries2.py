@@ -291,6 +291,9 @@ def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregation, same answer, late-data handling for free.",
 )
 def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.sources.star import ensure_session_confs
+
+    ensure_session_confs(spark)  # UTC: window starts convert via session TZ
     schema = T.StructType(
         [
             T.StructField("event_id", T.LongType()),

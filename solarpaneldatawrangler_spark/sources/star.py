@@ -23,7 +23,21 @@ STAR_TABLES = [
 ]
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Self-defense for externally-created sessions (the driver harness
+    builds its own SparkSession without our factory): events.parquet is
+    TIMESTAMP(NANOS) — unreadable unless nanosAsLong is on — and every
+    timestamp comparison against the DuckDB oracle assumes UTC. Both are
+    runtime-settable SQL confs."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # read-only conf in some environments; session.py sets both
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with
