@@ -392,18 +392,86 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LSH-bucketed ANN (scale path; rows-only check) -------------------------
 
+def _lsh_oracle_sql() -> str:
+    """Reproduce the LSH bucketing relationally: the deterministic
+    hyperplanes (identical constants to operators.similarity
+    ._default_planes, repr round-trip so the binary doubles match) go
+    into a VALUES table; signatures = sign-bit strings per (vec, table);
+    candidates = signature collisions in any table; re-rank by cosine
+    rounded to 4dp with id tiebreak (same contract as q58)."""
+    from solarpaneldatawrangler_spark.operators.similarity import _default_planes
+
+    rows = []
+    for t in range(10):
+        planes = _default_planes(64, 4, seed=t)
+        for i, plane in enumerate(planes):
+            for j, w in enumerate(plane):
+                rows.append(f"({t},{i},{j + 1},{w!r})")
+    values = ",\n".join(rows)
+    return f"""
+    WITH planes(t, i, j, w) AS (VALUES {values}),
+    comps AS (
+        SELECT e.vec_id, p.t, p.i, SUM(CAST(e.embedding[p.j] AS DOUBLE) * p.w) AS dot
+        FROM embeddings e
+        JOIN planes p ON p.j <= len(e.embedding)
+        GROUP BY e.vec_id, p.t, p.i
+    ),
+    sigs AS (
+        SELECT vec_id, t,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+        FROM comps GROUP BY vec_id, t
+    ),
+    qs AS (SELECT vec_id, t, sig FROM sigs WHERE vec_id < 5),
+    cands AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM qs q JOIN sigs c ON q.t = c.t AND q.sig = c.sig AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+        SELECT cd.query_id, cd.neighbor_id,
+               ROUND(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                            CAST(ec.embedding AS DOUBLE[])), 4) AS cosine_sim_r
+        FROM cands cd
+        JOIN embeddings eq ON eq.vec_id = cd.query_id
+        JOIN embeddings ec ON ec.vec_id = cd.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cosine_sim_r,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim_r DESC, neighbor_id) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine_sim_r, rank FROM ranked WHERE rank <= 10
+    """
+
+
 @register(
     "q59_ann_lsh",
-    oracle=None,
+    oracle=_lsh_oracle_sql(),
     doc="Approximate ANN via random-hyperplane LSH bucketing + exact "
-    "re-rank — the 100 TB path (equi-join on signature buckets instead of "
-    "a cross product). No SQL oracle (hyperplane constants live in the "
-    "plan); driver records rows-only; recall is pytest-checked against "
-    "brute force.",
+    "re-rank — the 100 TB path (equi-join on signature buckets instead "
+    "of a cross product). Fully oracle-checked: the deterministic "
+    "hyperplanes are replayed in SQL as a VALUES table, so DuckDB "
+    "reproduces buckets, candidates, and the rounded re-rank.",
 )
 def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, dim=64)
+    out = lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=1_000_000, dim=64
+    )
+    # re-rank ALL candidates on the rounded cosine (q58 contract): the
+    # unrounded rank's top-k could drop a candidate that reenters under
+    # 4dp rounding + id tiebreak
+    rounded = out.withColumn("cosine_sim_r", F.round("cosine_sim", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim_r"), F.asc("neighbor_id")
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cosine_sim_r", "rank")
+    )
 
 
 # --- embedding group stats ---------------------------------------------------

@@ -98,6 +98,57 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cube with grouping flags ------------------------------------------------
+
+@register(
+    "q45_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="Cube: all 2^k grouping combinations in one pass, with GROUPING() "
+    "flags disambiguating real NULLs from subtotal rows.",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- exact percentiles -------------------------------------------------------
+
+@register(
+    "q46_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles (median/p90) per group — both "
+    "engines implement the same p*(n-1) linear interpolation; rounded to "
+    "4dp to absorb last-ulp interpolation differences. The approximate "
+    "twin at scale is percentile_approx (not oracle-comparable).",
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
 # --- exact distinct count ----------------------------------------------------
 
 @register(
