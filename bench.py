@@ -29,7 +29,7 @@ HEADLINE = [
     "q12_window_rank",
     "q20_sessionize",
     "q30_deg2num",
-    "q34_dilate",
+    "q35_gc_retention",
     "q36_grid_enum",
     "q38_spatial_contains",
     "q40_connected_components",

@@ -23,7 +23,7 @@ from solarpaneldatawrangler_spark.functions.tiles import (
     tile_distance,
 )
 from solarpaneldatawrangler_spark.operators.clustering import connected_components
-from solarpaneldatawrangler_spark.operators.grid import dilate, enumerate_grid, gc_retention
+from solarpaneldatawrangler_spark.operators.grid import enumerate_grid, gc_retention
 from solarpaneldatawrangler_spark.operators.spatial import spatial_join_contains
 from solarpaneldatawrangler_spark.plans.catalog import register
 from solarpaneldatawrangler_spark.sources.star import load_table
@@ -72,16 +72,30 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
                p_partkey % 1024 AS c,
                (p_partkey * 7) % 1024 AS r
         FROM part
+    ),
+    corners AS (
+        SELECT p_partkey, c, r, i,
+               CASE i WHEN 0 THEN c WHEN 1 THEN c + 1 WHEN 2 THEN c + 1
+                      WHEN 3 THEN c ELSE c END AS cx,
+               CASE i WHEN 0 THEN r WHEN 1 THEN r WHEN 2 THEN r + 1
+                      WHEN 3 THEN r + 1 ELSE r END AS cy
+        FROM tiles CROSS JOIN generate_series(0, 4) g(i)
     )
-    SELECT p_partkey,
+    SELECT p_partkey, i AS point_idx,
            ROUND((c + 0.5) / 1024.0 * 360.0 - 180.0, 9) AS lon,
            ROUND(DEGREES(ATAN((EXP({math.pi} * (1.0 - 2.0 * (r + 0.5) / 1024.0))
-                 - EXP(-({math.pi} * (1.0 - 2.0 * (r + 0.5) / 1024.0)))) / 2.0)), 9) AS lat
-    FROM tiles
+                 - EXP(-({math.pi} * (1.0 - 2.0 * (r + 0.5) / 1024.0)))) / 2.0)), 9) AS lat,
+           ROUND(cx / 1024.0 * 360.0 - 180.0, 9) AS ring_lon,
+           ROUND(DEGREES(ATAN((EXP({math.pi} * (1.0 - 2.0 * cy / 1024.0))
+                 - EXP(-({math.pi} * (1.0 - 2.0 * cy / 1024.0)))) / 2.0)), 9) AS ring_lat
+    FROM corners
     """,
     doc="F2 num2deg center-of-tile inverse projection "
-    "(process_city_shapes.py:38-59); sinh spelled as (e^x-e^-x)/2 so any "
-    "IEEE engine reproduces it bit-for-bit; rounded to 9 decimals.",
+    "(process_city_shapes.py:38-59) + F11 closed 5-point tile bbox ring "
+    "in lon/lat (maproulette.py:21-27): the ring is built as a Catalyst "
+    "array expression then posexploded alongside the tile-center "
+    "coordinates. sinh spelled as (e^x-e^-x)/2 so any IEEE engine "
+    "reproduces it bit-for-bit; rounded to 9 decimals.",
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
@@ -90,10 +104,22 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_partkey") % 1024).alias("c"),
         ((F.col("p_partkey") * 7) % 1024).alias("r"),
     )
-    return tiles.select(
-        "p_partkey",
-        F.round(num2deg_lon(F.col("c"), 10, center=True), 9).alias("lon"),
-        F.round(num2deg_lat(F.col("r"), 10, center=True), 9).alias("lat"),
+    ring = tile_bbox_ring(F.col("c"), F.col("r"), 10)
+    return (
+        tiles.select(
+            "p_partkey",
+            F.round(num2deg_lon(F.col("c"), 10, center=True), 9).alias("lon"),
+            F.round(num2deg_lat(F.col("r"), 10, center=True), 9).alias("lat"),
+            F.posexplode(ring).alias("point_idx", "pt"),
+        )
+        .select(
+            "p_partkey",
+            "point_idx",
+            "lon",
+            "lat",
+            F.round(F.element_at("pt", 1), 9).alias("ring_lon"),
+            F.round(F.element_at("pt", 2), 9).alias("ring_lat"),
+        )
     )
 
 
@@ -103,83 +129,39 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q32_tile_distance",
     oracle="""
     WITH tiles AS (
-        SELECT event_id, user_id % 100 AS r, event_id % 100 AS c FROM events
+        SELECT event_id, user_id, user_id % 100 AS r, event_id % 100 AS c
+        FROM events
     )
     SELECT event_id,
-           SQRT((r - 50.5) * (r - 50.5) + (c - 50.5) * (c - 50.5)) AS centroid_distance
+           SQRT((r - 50.5) * (r - 50.5) + (c - 50.5) * (c - 50.5)) AS centroid_distance,
+           (user_id % 1000) - (user_id % 1000) % 20 AS snap_x,
+           (event_id % 1000) - (event_id % 1000) % 20 AS snap_y
     FROM tiles
     WHERE SQRT((r - 50.5) * (r - 50.5) + (c - 50.5) * (c - 50.5)) <= 30.0
     """,
     doc="F3/J1 centroid-distance compute + threshold (solardb.py:121-134): "
-    "sqrt/multiply only — IEEE-deterministic, no rounding needed.",
+    "sqrt/multiply only — IEEE-deterministic, no rounding needed. Plus "
+    "the F4 imagery-request grid snap x - x%g (imagery.py:149) — the "
+    "400-tiles-per-API-call amortization key — on the surviving rows.",
 )
 def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     tiles = ev.select(
         "event_id",
+        "user_id",
         (F.col("user_id") % 100).alias("r"),
         (F.col("event_id") % 100).alias("c"),
     )
     dist = tile_distance(F.col("r"), F.col("c"), F.lit(50.5), F.lit(50.5))
-    return tiles.select("event_id", dist.alias("centroid_distance")).filter(
-        F.col("centroid_distance") <= 30.0
-    )
-
-
-# --- F4: grid snap (imagery.py:149) -----------------------------------------
-
-@register(
-    "q33_grid_snap",
-    oracle="""
-    SELECT (user_id % 1000) - (user_id % 1000) % 20 AS snap_x,
-           (event_id % 1000) - (event_id % 1000) % 20 AS snap_y,
-           COUNT(*) AS n
-    FROM events
-    GROUP BY 1, 2
-    """,
-    doc="F4 imagery-request grid snap x - x%g (imagery.py:149) + count per "
-    "super-cell — the 400-tiles-per-API-call amortization key.",
-)
-def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
     return (
-        ev.select(
+        tiles.select(
+            "event_id",
+            dist.alias("centroid_distance"),
             grid_snap(F.col("user_id") % 1000, 20).alias("snap_x"),
             grid_snap(F.col("event_id") % 1000, 20).alias("snap_y"),
         )
-        .groupBy("snap_x", "snap_y")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("centroid_distance") <= 30.0)
     )
-
-
-# --- G10: 3x3 dilation (run_inference.py:69-72) -----------------------------
-
-@register(
-    "q34_dilate",
-    oracle="""
-    WITH pos AS (
-        SELECT DISTINCT p_partkey % 100 AS c, (p_partkey // 100) % 100 AS r
-        FROM part WHERE p_size = 50
-    )
-    SELECT DISTINCT c + dx.dx AS "column", r + dy.dy AS "row"
-    FROM pos
-    CROSS JOIN (VALUES (-1), (0), (1)) dx(dx)
-    CROSS JOIN (VALUES (-1), (0), (1)) dy(dy)
-    """,
-    doc="G10 3x3 neighborhood dilation (run_inference.py:69-72) as a "
-    "constant-array explode — narrow 1->9 flatMap, then key distinct.",
-)
-def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    pos = (
-        part.filter(F.col("p_size") == 50)
-        .select(
-            (F.col("p_partkey") % 100).alias("column"),
-            ((F.col("p_partkey") / 100).cast("bigint") % 100).alias("row"),
-        )
-        .distinct()
-    )
-    return dilate(pos)
 
 
 # --- J5: imagery GC retention anti-join (run_inference.py:63-92) ------------
@@ -257,51 +239,6 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("r_regionkey") * 5 + 2 + F.col("r_regionkey")).cast("long").alias("ymax"),
     )
     return enumerate_grid(bboxes).select("r_name", "column", "row")
-
-
-# --- F11: tile bbox ring corners (maproulette.py:21-27) ---------------------
-
-@register(
-    "q37_tile_bbox_ring",
-    oracle=f"""
-    WITH tiles AS (
-        SELECT p_partkey, p_partkey % 1024 AS c, (p_partkey * 3) % 1024 AS r
-        FROM part WHERE p_partkey % 40 = 0
-    ),
-    corners AS (
-        SELECT p_partkey, c, r, i,
-               CASE i WHEN 0 THEN c WHEN 1 THEN c + 1 WHEN 2 THEN c + 1
-                      WHEN 3 THEN c ELSE c END AS cx,
-               CASE i WHEN 0 THEN r WHEN 1 THEN r WHEN 2 THEN r + 1
-                      WHEN 3 THEN r + 1 ELSE r END AS cy
-        FROM tiles CROSS JOIN generate_series(0, 4) g(i)
-    )
-    SELECT p_partkey, i AS point_idx,
-           ROUND(cx / 1024.0 * 360.0 - 180.0, 9) AS lon,
-           ROUND(DEGREES(ATAN((EXP({math.pi} * (1.0 - 2.0 * cy / 1024.0))
-                 - EXP(-({math.pi} * (1.0 - 2.0 * cy / 1024.0)))) / 2.0)), 9) AS lat
-    FROM corners
-    """,
-    doc="F11 closed 5-point tile bbox ring in lon/lat (maproulette.py:21-27), "
-    "built as a Catalyst array expression then posexploded for comparison.",
-)
-def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = load_table(spark, sf_dir, "part")
-    tiles = part.filter(F.col("p_partkey") % 40 == 0).select(
-        "p_partkey",
-        (F.col("p_partkey") % 1024).alias("c"),
-        ((F.col("p_partkey") * 3) % 1024).alias("r"),
-    )
-    ring = tile_bbox_ring(F.col("c"), F.col("r"), 10)
-    return (
-        tiles.select("p_partkey", F.posexplode(ring).alias("point_idx", "pt"))
-        .select(
-            "p_partkey",
-            "point_idx",
-            F.round(F.element_at("pt", 1), 9).alias("lon"),
-            F.round(F.element_at("pt", 2), 9).alias("lat"),
-        )
-    )
 
 
 # --- J6: two-phase spatial contains-join (maproulette.py:69-83) -------------

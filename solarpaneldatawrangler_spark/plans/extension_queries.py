@@ -360,14 +360,24 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY cosine_sim_r DESC, neighbor_id) AS rank
         FROM scored
     )
-    SELECT query_id, neighbor_id, cosine_sim_r, rank FROM ranked WHERE rank <= 10
+    SELECT r.query_id, r.neighbor_id, r.cosine_sim_r, r.rank,
+           ROUND(sqrt(list_aggregate(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
+             AS neighbor_norm
+    FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+    WHERE r.rank <= 10
     """,
     doc="Exact cosine top-k: queries broadcast, corpus streamed through one "
     "narrow stage (F.aggregate/zip_with dot product, JVM-side), per-query "
     "row_number keeps k. Cosine rounded to 4dp before ranking with id "
-    "tiebreak so float-summation-order differences can't flip ranks.",
+    "tiebreak so float-summation-order differences can't flip ranks. "
+    "Each surviving neighbor also carries its L2 norm (the embedding-"
+    "stats probe, functions.vectors.norm) via a broadcast join of the "
+    "k-row survivor set back to embeddings.",
 )
 def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.functions.vectors import norm
+
     emb = load_table(spark, sf_dir, "embeddings")
     # k=50 buffer: the final ranking uses ROUNDED cosine with id
     # tiebreak, so exact-rank 11+ candidates can enter the rounded
@@ -383,10 +393,18 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim_r"), F.asc("neighbor_id")
     )
-    return (
+    topk = (
         rounded.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "cosine_sim_r", "rank")
+    )
+    norms = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(norm(F.col("embedding")), 4).alias("neighbor_norm"),
+    )
+    # survivors are queries*k rows — broadcast THEM, stream the norms scan
+    return F.broadcast(topk).join(norms, "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine_sim_r", "rank", "neighbor_norm"
     )
 
 
@@ -471,37 +489,6 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
         rounded.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "cosine_sim_r", "rank")
-    )
-
-
-# --- embedding group stats ---------------------------------------------------
-
-@register(
-    "q60_embedding_stats",
-    oracle="""
-    WITH norms AS (
-        SELECT label, vec_id,
-               CAST(ROUND(sqrt(list_aggregate(list_transform(embedding,
-                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4)
-                    AS DECIMAL(18,4)) AS nrm
-        FROM embeddings
-    )
-    SELECT label, COUNT(*) AS n,
-           CAST(SUM(nrm) AS DOUBLE) AS total_norm
-    FROM norms GROUP BY label
-    """,
-    doc="Per-label embedding stats: L2 norm per vector (rounded, then "
-    "exact-decimal summed so partition order can't change the total).",
-)
-def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from solarpaneldatawrangler_spark.functions.vectors import norm
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    nrm = F.round(norm(F.col("embedding")), 4).cast("decimal(18,4)")
-    return (
-        emb.select("label", nrm.alias("nrm"))
-        .groupBy("label")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("nrm").cast("double").alias("total_norm"))
     )
 
 

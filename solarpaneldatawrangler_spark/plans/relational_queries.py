@@ -46,7 +46,7 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- P1-P3: projection + equality filter (solardb.py:100-118) ---------------
+# --- P1-P3 + P7: projection + equality filter + 2-D range -------------------
 
 @register(
     "q02_filter_project",
@@ -54,40 +54,28 @@ def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderkey, o_totalprice
     FROM orders
     WHERE o_orderstatus = 'O' AND o_totalprice > 200000
+      AND o_totalprice BETWEEN 200000 AND 400000
+      AND o_custkey BETWEEN 100 AND 1200
     """,
-    doc="P1-P3 projection + boolean/equality filter (solardb.py:100-118); "
-    "predicate + projection push to the parquet scan.",
+    doc="P1-P3 projection + boolean/equality filter (solardb.py:100-118) "
+    "plus the P7 2-D range predicate — the grid-cell window probe "
+    "(solardb.py:142-144) — as two BETWEEN ranges; every predicate and "
+    "the projection push to the parquet scan.",
 )
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "orders")
-        .filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 200000))
+        .filter(
+            (F.col("o_orderstatus") == "O")
+            & (F.col("o_totalprice") > 200000)
+            & F.col("o_totalprice").between(200000, 400000)
+            & F.col("o_custkey").between(100, 1200)
+        )
         .select("o_orderkey", "o_totalprice")
     )
 
 
-# --- P4: null-test filter (solardb.py:124-126) ------------------------------
-
-@register(
-    "q03_null_filter",
-    oracle="""
-    SELECT event_id, event_type
-    FROM events
-    WHERE regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
-      AND event_type = 'error' AND value IS NOT NULL
-    """,
-    doc="P4 null-test predicates (solardb.py:124-126).",
-)
-def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    return ev.filter(
-        F.get_json_object("props", "$.k").isNotNull()
-        & (F.col("event_type") == "error")
-        & F.col("value").isNotNull()
-    ).select("event_id", "event_type")
-
-
-# --- P6: threshold filter (solardb.py:231-242) ------------------------------
+# --- P4 + P6: null-test + threshold filter (solardb.py:124-126,231-242) -----
 
 @register(
     "q04_threshold_filter",
@@ -95,8 +83,11 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, value
     FROM events
     WHERE value IS NOT NULL AND value >= 0.25 AND event_type = 'purchase'
+      AND regexp_extract(props, '"k": ([0-9]+)', 1) <> ''
     """,
-    doc="P6 softmax-threshold filter shape (solardb.py:231-242).",
+    doc="P6 softmax-threshold filter shape (solardb.py:231-242) + P4 "
+    "null-test predicates (solardb.py:124-126): an IS NOT NULL column "
+    "test and a JSON-field null probe in one conjunctive filter.",
 )
 def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -105,27 +96,9 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").isNotNull()
             & (F.col("value") >= 0.25)
             & (F.col("event_type") == "purchase")
+            & F.get_json_object("props", "$.k").isNotNull()
         )
         .select("event_id", "value")
-    )
-
-
-# --- P7: 2-D range predicate (solardb.py:142-144) ---------------------------
-
-@register(
-    "q05_range2d",
-    oracle="""
-    SELECT p_partkey, p_size, p_retailprice
-    FROM part
-    WHERE p_size BETWEEN 10 AND 20 AND p_retailprice BETWEEN 1000 AND 1500
-    """,
-    doc="P7 2-D range predicate — the grid-cell window probe (solardb.py:142-144).",
-)
-def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        _t(spark, sf_dir, "part")
-        .filter(F.col("p_size").between(10, 20) & F.col("p_retailprice").between(1000, 1500))
-        .select("p_partkey", "p_size", "p_retailprice")
     )
 
 
@@ -204,6 +177,7 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q09_groupby_topk",
     oracle="""
     SELECT o_custkey, COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
     FROM orders
     GROUP BY o_custkey
@@ -211,7 +185,9 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     doc="A1/O3 largest-10-clusters shape: groupBy count + count-desc top-k "
-    "(solardb.py:262-280; fixes the reference's unimported-count NameError).",
+    "(solardb.py:262-280; fixes the reference's unimported-count NameError). "
+    "Also carries the exact COUNT(DISTINCT) aggregation (expand + two-phase "
+    "agg in Spark; the approximate twin is approx_count_distinct).",
 )
 def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
@@ -219,6 +195,7 @@ def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
             exact_sum("o_totalprice").alias("total_spend"),
         )
         .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
@@ -327,70 +304,34 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- A6/F6: global sum + ceil (process_city_shapes.py:249-253) --------------
-
-@register(
-    "q14_global_sum",
-    oracle="""
-    SELECT CAST(CEIL(SUM(CAST(l_quantity AS DECIMAL(18,2)))) AS BIGINT) AS total_area
-    FROM lineitem
-    """,
-    doc="A6/F6 global area sum + ceil (process_city_shapes.py:249-253), "
-    "exact via decimal.",
-)
-def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "lineitem").agg(
-        F.ceil(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).cast("bigint").alias("total_area")
-    )
-
-
-# --- U1: union (solardb.py:178-182) -----------------------------------------
+# --- U1 + U2: union then except/minus (solardb.py:178-182, ----------------
+# run_inference.py:79-83)
 
 @register(
     "q15_union",
     oracle="""
-    SELECT event_type, COUNT(*) AS n FROM (
-        SELECT event_type FROM events WHERE event_type = 'view'  AND value > 5
+    SELECT user_id FROM (
+        SELECT user_id FROM events WHERE event_type = 'view'  AND value > 5
         UNION ALL
-        SELECT event_type FROM events WHERE event_type = 'click' AND value > 5
-        UNION ALL
-        SELECT event_type FROM events WHERE event_type = 'signup'
-    ) GROUP BY event_type
+        SELECT user_id FROM events WHERE event_type = 'click' AND value > 5
+    )
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
     """,
     doc="U1 node+way+relation-style source union (solardb.py:178-182) as "
-    "unionByName of three filtered scans.",
+    "unionByName of filtered scans, then U2 key-based except — engaged "
+    "users who never purchased (the full-minus-dilated GC shape, "
+    "run_inference.py:79-83).",
 )
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     a = ev.filter((F.col("event_type") == "view") & (F.col("value") > 5))
     b = ev.filter((F.col("event_type") == "click") & (F.col("value") > 5))
-    c = ev.filter(F.col("event_type") == "signup")
-    return (
-        a.select("event_type")
-        .unionByName(b.select("event_type"))
-        .unionByName(c.select("event_type"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+    engaged = (
+        a.select("user_id").unionByName(b.select("user_id")).distinct()
     )
-
-
-# --- U2: except/minus (run_inference.py:79-83) ------------------------------
-
-@register(
-    "q16_except",
-    oracle="""
-    SELECT user_id FROM events WHERE event_type = 'view'
-    EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'purchase'
-    """,
-    doc="U2 key-based except: viewers who never purchased "
-    "(the full-minus-dilated GC shape, run_inference.py:79-83).",
-)
-def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
-    viewers = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
     buyers = ev.filter(F.col("event_type") == "purchase").select("user_id")
-    return viewers.join(buyers, "user_id", "left_anti")
+    return engaged.join(buyers, "user_id", "left_anti")
 
 
 # --- U3/S13: insert-time key dedup (solardb.py:50-51) -----------------------
@@ -419,18 +360,52 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q18_string_fns",
     oracle="""
+    WITH joined AS (
+        SELECT c_custkey, c_name, c_mktsegment, n_name, n_nationkey,
+               [[CAST(n_nationkey AS DOUBLE), 0.0],
+                [CAST(n_nationkey + 1 AS DOUBLE), 0.0],
+                [CAST(n_nationkey + 1 AS DOUBLE), 1.0],
+                [CAST(n_nationkey AS DOUBLE), 1.0],
+                [CAST(n_nationkey AS DOUBLE), 0.0]] AS ring
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    )
     SELECT c_custkey,
            regexp_replace(c_name, ' ', '_', 'g') || '.' || c_mktsegment AS file_key,
-           concat_ws(', ', c_name, n_name) AS display_name
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
+           concat_ws(', ', c_name, n_name) AS display_name,
+           array_to_string(
+               list_transform(ring, p -> p[2]::VARCHAR || ' ' || p[1]::VARCHAR),
+               ' ') AS poly_string
+    FROM joined
     """,
     doc="F7/S2 filename sanitize + display-name concat "
     "(gather_city_shapes.py:9-10, process_city_shapes.py:74,199) over a "
-    "broadcast dimension join.",
+    "broadcast dimension join, plus the F9 Overpass poly-filter string "
+    "'<lat> <lon> ...' built from the nation's ring (the reference "
+    "reverses each pair and joins, solardb.py:172) — transform + "
+    "concat_ws, no UDF.",
 )
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey").cast("double")
+    ring = F.array(
+        F.array(k, F.lit(0.0)),
+        F.array(k + 1, F.lit(0.0)),
+        F.array(k + 1, F.lit(1.0)),
+        F.array(k, F.lit(1.0)),
+        F.array(k, F.lit(0.0)),
+    )
+    poly_string = F.concat_ws(
+        " ",
+        F.transform(
+            ring,
+            lambda p: F.concat_ws(
+                " ",
+                F.element_at(p, 2).cast("string"),
+                F.element_at(p, 1).cast("string"),
+            ),
+        ),
+    )
     return (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select(
@@ -439,6 +414,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.regexp_replace("c_name", " ", "_"), F.lit("."), F.col("c_mktsegment")
             ).alias("file_key"),
             F.concat_ws(", ", "c_name", "n_name").alias("display_name"),
+            poly_string.alias("poly_string"),
         )
     )
 

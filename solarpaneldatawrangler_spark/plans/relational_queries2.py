@@ -1,8 +1,8 @@
 """Second batch of relational/operator queries: running windows (A9),
-pivot/rollup, distinct-count, ON-CONFLICT upsert (U3/S13), grid-neighbor
-self-join (J8), group-collect (A4), polygon coord-string building (F9),
-and the Structured Streaming windowed aggregation (§2.10) — each with a
-DuckDB oracle.
+pivot, cube/rollup with grouping flags + global ceil-sum (A6/F6),
+percentiles, ON-CONFLICT upsert (U3/S13), grid-neighbor self-join (J8),
+group-collect (A4), and the Structured Streaming windowed aggregation
+(§2.10) — each with a DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -23,16 +23,19 @@ from solarpaneldatawrangler_spark.sources.star import load_table
     "q22_running_avg",
     oracle="""
     SELECT user_id, event_id,
-           SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS running_avg
+           ROUND(
+             SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               / COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             9) AS running_avg
     FROM events
     """,
     doc="A9 running mean (the reference's hand-rolled avg_tiles_per_sec, "
-    "run_inference.py:126-128) as an ordered window frame — the "
-    "accumulation order is total, so double math is engine-identical.",
+    "run_inference.py:126-128) as an ordered window frame, rounded to 9dp "
+    "on BOTH sides: DuckDB evaluates windowed sums with segment-tree "
+    "aggregation, so the unrounded double differs from Spark's running "
+    "accumulation in the last ulp (driver r01 hash catch).",
 )
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -44,7 +47,7 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        (F.sum("value").over(w) / F.count(F.lit(1)).over(w)).alias("running_avg"),
+        F.round(F.sum("value").over(w) / F.count(F.lit(1)).over(w), 9).alias("running_avg"),
     )
 
 
@@ -77,47 +80,34 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- rollup (hierarchical aggregates) ---------------------------------------
+# --- rollup/cube (hierarchical aggregates) + global ceil sum ----------------
 
 @register(
     "q24_rollup",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           COUNT(*) AS n
-    FROM lineitem
-    GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    doc="Rollup: hierarchical subtotals (flag, flag+status, grand total) in "
-    "one pass — partial aggregation handles all levels map-side.",
-)
-def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        exact_sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
-    )
-
-
-# --- cube with grouping flags ------------------------------------------------
-
-@register(
-    "q45_cube",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
            CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
            CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(CEIL(SUM(CAST(l_quantity AS DECIMAL(18,2)))) AS BIGINT) AS ceil_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
-    doc="Cube: all 2^k grouping combinations in one pass, with GROUPING() "
-    "flags disambiguating real NULLs from subtotal rows.",
+    doc="Cube: all 2^k grouping combinations (superset of rollup's "
+    "hierarchical subtotals) in one pass — partial aggregation handles "
+    "all levels map-side — with GROUPING() flags disambiguating real "
+    "NULLs from subtotal rows. The grand-total row's ceil_qty is the "
+    "A6/F6 global area sum + ceil (process_city_shapes.py:249-253), "
+    "exact via decimal.",
 )
-def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
+        exact_sum("l_quantity").alias("sum_qty"),
+        F.ceil(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).cast("bigint").alias("ceil_qty"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -146,27 +136,6 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-    )
-
-
-# --- exact distinct count ----------------------------------------------------
-
-@register(
-    "q25_distinct_count",
-    oracle="""
-    SELECT o_orderpriority,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY o_orderpriority
-    """,
-    doc="Exact distinct aggregation (expand+two-phase agg in Spark); the "
-    "approximate twin is approx_count_distinct (not oracle-comparable).",
-)
-def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
     )
 
 
@@ -274,54 +243,6 @@ def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_custkey").agg(
         keys.alias("orderkeys"), F.count(F.lit(1)).alias("n")
     )
-
-
-# --- F9: polygon -> coordinate string (solardb.py:172) ----------------------
-
-@register(
-    "q29_ring_coord_string",
-    oracle="""
-    WITH polys AS (
-        SELECT n_nationkey,
-               [[CAST(n_nationkey AS DOUBLE), 0.0],
-                [CAST(n_nationkey + 1 AS DOUBLE), 0.0],
-                [CAST(n_nationkey + 1 AS DOUBLE), 1.0],
-                [CAST(n_nationkey AS DOUBLE), 1.0],
-                [CAST(n_nationkey AS DOUBLE), 0.0]] AS ring
-        FROM nation
-    )
-    SELECT n_nationkey,
-           array_to_string(
-               list_transform(ring, p -> p[2]::VARCHAR || ' ' || p[1]::VARCHAR),
-               ' ') AS poly_string
-    FROM polys
-    """,
-    doc="F9 Overpass poly-filter string: '<lat> <lon> ...' from a ring "
-    "(reference reverses each pair and joins, solardb.py:172) — "
-    "transform + concat_ws, no UDF.",
-)
-def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = load_table(spark, sf_dir, "nation")
-    k = F.col("n_nationkey").cast("double")
-    ring = F.array(
-        F.array(k, F.lit(0.0)),
-        F.array(k + 1, F.lit(0.0)),
-        F.array(k + 1, F.lit(1.0)),
-        F.array(k, F.lit(1.0)),
-        F.array(k, F.lit(0.0)),
-    )
-    poly_string = F.concat_ws(
-        " ",
-        F.transform(
-            ring,
-            lambda p: F.concat_ws(
-                " ",
-                F.element_at(p, 2).cast("string"),
-                F.element_at(p, 1).cast("string"),
-            ),
-        ),
-    )
-    return nation.select("n_nationkey", poly_string.alias("poly_string"))
 
 
 # --- §2.10: Structured Streaming windowed aggregation -----------------------
