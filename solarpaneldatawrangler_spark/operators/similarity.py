@@ -169,3 +169,59 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def lsh_neardup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    round_dp: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
+    are signature collisions in any of ``n_tables`` sign-LSH tables
+    (self-EQUI-join on (table, sig) — hash-partitioned, never the
+    all-pairs theta-join), then an exact cosine verify keeps pairs at or
+    above ``threshold``. Cosine is rounded before the cut so float
+    summation order can't flip membership.
+
+    Returns (id_a, id_b, cos_r) with id_a < id_b.
+
+    Recall is the standard sign-LSH curve: a pair agreeing on a plane
+    with prob p = 1 - theta/pi collides with prob 1-(1-p^planes)^tables
+    — near-identical vectors (cos >= 0.95) are caught with high
+    probability at 8 planes x 6 tables while unrelated pairs
+    (p ~ 0.5 -> 0.5^8 per table) stay out of the candidate set. More
+    tables buy recall linearly in cost; the all-pairs exact form is
+    O(N^2) and exists only as the small-sf oracle baseline.
+    """
+    tables = [_default_planes(dim, n_planes, seed=t) for t in range(n_tables)]
+
+    def signed(idn: str, vecn: str) -> DataFrame:
+        out = vectors.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vecn))
+        sig = F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    random_hyperplane_signature(F.col(vecn), planes).alias("sig"),
+                )
+                for t, planes in enumerate(tables)
+            ]
+        )
+        return out.withColumn("_b", F.explode(sig)).select(
+            idn, vecn, F.col("_b.table").alias("table"), F.col("_b.sig").alias("sig")
+        )
+
+    a = signed("id_a", "_va")
+    b = signed("id_b", "_vb")
+    return (
+        a.join(b, ["table", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos_r", F.round(cosine(F.col("_va"), F.col("_vb")), round_dp))
+        .filter(F.col("cos_r") >= threshold)
+        .select("id_a", "id_b", "cos_r")
+    )

@@ -77,6 +77,22 @@ def polygon_area(ring: Column) -> Column:
     return F.abs(twice) / F.lit(2.0)
 
 
+_UNKNOWN_SIZE = (1 << 63) - 1  # Catalyst's Long.MaxValue "no estimate" sentinel
+
+
+def estimated_plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's own size estimate for a DataFrame's optimized plan
+    (the statistic the planner itself uses for broadcast decisions).
+    None when the py4j internals are unavailable (e.g. Connect) or when
+    Catalyst has no estimate (LogicalRDD/python-created frames report
+    Long.MaxValue)."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    return None if est >= _UNKNOWN_SIZE else est
+
+
 def spatial_join_contains(
     polygons: DataFrame,
     points: DataFrame,
@@ -84,18 +100,42 @@ def spatial_join_contains(
     px_col: str = "longitude",
     py_col: str = "latitude",
     how: str = "inner",
+    strategy: str = "auto",
+    broadcast_threshold: int = 64 << 20,
+    cell_size: float = 10.0,
+    poly_key: list[str] | None = None,
 ) -> DataFrame:
-    """Two-phase contains-join: bbox range theta-join prefilter, then
-    exact ray-cast check. ``how`` in {"inner", "left_semi", "left_anti"}
-    (left_anti = the reference's MapRoulette spatial anti-join J6: keep
-    polygons containing NO known OSM panel node).
+    """Two-phase contains-join: bbox prefilter, then exact ray-cast
+    check. ``how`` in {"inner", "left_semi", "left_anti"} (left_anti =
+    the reference's MapRoulette spatial anti-join J6: keep polygons
+    containing NO known OSM panel node).
 
-    Scale note: a bbox theta-join is a broadcast-nested-loop when one
-    side is small (OSM nodes per city: thousands — broadcast the
-    points). For two huge sides, grid-bucket both on a coarse tile key
-    first (equi-join on bucket), which turns it into a hash join; that
-    variant is grid_bucketed_contains_join below.
+    Strategy selection (the 100x-scale guard): a bbox theta-join is a
+    broadcast-nested-loop only when the points side is genuinely small
+    (OSM nodes per city: thousands). ``strategy="auto"`` asks Catalyst
+    for its own size estimate of the points plan and broadcasts only
+    under ``broadcast_threshold`` bytes; anything bigger — or
+    unestimatable — routes to grid_bucketed_contains_join, whose
+    equi-join on coarse grid cells hash-partitions both sides instead
+    of broadcasting the growing one. ``poly_key`` (unique polygon key
+    columns) is required for semi/anti under the bucketed route.
     """
+    if strategy == "auto":
+        est = estimated_plan_size_bytes(points)
+        if est is not None:
+            strategy = "broadcast" if est <= broadcast_threshold else "bucketed"
+        else:
+            # no estimate (python-created frames, Connect): stay
+            # scale-safe when the bucketed route is usable, else
+            # broadcast — at real scale inputs come from parquet scans,
+            # which always carry estimates
+            usable = how == "inner" or bool(poly_key)
+            strategy = "bucketed" if usable else "broadcast"
+    if strategy == "bucketed":
+        return grid_bucketed_contains_join(
+            polygons, points, cell_size, ring_col, px_col, py_col,
+            how=how, poly_key=poly_key,
+        )
     bbox = ring_bbox(F.col(ring_col))
     polys = polygons.withColumn("_bbox", bbox)
     px, py = F.col(px_col), F.col(py_col)
@@ -117,11 +157,22 @@ def grid_bucketed_contains_join(
     ring_col: str = "ring",
     px_col: str = "longitude",
     py_col: str = "latitude",
+    how: str = "inner",
+    poly_key: list[str] | None = None,
 ) -> DataFrame:
     """Hash-joinable contains-join for two LARGE sides: explode each
     polygon's bbox into the coarse grid cells it overlaps, bucket points
     by cell, equi-join on cell, then exact ray-cast. Turns the O(N*M)
     theta-join into a shuffle hash join on cell keys — the 100 TB path.
+
+    No pair duplication: a point lives in exactly one cell, and a
+    polygon overlaps that cell at most once (the bbox cells are a
+    distinct sequence), so each (polygon, point) pair joins once.
+
+    ``how="left_semi"`` / ``"left_anti"`` reduce the inner hits to
+    distinct ``poly_key`` values (tiny — one row per matched polygon,
+    broadcastable by AQE) and semi/anti-join the original polygons
+    against them, preserving the exact left-side rows.
     """
     bbox = ring_bbox(F.col(ring_col))
     polys = (
@@ -148,7 +199,14 @@ def grid_bucketed_contains_join(
     pts = points.withColumn("_cx", F.floor(F.col(px_col) / cell_size)).withColumn(
         "_cy", F.floor(F.col(py_col) / cell_size)
     )
-    joined = polys.join(pts, ["_cx", "_cy"], "inner").filter(
+    inner = polys.join(pts, ["_cx", "_cy"], "inner").filter(
         point_in_ring(F.col(px_col), F.col(py_col), F.col(ring_col))
     )
-    return joined.drop("_cx", "_cy", "_bbox")
+    if how == "inner":
+        return inner.drop("_cx", "_cy", "_bbox")
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError(f"unsupported how: {how}")
+    if not poly_key:
+        raise ValueError("poly_key is required for semi/anti bucketed joins")
+    hits = inner.select(*poly_key).distinct()
+    return polygons.join(hits, poly_key, how)

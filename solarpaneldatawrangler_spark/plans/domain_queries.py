@@ -330,13 +330,19 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE NOT EXISTS (SELECT 1 FROM hits h WHERE h.n_nationkey = p.n_nationkey)
     """,
     doc="J6 spatial ANTI-join proper: predicted polygons containing no "
-    "known OSM node survive (maproulette.py:69-83 delete-on-hit).",
+    "known OSM node survive (maproulette.py:69-83 delete-on-hit). Runs "
+    "the grid-bucketed route (strategy='bucketed'): bbox cells explode "
+    "into a coarse grid, points bucket to their cell, hits come from a "
+    "hash equi-join on cell keys, and the anti-join replays against the "
+    "distinct hit polygon keys — no broadcast of the growing points "
+    "side, no nested-loop join (plan-asserted in test_physical_plans).",
 )
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     polys, pts = _spatial_frames(spark, sf_dir)
-    return spatial_join_contains(polys, pts, how="left_anti").select(
-        "n_nationkey", "n_name"
-    )
+    return spatial_join_contains(
+        polys, pts, how="left_anti", strategy="bucketed",
+        cell_size=10.0, poly_key=["n_nationkey"],
+    ).select("n_nationkey", "n_name")
 
 
 # --- G1: connected components (run_inference.py:21-60) ----------------------

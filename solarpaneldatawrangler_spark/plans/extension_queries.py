@@ -410,22 +410,28 @@ def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LSH-bucketed ANN (scale path; rows-only check) -------------------------
 
-def _lsh_oracle_sql() -> str:
-    """Reproduce the LSH bucketing relationally: the deterministic
-    hyperplanes (identical constants to operators.similarity
-    ._default_planes, repr round-trip so the binary doubles match) go
-    into a VALUES table; signatures = sign-bit strings per (vec, table);
-    candidates = signature collisions in any table; re-rank by cosine
-    rounded to 4dp with id tiebreak (same contract as q58)."""
+def planes_values_sql(n_tables: int, n_planes: int, dim: int) -> str:
+    """The deterministic hyperplanes (identical constants to
+    operators.similarity._default_planes, repr round-trip so the binary
+    doubles match) as a SQL VALUES body (t, i, j, w) — lets DuckDB
+    replay sign-LSH signatures exactly."""
     from solarpaneldatawrangler_spark.operators.similarity import _default_planes
 
     rows = []
-    for t in range(10):
-        planes = _default_planes(64, 4, seed=t)
+    for t in range(n_tables):
+        planes = _default_planes(dim, n_planes, seed=t)
         for i, plane in enumerate(planes):
             for j, w in enumerate(plane):
                 rows.append(f"({t},{i},{j + 1},{w!r})")
-    values = ",\n".join(rows)
+    return ",\n".join(rows)
+
+
+def _lsh_oracle_sql() -> str:
+    """Reproduce the LSH bucketing relationally: hyperplanes go into a
+    VALUES table; signatures = sign-bit strings per (vec, table);
+    candidates = signature collisions in any table; re-rank by cosine
+    rounded to 4dp with id tiebreak (same contract as q58)."""
+    values = planes_values_sql(n_tables=10, n_planes=4, dim=64)
     return f"""
     WITH planes(t, i, j, w) AS (VALUES {values}),
     comps AS (

@@ -43,37 +43,65 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", F.col("err_ts_asof").alias("last_error_ts"))
 
 
-# --- embedding-cosine near-dup dedup ----------------------------------------
+# --- embedding-cosine near-dup dedup (LSH-bucketed, the scale path) ---------
+
+def _neardup_oracle_sql() -> str:
+    """DuckDB replay of the LSH-bucketed near-dup: identical hyperplane
+    constants (VALUES), identical sign-bit signatures, identical
+    candidate equi-join and rounded-cosine threshold — the oracle checks
+    the SCALE PATH itself, not an all-pairs stand-in."""
+    from solarpaneldatawrangler_spark.plans.extension_queries import planes_values_sql
+
+    values = planes_values_sql(n_tables=6, n_planes=8, dim=64)
+    return f"""
+    WITH planes(t, i, j, w) AS (VALUES {values}),
+    comps AS (
+        SELECT e.vec_id, p.t, p.i, SUM(CAST(e.embedding[p.j] AS DOUBLE) * p.w) AS dot
+        FROM embeddings e
+        JOIN planes p ON p.j <= len(e.embedding)
+        GROUP BY e.vec_id, p.t, p.i
+    ),
+    sigs AS (
+        SELECT vec_id, t,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+        FROM comps GROUP BY vec_id, t
+    ),
+    cands AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sigs a JOIN sigs b
+          ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT c.id_a, c.id_b,
+               ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 4) AS cos_r
+        FROM cands c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, cos_r FROM scored WHERE cos_r >= 0.4
+    """
+
 
 @register(
     "q63_embedding_neardup",
-    oracle="""
-    WITH pairs AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                            CAST(b.embedding AS DOUBLE[])), 4) AS cos_r
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    )
-    SELECT id_a, id_b, cos_r FROM pairs WHERE cos_r >= 0.4
-    """,
-    doc="Embedding-cosine near-duplicate pairs, exact (all-pairs) variant "
-    "as the correctness baseline — cosine rounded to 4dp before the "
-    "threshold so float summation order can't flip membership. The scale "
-    "path for this operator is LSH-bucketed candidates + exact verify "
-    "(operators.similarity.lsh_bucketed_topk idiom); at sf0.01 the "
-    "all-pairs form doubles as the oracle.",
+    oracle=_neardup_oracle_sql(),
+    doc="Embedding-cosine near-duplicate pairs via sign-LSH bucketing "
+    "(8 planes x 6 tables) + exact cosine verify — the 100 TB path: "
+    "candidate pairs come from a hash-partitioned self-EQUI-join on "
+    "(table, signature), never the all-pairs theta-join "
+    "(BroadcastNestedLoopJoin plan-asserted absent). Cosine rounded to "
+    "4dp before the threshold so float summation order can't flip "
+    "membership; the deterministic hyperplanes are replayed in SQL as a "
+    "VALUES table so DuckDB reproduces buckets, candidates, and the "
+    "final pair set exactly.",
 )
 def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from solarpaneldatawrangler_spark.functions.vectors import cosine
+    from solarpaneldatawrangler_spark.operators.similarity import lsh_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn("cos_r", F.round(cosine(F.col("_va"), F.col("_vb")), 4))
-        .filter(F.col("cos_r") >= 0.4)
-        .select("id_a", "id_b", "cos_r")
+    return lsh_neardup_pairs(
+        emb, threshold=0.4, dim=64, n_planes=8, n_tables=6
     )
 
 

@@ -41,6 +41,21 @@ def test_minhash_join_not_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_spatial_join_not_nested_loop(spark, sf_dir):
+    # q39 takes the grid-bucketed route: hash equi-join on cell keys,
+    # never a broadcast of the growing points side or a nested loop
+    plan = _plan(spark, sf_dir, "q39_spatial_anti")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_neardup_not_nested_loop(spark, sf_dir):
+    # q63's LSH-bucketed pair generation is an equi-join on (table, sig)
+    plan = _plan(spark, sf_dir, "q63_embedding_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_partial_aggregation_before_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q10_group_minmax")
     # two HashAggregate nodes (partial + final) around the exchange
