@@ -56,15 +56,27 @@ def cmd_pipeline_demo(args) -> int:
     classifier and write MapRoulette JSONL (offline-safe demo)."""
     from pyspark.sql import functions as F
 
+    import json
+
     from solarpaneldatawrangler_spark.pipeline import run_pipeline
     from solarpaneldatawrangler_spark.sources.geojson import write_jsonl
+    from solarpaneldatawrangler_spark.sources.nominatim import parse_nominatim_response
 
     spark = _spark(args.cpus)
     d = 0.05
     lon0, lat0 = -100.0, 40.0
     ring = [[lon0, lat0], [lon0 + d, lat0], [lon0 + d, lat0 + d], [lon0, lat0 + d], [lon0, lat0]]
-    city = spark.createDataFrame(
-        [("Demo City, DC", ring)], "name string, ring array<array<double>>"
+    # start from a canned Nominatim response (first result is a Point,
+    # which the parser must skip — gather_city_shapes.py:46-55)
+    body = json.dumps(
+        [
+            {"display_name": "Demo City (node)", "geojson": {"type": "Point", "coordinates": [lon0, lat0]}},
+            {"display_name": "Demo City, DC", "geojson": {"type": "Polygon", "coordinates": [ring]}},
+        ]
+    )
+    responses = spark.createDataFrame([("Demo City, DC", body)], "req_id string, body string")
+    city = parse_nominatim_response(responses, key_cols=["req_id"]).select(
+        F.col("display_name").alias("name"), "rings"
     )
     osm = spark.createDataFrame([(lon0 + d / 2, lat0 + d / 2)], "longitude double, latitude double")
 

@@ -62,6 +62,75 @@ def point_in_ring(px: Column, py: Column, ring: Column) -> Column:
     return n_cross % 2 == F.lit(1)
 
 
+def point_in_any_ring(px: Column, py: Column, rings: Column) -> Column:
+    """MultiPolygon containment: true when the point lies inside ANY of
+    the parts (rings = array<array<array<double>>>, one closed outer
+    ring per part — the reference accepts Polygon OR MultiPolygon city
+    boundaries, gather_city_shapes.py:50-52, and iterates the parts,
+    process_city_shapes.py:77-90). Pure expression; short-circuits via
+    F.exists."""
+    return F.exists(rings, lambda r: point_in_ring(px, py, r))
+
+
+def rings_bbox(rings: Column) -> Column:
+    """struct(xmin, xmax, ymin, ymax) covering every part of a
+    MultiPolygon — the per-ring bbox union."""
+    xs = F.flatten(F.transform(rings, ring_x))
+    ys = F.flatten(F.transform(rings, ring_y))
+    return F.struct(
+        F.array_min(xs).alias("xmin"),
+        F.array_max(xs).alias("xmax"),
+        F.array_min(ys).alias("ymin"),
+        F.array_max(ys).alias("ymax"),
+    )
+
+
+def multi_ring_contains_join(
+    polygons: DataFrame,
+    points: DataFrame,
+    poly_key: list[str],
+    rings_col: str = "rings",
+    px_col: str = "longitude",
+    py_col: str = "latitude",
+    how: str = "inner",
+    point_key: list[str] | None = None,
+    strategy: str = "auto",
+    cell_size: float = 10.0,
+) -> DataFrame:
+    """Contains-join against MultiPolygon geometries: posexplode the
+    parts so each (polygon, part) row carries ONE ring, run the
+    size-aware two-phase contains-join per part, then dedupe — a point
+    inside two overlapping parts of the same polygon counts once.
+
+    how="inner" returns distinct (poly_key ++ point columns) hit rows;
+    semi/anti reduce to distinct polygon keys and replay against the
+    original polygons frame (same idiom as grid_bucketed_contains_join).
+    Narrow explode (parts are few per polygon), so the join cost stays
+    proportional to parts x points-in-bbox, not polygons x points.
+    """
+    parts = polygons.select(
+        *poly_key, F.posexplode(F.col(rings_col)).alias("_part_idx", "ring")
+    )
+    hits = spatial_join_contains(
+        parts,
+        points,
+        ring_col="ring",
+        px_col=px_col,
+        py_col=py_col,
+        how="inner",
+        strategy=strategy,
+        cell_size=cell_size,
+        poly_key=[*poly_key, "_part_idx"],
+    ).drop("_part_idx", "ring")
+    if how == "inner":
+        keep = [*poly_key, *(point_key or [c for c in points.columns])]
+        return hits.select(*keep).distinct()
+    if how not in ("left_semi", "left_anti"):
+        raise ValueError(f"unsupported how: {how}")
+    matched = hits.select(*poly_key).distinct()
+    return polygons.join(matched, poly_key, how)
+
+
 def polygon_area(ring: Column) -> Column:
     """Shoelace area of a closed ring (SURVEY.md G9) as a pure
     expression: |sum_i (x_i * y_{i+1} - x_{i+1} * y_i)| / 2."""

@@ -50,24 +50,52 @@ from solarpaneldatawrangler_spark.sources.geojson import feature_collection_line
 POSITIVE_THRESHOLD = 0.25  # reference default, /root/reference/solardb.py:231
 
 
+def normalize_polygons(polygons: DataFrame) -> DataFrame:
+    """Accept Polygon OR MultiPolygon boundaries (the reference keeps
+    whichever Nominatim returns, gather_city_shapes.py:50-52): a single
+    `ring` column is wrapped into a one-part `rings`
+    array<array<array<double>>>; a `rings` column passes through. Every
+    downstream stage works on parts."""
+    if "rings" in polygons.columns:
+        return polygons
+    return polygons.withColumn("rings", F.array(F.col("ring"))).drop("ring")
+
+
 def simplify_polygons(polygons: DataFrame) -> DataFrame:
-    """G2: convex-hull + buffer simplification of each city ring.
-    Input/output: (name, ring array<array<double>>)."""
+    """G2: convex-hull + buffer simplification of each city boundary,
+    part by part (the reference simplifies each polygon of the
+    GeometryCollection, process_city_shapes.py:77-90).
+    Input/output: (name, rings array<array<array<double>>>)."""
+    parts = normalize_polygons(polygons).select(
+        "name", F.posexplode("rings").alias("part_idx", "ring")
+    )
 
     def one(key, pdf: pd.DataFrame) -> pd.DataFrame:
         # Arrow delivers array<array<double>> as an object array of arrays
         ring = np.vstack([np.asarray(p, dtype=float) for p in pdf["ring"].iloc[0]])
         out = simplify_polygon_points(ring)
-        return pd.DataFrame({"name": [key[0]], "ring": [out.tolist()]})
+        return pd.DataFrame(
+            {"name": [key[0]], "part_idx": [key[1]], "ring": [out.tolist()]}
+        )
 
-    return polygons.groupBy("name").applyInPandas(
-        one, "name string, ring array<array<double>>"
+    simplified = parts.groupBy("name", "part_idx").applyInPandas(
+        one, "name string, part_idx int, ring array<array<double>>"
     )
+    collected = (
+        simplified.groupBy("name")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("part_idx", "ring"))
+            ).alias("_parts")
+        )
+        .select("name", F.transform("_parts", lambda p: p["ring"]).alias("rings"))
+    )
+    return collected
 
 
 def polygons_to_tile_space(polygons: DataFrame, zoom: int) -> DataFrame:
-    """F12: project every lon/lat ring vertex into continuous slippy tile
-    coordinates as a higher-order transform (no UDF).
+    """F12: project every lon/lat vertex of every part into continuous
+    slippy tile coordinates as a nested higher-order transform (no UDF).
 
     Continuous (double) tile coords preserve geometry for the
     point-in-polygon test; cells come from flooring afterwards.
@@ -86,17 +114,25 @@ def polygons_to_tile_space(polygons: DataFrame, zoom: int) -> DataFrame:
         )
         return F.array(x, y)
 
-    return polygons.withColumn("ring", F.transform(F.col("ring"), project))
+    multi = normalize_polygons(polygons)
+    return multi.withColumn(
+        "rings", F.transform(F.col("rings"), lambda ring: F.transform(ring, project))
+    )
 
 
 def enumerate_polygon_tiles(tile_polygons: DataFrame) -> DataFrame:
     """G3+P8: all integer tiles whose center lies inside each polygon
-    (tile-space rings). bbox from the ring -> distributed grid
-    enumeration -> exact point-in-ring filter on tile centers.
+    (tile-space parts). Parts explode to (name, ring) rows; each part's
+    bbox drives a distributed grid enumeration, tile centers pass the
+    exact point-in-ring filter, and a distinct merges tiles covered by
+    overlapping parts (a tile counts once per polygon).
     Output: (polygon_name, column, row)."""
-    with_bbox = tile_polygons.select(
-        F.col("name").alias("polygon_name"),
-        F.col("ring"),
+    parts = normalize_polygons(tile_polygons).select(
+        F.col("name").alias("polygon_name"), F.explode("rings").alias("ring")
+    )
+    with_bbox = parts.select(
+        "polygon_name",
+        "ring",
         ring_bbox(F.col("ring")).alias("b"),
     ).select(
         "polygon_name",
@@ -109,8 +145,10 @@ def enumerate_polygon_tiles(tile_polygons: DataFrame) -> DataFrame:
     cells = enumerate_grid(with_bbox)
     cx = F.col("column").cast("double") + 0.5
     cy = F.col("row").cast("double") + 0.5
-    return cells.filter(point_in_ring(cx, cy, F.col("ring"))).select(
-        "polygon_name", "column", "row"
+    return (
+        cells.filter(point_in_ring(cx, cy, F.col("ring")))
+        .select("polygon_name", "column", "row")
+        .distinct()
     )
 
 

@@ -345,6 +345,76 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name")
 
 
+# --- P8/J6 over MultiPolygon: multi-part containment ------------------------
+
+@register(
+    "q41_multipolygon",
+    oracle="""
+    WITH polys AS (
+        SELECT n_nationkey,
+               CAST((n_nationkey % 5) * 10 AS DOUBLE) AS x0,
+               CAST((n_nationkey // 5) * 10 AS DOUBLE) AS y0,
+               CAST(3 + n_nationkey % 4 AS DOUBLE) AS w
+        FROM nation
+    ),
+    pts AS (
+        SELECT c_custkey,
+               (c_custkey % 500) / 10.0 + 0.05 AS px,
+               ((c_custkey // 7) % 500) / 10.0 + 0.03 AS py
+        FROM customer
+    ),
+    hits AS (
+        SELECT DISTINCT p.n_nationkey, q.c_custkey
+        FROM polys p JOIN pts q
+          ON (q.px > p.x0 AND q.px < p.x0 + p.w
+              AND q.py > p.y0 AND q.py < p.y0 + p.w)
+          OR (q.px > p.x0 + 25 AND q.px < p.x0 + 25 + p.w
+              AND q.py > p.y0 + 25 AND q.py < p.y0 + 25 + p.w)
+    )
+    SELECT n_nationkey, COUNT(*) AS n_points
+    FROM hits GROUP BY n_nationkey
+    """,
+    doc="MultiPolygon containment (the reference accepts Polygon OR "
+    "MultiPolygon city boundaries, gather_city_shapes.py:50-52, and "
+    "iterates the parts, process_city_shapes.py:77-90): each nation is "
+    "a TWO-part multipolygon (mainland + island squares, offset so an "
+    "island never overlaps its mainland); points count once per nation "
+    "when inside ANY part. Spark: posexplode the parts, size-aware "
+    "two-phase contains-join per part, distinct (nation, point) pairs "
+    "(operators.spatial.multi_ring_contains_join). Points are offset "
+    "0.05/0.03 off the integer square edges so boundary semantics stay "
+    "unambiguous.",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.spatial import multi_ring_contains_join
+
+    nation = load_table(spark, sf_dir, "nation")
+    x0 = ((F.col("n_nationkey") % 5) * 10).cast("double")
+    y0 = (F.floor(F.col("n_nationkey") / 5) * 10).cast("double")
+    w = (3 + F.col("n_nationkey") % 4).cast("double")
+
+    def square(ox: float, oy: float):
+        ax, ay = x0 + ox, y0 + oy
+        return F.array(
+            F.array(ax, ay), F.array(ax + w, ay), F.array(ax + w, ay + w),
+            F.array(ax, ay + w), F.array(ax, ay),
+        )
+
+    polys = nation.select(
+        "n_nationkey", F.array(square(0.0, 0.0), square(25.0, 25.0)).alias("rings")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 500) / 10.0 + 0.05).alias("longitude"),
+        ((F.floor(F.col("c_custkey") / 7) % 500) / 10.0 + 0.03).alias("latitude"),
+    )
+    hits = multi_ring_contains_join(
+        polys, pts, poly_key=["n_nationkey"], point_key=["c_custkey"]
+    )
+    return hits.groupBy("n_nationkey").agg(F.count(F.lit(1)).alias("n_points"))
+
+
 # --- G1: connected components (run_inference.py:21-60) ----------------------
 
 @register(

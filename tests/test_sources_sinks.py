@@ -117,13 +117,80 @@ def test_backoff_retries_then_succeeds():
 
 
 def test_schema_evolution_merge(spark, tmp_path):
-    # alembic-migration parity (SURVEY §1.3): old rows lack the new column
+    # alembic-migration parity (SURVEY §1.3/1.4): old rows lack the new
+    # columns; both evolution routes agree and defaults backfill
+    from solarpaneldatawrangler_spark.sources.evolution import (
+        read_evolving,
+        union_generations,
+        with_defaults,
+    )
+
     out = str(tmp_path / "tiles")
     spark.createDataFrame([(1, 1)], "row long, column long").write.parquet(out + "/v1")
     spark.createDataFrame(
         [(2, 2, 7)], "row long, column long, cluster_id long"
     ).write.parquet(out + "/v2")
-    merged = spark.read.option("mergeSchema", "true").parquet(out + "/v1", out + "/v2")
-    assert set(merged.columns) == {"row", "column", "cluster_id"}
+    spark.createDataFrame(
+        [(3, 3, 8, 1700000000)],
+        "row long, column long, cluster_id long, inference_timestamp long",
+    ).write.parquet(out + "/v3")
+
+    merged = read_evolving(spark, out + "/v1", out + "/v2", out + "/v3")
+    assert set(merged.columns) == {"row", "column", "cluster_id", "inference_timestamp"}
     vals = {r.row: r.cluster_id for r in merged.collect()}
-    assert vals[1] is None and vals[2] == 7
+    assert vals[1] is None and vals[2] == 7 and vals[3] == 8
+
+    # the DataFrame-level route gives the same union schema
+    gens = [spark.read.parquet(out + f"/v{i}") for i in (1, 2, 3)]
+    unioned = union_generations(*gens)
+    assert set(unioned.columns) == set(merged.columns)
+    assert unioned.count() == 3
+
+    # reference migration declared a default for inference_timestamp
+    # (alembic/versions/*_add_inference_timestamp*)
+    filled = with_defaults(unioned, {"inference_timestamp": 0})
+    ts = {r.row: r.inference_timestamp for r in filled.collect()}
+    assert ts == {1: 0, 2: 0, 3: 1700000000}
+
+
+def test_nominatim_parse_first_polygonal(spark):
+    # reference keeps the FIRST Polygon/MultiPolygon result and skips
+    # points (gather_city_shapes.py:46-55); no-polygon responses vanish
+    from solarpaneldatawrangler_spark.sources.nominatim import parse_nominatim_response
+
+    sq = [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]
+    sq2 = [[5.0, 5.0], [6.0, 5.0], [6.0, 6.0], [5.0, 6.0], [5.0, 5.0]]
+    hole = [[0.2, 0.2], [0.8, 0.2], [0.8, 0.8], [0.2, 0.2]]
+    bodies = [
+        # point first, then polygon-with-hole, then another polygon:
+        # picks result 1, keeps the OUTER ring only
+        ("a", json.dumps([
+            {"display_name": "A0", "geojson": {"type": "Point", "coordinates": [1.0, 2.0]}},
+            {"display_name": "A1", "geojson": {"type": "Polygon", "coordinates": [sq, hole]}},
+            {"display_name": "A2", "geojson": {"type": "Polygon", "coordinates": [sq2]}},
+        ])),
+        # multipolygon first: both parts' outer rings survive
+        ("b", json.dumps([
+            {"display_name": "B0", "geojson": {"type": "MultiPolygon",
+                                               "coordinates": [[sq], [sq2, hole]]}},
+        ])),
+        # no polygonal result at all: row disappears
+        ("c", json.dumps([
+            {"display_name": "C0", "geojson": {"type": "Point", "coordinates": [0.0, 0.0]}},
+        ])),
+    ]
+    responses = spark.createDataFrame(bodies, "req_id string, body string")
+    out = parse_nominatim_response(responses, key_cols=["req_id"])
+    rows = {r.req_id: r for r in out.collect()}
+    assert set(rows) == {"a", "b"}
+    a = rows["a"]
+    assert (a.display_name, a.geom_type, a.result_pos) == ("A1", "Polygon", 1)
+    assert [[list(p) for p in ring] for ring in a.rings] == [sq]  # hole dropped
+    b = rows["b"]
+    assert (b.geom_type, b.result_pos) == ("MultiPolygon", 0)
+    assert [[list(p) for p in ring] for ring in b.rings] == [sq, sq2]
+    # parsed rings feed the multi-ring pipeline directly
+    from solarpaneldatawrangler_spark.pipeline import normalize_polygons
+
+    city = out.select(F.col("display_name").alias("name"), "rings")
+    assert "rings" in normalize_polygons(city).columns
