@@ -3,20 +3,31 @@ G4-G8, §2.12).
 
 Design: media are opaque BinaryType columns + typed metadata columns
 (schemas.IMAGE_TILES), moved between stages as Arrow batches. The
-reference's PIL-based slice/stitch/preprocess/classify pipeline
+reference's PIL-based slice/stitch/upsample/preprocess/classify pipeline
 (/root/reference/imagery.py:81-209, run_inference.py:95-128) maps to
 mapInPandas / applyInPandas operators whose Spark-side plumbing (schema,
-grouping, batch shape) is fully real; the pixel codec itself is stubbed
-behind ``decode_image`` because no imaging library ships in this
-container — swap in PIL/torchvision per-executor for production.
+grouping, batch shape) is fully real.
+
+Pixel access goes through an INJECTED codec (``codec=`` on every
+operator). Two implementations ship:
+
+- ``NumpyCodec`` — a real, dependency-free codec: uncompressed RGB
+  arrays with a 12-byte header. Crop/stitch/upsample move actual
+  pixels; tests verify pixel-level goldens through it. A PIL/JPEG codec
+  drops into the same two-method protocol per executor for production.
+- ``codec=None`` — the hash-stub path: payloads are deterministic fake
+  blobs (8-byte size header + sha body), pixel ops replaced by seeded
+  re-hashing. Keeps catalog queries cheap while exercising identical
+  Spark plumbing (schema, shuffle, batch shape).
 
 Scale notes:
 - slice (1 fetched 1280^2 image -> 25 tiles of 256^2) is a 1->N
   flatMap: mapInPandas yielding exploded rows, no shuffle.
-- stitch (3x3 neighborhood -> 320^2) groups by the center-tile key:
-  one shuffle on (zoom, snap(column), snap(row)) super-cell keys; the
-  9 neighbors of a tile live in <=4 super-cells, so the group join is
-  bounded.
+- stitch (3x3 neighborhood -> 3x tile px) groups by the center-tile
+  key: each tile row replicates to the 9 centers it contributes to
+  (pure explode) — a single shuffle, no self-join storm.
+- upsample (G5, imagery.py:119-146: paste-and-resize when only
+  lower-zoom imagery exists) is a narrow per-row transform: no shuffle.
 - inference is an iterator pandas UDF: the (mock) model loads once per
   executor python worker, not per batch (reference reloads per process).
 """
@@ -26,6 +37,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -34,11 +46,32 @@ from pyspark.sql import functions as F
 GRID_SIZE = 5  # 1280 // 256, as in /root/reference/imagery.py:104-110
 
 
+class NumpyCodec:
+    """Real pixel codec with zero native deps: uncompressed uint8 RGB(A)
+    arrays, 12-byte header (w, h, channels as big-endian u32). The
+    production protocol — ``decode(bytes) -> ndarray``,
+    ``encode(ndarray) -> bytes`` — is exactly what a PIL or torchvision
+    codec implements; tests prove the seam with pixel-level goldens."""
+
+    def decode(self, content: bytes) -> np.ndarray:
+        w = int.from_bytes(content[0:4], "big")
+        h = int.from_bytes(content[4:8], "big")
+        c = int.from_bytes(content[8:12], "big")
+        arr = np.frombuffer(content, dtype=np.uint8, offset=12)
+        return arr.reshape(h, w, c)
+
+    def encode(self, arr: np.ndarray) -> bytes:
+        h, w, c = arr.shape
+        header = (
+            w.to_bytes(4, "big") + h.to_bytes(4, "big") + c.to_bytes(4, "big")
+        )
+        return header + np.ascontiguousarray(arr, dtype=np.uint8).tobytes()
+
+
 def decode_image(content: bytes) -> tuple[int, int]:
-    """STUB codec: returns (width, height) parsed from a deterministic
-    fake header (first 8 bytes, big-endian u32 pairs) when present, else
-    raises. Production: PIL.Image.open(io.BytesIO(content)).size.
-    """
+    """Stub-path header probe: (width, height) from the 8-byte header of
+    a fake payload. Production decoding goes through an injected codec
+    (NumpyCodec / PIL), not this."""
     if content is None or len(content) < 8:
         raise NotImplementedError(
             "no imaging library in this environment; deterministic fake "
@@ -50,19 +83,34 @@ def decode_image(content: bytes) -> tuple[int, int]:
 
 
 def fake_image(width: int, height: int, seed: bytes) -> bytes:
-    """Deterministic fake image payload: 8-byte (w,h) header + sha-derived
-    body. Stands in for a JPEG in tests; decode_image round-trips it."""
+    """Deterministic fake image payload for the stub path: 8-byte (w,h)
+    header + sha-derived body. Stands in for a JPEG in cheap tests;
+    decode_image round-trips the header."""
     body = hashlib.sha256(seed).digest()
     return width.to_bytes(4, "big") + height.to_bytes(4, "big") + body
 
 
-def slice_grid(images: DataFrame, grid_size: int = GRID_SIZE) -> DataFrame:
+def deterministic_pixels(width: int, height: int, seed: bytes, channels: int = 3) -> np.ndarray:
+    """A real pixel array whose values derive deterministically from the
+    seed — sha256 keystream tiled to size. Feeds NumpyCodec tests."""
+    n = width * height * channels
+    blocks = []
+    counter = 0
+    while sum(len(b) for b in blocks) < n:
+        blocks.append(hashlib.sha256(seed + counter.to_bytes(4, "big")).digest())
+        counter += 1
+    raw = b"".join(blocks)[:n]
+    return np.frombuffer(raw, dtype=np.uint8).reshape(height, width, channels)
+
+
+def slice_grid(images: DataFrame, grid_size: int = GRID_SIZE, codec=None) -> DataFrame:
     """G4 25-way slice (/root/reference/imagery.py:81-96): one fetched
     super-image at (column,row) -> grid_size^2 tiles with shifted coords.
 
     The coordinate fan-out is pure Catalyst (explode over a constant
-    offset array); the pixel crop is the stubbed per-tile payload
-    transform inside mapInPandas.
+    offset array). With a codec, each tile is the REAL pixel window
+    arr[dr*t:(dr+1)*t, dc*t:(dc+1)*t]; without, the stubbed
+    deterministic sub-payload.
     """
     offsets = F.array(
         *[
@@ -85,11 +133,19 @@ def slice_grid(images: DataFrame, grid_size: int = GRID_SIZE) -> DataFrame:
     def crop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tile_px = 256
         for pdf in batches:
-            # stub crop: deterministic sub-payload keyed by offset
-            cropped = [
-                fake_image(tile_px, tile_px, bytes(content) + bytes([int(dc), int(dr)]))
-                for content, dc, dr in zip(pdf["content"], pdf["_dc"], pdf["_dr"])
-            ]
+            if codec is not None:
+                cropped = []
+                for content, dc, dr in zip(pdf["content"], pdf["_dc"], pdf["_dr"]):
+                    arr = codec.decode(bytes(content))
+                    t = arr.shape[0] // grid_size
+                    win = arr[int(dr) * t : (int(dr) + 1) * t, int(dc) * t : (int(dc) + 1) * t]
+                    cropped.append(codec.encode(win))
+            else:
+                # stub crop: deterministic sub-payload keyed by offset
+                cropped = [
+                    fake_image(tile_px, tile_px, bytes(content) + bytes([int(dc), int(dr)]))
+                    for content, dc, dr in zip(pdf["content"], pdf["_dc"], pdf["_dr"])
+                ]
             yield pd.DataFrame(
                 {
                     "column": pdf["column"],
@@ -102,14 +158,15 @@ def slice_grid(images: DataFrame, grid_size: int = GRID_SIZE) -> DataFrame:
     return fanned.mapInPandas(crop, out_schema)
 
 
-def stitch_3x3(tiles: DataFrame) -> DataFrame:
+def stitch_3x3(tiles: DataFrame, codec=None) -> DataFrame:
     """G6 3x3 stitch (/root/reference/imagery.py:196-209): for each tile,
-    paste its 8 neighbors around it -> one 320^2 context image.
+    paste its 8 neighbors around it -> one 3-tile-wide context image.
 
     Implemented as dilation fan-out + applyInPandas per center tile: each
     tile row is replicated to the 9 centers it contributes to (pure
     explode), grouped by center key — a single shuffle, no self-join
-    storm. Missing neighbors are tolerated (reference pastes what exists).
+    storm. Missing neighbors are tolerated (reference pastes what
+    exists; codec path leaves them black).
     """
     offsets = F.array(
         *[
@@ -137,14 +194,25 @@ def stitch_3x3(tiles: DataFrame) -> DataFrame:
             return pd.DataFrame(
                 columns=["column", "row", "zoom", "content", "n_neighbors"]
             )
-        ordered = pdf.sort_values(["dr", "dc"])
-        seed = b"".join(bytes(c) for c in ordered["content"])
+        if codec is not None:
+            first = codec.decode(bytes(pdf["content"].iloc[0]))
+            t, c = first.shape[0], first.shape[2]
+            canvas = np.zeros((3 * t, 3 * t, c), dtype=np.uint8)
+            for content, dc, dr in zip(pdf["content"], pdf["dc"], pdf["dr"]):
+                arr = codec.decode(bytes(content))
+                y, x = (int(dr) + 1) * t, (int(dc) + 1) * t
+                canvas[y : y + t, x : x + t] = arr
+            payload = codec.encode(canvas)
+        else:
+            ordered = pdf.sort_values(["dr", "dc"])
+            seed = b"".join(bytes(c) for c in ordered["content"])
+            payload = fake_image(320, 320, seed)
         return pd.DataFrame(
             {
                 "column": [center_column],
                 "row": [center_row],
                 "zoom": [zoom],
-                "content": [fake_image(320, 320, seed)],
+                "content": [payload],
                 "n_neighbors": [len(pdf) - 1],
             }
         )
@@ -154,20 +222,56 @@ def stitch_3x3(tiles: DataFrame) -> DataFrame:
     )
 
 
-def classify_tiles(tiles: DataFrame, batch_size: int = 64) -> DataFrame:
-    """G7+G8 preprocess + CNN inference (/root/reference/run_inference.py:95-128)
-    as an iterator-of-batches mapInPandas: the (mock) model is constructed
-    once per python worker; batches stream through Arrow.
+def upsample_tiles(tiles: DataFrame, factor: int = 2, codec=None) -> DataFrame:
+    """G5 image upsample (/root/reference/imagery.py:119-146: when only
+    lower-zoom imagery exists, the quadrant of the parent tile is
+    resized up to tile size). Nearest-neighbor via np.repeat through the
+    injected codec — a narrow per-row transform, no shuffle; swap the
+    codec (PIL bicubic) without touching the plan.
+    """
+    if codec is None:
+        raise NotImplementedError(
+            "upsample needs real pixels: inject a codec (NumpyCodec or PIL)"
+        )
+    out_schema = "column long, row long, zoom int, content binary"
 
-    Mock model: softmax = (first body byte of the image) / 255 —
-    deterministic, replace with DeepSolar/torch per-executor load.
+    def up(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for content in pdf["content"]:
+                arr = codec.decode(bytes(content))
+                big = np.repeat(np.repeat(arr, factor, axis=0), factor, axis=1)
+                out.append(codec.encode(big))
+            yield pd.DataFrame(
+                {
+                    "column": pdf["column"],
+                    "row": pdf["row"],
+                    "zoom": pdf["zoom"],
+                    "content": out,
+                }
+            )
+
+    return tiles.mapInPandas(up, out_schema)
+
+
+def classify_tiles(tiles: DataFrame, batch_size: int = 64, model=None) -> DataFrame:
+    """G7+G8 preprocess + CNN inference (/root/reference/run_inference.py:95-128)
+    as an iterator-of-batches mapInPandas: the model is constructed once
+    per python worker; batches stream through Arrow.
+
+    ``model``: picklable callable(list[bytes]) -> list[float]; default
+    mock scores softmax = (first body byte) / 255 — deterministic,
+    replace with a per-worker DeepSolar/torch load.
     """
     out_schema = "column long, row long, zoom int, panel_softmax double"
 
     def infer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        model = lambda payloads: [  # noqa: E731 — stands in for predictor
-            (p[8] / 255.0) if p is not None and len(p) > 8 else 0.0 for p in payloads
-        ]
+        scorer = model if model is not None else (
+            lambda payloads: [
+                (p[8] / 255.0) if p is not None and len(p) > 8 else 0.0
+                for p in payloads
+            ]
+        )
         for pdf in batches:
             for start in range(0, len(pdf), batch_size):
                 chunk = pdf.iloc[start : start + batch_size]
@@ -176,7 +280,7 @@ def classify_tiles(tiles: DataFrame, batch_size: int = 64) -> DataFrame:
                         "column": chunk["column"],
                         "row": chunk["row"],
                         "zoom": chunk["zoom"],
-                        "panel_softmax": model(list(chunk["content"])),
+                        "panel_softmax": scorer(list(chunk["content"])),
                     }
                 )
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from solarpaneldatawrangler_spark.functions.vectors import cosine, random_hyperplane_signature
+from solarpaneldatawrangler_spark.functions.vectors import cosine
 
 
 def brute_force_topk(
@@ -115,6 +115,54 @@ def _default_planes(dim: int, n_planes: int, seed: int = 0) -> list[list[float]]
     return planes
 
 
+def _signature_rows(
+    df: DataFrame,
+    idn: str,
+    vecn: str,
+    id_col: str,
+    vec_col: str,
+    tables: list[list[list[float]]],
+) -> DataFrame:
+    """(id, vec, table, sig) rows for every LSH table, computed as ONE
+    BLAS matmul per Arrow batch (batch x all-planes) in mapInPandas —
+    the interpreted higher-order-expression form measured ~10x slower
+    at 2k x 48 planes (same trap as minhash round 1). Signatures pack
+    into int64 (bit i = sign of plane i): integer join keys, no string
+    building."""
+    import numpy as np
+    import pandas as pd
+
+    n_tables = len(tables)
+    n_planes = len(tables[0])
+    pmat = np.array(
+        [plane for planes in tables for plane in planes], dtype=np.float64
+    )  # (n_tables*n_planes, dim)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    src = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vecn))
+
+    def sign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vecn]])
+            bits = (mat @ pmat.T) >= 0  # (n, n_tables*n_planes)
+            sigs = bits.reshape(len(pdf), n_tables, n_planes).astype(np.int64) @ weights
+            ids = np.repeat(pdf[idn].to_numpy(), n_tables)
+            yield pd.DataFrame(
+                {
+                    idn: ids,
+                    vecn: [v for v in pdf[vecn] for _ in range(n_tables)],
+                    "table": np.tile(np.arange(n_tables), len(pdf)),
+                    "sig": sigs.reshape(-1),
+                }
+            )
+
+    return src.mapInPandas(
+        sign, f"{idn} long, {vecn} array<double>, table int, sig long"
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -137,24 +185,8 @@ def lsh_bucketed_topk(
     tables = [
         _default_planes(dim, n_planes, seed=t) for t in range(n_tables)
     ]
-
-    def signed(df: DataFrame, idn: str, vecn: str) -> DataFrame:
-        out = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vecn))
-        sig = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    random_hyperplane_signature(F.col(vecn), planes).alias("sig"),
-                )
-                for t, planes in enumerate(tables)
-            ]
-        )
-        return out.withColumn("_b", F.explode(sig)).select(
-            idn, vecn, F.col("_b.table").alias("table"), F.col("_b.sig").alias("sig")
-        )
-
-    cs = signed(corpus, "neighbor_id", "_cvec")
-    qs = signed(queries, "query_id", "_qvec")
+    cs = _signature_rows(corpus, "neighbor_id", "_cvec", id_col, vec_col, tables)
+    qs = _signature_rows(queries, "query_id", "_qvec", id_col, vec_col, tables)
     cands = (
         cs.join(qs, ["table", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -198,30 +230,38 @@ def lsh_neardup_pairs(
     tables buy recall linearly in cost; the all-pairs exact form is
     O(N^2) and exists only as the small-sf oracle baseline.
     """
+    import numpy as np
+    import pandas as pd
+
     tables = [_default_planes(dim, n_planes, seed=t) for t in range(n_tables)]
-
-    def signed(idn: str, vecn: str) -> DataFrame:
-        out = vectors.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vecn))
-        sig = F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("table"),
-                    random_hyperplane_signature(F.col(vecn), planes).alias("sig"),
-                )
-                for t, planes in enumerate(tables)
-            ]
-        )
-        return out.withColumn("_b", F.explode(sig)).select(
-            idn, vecn, F.col("_b.table").alias("table"), F.col("_b.sig").alias("sig")
-        )
-
-    a = signed("id_a", "_va")
-    b = signed("id_b", "_vb")
-    return (
+    a = _signature_rows(vectors, "id_a", "_va", id_col, vec_col, tables)
+    b = _signature_rows(vectors, "id_b", "_vb", id_col, vec_col, tables)
+    cands = (
         a.join(b, ["table", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos_r", F.round(cosine(F.col("_va"), F.col("_vb")), round_dp))
+    )
+
+    def verify(batches):
+        # exact cosine over the candidate pairs, vectorized per batch —
+        # the interpreted-HOF cosine is ~10x slower on the bulk verify
+        # path; rounding happens JVM-side (F.round) so the half-up rule
+        # matches the other catalog queries and the oracle
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_va"]])
+            vb = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_vb"]])
+            cos = np.einsum("ij,ij->i", va, vb) / (
+                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+            )
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos": cos}
+            )
+
+    return (
+        cands.mapInPandas(verify, "id_a long, id_b long, cos double")
+        .withColumn("cos_r", F.round("cos", round_dp))
         .filter(F.col("cos_r") >= threshold)
         .select("id_a", "id_b", "cos_r")
     )

@@ -63,7 +63,7 @@ def _neardup_oracle_sql() -> str:
     ),
     sigs AS (
         SELECT vec_id, t,
-               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+               CAST(SUM(CASE WHEN dot >= 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS sig
         FROM comps GROUP BY vec_id, t
     ),
     cands AS (

@@ -2,9 +2,21 @@
 
 Columnar parquet scans give Catalyst predicate pushdown + column pruning
 for free; every query in the catalog reads through here.
+
+Loaded tables are memoized per (application, sf_dir, table): reusing
+the analyzed DataFrame skips repeated footer reads / schema resolution
+when a catalog run touches the same table dozens of times. The memo
+reuses PLANS only — physical scans stay lazy and pushdown-capable.
+Setting SPARK_GRAFT_CACHE_TABLES=1 additionally persists each table in
+memory (bench mode: pays one materialization, then every query reads
+columnar cache instead of parquet; leave off when asserting scan-level
+plan shapes).
 """
 
 from __future__ import annotations
+
+import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,22 +34,50 @@ STAR_TABLES = [
     "embeddings",
 ]
 
+_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """Self-defense for externally-created sessions (the driver harness
     builds its own SparkSession without our factory): events.parquet is
     TIMESTAMP(NANOS) — unreadable unless nanosAsLong is on — and every
     timestamp comparison against the DuckDB oracle assumes UTC. Both are
-    runtime-settable SQL confs."""
+    runtime-settable SQL confs; read back after setting and WARN when
+    they didn't stick (a silent non-UTC session would diverge from the
+    oracle with no diagnostic)."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
-        pass  # read-only conf in some environments; session.py sets both
+        pass  # read-only conf in some environments; verify below
+    problems = []
+    try:
+        if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+            problems.append("spark.sql.session.timeZone != UTC")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "") != "true":
+            problems.append("spark.sql.legacy.parquet.nanosAsLong != true")
+    except Exception:
+        return  # conf unreadable: nothing more we can check
+    if problems:
+        warnings.warn(
+            "session confs could not be applied (" + "; ".join(problems) + "): "
+            "timestamp results may diverge from the UTC oracle and "
+            "events.parquet (TIMESTAMP NANOS) may fail to read",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        app_id = "unknown"
+    key = (app_id, sf_dir, name)
+    cached = _MEMO.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS); with
@@ -48,6 +88,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer div: ts/1000 via double loses +-1us (epoch nanos
             # exceed 2^53, beyond double's exact-integer range)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1":
+        df = df.cache()
+    _MEMO[key] = df
     return df
 
 

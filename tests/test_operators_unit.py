@@ -119,3 +119,69 @@ def test_streaming_windowed_counts(spark, sf_dir):
     assert out.count() > 0
     # batch twin consistency: total events preserved
     assert out.agg(F.sum("n")).collect()[0][0] == ev.count()
+
+
+def test_codec_pixel_golden_slice_stitch_upsample(spark):
+    # the codec-injection seam with REAL pixels: a NumpyCodec-encoded
+    # super-image slices into exact pixel windows, stitches into an
+    # exact 3x3 canvas, and upsamples by pixel replication — proving a
+    # production codec (PIL) drops into the same protocol
+    import numpy as np
+
+    from solarpaneldatawrangler_spark.operators.multimodal import (
+        NumpyCodec,
+        deterministic_pixels,
+        slice_grid,
+        stitch_3x3,
+        upsample_tiles,
+    )
+
+    codec = NumpyCodec()
+    grid, t = 3, 4  # 12x12 super-image, 4px tiles
+    super_arr = deterministic_pixels(grid * t, grid * t, b"golden", 3)
+    sup = spark.createDataFrame(
+        [(0, 0, 21, bytearray(codec.encode(super_arr)))],
+        "column long, row long, zoom int, content binary",
+    )
+    tiles = slice_grid(sup, grid_size=grid, codec=codec)
+    got = {(r.column, r.row): codec.decode(bytes(r.content)) for r in tiles.collect()}
+    assert set(got) == {(c, r) for c in range(grid) for r in range(grid)}
+    for (c, r), arr in got.items():
+        expect = super_arr[r * t : (r + 1) * t, c * t : (c + 1) * t]
+        assert np.array_equal(arr, expect), f"tile {(c, r)} pixels differ"
+
+    stitched = stitch_3x3(tiles, codec=codec)
+    center = next(
+        codec.decode(bytes(r.content))
+        for r in stitched.collect()
+        if (r.column, r.row) == (1, 1)
+    )
+    # the (1,1) center has all 9 neighbors: its canvas IS the super-image
+    assert np.array_equal(center, super_arr)
+    # a corner's canvas is black where neighbors are missing
+    corner = next(
+        codec.decode(bytes(r.content))
+        for r in stitched.collect()
+        if (r.column, r.row) == (0, 0)
+    )
+    assert (corner[: t, : t] == 0).all()          # no (-1,-1) neighbor
+    assert np.array_equal(corner[t : 2 * t, t : 2 * t], got[(0, 0)])
+
+    up = upsample_tiles(tiles, factor=2, codec=codec)
+    up00 = next(
+        codec.decode(bytes(r.content)) for r in up.collect() if (r.column, r.row) == (0, 0)
+    )
+    assert up00.shape == (2 * t, 2 * t, 3)
+    assert np.array_equal(up00[::2, ::2], got[(0, 0)])  # nearest-neighbor
+    assert np.array_equal(up00[1::2, 1::2], got[(0, 0)])
+
+
+def test_q62_pixel_golden(spark, sf_dir):
+    # q62 runs real pixels through the NumpyCodec seam; its aggregate is
+    # fully deterministic (sha-keystream pixels, ordered doc take) so the
+    # output is pinned exactly — the pixel-level golden backing the
+    # rows-only driver check
+    from solarpaneldatawrangler_spark.plans import CATALOG
+
+    rows = CATALOG["q62_multimodal_pipeline"].fn(spark, sf_dir).collect()
+    assert [(r.zoom, r.n_tiles, r.n_positive) for r in rows] == [(21, 500, 384)]
