@@ -95,6 +95,42 @@ def main():
     timed("ANN brute-force 50k corpus x 100 queries",
           lambda: brute_force_topk(bigc, queries, k=10).count())
 
+    # J6 bucketed spatial contains-join: 100k polygons x 5M points, both
+    # sides far past broadcast range — the grid-cell equi-join path
+    from solarpaneldatawrangler_spark.operators.spatial import (
+        grid_bucketed_contains_join,
+    )
+
+    k = F.col("id")
+    x0 = (k % 1000 * 10).cast("double")
+    y0 = (F.floor(k / 1000) * 10).cast("double")
+    w = (3 + k % 4).cast("double")
+    polys = spark.range(100_000).select(
+        F.col("id").alias("poly_id"),
+        F.array(
+            F.array(x0, y0), F.array(x0 + w, y0), F.array(x0 + w, y0 + w),
+            F.array(x0, y0 + w), F.array(x0, y0),
+        ).alias("ring"),
+    )
+    pts = spark.range(5_000_000).select(
+        F.col("id").alias("pt_id"),
+        (F.pmod(F.xxhash64("id"), 10_000_000) / 1000.0).alias("longitude"),
+        (F.pmod(F.xxhash64("id", "id"), 1_000_000) / 1000.0).alias("latitude"),
+    )
+    timed("J6 grid_bucketed_contains 100k polys x 5M points",
+          lambda: grid_bucketed_contains_join(polys, pts, cell_size=10.0).count())
+
+    # LSH embedding near-dup at 20k vectors (vs all-pairs 200M pairs)
+    from solarpaneldatawrangler_spark.operators.similarity import lsh_neardup_pairs
+
+    bigv = emb
+    for i in range(1, 10):
+        bigv = bigv.unionByName(
+            emb.select((FF.col("vec_id") + 100000 * i).alias("vec_id"), "embedding", "label")
+        )
+    timed("LSH embedding near-dup 20k vectors",
+          lambda: lsh_neardup_pairs(bigv, threshold=0.4).count())
+
 
 if __name__ == "__main__":
     main()

@@ -44,3 +44,33 @@ def test_minhash_finds_planted_duplicates(spark, sf_dir):
     # every planted exact duplicate has identical signatures in every
     # band -> guaranteed candidate -> jaccard 1.0 -> must be found
     assert len(found) == n_planted
+
+
+def test_blas_signatures_match_expression_form(spark, sf_dir):
+    # the BLAS int64 signature path (operators.similarity._signature_rows)
+    # must agree bit-for-bit with the oracle-checkable expression form
+    # (functions.vectors.random_hyperplane_signature): bit i of the int
+    # signature == character i of the expression's 0/1 string
+    from solarpaneldatawrangler_spark.functions.vectors import (
+        random_hyperplane_signature,
+    )
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        _default_planes,
+        _signature_rows,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    tables = [_default_planes(64, 8, seed=t) for t in range(3)]
+
+    fast = _signature_rows(emb, "vid", "_v", "vec_id", "embedding", tables)
+    got = {(r.vid, r.table): r.sig for r in fast.collect()}
+
+    for t, planes in enumerate(tables):
+        expr = emb.select(
+            F.col("vec_id").alias("vid"),
+            random_hyperplane_signature(F.col("embedding"), planes).alias("bits"),
+        )
+        for r in expr.collect():
+            sig = got[(r.vid, t)]
+            expect = "".join("1" if (sig >> i) & 1 else "0" for i in range(len(planes)))
+            assert r.bits == expect, f"vec {r.vid} table {t}: {r.bits} != {expect}"

@@ -59,3 +59,37 @@ def test_spatial_anti_join(spark):
     pts = spark.createDataFrame([(0.5, 0.5)], "longitude double, latitude double")
     kept = spatial_join_contains(polys, pts, how="left_anti").select("poly_id").collect()
     assert [r.poly_id for r in kept] == [2]
+
+
+def test_auto_strategy_routes_by_size(spark, sf_dir):
+    # size-aware selection: a parquet-derived points side with a tiny
+    # Catalyst estimate broadcasts (nested-loop with SMALL broadcast side
+    # is the intended R-tree-probe analog); forcing a 1-byte threshold
+    # must route the same inputs to the bucketed hash-join path
+    from solarpaneldatawrangler_spark.operators.spatial import (
+        estimated_plan_size_bytes,
+        spatial_join_contains,
+    )
+    from solarpaneldatawrangler_spark.plans.domain_queries import _spatial_frames
+
+    polys, pts = _spatial_frames(spark, sf_dir)
+    est = estimated_plan_size_bytes(pts)
+    assert est is not None and est > 0  # parquet scans always estimate
+
+    small = spatial_join_contains(polys, pts, how="inner")
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan_small
+
+    big = spatial_join_contains(
+        polys, pts, how="inner", strategy="auto", broadcast_threshold=1,
+        cell_size=10.0,
+    )
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan_big
+    assert "CartesianProduct" not in plan_big
+
+    # both strategies agree on the answer
+    key = lambda df: {(r.n_nationkey, r.c_custkey) for r in df.collect()}
+    assert key(small.select("n_nationkey", "c_custkey")) == key(
+        big.select("n_nationkey", "c_custkey")
+    )
