@@ -60,17 +60,15 @@ def connected_components(
     )
 
     labels = active.select("id", F.col("id").alias("label"))
-    # min-labels only ever decrease, so the global label sum is a strict
-    # monotone: equal sums <=> fixpoint. One scalar agg per iteration
-    # instead of a join-based diff.
-    prev_sum = None
-    for _ in range(max_iterations):
+
+    def _round(lab: DataFrame) -> DataFrame:
+        """One min-label propagation + pointer jump."""
         neighbor_labels = (
-            edges.join(labels, edges.src == labels.id, "inner")
+            edges.join(lab, edges.src == lab.id, "inner")
             .select(F.col("dst").alias("id"), F.col("label"))
         )
         propagated = (
-            labels.unionByName(neighbor_labels)
+            lab.unionByName(neighbor_labels)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
@@ -82,21 +80,48 @@ def connected_components(
         lab2 = propagated.select(
             F.col("id").alias("lid"), F.col("label").alias("llabel")
         )
-        labels = (
-            propagated.join(lab2, propagated.label == lab2.lid, "left")
-            .select(
-                "id", F.coalesce("llabel", "label").alias("label")
-            )
-            .localCheckpoint()
+        return propagated.join(lab2, propagated.label == lab2.lid, "left").select(
+            "id", F.coalesce("llabel", "label").alias("label")
         )
-        # decimal(38,0): packed labels reach ~2^45, so a long SUM overflows
-        # past ~300k active nodes (found by scripts/scale_smoke.py)
-        label_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
-        if label_sum == prev_sum:
-            break
-        prev_sum = label_sum
+
+    # min-labels only ever decrease, so the global label sum is a strict
+    # monotone: equal sums <=> fixpoint. One scalar agg per check instead
+    # of a join-based diff. TWO rounds run per action: Catalyst plans
+    # both in one job, the lazy checkpoint is materialized by the
+    # convergence agg itself, and the fixed per-action cost (stage
+    # scheduling, checkpoint, collect round-trip) is paid half as often —
+    # rounds, not work, dominate high-diameter graphs. Worst case one
+    # surplus round after the fixpoint; min-label idempotence makes that
+    # a no-op.
+    #
+    # Shuffle-partition right-sizing: the loop shuffles the SAME small
+    # frame dozens of times, so per-partition fixed cost is multiplied by
+    # rounds x stages. Even with AQE coalescing, the INITIAL map-side
+    # partition count is paid on every shuffle (measured 2x on a
+    # diameter-1000 snake: 32 -> 4 initial partitions halved wall time).
+    # ~250k labels/partition keeps partitions well under executor memory
+    # while capping at the session's configured parallelism for big
+    # active sets; restored in `finally` (session conf is global).
+    spark = tiles.sparkSession
+    n_active = active.count()  # already materialized by the checkpoint
+    conf_key = "spark.sql.shuffle.partitions"
+    orig_parts = spark.conf.get(conf_key)
+    loop_parts = max(1, min(int(orig_parts), (n_active + 249_999) // 250_000))
+    prev_sum = None
+    try:
+        spark.conf.set(conf_key, str(loop_parts))
+        for _ in range(max(max_iterations // 2, 1)):
+            labels = _round(_round(labels)).localCheckpoint(eager=False)
+            # decimal(38,0): packed labels reach ~2^45, so a long SUM
+            # overflows past ~300k active nodes (scripts/scale_smoke.py)
+            label_sum = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)"))
+            ).collect()[0][0]
+            if label_sum == prev_sum:
+                break
+            prev_sum = label_sum
+    finally:
+        spark.conf.set(conf_key, orig_parts)
 
     clustered = active.join(labels, "id").select(
         col_name, row_name, F.col("label").alias("cluster_id")
