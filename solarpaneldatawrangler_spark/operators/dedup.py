@@ -311,3 +311,97 @@ def simhash_bands(sim: Column, bands: int = 4) -> Column:
             for i in range(bands)
         ]
     )
+
+
+# --- winnowing rolling-hash fingerprints ------------------------------------
+
+# positions pack into the low bits of the window key; 2^21 caps document
+# length at 2M chars (split longer docs upstream)
+_WINNOW_POS_CAP = 1 << 21
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    reproducible: bool = True,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every k-gram of the normalized text, slide a window
+    of ``w`` consecutive hashes, keep the window minimum (rightmost on
+    ties), dedupe. Docs sharing fingerprints share k-grams — the
+    MOSS-style local dedup/plagiarism primitive; winnowing guarantees any
+    match of length >= w+k-1 produces at least one shared fingerprint.
+
+    Returns (id, fp_pos, fp_hash); fp_pos is the 1-based k-gram start.
+    Docs with fewer than ``w`` k-grams (len < k+w-1) have no complete
+    window and yield no rows, matching the paper's definition.
+
+    Plan shape (scale notes):
+    - one generated row per character position (posexplode-style via
+      ``sequence``): same volume as the MinHash shingle explode; all
+      hashing is codegen'd column expressions, no Python
+    - ONE shuffle: the per-document window (hash-partition on id).
+      Window min over a ROWS frame is a single pass; the trailing
+      ``dropDuplicates`` on (id, key) partial-aggregates map-side within
+      the same partitioning, so no second exchange
+    - rightmost-tie selection without a struct ordering: the window key
+      packs (hash, -pos) into one BIGINT — key = h * 2^21 - pos — so
+      MIN(key) is lexicographic (min hash, then max position). Plain
+      integer arithmetic reproduces bit-for-bit in any engine, which
+      keeps the operator SQL-oracle-checkable (md5-based hash when
+      ``reproducible``; xxhash64 for the fast JVM-only path)
+    - skew: per-doc cost is O(len); a pathological single giant doc
+      bounds a partition — split docs past _WINNOW_POS_CAP upstream
+    """
+    from solarpaneldatawrangler_spark.functions.text import md5_long
+
+    if w < 1 or k < 1:
+        raise ValueError("k and w must be >= 1")
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    # guard short docs: Spark's sequence(1, 0) counts DOWN ([1, 0]), so an
+    # unconditional sequence would fabricate positions for texts shorter
+    # than k — emit an empty position array instead
+    n_pos = F.length(norm) - k + 1
+    positions = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(positions).alias("pos"),
+        norm.alias("_t"),
+    ).select(
+        "id", "pos", F.substring(F.col("_t"), F.col("pos"), k).alias("gram")
+    )
+    if reproducible:
+        h = md5_long(F.col("gram"))
+    else:
+        h = F.pmod(F.xxhash64(F.col("gram")), F.lit(1 << 32))
+    keyed = grams.select(
+        "id", "pos", (h * F.lit(_WINNOW_POS_CAP) - F.col("pos")).alias("key")
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+    )
+    sel = keyed.select(
+        "id", "pos", F.min("key").over(win).alias("skey")
+    ).filter(F.col("pos") >= w)
+    cap = F.lit(_WINNOW_POS_CAP)
+    return (
+        sel.select("id", "skey")
+        .dropDuplicates(["id", "skey"])
+        .select(
+            "id",
+            F.expr(f"(skey + {_WINNOW_POS_CAP - 1}) DIV {_WINNOW_POS_CAP}").alias(
+                "fp_hash"
+            ),
+            (
+                F.expr(f"(skey + {_WINNOW_POS_CAP - 1}) DIV {_WINNOW_POS_CAP}") * cap
+                - F.col("skey")
+            ).alias("fp_pos"),
+        )
+    )

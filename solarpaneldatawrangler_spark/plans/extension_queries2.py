@@ -130,3 +130,52 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe).alias("n_bpe_tokens"),
         F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
     )
+
+
+# --- winnowing rolling-hash fingerprints ------------------------------------
+
+_WINNOW_ORACLE = """
+    WITH norm AS (
+        SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT n.doc_id, u.pos,
+               ('0x' || substr(md5(substr(n.t, CAST(u.pos AS INT), 5)), 1, 8))::BIGINT
+                   AS h
+        FROM norm n,
+             LATERAL UNNEST(generate_series(1, length(n.t) - 5 + 1)) AS u(pos)
+    ),
+    sel AS (
+        SELECT doc_id, pos,
+               MIN(h * 2097152 - pos) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ) AS skey
+        FROM grams
+    )
+    SELECT DISTINCT
+           doc_id AS id,
+           (skey + 2097151) // 2097152 AS fp_hash,
+           ((skey + 2097151) // 2097152) * 2097152 - skey AS fp_pos
+    FROM sel
+    WHERE pos >= 4
+"""
+
+
+@register(
+    "q66_winnow_fingerprint",
+    oracle=_WINNOW_ORACLE,
+    doc="Winnowing rolling-hash document fingerprints (Schleimer et al. "
+    "SIGMOD'03, the MOSS primitive): md5 k-gram hashes (k=5), sliding "
+    "window of 4, keep each window's minimum (rightmost on ties), "
+    "dedupe. The (hash, -pos) pair packs into one BIGINT so MIN() gives "
+    "the rightmost-min rule as plain integer arithmetic — bit-identical "
+    "in any engine. One explode + one per-doc window shuffle; the "
+    "dedup partial-aggregates under the same partitioning.",
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.dedup import winnowing_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowing_fingerprints(docs, k=5, w=4, reproducible=True)

@@ -74,3 +74,64 @@ def test_blas_signatures_match_expression_form(spark, sf_dir):
             sig = got[(r.vid, t)]
             expect = "".join("1" if (sig >> i) & 1 else "0" for i in range(len(planes)))
             assert r.bits == expect, f"vec {r.vid} table {t}: {r.bits} != {expect}"
+
+
+def _py_winnow(text, k=5, w=4):
+    """Pure-Python winnowing reference (Schleimer et al. SIGMOD'03):
+    rightmost minimum of each w-window over md5 k-gram hashes."""
+    import hashlib
+    import re
+
+    t = re.sub(r"\s+", " ", text.strip().lower())
+    n = len(t) - k + 1
+    if n < 1:
+        return set()
+    hs = [int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:8], 16) for i in range(n)]
+    out = set()
+    for p in range(w - 1, n):
+        lo = p - w + 1
+        m = min(hs[lo:p + 1])
+        rm = max(i for i in range(lo, p + 1) if hs[i] == m)
+        out.add((rm + 1, hs[rm]))  # 1-based position
+    return out
+
+
+def test_winnowing_matches_python_reference(spark):
+    from solarpaneldatawrangler_spark.operators.dedup import winnowing_fingerprints
+
+    docs = [
+        (1, "The quick brown fox jumps over the lazy dog"),
+        (2, "the  quick   brown fox jumps over the lazy dog!"),
+        (3, "aaaaaaaaaaaa"),            # all-equal hashes: rightmost-tie rule
+        (4, "tiny"),                    # < k chars: no k-grams
+        (5, "abcdefgh"),                # exactly k+w-1: single window
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {}
+    for r in winnowing_fingerprints(df, k=5, w=4).collect():
+        got.setdefault(r.id, set()).add((r.fp_pos, r.fp_hash))
+    for did, text in docs:
+        assert got.get(did, set()) == _py_winnow(text), f"doc {did}"
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    # the paper's guarantee: any common substring of length >= w+k-1
+    # produces at least one SHARED (hash, gram) fingerprint; positions
+    # differ, so compare hash sets
+    from solarpaneldatawrangler_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "solar panel arrays on rooftops are detected by the classifier"
+    docs = [
+        (1, "PREFIX one two three " + shared),
+        (2, shared + " totally different suffix content here"),
+        (3, "no overlap with anything else at all in this text"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = {}
+    for r in winnowing_fingerprints(df, k=5, w=4).collect():
+        fps.setdefault(r.id, set()).add(r.fp_hash)
+    assert fps[1] & fps[2], "docs sharing a long substring must share fingerprints"
+    # doc3 shares common English 5-grams ('the c'...) at most incidentally;
+    # the overlap with doc1/doc2 must be far smaller than the twin overlap
+    assert len(fps[1] & fps[2]) > len(fps[1] & fps[3])
