@@ -265,3 +265,221 @@ def lsh_neardup_pairs(
         .filter(F.col("cos_r") >= threshold)
         .select("id_a", "id_b", "cos_r")
     )
+
+
+# --- IVF (inverted-file) ANN ------------------------------------------------
+
+def train_ivf_centroids(
+    df: DataFrame,
+    n_lists: int = 16,
+    iters: int = 5,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> list[list[float]]:
+    """Coarse-quantizer centroids for IVF: Lloyd's k-means on a
+    DETERMINISTIC sample, driver-side in float64 NumPy.
+
+    FAISS-style: IVF quantizers train on a bounded sample (~100k-1M
+    vectors) regardless of corpus size, so the collect here is
+    contractual — ``sample_cap`` rows ordered by id, never the corpus.
+    Determinism: sample order is fixed (ORDER BY id), init is the first
+    ``n_lists`` sample vectors, iteration count is fixed (no epsilon
+    stop), empty clusters keep their previous centroid, and the result
+    is rounded to ``round_dp`` so the decimal literals replay
+    bit-identically as SQL VALUES (same trick as the q59 hyperplanes).
+    """
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+        .orderBy("_i")
+        .limit(sample_cap)
+        .collect()
+    )
+    import numpy as np
+
+    sample = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    return _lloyd(sample, n_lists, iters, round_dp)
+
+
+def _lloyd(sample, n_lists: int, iters: int, round_dp: int) -> list[list[float]]:
+    """Deterministic fixed-iteration Lloyd's k-means in float64."""
+    import numpy as np
+
+    if len(sample) < n_lists:
+        raise ValueError(f"need >= {n_lists} vectors to train, got {len(sample)}")
+    cents = sample[:n_lists].copy()
+    for _ in range(iters):
+        # squared L2 via the dot-product identity; argmin ties take the
+        # lowest list id (np.argmin first-wins), matching the oracle's
+        # ORDER BY score DESC, list_id ASC
+        d2 = (
+            (sample * sample).sum(axis=1)[:, None]
+            - 2.0 * (sample @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
+        assign = np.argmin(d2, axis=1)
+        for l in range(n_lists):
+            members = sample[assign == l]
+            if len(members):
+                cents[l] = members.mean(axis=0)
+    return [[round(float(x), round_dp) for x in c] for c in cents]
+
+
+_DIR_CENTROIDS: dict[tuple, list[list[float]]] = {}
+
+
+def ivf_centroids_for_dir(
+    sf_dir: str,
+    n_lists: int = 16,
+    iters: int = 5,
+    sample_cap: int = 4096,
+    round_dp: int = 6,
+) -> list[list[float]]:
+    """Train centroids straight off ``{sf_dir}/embeddings.parquet`` with
+    pyarrow (no Spark session needed) — lets the DuckDB oracle embed the
+    IDENTICAL centroids as VALUES literals, since both the Spark query
+    and the oracle-string builder call this one deterministic function.
+    Memoized per (dir, params): training runs once per process."""
+    key = (sf_dir, n_lists, iters, sample_cap, round_dp)
+    got = _DIR_CENTROIDS.get(key)
+    if got is None:
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir.rstrip('/')}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        order = np.argsort(t.column("vec_id").to_numpy(), kind="stable")[:sample_cap]
+        embs = t.column("embedding").to_pylist()
+        sample = np.array([embs[i] for i in order], dtype=np.float64)
+        got = _DIR_CENTROIDS[key] = _lloyd(sample, n_lists, iters, round_dp)
+    return got
+
+
+def _ivf_scores(vecs, cents):
+    """Argmax form of nearest-centroid: score = v.c - |c|^2/2 (monotone
+    in -L2 distance). Returns the (n, n_lists) score matrix."""
+    import numpy as np
+
+    return vecs @ cents.T - 0.5 * (cents * cents).sum(axis=1)[None, :]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, vec, list_id): each vector tagged with its nearest centroid.
+    One BLAS matmul per Arrow batch, no shuffle — the assignment column
+    rides along with the scan."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.array(centroids, dtype=np.float64)
+    src = df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            lists = np.argmax(_ivf_scores(mat, cents), axis=1)
+            yield pd.DataFrame(
+                {"_i": pdf["_i"], "_v": pdf["_v"], "list_id": lists.astype(np.int32)}
+            )
+
+    return src.mapInPandas(assign, "_i long, _v array<double>, list_id int")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    centroids: list[list[float]] | None = None,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed by nearest
+    coarse centroid; each query exact-searches only its ``nprobe``
+    nearest lists. Same output schema as brute_force_topk.
+
+    Plan shape (the 100 TB path): the corpus is touched by ONE narrow
+    mapInPandas stage (assignment) and filtered by a BROADCAST join
+    against the tiny (queries x nprobe) probe table — the corpus never
+    shuffles. Scoring + local top-k happen per partition (BLAS batch),
+    so only partitions x queries x k survivor rows reach the final
+    window, exactly like brute_force_topk but over ~nprobe/n_lists of
+    the corpus. Centroids ship as plain literals (trained once on a
+    bounded sample), making the whole operator replayable in SQL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+        )
+    cents = np.array(centroids, dtype=np.float64)
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qindex = {int(q): j for j, q in enumerate(qids)}
+
+    # probe lists per query: top-nprobe centroid scores, ties to the
+    # lower list id (lexsort secondary key), mirroring the oracle rank
+    qscores = _ivf_scores(qmat, cents)
+    probe_rows = []
+    for j in range(len(qids)):
+        order = np.lexsort((np.arange(cents.shape[0]), -qscores[j]))[:nprobe]
+        probe_rows.extend((int(qids[j]), int(l)) for l in order)
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(probe_rows, "query_id long, list_id int")
+
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    cands = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col("_i") != F.col("query_id")
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_v"]])
+            qj = np.array([qindex[int(q)] for q in pdf["query_id"]])
+            sims = np.einsum("ij,ij->i", mat, qmat[qj]) / (
+                np.linalg.norm(mat, axis=1) * qnorm[qj]
+            )
+            nids = pdf["_i"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for j in np.unique(qj):
+                m = qj == j
+                idx = np.nonzero(m)[0]
+                take = idx[np.lexsort((nids[idx], -sims[idx]))[:k]]
+                out_q.extend([int(qids[j])] * len(take))
+                out_n.extend(nids[take])
+                out_s.extend(sims[take])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_s}
+            )
+
+    survivors = cands.mapInPandas(
+        local_topk, "query_id long, neighbor_id long, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

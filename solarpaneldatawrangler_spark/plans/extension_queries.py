@@ -60,19 +60,27 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id,
            len({_SQL_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
            length(text) AS n_chars_actual,
            ROUND(CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum') AS DOUBLE)
                  / GREATEST(len({_SQL_TOKS}), 1), 6) AS mean_word_len
     FROM documents
     """,
-    doc="Token counting + mean word length as pure array expressions — "
-    "runs inside the scan stage, zero shuffle.",
+    doc="Token counting for LLM-cost estimation as pure array expressions "
+    "in the scan stage, zero shuffle: whitespace tokens, GPT-2-pre-"
+    "tokenizer-style BPE-ish segmentation (letter runs / digit runs / "
+    "punctuation, RE2-compatible regexp_extract_all), and mean word "
+    "length.",
 )
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+    )
     return docs.select(
         "doc_id",
         F.size(tokens(F.col("text"))).alias("n_tokens"),
+        F.size(bpe).alias("n_bpe_tokens"),
         F.length("text").alias("n_chars_actual"),
         F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
     )

@@ -135,3 +135,36 @@ def test_winnowing_shared_substring_guarantee(spark):
     # doc3 shares common English 5-grams ('the c'...) at most incidentally;
     # the overlap with doc1/doc2 must be far smaller than the twin overlap
     assert len(fps[1] & fps[2]) > len(fps[1] & fps[3])
+
+
+def test_ivf_recall_and_training_consistency(spark, sf_dir):
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_centroids_for_dir,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    # the Spark-collect and pyarrow training paths must produce the SAME
+    # centroids (the oracle replays the pyarrow ones as SQL VALUES)
+    via_spark = train_ivf_centroids(emb, n_lists=16)
+    via_arrow = ivf_centroids_for_dir(sf_dir, n_lists=16)
+    assert via_spark == via_arrow
+
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, queries, k=10).collect()}
+    iv = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=10, nprobe=4, centroids=via_arrow).collect()
+    }
+    # near-random 64-dim embeddings are the hard case; nprobe=4/16 of the
+    # corpus still has to recover most of the true top-10
+    assert len(iv & bf) / len(bf) >= 0.6
+    # probing every list IS brute force: recall must be exactly 1
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=10, nprobe=16, centroids=via_arrow).collect()
+    }
+    assert full == bf
