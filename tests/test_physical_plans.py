@@ -60,3 +60,33 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q10_group_minmax")
     # two HashAggregate nodes (partial + final) around the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+# queries whose plans INTENTIONALLY contain a BroadcastNestedLoopJoin:
+# the size-aware spatial join broadcasts a genuinely small points/polys
+# side (the R-tree-probe analog); test_auto_strategy_routes_by_size
+# proves the same entry point switches to the bucketed hash equi-join
+# when the estimated size crosses the threshold.
+_BNL_ALLOWED = {"q38_spatial_contains", "q41_multipolygon"}
+
+
+def test_no_catalog_query_plans_a_cross_product(spark, sf_dir):
+    """Catalog-wide sweep: no entry may compile to CartesianProduct, and
+    only the documented small-side spatial joins may compile to
+    BroadcastNestedLoopJoin. Guards every future catalog addition
+    against the array-join-key / theta-join demotion traps."""
+    from solarpaneldatawrangler_spark.plans import CATALOG
+
+    offenders = {}
+    for name, spec in sorted(CATALOG.items()):
+        plan = _plan(spark, sf_dir, name)
+        flags = [
+            m
+            for m in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if m in plan
+        ]
+        if "BroadcastNestedLoopJoin" in flags and name in _BNL_ALLOWED:
+            flags.remove("BroadcastNestedLoopJoin")
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
