@@ -85,11 +85,15 @@ def _minhash_bands8(spark, sf_dir):
 # operators are visible per-query
 EXTRA = {
     "x_ann_lsh": lambda spark, sf_dir: CATALOG["q59_ann_lsh"].fn(spark, sf_dir),
+    "x_ann_ivf": lambda spark, sf_dir: CATALOG["q67_ivf_ann"].fn(spark, sf_dir),
     "x_embedding_neardup_lsh": lambda spark, sf_dir: CATALOG[
         "q63_embedding_neardup"
     ].fn(spark, sf_dir),
     "x_minhash_bands8": _minhash_bands8,
     "x_cc_snake_1000": _cc_snake,
+    "x_winnow_fingerprint": lambda spark, sf_dir: CATALOG[
+        "q66_winnow_fingerprint"
+    ].fn(spark, sf_dir),
 }
 
 

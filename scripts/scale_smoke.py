@@ -131,6 +131,17 @@ def main():
     timed("LSH embedding near-dup 20k vectors",
           lambda: lsh_neardup_pairs(bigv, threshold=0.4).count())
 
+    # IVF ANN at the same 50k corpus: assignment is one narrow stage,
+    # probes broadcast, corpus never shuffles
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(bigc, n_lists=32)
+    timed("IVF ANN 50k corpus x 100 queries (nprobe=8/32)",
+          lambda: ivf_topk(bigc, queries, k=10, nprobe=8, centroids=cents).count())
+
 
 if __name__ == "__main__":
     main()
