@@ -63,3 +63,25 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour") -> DataFram
             "total_value",
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state: keep the first event per
+    key, dropping re-deliveries that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` stores each key only until the
+    watermark passes it, so state is O(keys per horizon) instead of
+    O(all keys ever) — the property that lets a dedup stream run forever
+    at 100 TB/day ingest. (Plain ``dropDuplicates`` on a stream grows
+    state without bound; the batch twin of this operator is
+    operators.dedup.exact_dedup.) At-least-once sources (Kafka, file
+    redelivery) become effectively-once for any downstream agg.
+    """
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )

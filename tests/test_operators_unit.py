@@ -185,3 +185,57 @@ def test_q62_pixel_golden(spark, sf_dir):
 
     rows = CATALOG["q62_multimodal_pipeline"].fn(spark, sf_dir).collect()
     assert [(r.zoom, r.n_tiles, r.n_positive) for r in rows] == [(21, 500, 384)]
+
+
+def test_stratified_hash_sample(spark, sf_dir):
+    """Deterministic per-stratum sampling: rates hold approximately,
+    reruns select identical rows, and DuckDB replays the exact md5
+    membership function."""
+    import duckdb
+
+    from solarpaneldatawrangler_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # testdata strata are src0..src19, 25 docs each at sf0.01
+    rates = {"src1": 0.3, "src2": 1.0}
+    out = stratified_hash_sample(docs, "source", rates, id_col="doc_id")
+
+    per_source = dict(docs.groupBy("source").count().collect())
+    kept = dict(out.groupBy("source").count().collect())
+    assert per_source.get("src1") and per_source.get("src2"), per_source
+    assert kept["src2"] == per_source["src2"]  # rate 1.0 keeps everything
+    frac = kept.get("src1", 0) / per_source["src1"]
+    assert 0.05 < frac < 0.6, frac  # rate 0.3 on a 25-doc stratum
+    # strata without a rate default to dropped
+    assert set(kept) <= set(rates)
+
+    ids1 = sorted(r.doc_id for r in out.select("doc_id").collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in stratified_hash_sample(docs, "source", rates, id_col="doc_id")
+        .select("doc_id")
+        .collect()
+    )
+    assert ids1 == ids2  # rerun-stable
+
+    # cross-engine replay of the md5 membership function
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle_ids = sorted(
+        r[0]
+        for r in con.execute(
+            """
+            SELECT doc_id FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       AS DOUBLE) / 4294967296.0
+                  < CASE source WHEN 'src1' THEN 0.3 WHEN 'src2' THEN 1.0 ELSE 0.0 END
+            """
+        ).fetchall()
+    )
+    assert ids1 and ids1 == oracle_ids

@@ -78,3 +78,49 @@ def test_stateful_running_stats_across_batches(spark, tmp_path):
     assert last_a["count"] == 3 and last_a.total == 7.0 and last_a.max_value == 4.0
     last_b = [r for r in rows if r.key == "b"][-1]
     assert last_b["count"] == 1 and last_b.total == 10.0
+
+
+def test_streaming_dedup_drops_redeliveries_across_batches(spark, tmp_path):
+    """Two micro-batches where batch2 redelivers a batch1 event (same
+    key, inside the watermark): the duplicate must not be emitted; the
+    genuinely-new key must be."""
+    import datetime as dt
+
+    from solarpaneldatawrangler_spark.streaming.incremental import streaming_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    schema = "event_id long, ts timestamp"
+
+    spark.createDataFrame(
+        [(1, t0), (2, t0 + dt.timedelta(seconds=30))], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch1"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = streaming_dedup(stream, ["event_id"], ts_col="ts", watermark="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch2: event 1 redelivered (dup, 45s later, within watermark)
+        # plus a new event 3
+        spark.createDataFrame(
+            [(1, t0 + dt.timedelta(seconds=45)), (3, t0 + dt.timedelta(seconds=60))],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(str(src / "batch2"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    ids = sorted(r.event_id for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert ids == [1, 2, 3]
