@@ -361,17 +361,30 @@ def winnowing_fingerprints(
     if w < 1 or k < 1:
         raise ValueError("k and w must be >= 1")
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    # normalize ONCE per doc, as its own Project below the explode: an
+    # earlier inline form duplicated the regexp_replace into the
+    # generator AND the per-gram substring, so normalization re-ran for
+    # every gram row (~300x per doc; measured 9.9s -> 3.3s at sf0.1).
+    # The shared attribute keeps CollapseProject from inlining it.
+    #
+    # repartition by id BEFORE the explode: the window below needs hash
+    # partitioning on id anyway (so this exchange replaces, not adds to,
+    # the window's), but placed here it (a) moves pre-explode rows —
+    # ~len(text)x smaller than the gram relation — and (b) spreads the
+    # per-gram hashing across the cluster even when the source is a
+    # single parquet file (one row-group = one task otherwise)
+    normed = df.select(F.col(id_col).alias("id"), norm.alias("_t")).repartition(
+        F.col("id")
+    )
     # guard short docs: Spark's sequence(1, 0) counts DOWN ([1, 0]), so an
     # unconditional sequence would fabricate positions for texts shorter
     # than k — emit an empty position array instead
-    n_pos = F.length(norm) - k + 1
+    n_pos = F.length("_t") - k + 1
     positions = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
         F.array().cast("array<int>")
     )
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(positions).alias("pos"),
-        norm.alias("_t"),
+    grams = normed.select(
+        "id", "_t", F.explode(positions).alias("pos")
     ).select(
         "id", "pos", F.substring(F.col("_t"), F.col("pos"), k).alias("gram")
     )
