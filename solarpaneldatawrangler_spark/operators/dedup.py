@@ -109,9 +109,16 @@ def shingle_rows(
     via slice() — fine for small docs, pathological in bulk (measured
     75s vs 2s for 500 x ~400-token docs).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(tokens(F.col(text_col))).alias("pos", "t0"),
+    # repartition by id BEFORE tokenizing/exploding: the lead() window
+    # below needs hash partitioning on id anyway, so the exchange moves
+    # rather than multiplies — placed here it ships whole docs (not
+    # token rows) and parallelizes tokenize+explode even from a
+    # single-row-group parquet source (same fix as
+    # winnowing_fingerprints; the scan otherwise runs one task)
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .repartition(F.col("id"))
+        .select("id", F.posexplode(tokens(F.col("_txt"))).alias("pos", "t0"))
     )
     w = Window.partitionBy("id").orderBy("pos")
     parts = [F.col("t0")] + [F.lead("t0", j).over(w) for j in range(1, k)]
