@@ -43,18 +43,22 @@ def connected_components(
     cells = tiles.select(F.col(col_name), F.col(row_name)).dropDuplicates(
         [col_name, row_name]
     )
+    # lazy checkpoints: each materializes inside the first job that
+    # needs it (nodes -> edges -> active chain collapses into the
+    # active.count() below) instead of costing three eager jobs up
+    # front; after that first compute every reuse reads the truncated
+    # checkpoint, so the 5M-row lineages still never re-execute
     nodes = cells.select(
         pack_cell(col_name, row_name).alias("id"), col_name, row_name
-    ).localCheckpoint()
-    edges = neighbor_edges(nodes, col_name, row_name).localCheckpoint()
+    ).localCheckpoint(eager=False)
+    edges = neighbor_edges(nodes, col_name, row_name).localCheckpoint(eager=False)
 
     # singletons (no 4-neighbor present) — usually the majority on sparse
     # grids — need no iteration: their label is their own id. The loop
     # runs only over edge-connected nodes, typically a small fraction.
     edge_ids = edges.select(F.col("src").alias("id")).distinct()
-    # checkpoint: active feeds every loop iteration AND the final join —
-    # without it the 5M-row semi-join re-executes per use
-    active = nodes.join(edge_ids, "id", "left_semi").localCheckpoint()
+    # checkpoint: active feeds every loop iteration AND the final join
+    active = nodes.join(edge_ids, "id", "left_semi").localCheckpoint(eager=False)
     singletons = nodes.join(edge_ids, "id", "left_anti").select(
         col_name, row_name, F.col("id").alias("cluster_id")
     )
