@@ -142,6 +142,13 @@ def main():
     timed("IVF ANN 50k corpus x 100 queries (nprobe=8/32)",
           lambda: ivf_topk(bigc, queries, k=10, nprobe=8, centroids=cents).count())
 
+    # winnowing fingerprints at 55k docs (~16M gram rows): one exchange
+    # end-to-end (pre-explode id shuffle feeds window AND dedup)
+    from solarpaneldatawrangler_spark.operators.dedup import winnowing_fingerprints
+
+    timed("winnowing fingerprints 55k docs",
+          lambda: winnowing_fingerprints(big).count())
+
 
 if __name__ == "__main__":
     main()
