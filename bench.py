@@ -117,19 +117,33 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
         return best
 
+    # one broken query must not cost the round's BENCH record: note the
+    # error (stderr + errors dict in the JSON) and keep timing the rest
+    errors: dict[str, str] = {}
+
+    def run_safe(name: str, fn) -> float | None:
+        try:
+            return run(name, fn)
+        except Exception as ex:  # noqa: BLE001 — report, don't die
+            errors[name] = f"{type(ex).__name__}: {ex}"[:300]
+            print(f"# {name}: ERROR {errors[name]}", file=sys.stderr)
+            return None
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
-        best = run(name, CATALOG[name].fn)
-        timings[name] = round(best, 3)
-        total += best
+        best = run_safe(name, CATALOG[name].fn)
+        if best is not None:
+            timings[name] = round(best, 3)
+            total += best
 
     extra_timings: dict[str, float] = {}
     extra_total = 0.0
     for name, fn in EXTRA.items():
-        best = run(name, fn)
-        extra_timings[name] = round(best, 3)
-        extra_total += best
+        best = run_safe(name, fn)
+        if best is not None:
+            extra_timings[name] = round(best, 3)
+            extra_total += best
 
     print(
         json.dumps(
@@ -140,6 +154,7 @@ def main() -> None:
                 "queries": timings,
                 "extra_queries": extra_timings,
                 "extra_value": round(extra_total, 3),
+                **({"errors": errors} if errors else {}),
                 "sf": sf,
             }
         )

@@ -84,3 +84,52 @@ def test_union_ring_invariants(cells):
     # no holes possible with <=30 convex-ish random blobs? holes ARE
     # possible; area only exceeds cell count when a hole is enclosed
     assert area <= len(comp) + 25
+
+
+_ASCII = st.text(
+    # printable ASCII incl. whitespace runs; unicode lower() legitimately
+    # differs between Python/Java/DuckDB locale tables, and the engine
+    # contract (q66's oracle) is ASCII-ish corpus text
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=120,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=st.lists(_ASCII, min_size=1, max_size=10))
+def test_winnowing_matches_reference_on_arbitrary_ascii(spark, texts):
+    """One Spark batch per example: the DataFrame winnowing must equal
+    the pure-Python reference for arbitrary ASCII texts (whitespace
+    runs, repeats, empty/short strings, all-tie hash windows)."""
+    import hashlib
+    import re
+
+    from solarpaneldatawrangler_spark.operators.dedup import winnowing_fingerprints
+
+    k, w = 5, 4
+
+    def ref(text):
+        t = re.sub(r"\s+", " ", text.strip().lower())
+        n = len(t) - k + 1
+        if n < 1:
+            return set()
+        hs = [
+            int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:8], 16)
+            for i in range(n)
+        ]
+        out = set()
+        for p in range(w - 1, n):
+            lo = p - w + 1
+            m = min(hs[lo:p + 1])
+            rm = max(i for i in range(lo, p + 1) if hs[i] == m)
+            out.add((rm + 1, hs[rm]))
+        return out
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {}
+    for r in winnowing_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r.id, set()).add((r.fp_pos, r.fp_hash))
+    for i, text in enumerate(texts):
+        assert got.get(i, set()) == ref(text), (i, text)
