@@ -450,7 +450,17 @@ def ivf_topk(
         probe_mask[order, j] = True
     probed_union = [int(l) for l in np.nonzero(probe_mask.any(axis=1))[0]]
 
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    if "list_id" in corpus.columns:
+        # pre-indexed store (ivf_assign + partitionBy("list_id") write):
+        # trust the stored assignment instead of recomputing it, so the
+        # isin filter below prunes partitions at the SCAN
+        assigned = corpus.select(
+            F.col(id_col).alias("_i"),
+            F.col(vec_col).alias("_v"),
+            F.col("list_id"),
+        )
+    else:
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     # partition-pruning filter: on a list_id-partitioned store this
     # skips unprobed lists' files entirely; in memory it just drops rows
     cands = assigned.filter(F.col("list_id").isin(probed_union))

@@ -168,3 +168,51 @@ def test_ivf_recall_and_training_consistency(spark, sf_dir):
         for r in ivf_topk(emb, queries, k=10, nprobe=16, centroids=via_arrow).collect()
     }
     assert full == bf
+
+
+def test_ivf_partitioned_store_prunes_lists(spark, sf_dir, tmp_path):
+    """The IVF scale story: corpus written partitioned by list_id, a
+    probed-list isin filter must become PARTITION pruning at the scan
+    (reading nprobe/n_lists of the files), and top-k over the pruned
+    store must equal the in-memory operator."""
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids_for_dir,
+        ivf_topk,
+    )
+
+    cents = ivf_centroids_for_dir(sf_dir, n_lists=16)
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = str(tmp_path / "ivf_store")
+    (
+        ivf_assign(emb, cents)
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(store)
+    )
+
+    back = spark.read.parquet(store)
+    probed = [0, 3, 7]
+    pruned = back.filter(F.col("list_id").isin(probed))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the list_id filter must land in PartitionFilters (pruning), not in
+    # the post-scan data filters
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "list_id" in pf
+    # and the pruned read really excludes unprobed lists
+    assert {r.list_id for r in pruned.select("list_id").distinct().collect()} <= set(probed)
+
+    # end-to-end equivalence: ivf_topk over the pre-indexed store (its
+    # list_id column skips re-assignment, so the internal isin filter
+    # prunes at the scan) == over the raw table
+    queries = emb.filter(F.col("vec_id") < 5)
+    store_corpus = back.select(
+        F.col("_i").alias("vec_id"), F.col("_v").alias("embedding"), "list_id"
+    )
+    a = ivf_topk(store_corpus, queries, k=10, nprobe=4, centroids=cents)
+    plan_a = a._jdf.queryExecution().executedPlan().toString()
+    assert "list_id" in plan_a.split("PartitionFilters")[1][:300]  # pruned scan
+    b = ivf_topk(emb, queries, k=10, nprobe=4, centroids=cents)
+    key = lambda df: {(r.query_id, r.neighbor_id, round(r.cosine_sim, 9), r.rank) for r in df.collect()}
+    assert key(a) == key(b)
