@@ -1,0 +1,80 @@
+"""End-to-end corpus-curation pipeline: planted exact + near duplicates
+must be removed, gates must filter, sampling must be deterministic, and
+the report must reconcile with the survivor frame."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.pipeline_text import curate_corpus, drop_near_duplicates
+from solarpaneldatawrangler_spark.sources.star import load_table
+
+
+def _planted_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    # exact copies (same text, higher ids) + near copies (prefix tweak)
+    exact_copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source"
+    )
+    near_copies = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xq")).alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.unionByName(exact_copies).unionByName(near_copies)
+
+
+def test_curate_corpus_end_to_end(spark, sf_dir):
+    corpus = _planted_corpus(spark, sf_dir)
+    out, rep = curate_corpus(
+        corpus,
+        min_quality=0.2,
+        language="en",
+        sample_rates={"src1": 1.0, "src2": 1.0, "src3": 0.5},
+        jaccard_threshold=0.7,
+    )
+    rows = out.collect()
+
+    # report reconciles and shrinks monotonically
+    assert rep.n_input == corpus.count()
+    assert (
+        rep.n_input
+        >= rep.n_after_exact_dedup
+        >= rep.n_after_near_dedup
+        >= rep.n_after_quality
+        >= rep.n_after_language
+        >= rep.n_output
+        == len(rows)
+    )
+    # every planted exact copy removed (the min-id original survives it)
+    ids = {r.doc_id for r in rows}
+    assert not any(i >= 1_000_000 for i in ids)
+    # gates hold on the survivors
+    assert all(r.lang == "en" for r in rows)
+    assert {r.source for r in rows} <= {"src1", "src2", "src3"}
+    # deterministic: rerun selects the identical documents
+    out2, _ = curate_corpus(
+        corpus,
+        min_quality=0.2,
+        language="en",
+        sample_rates={"src1": 1.0, "src2": 1.0, "src3": 0.5},
+        jaccard_threshold=0.7,
+        with_report=False,
+    )
+    assert {r.doc_id for r in out2.collect()} == ids
+
+
+def test_drop_near_duplicates_removes_planted_twins(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 500_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(twins)
+    kept = drop_near_duplicates(corpus, jaccard_threshold=0.9, reproducible=True)
+    ids = {r.doc_id for r in kept.collect()}
+    # every twin (larger id of an identical pair) is gone; originals stay
+    assert not (ids & {i + 500_000 for i in range(50)})
+    assert set(range(50)) <= {i for i in ids if i < 1000} | ids
