@@ -93,6 +93,31 @@ def cmd_pipeline_demo(args) -> int:
     return 0
 
 
+def cmd_curate_demo(args) -> int:
+    """Run the corpus-curation pipeline over the documents table and
+    print the per-stage report (the text twin of pipeline-demo)."""
+    from solarpaneldatawrangler_spark.pipeline_text import curate_corpus
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    spark = _spark(args.cpus)
+    docs = load_table(spark, args.sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out, rep = curate_corpus(
+        docs,
+        min_quality=args.min_quality,
+        language=args.language or None,
+        jaccard_threshold=args.jaccard,
+    )
+    print(
+        f"input={rep.n_input} exact_dedup={rep.n_after_exact_dedup} "
+        f"near_dedup={rep.n_after_near_dedup} quality={rep.n_after_quality} "
+        f"language={rep.n_after_language} output={rep.n_output}"
+    )
+    out.select("doc_id", "lang", "source").show(10)
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="solarpaneldatawrangler_spark")
     p.add_argument("--cpus", type=int, default=None)
@@ -113,12 +138,19 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--out", default="/tmp/spark_wrangler_demo_out")
     d.add_argument("--zoom", type=int, default=15)
 
+    c = sub.add_parser("curate-demo", help="run the corpus-curation pipeline on documents")
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    c.add_argument("--min-quality", type=float, default=0.2)
+    c.add_argument("--language", default="en")
+    c.add_argument("--jaccard", type=float, default=0.8)
+
     args = p.parse_args(argv)
     return {
         "list": cmd_list,
         "query": cmd_query,
         "explain": cmd_explain,
         "pipeline-demo": cmd_pipeline_demo,
+        "curate-demo": cmd_curate_demo,
     }[args.cmd](args)
 
 
