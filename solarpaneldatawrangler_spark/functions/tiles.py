@@ -96,3 +96,28 @@ def tile_bbox_ring(column: Column, row: Column, zoom: Column | int) -> Column:
         corner(column, row + F.lit(1)),
         corner(column, row),
     )
+
+
+def zorder_key(column: Column, row: Column) -> Column:
+    """Morton / Z-order key: interleave the bits of (column, row) into
+    one BIGINT, so sorting by it places 2-D-adjacent tiles near each
+    other in the file order. That's the data-layout lever for a 100 TB
+    imagery store: parquet row-group min/max stats on the key let any
+    bbox query skip most files (the same reason Delta/Iceberg expose
+    ZORDER BY), where sorting by (column, row) clusters only one axis.
+
+    Pure codegen: the classic magic-number bit spread (x | x<<16 ...
+    masked) — 10 integer ops per coordinate, no UDF. Coordinates must
+    be in [0, 2^31); slippy tiles at zoom<=21 fit comfortably.
+    """
+    def spread(v: Column) -> Column:
+        # spread 32 bits to 64, one empty bit between each (0x55... mask)
+        x = v.cast("long")
+        x = (x.bitwiseOR(F.shiftleft(x, 16))).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+        x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+        x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+        x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x3333333333333333))
+        x = (x.bitwiseOR(F.shiftleft(x, 1))).bitwiseAND(F.lit(0x5555555555555555))
+        return x
+
+    return spread(column).bitwiseOR(F.shiftleft(spread(row), 1))

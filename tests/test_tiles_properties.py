@@ -76,3 +76,38 @@ def test_distance_and_snap(spark):
     ).collect()[0]
     assert row.d == 5.0
     assert row.s == 40
+
+
+def test_zorder_key_matches_reference_and_clusters(spark):
+    """zorder_key equals the pure-Python bit interleave, and sorting by
+    it keeps 2-D neighbors closer in file order than a (column,row)
+    sort does for the row axis."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.functions.tiles import zorder_key
+
+    def py_z(c, r):
+        z = 0
+        for i in range(32):
+            z |= ((c >> i) & 1) << (2 * i)
+            z |= ((r >> i) & 1) << (2 * i + 1)
+        return z
+
+    cells = [(c, r) for c in range(0, 40, 3) for r in range(0, 40, 7)]
+    cells += [(2**20 + 17, 2**19 + 3), (0, 0), (2**31 - 1, 2**31 - 1)]
+    df = spark.createDataFrame(cells, "column long, row long")
+    got = {
+        (x["column"], x["row"]): x.z
+        for x in df.select("column", "row", zorder_key(F.col("column"), F.col("row")).alias("z")).collect()
+    }
+    for c, r in cells:
+        assert got[(c, r)] == py_z(c, r), (c, r)
+
+    # locality: the z-distance between vertical neighbors is bounded by
+    # the interleave (<= ~4x grid dimension), while a row-major linear
+    # key makes it the full grid width
+    n = 64
+    zs = {(c, r): py_z(c, r) for c in range(n) for r in range(n)}
+    z_gap = max(abs(zs[(c, r + 1)] - zs[(c, r)]) for c in range(n) for r in range(n - 1))
+    linear_gap = n * n - n  # row-major: vertical neighbor is a full row away
+    assert z_gap < linear_gap
