@@ -285,3 +285,127 @@ def classify_tiles(tiles: DataFrame, batch_size: int = 64, model=None) -> DataFr
                 )
 
     return tiles.mapInPandas(infer, out_schema)
+
+
+# --- video frame sampling / audio feature extraction (§2.12) ----------------
+
+
+class NumpyVideoCodec:
+    """Dependency-free video container matching NumpyCodec's philosophy:
+    a 16-byte header (n_frames, w, h, channels as big-endian u32)
+    followed by concatenated uncompressed uint8 frames. ``frame(content,
+    i)`` slices ONE frame without materializing the rest — the property
+    a real container codec (pyav/ffmpeg seek) shares; it drops into the
+    same method shape."""
+
+    @staticmethod
+    def encode(frames: np.ndarray) -> bytes:
+        n, h, w, c = frames.shape
+        head = (
+            n.to_bytes(4, "big") + w.to_bytes(4, "big")
+            + h.to_bytes(4, "big") + c.to_bytes(4, "big")
+        )
+        return head + frames.astype(np.uint8).tobytes()
+
+    @staticmethod
+    def meta(content: bytes) -> tuple[int, int, int, int]:
+        return tuple(
+            int.from_bytes(content[i : i + 4], "big") for i in (0, 4, 8, 12)
+        )
+
+    @classmethod
+    def frame(cls, content: bytes, idx: int) -> np.ndarray:
+        n, w, h, c = cls.meta(content)
+        size = w * h * c
+        off = 16 + idx * size
+        arr = np.frombuffer(content, dtype=np.uint8, offset=off, count=size)
+        return arr.reshape(h, w, c)
+
+
+def frame_sample(
+    videos: DataFrame,
+    every_n: int = 10,
+    id_col: str = "video_id",
+    content_col: str = "content",
+    fps: float = 30.0,
+    codec=NumpyVideoCodec,
+    image_codec=None,
+) -> DataFrame:
+    """Uniform frame sampling: one row per kept frame —
+    (id, frame_idx, ts_ms, frame) — the video analog of slice_grid's
+    1->N flatMap. No shuffle: each video row explodes in place inside
+    one mapInPandas stage; at 100 TB the scan parallelizes by file and
+    frame decode stays columnar in Arrow batches. Frames re-encode
+    through ``image_codec`` (default NumpyCodec) so downstream image
+    operators (classify_tiles et al.) consume them unchanged."""
+    enc = (image_codec or NumpyCodec()).encode
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for vid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                n_frames = codec.meta(content)[0]
+                for i in range(0, n_frames, max(every_n, 1)):
+                    ids.append(vid)
+                    idxs.append(i)
+                    tss.append(int(i * 1000.0 / fps))
+                    frames.append(enc(codec.frame(content, i)))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "ts_ms": tss, "frame": frames}
+            )
+
+    return videos.mapInPandas(
+        sample, f"{id_col} long, frame_idx int, ts_ms long, frame binary"
+    )
+
+
+def audio_features(
+    audio: DataFrame,
+    frame_ms: int = 25,
+    sample_rate: int = 16_000,
+    id_col: str = "audio_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-window audio features over raw PCM16 mono bytes: RMS energy,
+    zero-crossing rate, and peak per ``frame_ms`` window — real numpy
+    DSP (no external audio lib needed for PCM), the standard
+    VAD/quality-gate front end for speech-corpus curation. 1->N
+    flatMap in one narrow mapInPandas stage, no shuffle; rounding to
+    6dp keeps outputs engine-stable."""
+    hop = int(sample_rate * frame_ms / 1000)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, rms, zcr, peak = [], [], [], [], []
+            for aid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None or len(content) < 2:
+                    continue
+                pcm = np.frombuffer(content, dtype="<i2").astype(np.float64)
+                pcm = pcm[: (len(pcm) // hop) * hop]
+                if not len(pcm):
+                    continue
+                wins = pcm.reshape(-1, hop) / 32768.0
+                ids.extend([aid] * len(wins))
+                idxs.extend(range(len(wins)))
+                rms.extend(np.round(np.sqrt((wins**2).mean(axis=1)), 6))
+                zcr.extend(
+                    np.round(
+                        (np.diff(np.signbit(wins), axis=1) != 0).mean(axis=1), 6
+                    )
+                )
+                peak.extend(np.round(np.abs(wins).max(axis=1), 6))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "win_idx": idxs,
+                    "rms": rms,
+                    "zcr": zcr,
+                    "peak": peak,
+                }
+            )
+
+    return audio.mapInPandas(
+        feats, f"{id_col} long, win_idx int, rms double, zcr double, peak double"
+    )

@@ -239,3 +239,60 @@ def test_stratified_hash_sample(spark, sf_dir):
         ).fetchall()
     )
     assert ids1 and ids1 == oracle_ids
+
+
+def test_frame_sample_exact_frames(spark):
+    """Frame sampling: every_n indices, millisecond timestamps, and the
+    sampled frames decode to the EXACT source pixels."""
+    import numpy as np
+
+    from solarpaneldatawrangler_spark.operators.multimodal import (
+        NumpyCodec,
+        NumpyVideoCodec,
+        frame_sample,
+    )
+
+    rng = np.random.default_rng(7)
+    vids = []
+    frames_by_id = {}
+    for vid, n_frames in [(1, 25), (2, 7), (3, 1)]:
+        frames = rng.integers(0, 256, size=(n_frames, 4, 6, 3), dtype=np.uint8)
+        frames_by_id[vid] = frames
+        vids.append((vid, bytearray(NumpyVideoCodec.encode(frames))))
+    df = spark.createDataFrame(vids, "video_id long, content binary")
+
+    out = frame_sample(df, every_n=10, fps=30.0).collect()
+    got = {(r.video_id, r.frame_idx): r for r in out}
+    assert set(got) == {(1, 0), (1, 10), (1, 20), (2, 0), (3, 0)}
+    codec = NumpyCodec()
+    for (vid, idx), r in got.items():
+        assert r.ts_ms == int(idx * 1000.0 / 30.0)
+        assert np.array_equal(codec.decode(bytes(r.frame)), frames_by_id[vid][idx])
+
+
+def test_audio_features_windows(spark):
+    """PCM16 DSP: silence -> rms 0; a full-scale square wave -> rms ~1,
+    high zero-crossing rate; window count = samples // hop."""
+    import numpy as np
+
+    from solarpaneldatawrangler_spark.operators.multimodal import audio_features
+
+    sr, frame_ms = 16_000, 25
+    hop = sr * frame_ms // 1000  # 400 samples
+    silence = np.zeros(3 * hop, dtype="<i2")
+    # square wave alternating every sample at full scale
+    sq = (np.where(np.arange(2 * hop) % 2 == 0, 32767, -32767)).astype("<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(silence.tobytes())), (2, bytearray(sq.tobytes()))],
+        "audio_id long, content binary",
+    )
+    rows = audio_features(df, frame_ms=frame_ms, sample_rate=sr).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.audio_id, []).append(r)
+    assert len(by_id[1]) == 3 and len(by_id[2]) == 2
+    assert all(r.rms == 0.0 and r.zcr == 0.0 and r.peak == 0.0 for r in by_id[1])
+    for r in by_id[2]:
+        assert abs(r.rms - 1.0) < 1e-4
+        assert r.zcr > 0.99
+        assert abs(r.peak - 1.0) < 1e-4
