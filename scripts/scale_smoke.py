@@ -149,6 +149,21 @@ def main():
     timed("winnowing fingerprints 55k docs",
           lambda: winnowing_fingerprints(big).count())
 
+    # full curation chain at 55k docs (exact + near dedup + gates)
+    from solarpaneldatawrangler_spark.pipeline_text import curate_corpus
+
+    big_full = docs
+    for i in range(1, 10):
+        big_full = big_full.unionByName(
+            docs.select((FF.col("doc_id") + 100000 * i).alias("doc_id"),
+                        "text", "lang", "source", "n_chars")
+        )
+    timed("curate_corpus 55k docs (no report)",
+          lambda: curate_corpus(
+              big_full.select("doc_id", "text", "lang", "source"),
+              language="en", with_report=False,
+          )[0].count())
+
 
 if __name__ == "__main__":
     main()
