@@ -12,9 +12,11 @@ Two tiers, both pure DataFrame plans:
   several independent tables), then exact cosine re-rank. Turns the
   cross product into an equi-join; the 100 TB scale path.
 
-An IVF variant (k-means coarse quantizer) has the same join shape with
-learned centroids; hyperplanes here are deterministic constants so
-results are reproducible without a training step.
+- ivf_topk: the inverted-file path — a deterministic sample-trained
+  k-means coarse quantizer buckets the corpus by nearest centroid; each
+  query exact-searches its nprobe nearest lists via a probe-masked BLAS
+  matmul fused into one narrow stage (store the corpus partitioned by
+  list_id and the probed-list filter becomes partition pruning).
 """
 
 from __future__ import annotations
