@@ -214,6 +214,7 @@ def lsh_neardup_pairs(
     n_planes: int = 8,
     n_tables: int = 6,
     round_dp: int = 4,
+    gather: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
     are signature collisions in any of ``n_tables`` sign-LSH tables
@@ -231,6 +232,18 @@ def lsh_neardup_pairs(
     (p ~ 0.5 -> 0.5^8 per table) stay out of the candidate set. More
     tables buy recall linearly in cost; the all-pairs exact form is
     O(N^2) and exists only as the small-sf oracle baseline.
+
+    The candidate join and pair dedup move IDS ONLY — carrying both
+    embedding arrays through the (table, sig) join and the dedup
+    shuffle measured ~60x the bytes (5.5M candidate pairs x 1 KB at
+    20k vectors). The verify stage then attaches vectors one of two
+    ways, chosen from Catalyst's own size estimate:
+    - corpus within broadcast range: gather rows from a closed-over
+      NumPy matrix inside mapInPandas (Arrow ships 16-byte id pairs,
+      not kilobyte vectors; 20k-vector smoke 32.5s -> ~7s)
+    - bigger corpus: two hash joins re-attach the vector columns
+      (streams at any scale; AQE still broadcasts the slim corpus side
+      when it fits)
     """
     import numpy as np
     import pandas as pd
@@ -239,31 +252,71 @@ def lsh_neardup_pairs(
     a = _signature_rows(vectors, "id_a", "_va", id_col, vec_col, tables)
     b = _signature_rows(vectors, "id_b", "_vb", id_col, vec_col, tables)
     cands = (
-        a.join(b, ["table", "sig"])
+        a.select("table", "sig", "id_a")
+        .join(b.select("table", "sig", "id_b"), ["table", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    def verify(batches):
-        # exact cosine over the candidate pairs, vectorized per batch —
-        # the interpreted-HOF cosine is ~10x slower on the bulk verify
-        # path; rounding happens JVM-side (F.round) so the half-up rule
-        # matches the other catalog queries and the oracle
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            va = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_va"]])
-            vb = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_vb"]])
-            cos = np.einsum("ij,ij->i", va, vb) / (
-                np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
-            )
-            yield pd.DataFrame(
-                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos": cos}
-            )
+    from solarpaneldatawrangler_spark.operators.spatial import (
+        estimated_plan_size_bytes,
+    )
 
+    if gather not in ("auto", "broadcast", "join"):
+        raise ValueError(f"gather must be auto|broadcast|join, got {gather!r}")
+    slim = vectors.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+    est = estimated_plan_size_bytes(slim)
+    use_broadcast = gather == "broadcast" or (
+        gather == "auto" and est is not None and est <= 256 * 1024 * 1024
+    )
+    if use_broadcast:
+        mat_rows = slim.collect()
+        mat = np.array([list(r["_v"]) for r in mat_rows], dtype=np.float64)
+        index = {int(r["_i"]): i for i, r in enumerate(mat_rows)}
+        norms = np.linalg.norm(mat, axis=1)
+
+        def verify(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                ia = np.array([index[int(x)] for x in pdf["id_a"]])
+                ib = np.array([index[int(x)] for x in pdf["id_b"]])
+                cos = np.einsum("ij,ij->i", mat[ia], mat[ib]) / (
+                    norms[ia] * norms[ib]
+                )
+                yield pd.DataFrame(
+                    {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos": cos}
+                )
+
+        scored = cands.mapInPandas(verify, "id_a long, id_b long, cos double")
+    else:
+        paired = cands.join(
+            slim.select(F.col("_i").alias("id_a"), F.col("_v").alias("_va")), "id_a"
+        ).join(
+            slim.select(F.col("_i").alias("id_b"), F.col("_v").alias("_vb")), "id_b"
+        )
+
+        def verify(batches):
+            # exact cosine over the candidate pairs, vectorized per batch
+            # — the interpreted-HOF cosine is ~10x slower on bulk verify
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                va = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_va"]])
+                vb = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_vb"]])
+                cos = np.einsum("ij,ij->i", va, vb) / (
+                    np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+                )
+                yield pd.DataFrame(
+                    {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cos": cos}
+                )
+
+        scored = paired.mapInPandas(verify, "id_a long, id_b long, cos double")
+
+    # rounding happens JVM-side (F.round) so the half-up rule matches
+    # the other catalog queries and the oracle
     return (
-        cands.mapInPandas(verify, "id_a long, id_b long, cos double")
-        .withColumn("cos_r", F.round("cos", round_dp))
+        scored.withColumn("cos_r", F.round("cos", round_dp))
         .filter(F.col("cos_r") >= threshold)
         .select("id_a", "id_b", "cos_r")
     )

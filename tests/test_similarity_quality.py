@@ -216,3 +216,15 @@ def test_ivf_partitioned_store_prunes_lists(spark, sf_dir, tmp_path):
     b = ivf_topk(emb, queries, k=10, nprobe=4, centroids=cents)
     key = lambda df: {(r.query_id, r.neighbor_id, round(r.cosine_sim, 9), r.rank) for r in df.collect()}
     assert key(a) == key(b)
+
+
+def test_lsh_neardup_gather_paths_agree(spark, sf_dir):
+    """The broadcast-gather verify and the join-reattach verify (the
+    big-corpus fallback) must produce identical pair sets."""
+    from solarpaneldatawrangler_spark.operators.similarity import lsh_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    key = lambda df: {(r.id_a, r.id_b, r.cos_r) for r in df.collect()}
+    bc = key(lsh_neardup_pairs(emb, threshold=0.4, gather="broadcast"))
+    jn = key(lsh_neardup_pairs(emb, threshold=0.4, gather="join"))
+    assert bc == jn and bc
