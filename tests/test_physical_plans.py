@@ -90,3 +90,21 @@ def test_no_catalog_query_plans_a_cross_product(spark, sf_dir):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_filter_queries_push_predicates_to_scan(spark, sf_dir):
+    """Every filter-bearing scan query must land its predicates in the
+    parquet scan's PushedFilters (the column the filter names appears
+    there), not as a post-scan Filter only."""
+    expectations = {
+        "q01_priority_scan": "l_quantity",
+        "q04_threshold_filter": "event_type",
+        "q07_semi_join": "o_totalprice",
+        "q65_asof_join": "event_type",
+    }
+    for name, col in expectations.items():
+        plan = _plan(spark, sf_dir, name)
+        pushed = "".join(
+            seg[:300] for seg in plan.split("PushedFilters: [")[1:]
+        )
+        assert col in pushed, f"{name}: {col} not pushed; got {pushed[:200]!r}"
