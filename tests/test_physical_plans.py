@@ -108,3 +108,14 @@ def test_filter_queries_push_predicates_to_scan(spark, sf_dir):
             seg[:300] for seg in plan.split("PushedFilters: [")[1:]
         )
         assert col in pushed, f"{name}: {col} not pushed; got {pushed[:200]!r}"
+
+
+def test_bench_headline_names_exist_in_catalog():
+    """bench.py's HEADLINE list must reference real catalog entries —
+    a rename that orphans one would silently shrink the round-over-round
+    comparable total."""
+    import bench
+    from solarpaneldatawrangler_spark.plans import CATALOG
+
+    missing = [n for n in bench.HEADLINE if n not in CATALOG]
+    assert not missing, missing
