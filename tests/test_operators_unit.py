@@ -296,3 +296,27 @@ def test_audio_features_windows(spark):
         assert abs(r.rms - 1.0) < 1e-4
         assert r.zcr > 0.99
         assert abs(r.peak - 1.0) < 1e-4
+
+
+def test_stratified_sample_rate_monotonicity(spark, sf_dir):
+    """Hash-bucket sampling is MONOTONE: raising a stratum's rate only
+    ADDS documents, never swaps them -- the property that lets a corpus
+    grow from 10% to 30% without invalidating work done on the 10%
+    (per-partition RNG sampling has no such guarantee)."""
+    from solarpaneldatawrangler_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    prev: set[int] = set()
+    for rate in (0.1, 0.3, 0.6, 1.0):
+        ids = {
+            r.doc_id
+            for r in stratified_hash_sample(
+                docs, "source", {f"src{i}": rate for i in range(20)}
+            ).collect()
+        }
+        assert prev <= ids, f"rate {rate} dropped previously-selected docs"
+        prev = ids
+    assert len(prev) == docs.count()  # rate 1.0 keeps everything
