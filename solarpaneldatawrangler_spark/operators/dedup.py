@@ -161,6 +161,7 @@ def minhash_near_dup_pairs(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.5,
     reproducible: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, verified with
     exact shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
@@ -170,6 +171,17 @@ def minhash_near_dup_pairs(
     string band key (array join keys would demote the self-join to a
     nested loop) -> equi-join on (band, band_sig) -> candidate dedup ->
     exact Jaccard verify via a join back to the shingle arrays.
+
+    ``max_bucket`` is the hot-bucket guard: a band bucket holding more
+    than this many docs is dropped before the self-join. A flood of
+    identical docs shares EVERY band, making each bucket quadratic
+    (5k copies -> 12.5M candidate pairs per band) — but identical docs
+    are exactly what EXACT dedup removes, so the contract is: run
+    exact_dedup first (curate_corpus does), then cap survivors'
+    buckets. Dropping a still-oversized bucket trades bounded recall
+    for bounded cost — documented degradation, not a wrong answer. The
+    cap's count window hash-partitions on the same (band, band_sig)
+    keys as the join, reusing the exchange.
     """
     rows_per_band = num_hashes // bands
     # the shingle relation feeds the signature, both self-join branches,
@@ -199,6 +211,11 @@ def minhash_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.band_sig")
+
+    if max_bucket is not None:
+        from solarpaneldatawrangler_spark.operators.similarity import _cap_buckets
+
+        banded = _cap_buckets(banded, ["band", "band_sig"], max_bucket)
 
     pairs = (
         banded.alias("l")

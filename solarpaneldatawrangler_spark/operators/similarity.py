@@ -24,8 +24,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from solarpaneldatawrangler_spark.functions.vectors import cosine
-
 
 def brute_force_topk(
     corpus: DataFrame,
@@ -120,17 +118,24 @@ def _default_planes(dim: int, n_planes: int, seed: int = 0) -> list[list[float]]
 def _signature_rows(
     df: DataFrame,
     idn: str,
-    vecn: str,
+    vecn: str | None,
     id_col: str,
     vec_col: str,
     tables: list[list[list[float]]],
+    include_vec: bool = True,
 ) -> DataFrame:
-    """(id, vec, table, sig) rows for every LSH table, computed as ONE
+    """(id[, vec], table, sig) rows for every LSH table, computed as ONE
     BLAS matmul per Arrow batch (batch x all-planes) in mapInPandas —
     the interpreted higher-order-expression form measured ~10x slower
     at 2k x 48 planes (same trap as minhash round 1). Signatures pack
     into int64 (bit i = sign of plane i): integer join keys, no string
-    building."""
+    building.
+
+    ``include_vec=False`` is the scale mode: signature rows are three
+    integers, so the downstream (table, sig) bucket join and the pair
+    dedup shuffle never carry kilobyte embedding arrays (n_tables
+    copies of each!) — vectors are re-attached to the far smaller
+    deduped candidate set instead."""
     import numpy as np
     import pandas as pd
 
@@ -141,27 +146,65 @@ def _signature_rows(
     )  # (n_tables*n_planes, dim)
     weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
 
-    src = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias(vecn))
+    src = df.select(F.col(id_col).alias(idn), F.col(vec_col).alias("_vec"))
 
     def sign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vecn]])
+            mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["_vec"]])
             bits = (mat @ pmat.T) >= 0  # (n, n_tables*n_planes)
             sigs = bits.reshape(len(pdf), n_tables, n_planes).astype(np.int64) @ weights
             ids = np.repeat(pdf[idn].to_numpy(), n_tables)
-            yield pd.DataFrame(
-                {
-                    idn: ids,
-                    vecn: [v for v in pdf[vecn] for _ in range(n_tables)],
-                    "table": np.tile(np.arange(n_tables), len(pdf)),
-                    "sig": sigs.reshape(-1),
-                }
-            )
+            out = {idn: ids}
+            if include_vec:
+                out[vecn] = [v for v in pdf["_vec"] for _ in range(n_tables)]
+            out["table"] = np.tile(np.arange(n_tables), len(pdf))
+            out["sig"] = sigs.reshape(-1)
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(
-        sign, f"{idn} long, {vecn} array<double>, table int, sig long"
+    if include_vec:
+        schema = f"{idn} long, {vecn} array<double>, table int, sig long"
+    else:
+        schema = f"{idn} long, table int, sig long"
+    return src.mapInPandas(sign, schema)
+
+
+def _use_broadcast_gather(slim: DataFrame, gather: str) -> bool:
+    """Route the vector re-attach: closed-over NumPy gather when
+    Catalyst's own size estimate says the slim (id, vec) relation fits
+    driver memory comfortably, hash joins otherwise."""
+    from solarpaneldatawrangler_spark.operators.spatial import (
+        estimated_plan_size_bytes,
+    )
+
+    if gather not in ("auto", "broadcast", "join"):
+        raise ValueError(f"gather must be auto|broadcast|join, got {gather!r}")
+    if gather != "auto":
+        return gather == "broadcast"
+    est = estimated_plan_size_bytes(slim)
+    return est is not None and est <= 256 * 1024 * 1024
+
+
+def _cap_buckets(rows: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Hot-bucket guard: drop signature buckets holding more than
+    ``max_bucket`` rows. A degenerate bucket (thousands of identical or
+    near-empty inputs sharing one signature) makes the self-join
+    quadratic in that bucket at scale; such floods are exact-duplicate
+    pathologies that belong to exact dedup UPSTREAM (curate_corpus runs
+    q50's fingerprint dedup first for exactly this reason), so dropping
+    the bucket is a documented recall trade, not silent wrong answers.
+    The count window hash-partitions on the same keys the bucket join
+    uses, so the exchange is reused, not added."""
+    if max_bucket is None:
+        return rows
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+    wb = Window.partitionBy(*keys)
+    return (
+        rows.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .filter(F.col("_bn") <= max_bucket)
+        .drop("_bn")
     )
 
 
@@ -174,6 +217,8 @@ def lsh_bucketed_topk(
     dim: int = 64,
     n_planes: int = 4,
     n_tables: int = 10,
+    gather: str = "auto",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates from any of ``n_tables`` independent
     sign-LSH signatures, exact cosine re-rank. Same output schema as
@@ -183,23 +228,104 @@ def lsh_bucketed_topk(
     near-random 64-dim embeddings — the hard case; clustered real
     embeddings do better. More planes = smaller buckets = fewer
     candidates but lower recall; tune per corpus.
+
+    Scale shape: signature rows are IDS ONLY — (id, table, sig), three
+    integers — through the (table, sig) bucket join and the candidate
+    dedup; the round-1 form carried both embedding arrays (~0.5 KB)
+    on every one of n_tables signature rows through both shuffles.
+    Queries are few by contract (same as brute_force_topk) and close
+    over the verify stage as a dense matrix; corpus vectors re-attach
+    to the DEDUPED candidates via the adaptive gather (broadcast-range
+    NumPy gather vs one hash join — the lsh_neardup_pairs idiom).
+    ``max_bucket`` guards degenerate buckets; see _cap_buckets.
     """
+    import numpy as np
+    import pandas as pd
+
     tables = [
         _default_planes(dim, n_planes, seed=t) for t in range(n_tables)
     ]
-    cs = _signature_rows(corpus, "neighbor_id", "_cvec", id_col, vec_col, tables)
-    qs = _signature_rows(queries, "query_id", "_qvec", id_col, vec_col, tables)
+    cs = _signature_rows(
+        corpus, "neighbor_id", None, id_col, vec_col, tables, include_vec=False
+    )
+    cs = _cap_buckets(cs, ["table", "sig"], max_bucket)
+    qs = _signature_rows(
+        queries, "query_id", None, id_col, vec_col, tables, include_vec=False
+    )
     cands = (
         cs.join(qs, ["table", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
-        .withColumn("cosine_sim", cosine(F.col("_qvec"), F.col("_cvec")))
+        .select("query_id", "neighbor_id")
     )
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qindex = {int(r[0]): i for i, r in enumerate(qrows)}
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    slim = corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_cvec"))
+    if _use_broadcast_gather(slim, gather):
+        mat_rows = slim.collect()
+        cmat = np.array([list(r["_cvec"]) for r in mat_rows], dtype=np.float64)
+        cindex = {int(r["_i"]): i for i, r in enumerate(mat_rows)}
+        cnorm = np.linalg.norm(cmat, axis=1)
+
+        def verify(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                iq = np.array([qindex[int(x)] for x in pdf["query_id"]])
+                ic = np.array([cindex[int(x)] for x in pdf["neighbor_id"]])
+                cos = np.einsum("ij,ij->i", qmat[iq], cmat[ic]) / (
+                    qnorm[iq] * cnorm[ic]
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "cosine_sim": cos,
+                    }
+                )
+
+        scored = cands.mapInPandas(
+            verify, "query_id long, neighbor_id long, cosine_sim double"
+        )
+    else:
+        paired = cands.join(
+            slim.select(F.col("_i").alias("neighbor_id"), "_cvec"), "neighbor_id"
+        )
+
+        def verify(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                cmatb = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_cvec"]]
+                )
+                iq = np.array([qindex[int(x)] for x in pdf["query_id"]])
+                cos = np.einsum("ij,ij->i", qmat[iq], cmatb) / (
+                    qnorm[iq] * np.linalg.norm(cmatb, axis=1)
+                )
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "cosine_sim": cos,
+                    }
+                )
+
+        scored = paired.mapInPandas(
+            verify, "query_id long, neighbor_id long, cosine_sim double"
+        )
+
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
     )
     return (
-        cands.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
@@ -215,6 +341,7 @@ def lsh_neardup_pairs(
     n_tables: int = 6,
     round_dp: int = 4,
     gather: str = "auto",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
     are signature collisions in any of ``n_tables`` sign-LSH tables
@@ -249,27 +376,25 @@ def lsh_neardup_pairs(
     import pandas as pd
 
     tables = [_default_planes(dim, n_planes, seed=t) for t in range(n_tables)]
-    a = _signature_rows(vectors, "id_a", "_va", id_col, vec_col, tables)
-    b = _signature_rows(vectors, "id_b", "_vb", id_col, vec_col, tables)
+    # signatures computed ONCE (ids-only mode: no kilobyte vector column
+    # ships back through Arrow just to be dropped), then materialized
+    # with a localCheckpoint so the self-join's two branches read the
+    # tiny (id, table, sig) relation instead of re-running the BLAS
+    # signature stage per branch — same idiom as the checkpointed
+    # minhash shingle relation (operators/dedup.py)
+    sigs = _signature_rows(
+        vectors, "_sid", None, id_col, vec_col, tables, include_vec=False
+    ).localCheckpoint()
+    sigs = _cap_buckets(sigs, ["table", "sig"], max_bucket)
     cands = (
-        a.select("table", "sig", "id_a")
-        .join(b.select("table", "sig", "id_b"), ["table", "sig"])
+        sigs.select("table", "sig", F.col("_sid").alias("id_a"))
+        .join(sigs.select("table", "sig", F.col("_sid").alias("id_b")), ["table", "sig"])
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    from solarpaneldatawrangler_spark.operators.spatial import (
-        estimated_plan_size_bytes,
-    )
-
-    if gather not in ("auto", "broadcast", "join"):
-        raise ValueError(f"gather must be auto|broadcast|join, got {gather!r}")
     slim = vectors.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
-    est = estimated_plan_size_bytes(slim)
-    use_broadcast = gather == "broadcast" or (
-        gather == "auto" and est is not None and est <= 256 * 1024 * 1024
-    )
-    if use_broadcast:
+    if _use_broadcast_gather(slim, gather):
         mat_rows = slim.collect()
         mat = np.array([list(r["_v"]) for r in mat_rows], dtype=np.float64)
         index = {int(r["_i"]): i for i, r in enumerate(mat_rows)}

@@ -218,6 +218,40 @@ def test_ivf_partitioned_store_prunes_lists(spark, sf_dir, tmp_path):
     assert key(a) == key(b)
 
 
+def test_hot_bucket_guard_bounds_minhash_flood(spark):
+    """Degenerate-bucket guard: 5k identical docs share EVERY band
+    bucket, so the uncapped self-join would emit ~12.5M candidate pairs
+    per band. With max_bucket the flooded buckets are dropped (bounded
+    cost) while normal-size buckets — the planted twin pair — survive.
+    The contract (documented on minhash_near_dup_pairs and enforced by
+    curate_corpus ordering) is that exact dedup runs FIRST, so a bucket
+    still oversized afterwards is pathological by construction."""
+    flood = [(i, "solar panel on every roof in the city grid today") for i in range(5000)]
+    twins = [
+        (10001, "an entirely different pair of documents about arrays"),
+        (10002, "an entirely different pair of documents about arrays"),
+    ]
+    df = spark.createDataFrame(flood + twins, "doc_id long, text string")
+    pairs = minhash_near_dup_pairs(df, jaccard_threshold=0.5, max_bucket=64)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(10001, 10002)}
+
+
+def test_hot_bucket_guard_bounds_lsh_flood(spark):
+    """Same guard on the embedding LSH path: identical vectors collide
+    in every signature table; capped buckets drop the flood, keep the
+    planted twin vectors."""
+    from solarpaneldatawrangler_spark.operators.similarity import lsh_neardup_pairs
+
+    base = [float((7 * j) % 13) - 6.0 for j in range(16)]
+    other = [float((5 * j) % 11) - 3.0 for j in range(16)]
+    rows = [(i, base) for i in range(5000)] + [(10001, other), (10002, other)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = lsh_neardup_pairs(df, threshold=0.9, dim=16, max_bucket=64)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(10001, 10002)}
+
+
 def test_lsh_neardup_gather_paths_agree(spark, sf_dir):
     """The broadcast-gather verify and the join-reattach verify (the
     big-corpus fallback) must produce identical pair sets."""
