@@ -63,6 +63,61 @@ def connected_components(
         col_name, row_name, F.col("id").alias("cluster_id")
     )
 
+    labels = _min_label_loop(active, edges, max_iterations)
+
+    clustered = active.join(labels, "id").select(
+        col_name, row_name, F.col("label").alias("cluster_id")
+    )
+    return clustered.unionByName(singletons)
+
+
+def connected_components_edges(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Generic connected components over an undirected edge list of long
+    ids — the same pointer-jumping min-label loop as the grid operator,
+    without the grid adjacency. Returns (id, component) where component
+    is the min id reachable; only ids that appear in an edge are
+    returned (callers union isolated nodes themselves — they are their
+    own singleton component by definition).
+
+    Used by pipeline_text.drop_near_duplicates(transitive=True) to turn
+    pairwise near-dup PAIRS into duplicate CLUSTERS (a~b, b~c => one
+    cluster {a,b,c}, keep min id) — the pairwise keep-first rule can
+    retain several members of one content chain.
+    """
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = _min_label_loop(nodes, sym, max_iterations)
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def _min_label_loop(
+    active: DataFrame, edges: DataFrame, max_iterations: int
+) -> DataFrame:
+    """The shared CC core: pointer-jumping min-label propagation.
+
+    ``active`` is a (id, ...) frame of loop nodes (checkpointed by the
+    caller), ``edges`` a directed (src, dst) frame covering BOTH
+    directions of each undirected edge. Returns (id, label).
+    """
     labels = active.select("id", F.col("id").alias("label"))
 
     def _round(lab: DataFrame) -> DataFrame:
@@ -106,13 +161,25 @@ def connected_components(
     # ~250k labels/partition keeps partitions well under executor memory
     # while capping at the session's configured parallelism for big
     # active sets; restored in `finally` (session conf is global).
-    spark = tiles.sparkSession
+    spark = active.sparkSession
     n_active = active.count()  # already materialized by the checkpoint
     conf_key = "spark.sql.shuffle.partitions"
     orig_parts = spark.conf.get(conf_key)
-    loop_parts = max(1, min(int(orig_parts), (n_active + 249_999) // 250_000))
+    try:
+        # conf can be non-numeric (e.g. "auto" under some AQE configs):
+        # fall back to the cluster's default parallelism for the cap
+        orig_num = int(orig_parts)
+    except (TypeError, ValueError):
+        orig_num = spark.sparkContext.defaultParallelism
+    loop_parts = max(1, min(orig_num, (n_active + 249_999) // 250_000))
     prev_sum = None
     try:
+        # NOTE: session-global conf for the loop's duration (restored in
+        # finally) — concurrent queries on the same session see reduced
+        # shuffle parallelism while the loop runs. Explicit
+        # repartition() can't replace this: groupBy/join exchanges take
+        # their MAP-side partition count from this conf, and that fixed
+        # cost x dozens of loop shuffles is the measured 2x.
         spark.conf.set(conf_key, str(loop_parts))
         for _ in range(max(max_iterations // 2, 1)):
             labels = _round(_round(labels)).localCheckpoint(eager=False)
@@ -127,7 +194,4 @@ def connected_components(
     finally:
         spark.conf.set(conf_key, orig_parts)
 
-    clustered = active.join(labels, "id").select(
-        col_name, row_name, F.col("label").alias("cluster_id")
-    )
-    return clustered.unionByName(singletons)
+    return labels

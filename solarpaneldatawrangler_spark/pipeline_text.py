@@ -46,12 +46,24 @@ def drop_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.8,
+    transitive: bool = False,
     **minhash_kwargs,
 ) -> DataFrame:
-    """Remove every doc that has a near-duplicate with a SMALLER id
-    (the standard keep-first rule): survivors are exactly the docs that
-    are nobody's later copy. Deterministic, order-independent, and
-    one anti-join over the LSH-bucketed pair relation."""
+    """Remove near-duplicates, keeping one deterministic representative.
+
+    ``transitive=False`` (pairwise keep-first): drop every doc that has
+    a near-dup with a SMALLER id — one anti-join over the LSH-bucketed
+    pair relation. Simple and cheap, but a content CHAIN (a~b, b~c,
+    a!~c) can retain more than one member: with edges (a,c),(b,c) only
+    c is anybody's later copy, so both a and b survive one cluster.
+
+    ``transitive=True``: form duplicate CLUSTERS = connected components
+    of the near-dup pair graph (min-id label), keep exactly the min-id
+    doc per cluster. This is the standard corpus-dedup semantics
+    (near-dup treated as an equivalence by closure); costs the CC loop
+    (O(log diameter) join+agg rounds) over the PAIR graph only — near-
+    dup pairs, not the corpus, so the loop input is tiny in practice.
+    """
     pairs = minhash_near_dup_pairs(
         docs,
         text_col=text_col,
@@ -59,7 +71,17 @@ def drop_near_duplicates(
         jaccard_threshold=jaccard_threshold,
         **minhash_kwargs,
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    if transitive:
+        from solarpaneldatawrangler_spark.operators.clustering import (
+            connected_components_edges,
+        )
+
+        comp = connected_components_edges(pairs, "id_a", "id_b")
+        losers = comp.filter(F.col("id") != F.col("component")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
 
 
@@ -73,12 +95,25 @@ def curate_corpus(
     sample_rates: dict[str, float] | None = None,
     stratum_col: str = "source",
     jaccard_threshold: float = 0.8,
+    transitive_near_dup: bool = False,
+    near_dup_max_bucket: int | None = None,
     with_report: bool = True,
 ) -> tuple[DataFrame, CurationReport | None]:
     """Run the full curation chain; returns (survivors, report).
 
     ``with_report=False`` skips the per-stage counts (each is one extra
-    action) and returns the survivors as a single lazy plan.
+    action) and returns the survivors as a single lazy plan; with the
+    report on, the near-dup survivors are localCheckpointed so the
+    expensive MinHash-LSH stage executes ONCE instead of once per
+    downstream stage count.
+
+    ORDERING CONTRACT: exact dedup runs BEFORE near-dup on purpose —
+    identical docs share every LSH band, so a flood of exact copies
+    makes band buckets quadratic; removing them first keeps buckets
+    sized by genuine near-duplicates. ``near_dup_max_bucket`` then caps
+    whatever pathological buckets remain (see minhash_near_dup_pairs);
+    ``transitive_near_dup`` upgrades keep-first pair semantics to
+    one-representative-per-duplicate-CLUSTER via connected components.
     """
     n_input = docs.count() if with_report else -1
 
@@ -92,10 +127,24 @@ def curate_corpus(
     exact = docs.join(keep, id_col, "left_semi")
     n_exact = exact.count() if with_report else -1
 
-    # 2. near-dup removal (MinHash-LSH bucketed candidates)
+    # 2. near-dup removal (MinHash-LSH bucketed candidates; exact dedup
+    # above already removed the identical-doc floods — the hot-bucket
+    # precondition)
     near = drop_near_duplicates(
-        exact, text_col, id_col, jaccard_threshold, reproducible=True
+        exact,
+        text_col,
+        id_col,
+        jaccard_threshold,
+        transitive=transitive_near_dup,
+        reproducible=True,
+        max_bucket=near_dup_max_bucket,
     )
+    if with_report:
+        # the counts below each re-execute their full upstream chain;
+        # checkpointing the near-dup survivors bounds that to ONE run
+        # of the LSH stage (n_qual/n_lang/n_out re-run only the cheap
+        # scan-stage gates over the checkpointed frame)
+        near = near.localCheckpoint()
     n_near = near.count() if with_report else -1
 
     # 3. quality gate (scan-stage expression)

@@ -78,3 +78,53 @@ def test_drop_near_duplicates_removes_planted_twins(spark, sf_dir):
     # every twin (larger id of an identical pair) is gone; originals stay
     assert not (ids & {i + 500_000 for i in range(50)})
     assert set(range(50)) <= {i for i in ids if i < 1000} | ids
+
+
+def test_transitive_near_dup_keeps_one_per_cluster(spark):
+    """Chain case (a~c, b~c, a!~b): pairwise keep-first retains BOTH a
+    and b (only c is anybody's later copy), transitive clustering keeps
+    exactly the min id of the whole chain. 16 single-row bands make the
+    LSH candidate recall effectively 1 at jaccard ~0.58 so the chain's
+    edges are guaranteed to surface; the verify stage prunes the rest."""
+    words = [f"tok{i:03d}" for i in range(1, 49)]
+    mk = lambda lo, hi: " ".join(words[lo - 1:hi])  # noqa: E731
+    docs = [
+        (1, mk(1, 32)),    # ~ doc3 (jaccard .579), !~ doc2 (.304)
+        (2, mk(17, 48)),   # ~ doc3 (jaccard .579)
+        (3, mk(9, 40)),    # the chain's middle link
+        (50, "completely different standalone document text here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(jaccard_threshold=0.5, num_hashes=16, bands=16, reproducible=True)
+    pairwise = {r.doc_id for r in drop_near_duplicates(df, **kw).collect()}
+    assert pairwise == {1, 2, 50}
+    transitive = {
+        r.doc_id for r in drop_near_duplicates(df, transitive=True, **kw).collect()
+    }
+    assert transitive == {1, 50}
+
+
+def test_curate_report_counts_with_transitive_and_cap(spark, sf_dir):
+    """curate_corpus with transitive clustering + hot-bucket cap still
+    reconciles its report, and the checkpointed report path selects the
+    same survivors as the lazy path."""
+    corpus = _planted_corpus(spark, sf_dir)
+    out, rep = curate_corpus(
+        corpus,
+        min_quality=0.2,
+        jaccard_threshold=0.7,
+        transitive_near_dup=True,
+        near_dup_max_bucket=1000,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert rep.n_output == len(ids)
+    assert rep.n_input >= rep.n_after_exact_dedup >= rep.n_after_near_dedup
+    out2, _ = curate_corpus(
+        corpus,
+        min_quality=0.2,
+        jaccard_threshold=0.7,
+        transitive_near_dup=True,
+        near_dup_max_bucket=1000,
+        with_report=False,
+    )
+    assert {r.doc_id for r in out2.collect()} == ids
