@@ -575,6 +575,16 @@ def ivf_assign(
     return src.mapInPandas(assign, "_i long, _v array<double>, list_id int")
 
 
+def _half_up(x, dp: int):
+    """NumPy HALF_UP rounding (away from zero), mirroring Spark's
+    F.round/BigDecimal semantics closely enough for candidate SELECTION
+    (the authoritative rounding stays JVM-side; see ivf_topk.rank_dp)."""
+    import numpy as np
+
+    s = 10.0 ** dp
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -584,6 +594,9 @@ def ivf_topk(
     n_lists: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rank_dp: int | None = None,
+    local_margin: int = 32,
+    debug_survivors: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed by nearest
     coarse centroid; each query exact-searches only its ``nprobe``
@@ -603,6 +616,20 @@ def ivf_topk(
     survivors reach the final window. Centroids ship as plain literals
     (trained once on a bounded sample), so the whole operator replays
     in SQL (q67's oracle).
+
+    ``rank_dp``: rank by (round(cosine, rank_dp) HALF_UP desc, id asc)
+    — ONE total order used by both the local per-partition cut and the
+    final window, so oracle-facing callers that rank on a rounded value
+    (q67, the q58 contract) get a REAL local top-k instead of disabling
+    pruning with a huge k. The local cut keeps ``k + local_margin``
+    rows per (partition, query): NumPy's half-up approximates the
+    JVM's BigDecimal HALF_UP, and the margin absorbs any boundary
+    disagreement (a wrong cut needs local_margin+1 simultaneous
+    rounding flips in one partition — not a real float pattern). The
+    shuffle stays O(partitions x queries x (k + margin)).
+
+    ``debug_survivors``: return the pre-window survivor frame instead
+    (test hook for asserting the survivor-count bound).
     """
     import numpy as np
     import pandas as pd
@@ -657,13 +684,15 @@ def ivf_topk(
             )
             allowed = probe_mask[lists]  # (n, nq): is row in query's lists
             allowed &= nids[:, None] != qids[None, :]  # no self-match
+            keep = k if rank_dp is None else k + local_margin
             out_q, out_n, out_s = [], [], []
             for j in range(len(qids)):
                 idx = np.nonzero(allowed[:, j])[0]
                 if not len(idx):
                     continue
                 col = sims[idx, j]
-                take = idx[np.lexsort((nids[idx], -col))[:k]]
+                sel = col if rank_dp is None else _half_up(col, rank_dp)
+                take = idx[np.lexsort((nids[idx], -sel))[:keep]]
                 out_q.extend([int(qids[j])] * len(take))
                 out_n.extend(nids[take])
                 out_s.extend(sims[take, j])
@@ -674,9 +703,16 @@ def ivf_topk(
     survivors = cands.mapInPandas(
         local_topk, "query_id long, neighbor_id long, cosine_sim double"
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
+    if debug_survivors:
+        return survivors
+    if rank_dp is None:
+        order = F.desc("cosine_sim")
+    else:
+        # authoritative rounding is JVM-side F.round (HALF_UP), matching
+        # the SQL oracle's ROUND — the NumPy half-up above only chose
+        # which rows survived the local cut
+        order = F.desc(F.round("cosine_sim", rank_dp))
+    w = Window.partitionBy("query_id").orderBy(order, F.asc("neighbor_id"))
     return (
         survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -34,6 +34,12 @@ class QuerySpec:
 
 CATALOG: dict[str, QuerySpec] = {}
 
+# The driver runs the oracle correctness gate at THIS scale factor.
+# Oracle strings are built at import time, so any oracle that embeds
+# data-dependent literals (q67's trained centroids) must train on this
+# dir — and is only meaningful when the gate runs against it.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
     def deco(fn: QueryFn) -> QueryFn:

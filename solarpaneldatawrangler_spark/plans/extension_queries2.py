@@ -172,8 +172,13 @@ def _ivf_oracle_sql() -> str:
     from solarpaneldatawrangler_spark.operators.similarity import (
         ivf_centroids_for_dir,
     )
+    from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
 
-    cents = ivf_centroids_for_dir("/root/testdata/sf0.01")
+    # trained on the SAME dir the driver runs the gate at (the Spark
+    # query trains on its runtime sf_dir — the two agree exactly when
+    # the gate runs at ORACLE_SF_DIR, the driver contract; at any other
+    # dir this oracle is meaningless by construction, see q67's doc)
+    cents = ivf_centroids_for_dir(ORACLE_SF_DIR)
     values = ",\n".join(
         f"({l},{j + 1},{w!r})"
         for l, cent in enumerate(cents)
@@ -238,14 +243,16 @@ def _ivf_oracle_or_none() -> str | None:
     "a bounded id-ordered sample, corpus bucketed by nearest centroid "
     "in one narrow mapInPandas stage, queries exact-search only their "
     "nprobe=4 nearest lists via a BROADCAST probe join — the corpus "
-    "never shuffles; only partition-local top-k survivors reach the "
-    "final window. Fully oracle-checked: the centroids replay in SQL "
-    "as a VALUES table (q59 hyperplane idiom, but with a learned, "
-    "data-dependent quantizer).",
+    "never shuffles; only partition-local top-(k+margin) survivors "
+    "reach the final window (rank_dp=4 aligns the local cut with the "
+    "rounded-cosine ranking the oracle uses — q58 contract — so "
+    "pruning stays ON). Fully oracle-checked at ORACLE_SF_DIR, where "
+    "the driver runs the gate: the centroids replay in SQL as a VALUES "
+    "table (q59 hyperplane idiom, but with a learned, data-dependent "
+    "quantizer); at any other sf_dir the Spark query trains on that "
+    "dir's data and the import-time oracle does not apply.",
 )
 def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from solarpaneldatawrangler_spark.operators.similarity import (
         ivf_centroids_for_dir,
         ivf_topk,
@@ -253,18 +260,16 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = ivf_centroids_for_dir(sf_dir)
-    # k large enough to keep every probed candidate: the final ranking
-    # uses ROUNDED cosine + id tiebreak, so the exact-cosine local top-k
-    # must not cut candidates that reenter at 4dp (q58/q59 contract)
+    # rank_dp=4: local cut and final window share ONE total order
+    # (rounded cosine desc, id asc), so k=10 real pruning replaces the
+    # old k=1,000,000 prune-disabled form
     out = ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=1_000_000, nprobe=4, centroids=cents
+        emb, emb.filter(F.col("vec_id") < 5), k=10, nprobe=4, centroids=cents,
+        rank_dp=4,
     )
-    rounded = out.withColumn("cosine_sim_r", F.round("cosine_sim", 4))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine_sim_r"), F.asc("neighbor_id")
-    )
-    return (
-        rounded.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("query_id", "neighbor_id", "cosine_sim_r", "rank")
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine_sim", 4).alias("cosine_sim_r"),
+        "rank",
     )

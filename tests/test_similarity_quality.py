@@ -218,6 +218,48 @@ def test_ivf_partitioned_store_prunes_lists(spark, sf_dir, tmp_path):
     assert key(a) == key(b)
 
 
+def test_ivf_rank_dp_prunes_locally_and_matches_prune_disabled(spark, sf_dir):
+    """q67's catalog shape: rank_dp=4 must (a) bound the mapInPandas
+    survivors to O(partitions x queries x (k + margin)) — the property
+    the old k=1,000,000 entry disabled — and (b) select exactly the
+    same rounded top-k as the prune-disabled form."""
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        ivf_centroids_for_dir,
+        ivf_topk,
+    )
+
+    cents = ivf_centroids_for_dir(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    nq, k, margin = 5, 10, 32
+
+    surv = ivf_topk(
+        emb, queries, k=k, nprobe=4, centroids=cents, rank_dp=4,
+        debug_survivors=True,
+    )
+    nparts = surv.rdd.getNumPartitions()
+    n_surv = surv.count()
+    n_probed = emb.count()  # upper bound on probed candidates
+    assert n_surv <= nparts * nq * (k + margin)
+    assert n_surv < n_probed, "local cut must actually prune"
+
+    pruned = ivf_topk(emb, queries, k=k, nprobe=4, centroids=cents, rank_dp=4)
+    full = ivf_topk(emb, queries, k=1_000_000, nprobe=4, centroids=cents)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine_sim", 4)), F.asc("neighbor_id")
+    )
+    full10 = (
+        full.withColumn("r2", F.row_number().over(w))
+        .filter(F.col("r2") <= k)
+    )
+    key = lambda df, r: {  # noqa: E731
+        (x.query_id, x.neighbor_id, round(x.cosine_sim, 4), x[r]) for x in df.collect()
+    }
+    assert key(pruned, "rank") == key(full10, "r2")
+
+
 def test_hot_bucket_guard_bounds_minhash_flood(spark):
     """Degenerate-bucket guard: 5k identical docs share EVERY band
     bucket, so the uncapped self-join would emit ~12.5M candidate pairs
