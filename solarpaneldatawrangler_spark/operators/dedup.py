@@ -400,6 +400,28 @@ def winnowing_fingerprints(
     normed = df.select(F.col(id_col).alias("id"), norm.alias("_t")).repartition(
         F.col("id")
     )
+    # LOUD length guard: positions pack into the low 21 bits of the
+    # window key, so a normalized text of >= 2^21 chars would silently
+    # bleed pos into the hash bits and corrupt every fingerprint of that
+    # doc. Fail the job with the offending doc id instead — split giant
+    # docs upstream. Placed AFTER the repartition exchange so the
+    # shared-attribute normalization (see comment above) is not
+    # re-inlined by CollapseProject.
+    normed = normed.select(
+        "id",
+        F.when(F.length("_t") < F.lit(_WINNOW_POS_CAP), F.col("_t"))
+        .otherwise(
+            F.raise_error(
+                F.concat_ws(
+                    "",
+                    F.lit("winnowing_fingerprints: doc "),
+                    F.col("id").cast("string"),
+                    F.lit(" normalized length exceeds 2^21-1 chars; split it upstream"),
+                )
+            )
+        )
+        .alias("_t"),
+    )
     # guard short docs: Spark's sequence(1, 0) counts DOWN ([1, 0]), so an
     # unconditional sequence would fabricate positions for texts shorter
     # than k — emit an empty position array instead

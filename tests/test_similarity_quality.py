@@ -304,3 +304,20 @@ def test_lsh_neardup_gather_paths_agree(spark, sf_dir):
     bc = key(lsh_neardup_pairs(emb, threshold=0.4, gather="broadcast"))
     jn = key(lsh_neardup_pairs(emb, threshold=0.4, gather="join"))
     assert bc == jn and bc
+
+
+def test_winnowing_rejects_oversized_doc(spark):
+    """The 2^21 position cap must fail LOUDLY (pos would bleed into the
+    hash bits and corrupt fingerprints silently otherwise)."""
+    import pytest
+
+    from solarpaneldatawrangler_spark.operators.dedup import winnowing_fingerprints
+
+    big = spark.createDataFrame(
+        [(1, "x" * (1 << 21)), (2, "normal sized document text")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="exceeds 2\\^21"):
+        winnowing_fingerprints(big).collect()
+    ok = spark.createDataFrame([(2, "normal sized document text")], "doc_id long, text string")
+    assert winnowing_fingerprints(ok).count() > 0
