@@ -186,6 +186,13 @@ def _use_broadcast_gather(slim: DataFrame, gather: str) -> bool:
     return est is not None and est <= 256 * 1024 * 1024
 
 
+def _empty_result(df: DataFrame, schema: str) -> DataFrame:
+    """Empty frame with the operator's output schema — the degenerate
+    (no queries / no corpus) result, so callers compose without
+    special-casing."""
+    return df.sparkSession.createDataFrame([], schema)
+
+
 def _cap_buckets(rows: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
     """Hot-bucket guard: drop signature buckets holding more than
     ``max_bucket`` rows. A degenerate bucket (thousands of identical or
@@ -242,6 +249,15 @@ def lsh_bucketed_topk(
     import numpy as np
     import pandas as pd
 
+    out_schema = "query_id long, neighbor_id long, cosine_sim double, rank int"
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not qrows:
+        # no queries -> no neighbors (empty frame, not an error)
+        return _empty_result(queries, out_schema)
+    qindex = {int(r[0]): i for i, r in enumerate(qrows)}
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
     tables = [
         _default_planes(dim, n_planes, seed=t) for t in range(n_tables)
     ]
@@ -259,16 +275,13 @@ def lsh_bucketed_topk(
         .select("query_id", "neighbor_id")
     )
 
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
-    if not qrows:
-        raise ValueError("queries is empty")
-    qindex = {int(r[0]): i for i, r in enumerate(qrows)}
-    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qnorm = np.linalg.norm(qmat, axis=1)
-
     slim = corpus.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_cvec"))
     if _use_broadcast_gather(slim, gather):
         mat_rows = slim.collect()
+        if not mat_rows:
+            # empty corpus -> empty result (np.array([]) is 0-d; the
+            # norm/gather below would raise AxisError)
+            return _empty_result(corpus, out_schema)
         cmat = np.array([list(r["_cvec"]) for r in mat_rows], dtype=np.float64)
         cindex = {int(r["_i"]): i for i, r in enumerate(mat_rows)}
         cnorm = np.linalg.norm(cmat, axis=1)
@@ -396,6 +409,9 @@ def lsh_neardup_pairs(
     slim = vectors.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
     if _use_broadcast_gather(slim, gather):
         mat_rows = slim.collect()
+        if not mat_rows:
+            # empty input -> no pairs (same AxisError hazard as above)
+            return _empty_result(vectors, "id_a long, id_b long, cos_r double")
         mat = np.array([list(r["_v"]) for r in mat_rows], dtype=np.float64)
         index = {int(r["_i"]): i for i, r in enumerate(mat_rows)}
         norms = np.linalg.norm(mat, axis=1)
@@ -576,13 +592,53 @@ def ivf_assign(
 
 
 def _half_up(x, dp: int):
-    """NumPy HALF_UP rounding (away from zero), mirroring Spark's
-    F.round/BigDecimal semantics closely enough for candidate SELECTION
-    (the authoritative rounding stays JVM-side; see ivf_topk.rank_dp)."""
+    """HALF_UP rounding of a float64 array with EXACT JVM parity.
+
+    Spark's F.round on DoubleType evaluates
+    ``BigDecimal.valueOf(d).setScale(dp, HALF_UP)`` — i.e. it rounds the
+    shortest-decimal string of the double (``Double.toString``). Python's
+    ``repr(float)`` produces the same shortest decimal, so the slow path
+    (``Decimal(repr(x)).quantize``) reproduces the JVM result exactly.
+    The vectorized fast path (scaled floor) can only disagree where
+    ``|x|*10^dp`` lands within float error of a ``.5`` boundary — the
+    decimal value of x and ``x*10^dp/10^dp`` differ by relative ~1e-16 —
+    so only those boundary elements take the slow exact path.
+    """
     import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
 
     s = 10.0 ** dp
-    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+    x = np.asarray(x, dtype=np.float64)
+    y = np.abs(x) * s
+    fast = np.sign(x) * np.floor(y + 0.5) / s
+    frac = y - np.floor(y)
+    boundary = np.nonzero(np.abs(frac - 0.5) < 1e-9)[0]
+    if len(boundary):
+        q = Decimal(1).scaleb(-dp)
+        exact = [
+            float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+            for v in x[boundary]
+        ]
+        fast[boundary] = exact
+    return fast
+
+
+def probe_mask_for(qmat, cents, nprobe: int):
+    """(n_lists, n_queries) boolean mask of each query's ``nprobe``
+    nearest lists; centroid-score ties go to the LOWER list id (lexsort
+    secondary key), mirroring the oracle's ORDER BY score DESC, list_id
+    ASC. The ONE place probe-list selection lives — ivf_topk and any
+    I/O accounting (bench.py's pruned-scan stats) both call this, so
+    the selection rule cannot silently drift between them."""
+    import numpy as np
+
+    n_lists = cents.shape[0]
+    qscores = _ivf_scores(qmat, cents)
+    mask = np.zeros((n_lists, qmat.shape[0]), dtype=bool)
+    for j in range(qmat.shape[0]):
+        order = np.lexsort((np.arange(n_lists), -qscores[j]))[:nprobe]
+        mask[order, j] = True
+    return mask
 
 
 def ivf_topk(
@@ -621,12 +677,13 @@ def ivf_topk(
     — ONE total order used by both the local per-partition cut and the
     final window, so oracle-facing callers that rank on a rounded value
     (q67, the q58 contract) get a REAL local top-k instead of disabling
-    pruning with a huge k. The local cut keeps ``k + local_margin``
-    rows per (partition, query): NumPy's half-up approximates the
-    JVM's BigDecimal HALF_UP, and the margin absorbs any boundary
-    disagreement (a wrong cut needs local_margin+1 simultaneous
-    rounding flips in one partition — not a real float pattern). The
-    shuffle stays O(partitions x queries x (k + margin)).
+    pruning with a huge k. The local cut uses ``_half_up``, which
+    reproduces the JVM's BigDecimal HALF_UP EXACTLY (repr-based decimal
+    rounding on boundary values — see its docstring), so the local
+    order equals the final window's order and keeping ``k`` rows per
+    (partition, query) is already sufficient; ``local_margin`` extra
+    rows ride along purely as defense in depth. The shuffle stays
+    O(partitions x queries x (k + margin)).
 
     ``debug_survivors``: return the pre-window survivor frame instead
     (test hook for asserting the survivor-count bound).
@@ -648,13 +705,7 @@ def ivf_topk(
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
     qnorm = np.linalg.norm(qmat, axis=1)
 
-    # probe lists per query: top-nprobe centroid scores, ties to the
-    # lower list id (lexsort secondary key), mirroring the oracle rank
-    qscores = _ivf_scores(qmat, cents)
-    probe_mask = np.zeros((n_lists, len(qids)), dtype=bool)
-    for j in range(len(qids)):
-        order = np.lexsort((np.arange(n_lists), -qscores[j]))[:nprobe]
-        probe_mask[order, j] = True
+    probe_mask = probe_mask_for(qmat, cents, nprobe)
     probed_union = [int(l) for l in np.nonzero(probe_mask.any(axis=1))[0]]
 
     if "list_id" in corpus.columns:

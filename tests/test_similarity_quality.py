@@ -306,6 +306,58 @@ def test_lsh_neardup_gather_paths_agree(spark, sf_dir):
     assert bc == jn and bc
 
 
+def test_empty_inputs_yield_empty_frames(spark, sf_dir):
+    """Degenerate inputs compose instead of crashing: an empty corpus
+    used to hit np.linalg.norm on a 0-d array (AxisError) in the
+    broadcast-gather path, and empty queries raised ValueError where
+    the original implementation returned an empty frame."""
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        lsh_bucketed_topk,
+        lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(20)
+    none = emb.filter(F.lit(False))
+
+    for corpus, queries in [(none, emb.limit(3)), (emb, none), (none, none)]:
+        out = lsh_bucketed_topk(corpus, queries, k=5, gather="broadcast")
+        assert out.count() == 0
+        assert out.columns == ["query_id", "neighbor_id", "cosine_sim", "rank"]
+
+    pairs = lsh_neardup_pairs(none, gather="broadcast")
+    assert pairs.count() == 0
+    assert pairs.columns == ["id_a", "id_b", "cos_r"]
+
+
+def test_half_up_matches_spark_round_exactly(spark):
+    """_half_up drives the IVF local top-k cut while the authoritative
+    ranking rounds JVM-side (F.round -> BigDecimal.valueOf HALF_UP on
+    the shortest-decimal string). The two must agree on EVERY double,
+    boundary cases included, or the local cut could drop a true top-k
+    row. Python repr() is the same shortest decimal, so the repr-based
+    slow path gives exact parity — pin it against Spark itself."""
+    import numpy as np
+
+    from solarpaneldatawrangler_spark.operators.similarity import _half_up
+
+    rng = np.random.default_rng(42)
+    vals = list(rng.uniform(-1, 1, 500))
+    # adversarial boundaries: decimal looks like x.xxxx5 but the double
+    # sits just below the scaled .5 (the fast path's failure mode —
+    # e.g. 2.675*100 = 267.49999999999997)
+    vals += [0.12345, -0.12345, 0.00005, -0.00005, 2.675, -2.675,
+             0.99995, -0.99995, 0.5, -0.5, 0.0, 1.0, -1.0]
+    vals += [round(n / 20000, 10) for n in range(-40, 40)]  # n*0.00005
+    vals = [float(v) for v in vals]
+
+    for dp in (2, 4, 6):
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        jvm = [r[0] for r in df.select(F.round("x", dp).alias("r")).collect()]
+        ours = _half_up(np.array(vals), dp)
+        for v, j, o in zip(vals, jvm, ours):
+            assert j == o, f"dp={dp} x={v!r}: spark={j!r} ours={o!r}"
+
+
 def test_winnowing_rejects_oversized_doc(spark):
     """The 2^21 position cap must fail LOUDLY (pos would bleed into the
     hash bits and corrupt fingerprints silently otherwise)."""
