@@ -263,6 +263,27 @@ def main() -> None:
             extra_timings[name] = round(best, 3)
             extra_total += best
 
+    # cache-off pass: "value" keeps the columnar-cache bench mode for
+    # round-over-round comparability, but how much of it is caching vs
+    # plan quality must stay visible — re-run the headline set with the
+    # table cache dropped (real parquet scans + pushdown). Runs AFTER
+    # the cached pass, so the JVM is warm: it isolates the cache's
+    # contribution, not session startup (measured: cache-off-first 6.3s
+    # vs cache-on-first 5.9s vs cache-off-warm 4.5s at sf0.1)
+    cold_timings: dict[str, float] = {}
+    cold_total = 0.0
+    if os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") == "1":
+        from solarpaneldatawrangler_spark.sources import star
+
+        os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
+        star._MEMO.clear()
+        spark.catalog.clearCache()
+        for name in HEADLINE:
+            best = run_safe("cold:" + name, CATALOG[name].fn)
+            if best is not None:
+                cold_timings[name] = round(best, 3)
+                cold_total += best
+
     # the measured scan reduction behind x_ivf_store_pruned vs _full
     ivf_io: dict[str, int] | None = None
     try:
@@ -280,6 +301,14 @@ def main() -> None:
                 "queries": timings,
                 "extra_queries": extra_timings,
                 "extra_value": round(extra_total, 3),
+                **(
+                    {
+                        "value_cold": round(cold_total, 3),
+                        "queries_cold": cold_timings,
+                    }
+                    if cold_timings
+                    else {}
+                ),
                 **({"ivf_io": ivf_io} if ivf_io else {}),
                 **({"errors": errors} if errors else {}),
                 "sf": sf,

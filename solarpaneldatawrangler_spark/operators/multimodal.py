@@ -222,17 +222,48 @@ def stitch_3x3(tiles: DataFrame, codec=None) -> DataFrame:
     )
 
 
-def upsample_tiles(tiles: DataFrame, factor: int = 2, codec=None) -> DataFrame:
+def bilinear_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Separable bilinear resample in pure NumPy (half-pixel sample
+    centers, the OpenCV/torchvision align_corners=False convention).
+    Closes most of the fidelity gap to the reference's PIL LANCZOS
+    (/root/reference/imagery.py:99-100) without an imaging dependency:
+    smooth interpolation instead of nearest-neighbor blockiness (LANCZOS
+    additionally windows a sinc; visually close at 2x upsample)."""
+    h, w, c = arr.shape
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    a = arr.astype(np.float64)
+    top = a[y0][:, x0] * (1.0 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1.0 - wx) + a[y1][:, x1] * wx
+    out = top * (1.0 - wy) + bot * wy
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def upsample_tiles(
+    tiles: DataFrame, factor: int = 2, codec=None, mode: str = "nearest"
+) -> DataFrame:
     """G5 image upsample (/root/reference/imagery.py:119-146: when only
     lower-zoom imagery exists, the quadrant of the parent tile is
-    resized up to tile size). Nearest-neighbor via np.repeat through the
-    injected codec — a narrow per-row transform, no shuffle; swap the
-    codec (PIL bicubic) without touching the plan.
+    resized up to tile size). A narrow per-row transform through the
+    injected codec — no shuffle; swap the codec (PIL) without touching
+    the plan.
+
+    ``mode``: "nearest" (np.repeat pixel replication — exact-golden
+    friendly) or "bilinear" (bilinear_resize — the fidelity path,
+    approximating the reference's LANCZOS).
     """
     if codec is None:
         raise NotImplementedError(
             "upsample needs real pixels: inject a codec (NumpyCodec or PIL)"
         )
+    if mode not in ("nearest", "bilinear"):
+        raise ValueError(f"mode must be nearest|bilinear, got {mode!r}")
     out_schema = "column long, row long, zoom int, content binary"
 
     def up(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -240,7 +271,12 @@ def upsample_tiles(tiles: DataFrame, factor: int = 2, codec=None) -> DataFrame:
             out = []
             for content in pdf["content"]:
                 arr = codec.decode(bytes(content))
-                big = np.repeat(np.repeat(arr, factor, axis=0), factor, axis=1)
+                if mode == "bilinear":
+                    big = bilinear_resize(
+                        arr, arr.shape[0] * factor, arr.shape[1] * factor
+                    )
+                else:
+                    big = np.repeat(np.repeat(arr, factor, axis=0), factor, axis=1)
                 out.append(codec.encode(big))
             yield pd.DataFrame(
                 {

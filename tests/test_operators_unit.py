@@ -320,3 +320,108 @@ def test_stratified_sample_rate_monotonicity(spark, sf_dir):
         assert prev <= ids, f"rate {rate} dropped previously-selected docs"
         prev = ids
     assert len(prev) == docs.count()  # rate 1.0 keeps everything
+
+
+def test_bilinear_upsample_golden(spark):
+    """bilinear_resize: hand-computed 2x2 -> 4x4 golden (half-pixel
+    centers), constant-image invariance, and the mode='bilinear' path
+    through the upsample_tiles operator."""
+    import numpy as np
+
+    from solarpaneldatawrangler_spark.operators.multimodal import (
+        NumpyCodec,
+        bilinear_resize,
+        upsample_tiles,
+    )
+
+    src = np.array([[0, 200], [100, 40]], dtype=np.uint8)[:, :, None]
+    got = bilinear_resize(src, 4, 4)[:, :, 0]
+    expect = np.array(
+        [
+            [0, 50, 150, 200],
+            [25, 59, 126, 160],
+            [75, 76, 79, 80],
+            [100, 85, 55, 40],
+        ],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, expect), got
+
+    flat = np.full((5, 7, 3), 123, dtype=np.uint8)
+    assert (bilinear_resize(flat, 10, 14) == 123).all()
+
+    codec = NumpyCodec()
+    tiles = spark.createDataFrame(
+        [(0, 0, 21, bytearray(codec.encode(np.dstack([src[:, :, 0]] * 3))))],
+        "column long, row long, zoom int, content binary",
+    )
+    up = upsample_tiles(tiles, factor=2, codec=codec, mode="bilinear").collect()
+    arr = codec.decode(bytes(up[0].content))
+    assert arr.shape == (4, 4, 3)
+    assert np.array_equal(arr[:, :, 0], expect)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="nearest|bilinear"):
+        upsample_tiles(tiles, codec=codec, mode="lanczos")
+
+
+def test_pil_codec_drop_in(spark):
+    """The production-codec claim, proven the moment the environment has
+    PIL: a PIL-backed codec (lossless PNG) implementing the same
+    decode/encode protocol must produce pixel-identical results to
+    NumpyCodec through slice_grid, stitch_3x3, and upsample_tiles.
+    Skips cleanly where PIL is absent (this container)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from solarpaneldatawrangler_spark.operators.multimodal import (
+        NumpyCodec,
+        deterministic_pixels,
+        slice_grid,
+        stitch_3x3,
+        upsample_tiles,
+    )
+
+    class PILCodec:
+        def decode(self, content: bytes) -> np.ndarray:
+            return np.array(Image.open(io.BytesIO(content)).convert("RGB"))
+
+        def encode(self, arr: np.ndarray) -> bytes:
+            buf = io.BytesIO()
+            Image.fromarray(np.ascontiguousarray(arr, dtype=np.uint8), "RGB").save(
+                buf, format="PNG"
+            )
+            return buf.getvalue()
+
+    grid, t = 3, 4
+    super_arr = deterministic_pixels(grid * t, grid * t, b"pil-golden", 3)
+
+    results = {}
+    for name, codec in [("numpy", NumpyCodec()), ("pil", PILCodec())]:
+        sup = spark.createDataFrame(
+            [(0, 0, 21, bytearray(codec.encode(super_arr)))],
+            "column long, row long, zoom int, content binary",
+        )
+        tiles = slice_grid(sup, grid_size=grid, codec=codec)
+        stitched = {
+            (r.column, r.row): codec.decode(bytes(r.content))
+            for r in stitch_3x3(tiles, codec=codec).collect()
+        }
+        upped = {
+            (r.column, r.row): codec.decode(bytes(r.content))
+            for r in upsample_tiles(
+                tiles, factor=2, codec=codec, mode="bilinear"
+            ).collect()
+        }
+        results[name] = (stitched, upped)
+
+    for a, b in zip(results["numpy"], results["pil"]):
+        assert set(a) == set(b)
+        for key in a:
+            assert np.array_equal(a[key], b[key]), key
