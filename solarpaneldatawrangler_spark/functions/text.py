@@ -123,6 +123,62 @@ def lang_marker_score(text: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
 
 
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (unlike word_shingles, which
+    distincts) → array<string>. The repetition signals below need the
+    duplicates."""
+    toks = tokens(text)
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def nonempty_lines(text: Column) -> Column:
+    """Trimmed non-empty lines → array<string> (with multiplicity)."""
+    return F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0,
+    )
+
+
+def duplicate_line_fraction(text: Column) -> Column:
+    """Gopher repetition signal: fraction of non-empty lines that are
+    repeats of an earlier line (1 - distinct/total; 0 for line-less
+    docs). Boilerplate-heavy scrapes (nav menus, cookie banners) score
+    high. Pure expressions — runs inside the scan at 100 TB."""
+    ls = nonempty_lines(text)
+    return F.round(
+        F.when(
+            F.size(ls) >= 1,
+            F.lit(1.0)
+            - F.size(F.array_distinct(ls)).cast("double")
+            / F.size(ls).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def repeated_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Gopher repetition signal: fraction of word n-grams that are
+    repeats (1 - distinct/total). Degenerate generated text ("the the
+    the ...") scores near 1; normal prose near 0."""
+    gs = word_ngrams(text, n)
+    return F.round(
+        F.when(
+            F.size(gs) >= 1,
+            F.lit(1.0)
+            - F.size(F.array_distinct(gs)).cast("double")
+            / F.size(gs).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercased text. Stable across engines (md5 is standard), so it

@@ -181,6 +181,12 @@ def _min_label_loop(
         # their MAP-side partition count from this conf, and that fixed
         # cost x dozens of loop shuffles is the measured 2x.
         spark.conf.set(conf_key, str(loop_parts))
+        # 2 rounds per action is MEASURED optimal: fusing 4+ rounds into
+        # one job (escalating rounds-per-action) was tried in round 4
+        # and came out ~60% SLOWER on the diameter-1000 snake (6.9s vs
+        # 4.4s) — per-round execution dominates and deeper unchecked
+        # plans cost Catalyst/AQE more per shuffle, so fewer collect
+        # barriers don't pay for themselves.
         for _ in range(max(max_iterations // 2, 1)):
             labels = _round(_round(labels)).localCheckpoint(eager=False)
             # decimal(38,0): packed labels reach ~2^45, so a long SUM

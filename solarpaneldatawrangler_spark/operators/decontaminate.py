@@ -1,0 +1,126 @@
+"""Benchmark decontamination for training corpora (SURVEY.md §2.12
+extension): flag/drop documents that share fingerprinted content with an
+evaluation benchmark — the standard guard against test-set leakage into
+training data (the GPT-3/PaLM-style n-gram overlap check, done with
+winnowing fingerprints instead of raw n-grams so short paraphrase-
+resistant matches still hit; winnowing guarantees any shared substring
+of length >= w+k-1 produces a shared fingerprint).
+
+Composition, not new machinery: both sides run the existing
+``winnowing_fingerprints`` operator (operators/dedup.py, q66's
+oracle-checked plan), then a broadcast semi-structure on fp_hash.
+
+Scale shape (100 TB corpus, MB-scale benchmark — the real geometry):
+- the corpus side pays winnowing's ONE per-doc window shuffle; the
+  following groupBy(id) reuses that exchange (same hash partitioning)
+- the benchmark side is tiny by contract (eval suites are MBs): its
+  distinct fingerprint set BROADCASTS, so no corpus shuffle is added
+  by the join — contamination scoring rides the corpus scan
+- no all-pairs anything: doc x benchmark contact happens only through
+  equi-join on fp_hash
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.operators.dedup import winnowing_fingerprints
+
+
+def contamination_scores(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document contamination: (doc_id, n_fps, n_shared, shared_frac).
+
+    ``n_fps`` counts the doc's distinct winnowing fingerprints,
+    ``n_shared`` how many also occur anywhere in the benchmark,
+    ``shared_frac`` their ratio (0.0 for fingerprint-less short docs).
+    Every input doc gets a row — callers threshold on n_shared or
+    shared_frac without special-casing docs too short to fingerprint.
+    """
+    doc_fps = winnowing_fingerprints(
+        docs.select(F.col(id_col), F.col(text_col)),
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        w=w,
+        reproducible=True,
+    )
+    # benchmark rows need DISTINCT ids (the winnowing window partitions
+    # by id — shared ids would chain k-grams across unrelated rows);
+    # only the fingerprint HASH set is consumed downstream, so the
+    # synthesized ids never need to be stable across runs
+    bench_fps = (
+        winnowing_fingerprints(
+            benchmark.select(
+                F.monotonically_increasing_id().alias("_bid"),
+                F.col(bench_text_col),
+            ),
+            text_col=bench_text_col,
+            id_col="_bid",
+            k=k,
+            w=w,
+            reproducible=True,
+        )
+        .select("fp_hash")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+
+    # winnowing's window already hash-partitioned by id; this groupBy
+    # reuses that exchange. The broadcast hash join adds no shuffle.
+    per_doc = (
+        doc_fps.join(F.broadcast(bench_fps), "fp_hash", "left")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count_distinct("fp_hash").alias("n_fps"),
+            F.count_distinct(
+                F.when(F.col("_hit").isNotNull(), F.col("fp_hash"))
+            ).alias("n_shared"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.round(
+                F.coalesce("n_shared", F.lit(0))
+                / F.greatest(F.coalesce("n_fps", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("shared_frac"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_shared: int = 1,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Drop documents sharing >= ``min_shared`` winnowing fingerprints
+    with the benchmark; returns the surviving docs unchanged. The doc
+    side of the threshold join is ids-only (16 bytes/row), never text."""
+    contaminated = (
+        contamination_scores(
+            docs, benchmark, k=k, w=w,
+            id_col=id_col, text_col=text_col, bench_text_col=bench_text_col,
+        )
+        .filter(F.col("n_shared") >= min_shared)
+        .select(id_col)
+    )
+    return docs.join(contaminated, id_col, "left_anti")

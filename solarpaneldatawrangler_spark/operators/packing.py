@@ -1,0 +1,97 @@
+"""Sequence packing for LLM training pipelines (SURVEY.md §2.12
+extension): assign documents to fixed-budget training sequences
+("packs") of at most ``max_tokens`` tokens — the step between a curated
+corpus and a tokenized training shard (GPT-3 appendix B / T5 packing).
+
+Greedy next-fit is inherently sequential, so the parallel shape is
+SHARD-THEN-PACK: documents hash into ``n_shards`` independent streams
+(deterministic pmod of the id), each shard packs its docs in id order
+inside one applyInPandas group. Shards trade global optimality for
+parallelism — each is a deterministic, restartable unit, which is the
+property a 1000-executor tokenization job actually needs (FAISS-style
+bounded coordination, no global sequential scan). Within a shard the
+result is exactly the single-threaded greedy next-fit.
+
+One shuffle total (the groupBy(shard) exchange); token counting is a
+pure Catalyst expression computed before the shuffle, so only
+(id, n_tokens, shard) rows move — never document text.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.functions.text import token_count
+
+PACK_SHARD_BITS = 40  # pack_id = shard << 40 | seq; 2^40 packs/shard
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    count_col: str | None = None,
+    n_shards: int = 1,
+) -> DataFrame:
+    """Greedy next-fit packing: (id, n_tokens, shard, pack_id,
+    pack_offset) — pack_offset is the doc's starting token within its
+    pack. Docs are packed in ascending id order within each shard; a
+    pack closes when the next doc would overflow ``max_tokens``. A
+    single doc longer than ``max_tokens`` gets a pack of its own (the
+    downstream tokenizer truncates or splits it — flagged by
+    n_tokens > max_tokens, never silently dropped).
+
+    ``count_col`` supplies precomputed token counts; otherwise
+    whitespace ``token_count(text_col)`` (the cheap proxy) is used.
+    ``n_shards=1`` reproduces the global sequential greedy exactly; at
+    scale pick ~the cluster's parallelism.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+
+    n_tok = (
+        F.col(count_col).cast("long")
+        if count_col is not None
+        else token_count(F.col(text_col)).cast("long")
+    )
+    slim = docs.select(
+        F.col(id_col).cast("long").alias("_id"),
+        n_tok.alias("n_tokens"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))
+        .cast("int")
+        .alias("shard"),
+    )
+
+    out_schema = (
+        f"{id_col} long, n_tokens long, shard int, pack_id long, pack_offset long"
+    )
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (shard,) = key
+        pdf = pdf.sort_values("_id")
+        seqs, offs = [], []
+        seq, acc = 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if acc > 0 and acc + t > max_tokens:
+                seq, acc = seq + 1, 0
+            seqs.append((int(shard) << PACK_SHARD_BITS) | seq)
+            offs.append(acc)
+            acc += t
+        return pd.DataFrame(
+            {
+                id_col: pdf["_id"],
+                "n_tokens": pdf["n_tokens"],
+                "shard": int(shard),
+                "pack_id": seqs,
+                "pack_offset": offs,
+            }
+        )
+
+    return slim.groupBy("shard").applyInPandas(pack, out_schema)

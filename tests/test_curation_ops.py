@@ -1,0 +1,239 @@
+"""Round-4 curation extensions: benchmark decontamination (winnowing
+overlap), Gopher repetition signals, and greedy sequence packing — each
+verified against a cross-engine (DuckDB) or pure-Python reference."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+BENCH_SENTENCES = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "solar panels convert sunlight into electricity through photovoltaic cells",
+]
+
+DOCS = [
+    # leaked: contains benchmark sentence 0 verbatim inside other prose
+    (1, "intro paragraph here. " + BENCH_SENTENCES[0] + " and a closing thought."),
+    # leaked: benchmark sentence 1 with different surrounding whitespace
+    (2, "  " + BENCH_SENTENCES[1].upper() + "   extra   trailing words"),
+    # clean long doc
+    (3, "completely original content about gardening tomatoes in clay soil "
+        "with drip irrigation and evening shade covering most of the yard"),
+    # clean short doc (too short to fingerprint at k=5, w=4)
+    (4, "tiny doc"),
+    # clean doc sharing only a single common word
+    (5, "electricity pricing varies by region and季节 demand patterns overall"),
+]
+
+
+def _winnow_fps_sql(table: str, idc: str) -> str:
+    """DuckDB winnowing fingerprints — same CTE as q66's oracle
+    (extension_queries2._WINNOW_ORACLE), parametrized by table."""
+    return f"""
+    SELECT DISTINCT id, (skey + 2097151) // 2097152 AS fp_hash
+    FROM (
+        SELECT id, pos,
+               MIN(h * 2097152 - pos) OVER (
+                   PARTITION BY id ORDER BY pos
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ) AS skey
+        FROM (
+            SELECT n.id, u.pos,
+                   ('0x' || substr(md5(substr(n.t, CAST(u.pos AS INT), 5)), 1, 8))::BIGINT AS h
+            FROM (
+                SELECT {idc} AS id,
+                       regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+                FROM {table}
+            ) n,
+            LATERAL UNNEST(generate_series(1, length(n.t) - 5 + 1)) AS u(pos)
+        )
+    )
+    WHERE pos >= 4
+    """
+
+
+def test_contamination_scores_match_duckdb(spark):
+    import duckdb
+
+    from solarpaneldatawrangler_spark.operators.decontaminate import (
+        contamination_scores,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(BENCH_SENTENCES)], "bid long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_fps, r.n_shared, r.shared_frac)
+        for r in contamination_scores(docs, bench).collect()
+    }
+
+    con = duckdb.connect()
+    con.register("docs_t", pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    con.register(
+        "bench_t",
+        pd.DataFrame(list(enumerate(BENCH_SENTENCES)), columns=["bid", "text"]),
+    )
+    oracle = con.execute(f"""
+        WITH dfps AS ({_winnow_fps_sql('docs_t', 'doc_id')}),
+        bfps AS (SELECT DISTINCT fp_hash FROM ({_winnow_fps_sql('bench_t', 'bid')})),
+        totals AS (
+            SELECT d.id, COUNT(DISTINCT d.fp_hash) AS n_fps,
+                   COUNT(DISTINCT CASE WHEN b.fp_hash IS NOT NULL
+                                       THEN d.fp_hash END) AS n_shared
+            FROM dfps d LEFT JOIN bfps b USING (fp_hash)
+            GROUP BY d.id
+        )
+        SELECT doc_id, COALESCE(n_fps, 0), COALESCE(n_shared, 0),
+               ROUND(COALESCE(n_shared, 0)::DOUBLE
+                     / GREATEST(COALESCE(n_fps, 0), 1), 6)
+        FROM docs_t LEFT JOIN totals ON totals.id = docs_t.doc_id
+    """).fetchall()
+    expect = {r[0]: (r[1], r[2], r[3]) for r in oracle}
+    assert got == expect
+
+    # semantics, not just engine agreement: the leaked docs overlap
+    # heavily; the gardening doc not at all; doc 5 only incidentally
+    # (the single shared word "electricity" >= w+k-1 chars legitimately
+    # fingerprints — thresholds, not zero-tolerance, separate leaks)
+    assert got[1][1] >= 20 and got[2][1] >= 20
+    assert got[3][1] == 0
+    assert 0 < got[5][1] < 5 and got[5][2] < 0.2
+    assert got[4] == (1, 0, 0.0)  # len 8 == k+w-1: exactly one window
+
+
+def test_decontaminate_drops_planted_leaks(spark):
+    from solarpaneldatawrangler_spark.operators.decontaminate import decontaminate
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(BENCH_SENTENCES)], "bid long, text string"
+    )
+    kept = {r.doc_id for r in decontaminate(docs, bench, min_shared=5).collect()}
+    assert kept == {3, 4, 5}
+    # zero-tolerance also drops the incidental single-word overlap
+    strict = {r.doc_id for r in decontaminate(docs, bench, min_shared=1).collect()}
+    assert strict == {3, 4}
+    # empty benchmark: nothing to leak, everything survives
+    kept_all = {
+        r.doc_id
+        for r in decontaminate(docs, bench.filter(F.lit(False))).collect()
+    }
+    assert kept_all == {1, 2, 3, 4, 5}
+
+
+def _py_dup_line_frac(text: str) -> float:
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    if not lines:
+        return 0.0
+    return round(1.0 - len(set(lines)) / len(lines), 6)
+
+
+def _py_rep_ngram_frac(text: str, n: int) -> float:
+    toks = [t for t in text.lower().split() if t]
+    grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+    if not grams:
+        return 0.0
+    return round(1.0 - len(set(grams)) / len(grams), 6)
+
+
+def test_repetition_signals_match_reference(spark):
+    from solarpaneldatawrangler_spark.functions.text import (
+        duplicate_line_fraction,
+        repeated_ngram_fraction,
+    )
+
+    docs = [
+        (1, "nav menu\nnav menu\nnav menu\nreal content line\nnav menu"),
+        (2, "all lines\nare unique\nin this document\n\n\n"),
+        (3, "the the the the the the"),
+        (4, "normal prose with no repeated bigrams at all here"),
+        (5, ""),
+        (6, "  \n \n  "),  # whitespace-only lines
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.dlf, r.rnf)
+        for r in df.select(
+            "doc_id",
+            duplicate_line_fraction(F.col("text")).alias("dlf"),
+            repeated_ngram_fraction(F.col("text"), 2).alias("rnf"),
+        ).collect()
+    }
+    for did, text in docs:
+        assert out[did] == (
+            _py_dup_line_frac(text),
+            _py_rep_ngram_frac(text, 2),
+        ), f"doc {did}"
+    assert out[1][0] == 0.6  # 3 of 5 lines are repeats
+    assert out[3][1] == 0.8  # "the the" x5 -> 4 of 5 bigrams repeat
+
+
+def _py_next_fit(items: list[tuple[int, int]], max_tokens: int):
+    """(id, n_tokens) in id order -> {id: (seq, offset)} greedy next-fit."""
+    out, seq, acc = {}, 0, 0
+    for did, t in sorted(items):
+        if acc > 0 and acc + t > max_tokens:
+            seq, acc = seq + 1, 0
+        out[did] = (seq, acc)
+        acc += t
+    return out
+
+
+def test_pack_sequences_matches_greedy_reference(spark):
+    from solarpaneldatawrangler_spark.operators.packing import (
+        PACK_SHARD_BITS,
+        pack_sequences,
+    )
+
+    docs = [
+        (i, " ".join(["tok"] * n))
+        for i, n in [(1, 30), (2, 40), (3, 50), (4, 10), (5, 200), (6, 5), (7, 64)]
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pack_sequences(df, max_tokens=100, n_shards=1).collect()
+    got = {r.doc_id: (r.pack_id, r.pack_offset, r.n_tokens) for r in out}
+
+    expect = _py_next_fit([(i, len(t.split())) for i, t in docs], 100)
+    assert {d: (p, o) for d, (p, o, _) in got.items()} == expect
+    # the oversized doc (200 > 100) gets its own pack, never dropped
+    assert got[5][1] == 0 and got[5][2] == 200
+    packs: dict[int, int] = {}
+    for did, (p, o, n) in got.items():
+        packs[p] = packs.get(p, 0) + n
+    for p, total in packs.items():
+        members = [d for d, (pp, _, _) in got.items() if pp == p]
+        assert total <= 100 or len(members) == 1, (p, total)
+
+
+def test_pack_sequences_sharding(spark):
+    from solarpaneldatawrangler_spark.operators.packing import (
+        PACK_SHARD_BITS,
+        pack_sequences,
+    )
+
+    docs = [(i, " ".join(["w"] * (10 + i % 7))) for i in range(50)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = pack_sequences(df, max_tokens=32, n_shards=4).collect()
+    assert len(out) == 50  # every doc assigned exactly once
+    for r in out:
+        assert r.shard == r.doc_id % 4
+        assert (r.pack_id >> PACK_SHARD_BITS) == r.shard
+    # each shard independently equals the single-threaded greedy
+    for s in range(4):
+        items = [(i, 10 + i % 7) for i in range(50) if i % 4 == s]
+        expect = _py_next_fit(items, 32)
+        got = {
+            r.doc_id: (r.pack_id & ((1 << PACK_SHARD_BITS) - 1), r.pack_offset)
+            for r in out
+            if r.shard == s
+        }
+        assert got == expect
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, max_tokens=0)
+    with pytest.raises(ValueError):
+        pack_sequences(df, max_tokens=10, n_shards=0)
