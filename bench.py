@@ -99,8 +99,8 @@ def _ivf_store_dir(spark, sf_dir: str) -> str:
     import tempfile
 
     from solarpaneldatawrangler_spark.operators.similarity import (
-        ivf_assign,
         ivf_centroids_for_dir,
+        write_ivf_store,
     )
     from solarpaneldatawrangler_spark.sources.star import load_table
 
@@ -108,19 +108,14 @@ def _ivf_store_dir(spark, sf_dir: str) -> str:
     atexit.register(shutil.rmtree, d, ignore_errors=True)
     cents = ivf_centroids_for_dir(sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    ivf_assign(emb, cents).write.partitionBy("list_id").mode("overwrite").parquet(d)
+    write_ivf_store(emb, d, cents)
     _IVF_STORE[sf_dir] = d
     return d
 
 
 def _ivf_store_corpus(spark, sf_dir: str, with_index: bool):
-    from pyspark.sql import functions as F
-
     store = spark.read.parquet(_ivf_store_dir(spark, sf_dir))
-    cols = [F.col("_i").alias("vec_id"), F.col("_v").alias("embedding")]
-    if with_index:
-        cols.append(F.col("list_id"))
-    return store.select(*cols)
+    return store if with_index else store.drop("list_id")
 
 
 def _ivf_store_topk(spark, sf_dir: str, with_index: bool):
@@ -185,6 +180,32 @@ def _ivf_io_stats(spark, sf_dir: str) -> dict[str, int]:
     }
 
 
+def _decontaminate_bench(spark, sf_dir):
+    """Benchmark decontamination at corpus scale: every 100th doc IS the
+    'benchmark', so the winnowing-overlap join must knock out exactly
+    those self-matches plus any true near-verbatim doc."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.decontaminate import decontaminate
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bid"), "text"
+    )
+    return decontaminate(docs, bench, min_shared_frac=0.8)
+
+
+def _pack_bench(spark, sf_dir):
+    """Greedy sequence packing over the documents table: token counting
+    rides the scan, one (id, n_tokens) shuffle into 8 shards."""
+    from solarpaneldatawrangler_spark.operators.packing import pack_sequences
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, max_tokens=2048, n_shards=8)
+
+
 # breadth set: NOT in "value" (the round-over-round comparable) — timed
 # and reported separately so regressions in the iterative/join-heavy
 # operators are visible per-query
@@ -204,6 +225,8 @@ EXTRA = {
     # the index column so the scan reads every file + re-assigns
     "x_ivf_store_pruned": lambda spark, sf_dir: _ivf_store_topk(spark, sf_dir, True),
     "x_ivf_store_full": lambda spark, sf_dir: _ivf_store_topk(spark, sf_dir, False),
+    "x_decontaminate": _decontaminate_bench,
+    "x_pack_sequences": _pack_bench,
 }
 
 

@@ -106,6 +106,7 @@ def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
     min_shared: int = 1,
+    min_shared_frac: float | None = None,
     k: int = 5,
     w: int = 4,
     id_col: str = "doc_id",
@@ -114,13 +115,20 @@ def decontaminate(
 ) -> DataFrame:
     """Drop documents sharing >= ``min_shared`` winnowing fingerprints
     with the benchmark; returns the surviving docs unchanged. The doc
-    side of the threshold join is ids-only (16 bytes/row), never text."""
-    contaminated = (
-        contamination_scores(
-            docs, benchmark, k=k, w=w,
-            id_col=id_col, text_col=text_col, bench_text_col=bench_text_col,
-        )
-        .filter(F.col("n_shared") >= min_shared)
-        .select(id_col)
+    side of the threshold join is ids-only (16 bytes/row), never text.
+
+    ``min_shared_frac`` thresholds on shared_frac (shared/total
+    fingerprints) INSTEAD — the robust form when corpus and benchmark
+    draw on shared vocabulary (absolute counts rise with doc length;
+    the fraction separates "contains the benchmark item" from "uses the
+    same common phrases")."""
+    scores = contamination_scores(
+        docs, benchmark, k=k, w=w,
+        id_col=id_col, text_col=text_col, bench_text_col=bench_text_col,
     )
+    if min_shared_frac is not None:
+        cond = F.col("shared_frac") >= min_shared_frac
+    else:
+        cond = F.col("n_shared") >= min_shared
+    contaminated = scores.filter(cond).select(id_col)
     return docs.join(contaminated, id_col, "left_anti")

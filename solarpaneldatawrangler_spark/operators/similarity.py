@@ -591,6 +591,27 @@ def ivf_assign(
     return src.mapInPandas(assign, "_i long, _v array<double>, list_id int")
 
 
+def write_ivf_store(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Write the corpus as the pre-indexed IVF store: assigned to lists
+    in one narrow stage (ivf_assign) and written
+    ``partitionBy("list_id")``, keeping the caller's column names. A
+    later ``ivf_topk(spark.read.parquet(path), ...)`` sees the list_id
+    column, trusts the stored assignment, and its probed-list isin
+    filter becomes PARTITION pruning at the scan — the IVF I/O win
+    (bench.py measures it as x_ivf_store_pruned vs _full + ivf_io)."""
+    assigned = ivf_assign(df, centroids, id_col, vec_col).select(
+        F.col("_i").alias(id_col), F.col("_v").alias(vec_col), F.col("list_id")
+    )
+    assigned.write.partitionBy("list_id").mode(mode).parquet(path)
+
+
 def _half_up(x, dp: int):
     """HALF_UP rounding of a float64 array with EXACT JVM parity.
 

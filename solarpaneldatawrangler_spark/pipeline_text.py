@@ -1,8 +1,9 @@
 """Corpus-curation pipeline: the text twin of pipeline.run_pipeline.
 
 Composes the §2.12 extension operators into the standard
-training-data flow — exact dedup → near-dup removal → quality gate →
-language gate → stratified downsample — as one lazy DataFrame chain
+training-data flow — exact dedup → near-dup removal → [benchmark
+decontamination] → [repetition gate] → quality gate → language gate →
+stratified downsample — as one lazy DataFrame chain
 (materialized once at the sink; every stage is the already-tested
 operator, so the pipeline adds composition, not new semantics).
 
@@ -39,6 +40,9 @@ class CurationReport:
     n_after_quality: int
     n_after_language: int
     n_output: int
+    # -1 = stage not enabled (benchmark / max_repetition not passed)
+    n_after_decontam: int = -1
+    n_after_repetition: int = -1
 
 
 def drop_near_duplicates(
@@ -97,6 +101,10 @@ def curate_corpus(
     jaccard_threshold: float = 0.8,
     transitive_near_dup: bool = False,
     near_dup_max_bucket: int | None = None,
+    benchmark: DataFrame | None = None,
+    decontam_min_shared: int = 5,
+    decontam_min_shared_frac: float | None = None,
+    max_repetition: float | None = None,
     with_report: bool = True,
 ) -> tuple[DataFrame, CurationReport | None]:
     """Run the full curation chain; returns (survivors, report).
@@ -147,15 +155,52 @@ def curate_corpus(
         near = near.localCheckpoint()
     n_near = near.count() if with_report else -1
 
-    # 3. quality gate (scan-stage expression)
-    qual = near.filter(quality_score(F.col(text_col)) >= min_quality)
+    # 3. benchmark decontamination (optional): runs AFTER dedup so the
+    # winnowing pass fingerprints each surviving doc once, not every
+    # copy. Broadcast benchmark side — adds no corpus shuffle.
+    if benchmark is not None:
+        from solarpaneldatawrangler_spark.operators.decontaminate import (
+            decontaminate,
+        )
+
+        clean = decontaminate(
+            near, benchmark,
+            min_shared=decontam_min_shared,
+            min_shared_frac=decontam_min_shared_frac,
+            id_col=id_col, text_col=text_col,
+        )
+    else:
+        clean = near
+    n_decontam = clean.count() if (with_report and benchmark is not None) else -1
+
+    # 4. repetition gate (optional, scan-stage expressions): drops
+    # boilerplate-heavy / degenerate-generation docs by the Gopher
+    # signals
+    if max_repetition is not None:
+        from solarpaneldatawrangler_spark.functions.text import (
+            duplicate_line_fraction,
+            repeated_ngram_fraction,
+        )
+
+        norep = clean.filter(
+            (duplicate_line_fraction(F.col(text_col)) <= max_repetition)
+            & (repeated_ngram_fraction(F.col(text_col), 2) <= max_repetition)
+        )
+    else:
+        norep = clean
+    n_norep = (
+        norep.count() if (with_report and max_repetition is not None) else -1
+    )
+
+    # 5. quality gate (scan-stage expression)
+    qual = norep.filter(quality_score(F.col(text_col)) >= min_quality)
     n_qual = qual.count() if with_report else -1
 
-    # 4. language gate
+    # 6. language gate
     lang = qual if language is None else qual.filter(F.col(lang_col) == language)
     n_lang = lang.count() if with_report else -1
 
-    # 5. stratified downsample (deterministic hash buckets)
+    # 7. stratified downsample (deterministic hash buckets)
     out = (
         lang
         if not sample_rates
@@ -166,7 +211,10 @@ def curate_corpus(
     n_out = out.count() if with_report else -1
 
     report = (
-        CurationReport(n_input, n_exact, n_near, n_qual, n_lang, n_out)
+        CurationReport(
+            n_input, n_exact, n_near, n_qual, n_lang, n_out,
+            n_after_decontam=n_decontam, n_after_repetition=n_norep,
+        )
         if with_report
         else None
     )

@@ -117,6 +117,13 @@ def test_decontaminate_drops_planted_leaks(spark):
     # zero-tolerance also drops the incidental single-word overlap
     strict = {r.doc_id for r in decontaminate(docs, bench, min_shared=1).collect()}
     assert strict == {3, 4}
+    # the fraction form separates leaks (.56/.76) from shared vocabulary
+    # (.125) without knowing document lengths
+    frac = {
+        r.doc_id
+        for r in decontaminate(docs, bench, min_shared_frac=0.4).collect()
+    }
+    assert frac == {3, 4, 5}
     # empty benchmark: nothing to leak, everything survives
     kept_all = {
         r.doc_id

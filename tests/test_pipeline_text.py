@@ -128,3 +128,47 @@ def test_curate_report_counts_with_transitive_and_cap(spark, sf_dir):
         with_report=False,
     )
     assert {r.doc_id for r in out2.collect()} == ids
+
+
+def test_curate_corpus_decontam_and_repetition_stages(spark, sf_dir):
+    """The optional round-4 stages: a benchmark built FROM two corpus
+    docs must knock exactly those docs out, and a repetition ceiling
+    must drop a planted boilerplate doc; default-off runs report -1
+    for both stages."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    ).filter(F.col("doc_id") < 100)
+    leak_ids = {3, 17}
+    benchmark = docs.filter(F.col("doc_id").isin(list(leak_ids))).select(
+        F.col("doc_id").alias("bid"), "text"
+    )
+    boiler = spark.createDataFrame(
+        [(9_000_001, "menu item\n" * 40, "en", "src1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    corpus = docs.unionByName(boiler)
+
+    out, rep = curate_corpus(
+        corpus,
+        min_quality=0.0,
+        benchmark=benchmark,
+        decontam_min_shared_frac=0.8,
+        max_repetition=0.5,
+        jaccard_threshold=0.99,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert leak_ids.isdisjoint(ids)
+    assert 9_000_001 not in ids
+    # the stages are ordered: near-dup >= decontam >= repetition
+    assert (
+        rep.n_after_near_dedup
+        >= rep.n_after_decontam
+        >= rep.n_after_repetition
+        >= rep.n_after_quality
+    )
+    assert rep.n_after_decontam == rep.n_after_near_dedup - len(leak_ids)
+    assert rep.n_after_repetition == rep.n_after_decontam - 1
+
+    # default-off keeps prior behavior and marks the stages not-run
+    _, rep_off = curate_corpus(corpus, min_quality=0.0, jaccard_threshold=0.99)
+    assert rep_off.n_after_decontam == -1 and rep_off.n_after_repetition == -1

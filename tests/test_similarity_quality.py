@@ -176,20 +176,15 @@ def test_ivf_partitioned_store_prunes_lists(spark, sf_dir, tmp_path):
     (reading nprobe/n_lists of the files), and top-k over the pruned
     store must equal the in-memory operator."""
     from solarpaneldatawrangler_spark.operators.similarity import (
-        ivf_assign,
         ivf_centroids_for_dir,
         ivf_topk,
+        write_ivf_store,
     )
 
     cents = ivf_centroids_for_dir(sf_dir, n_lists=16)
     emb = load_table(spark, sf_dir, "embeddings")
     store = str(tmp_path / "ivf_store")
-    (
-        ivf_assign(emb, cents)
-        .write.partitionBy("list_id")
-        .mode("overwrite")
-        .parquet(store)
-    )
+    write_ivf_store(emb, store, cents)
 
     back = spark.read.parquet(store)
     probed = [0, 3, 7]
@@ -207,10 +202,8 @@ def test_ivf_partitioned_store_prunes_lists(spark, sf_dir, tmp_path):
     # list_id column skips re-assignment, so the internal isin filter
     # prunes at the scan) == over the raw table
     queries = emb.filter(F.col("vec_id") < 5)
-    store_corpus = back.select(
-        F.col("_i").alias("vec_id"), F.col("_v").alias("embedding"), "list_id"
-    )
-    a = ivf_topk(store_corpus, queries, k=10, nprobe=4, centroids=cents)
+    # write_ivf_store kept the caller's column names: read back as-is
+    a = ivf_topk(back, queries, k=10, nprobe=4, centroids=cents)
     plan_a = a._jdf.queryExecution().executedPlan().toString()
     assert "list_id" in plan_a.split("PartitionFilters")[1][:300]  # pruned scan
     b = ivf_topk(emb, queries, k=10, nprobe=4, centroids=cents)
