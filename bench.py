@@ -181,9 +181,12 @@ def _ivf_io_stats(spark, sf_dir: str) -> dict[str, int]:
 
 
 def _decontaminate_bench(spark, sf_dir):
-    """Benchmark decontamination at corpus scale: every 100th doc IS the
-    'benchmark', so the winnowing-overlap join must knock out exactly
-    those self-matches plus any true near-verbatim doc."""
+    """Benchmark decontamination THROUGHPUT probe: every 100th doc as
+    the 'benchmark'. The synthetic documents are heavily templated
+    (non-benchmark docs share 84-100% of fingerprints with a 1%
+    sample), so most of the corpus flags at any threshold — the
+    SEMANTIC separation proof lives in tests/test_curation_ops.py with
+    hand-written leaks; this times the two winnowing passes + join."""
     from pyspark.sql import functions as F
 
     from solarpaneldatawrangler_spark.operators.decontaminate import decontaminate

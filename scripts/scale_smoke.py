@@ -164,6 +164,33 @@ def main():
               language="en", with_report=False,
           )[0].count())
 
+    # benchmark decontamination at 55k docs vs a 550-doc "benchmark":
+    # two winnowing passes + broadcast fp_hash join, corpus-side groupBy
+    # reuses the winnowing exchange. Throughput probe only — the
+    # templated synthetic docs all exceed any overlap threshold
+    # (semantics: tests/test_curation_ops.py)
+    from solarpaneldatawrangler_spark.operators.decontaminate import decontaminate
+
+    bench = big.filter(FF.col("doc_id") % 100 == 0).select(
+        FF.col("doc_id").alias("bid"), "text"
+    )
+    timed("decontaminate 55k docs vs 550-doc benchmark",
+          lambda: decontaminate(big, bench, min_shared_frac=0.8).count())
+
+    # sequence packing at 1M synthetic docs into 32 shards: the only
+    # shuffle moves (id, n_tokens); the greedy runs per shard
+    from solarpaneldatawrangler_spark.operators.packing import pack_sequences
+
+    synth = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.transform(F.sequence(F.lit(1), (F.pmod(F.col("id"), 200) + 10).cast("int")),
+                             lambda i: F.lit("tok"))
+        ).alias("text"),
+    )
+    timed("pack_sequences 1M docs / 32 shards",
+          lambda: pack_sequences(synth, max_tokens=2048, n_shards=32).count())
+
 
 if __name__ == "__main__":
     main()

@@ -36,6 +36,7 @@ def contamination_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
+    doc_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document contamination: (doc_id, n_fps, n_shared, shared_frac).
 
@@ -44,15 +45,22 @@ def contamination_scores(
     ``shared_frac`` their ratio (0.0 for fingerprint-less short docs).
     Every input doc gets a row — callers threshold on n_shared or
     shared_frac without special-casing docs too short to fingerprint.
+
+    ``doc_fps``: a precomputed (id, fp_pos, fp_hash) relation for the
+    corpus (winnowing_fingerprints output, e.g. persisted once and
+    reused across many benchmarks / the near-dup pass) — at 100 TB the
+    corpus fingerprint pass is the dominant cost, so computing it once
+    and scoring N eval suites against it is the intended shape.
     """
-    doc_fps = winnowing_fingerprints(
-        docs.select(F.col(id_col), F.col(text_col)),
-        text_col=text_col,
-        id_col=id_col,
-        k=k,
-        w=w,
-        reproducible=True,
-    )
+    if doc_fps is None:
+        doc_fps = winnowing_fingerprints(
+            docs.select(F.col(id_col), F.col(text_col)),
+            text_col=text_col,
+            id_col=id_col,
+            k=k,
+            w=w,
+            reproducible=True,
+        )
     # benchmark rows need DISTINCT ids (the winnowing window partitions
     # by id — shared ids would chain k-grams across unrelated rows);
     # only the fingerprint HASH set is consumed downstream, so the
@@ -112,6 +120,7 @@ def decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     bench_text_col: str = "text",
+    doc_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Drop documents sharing >= ``min_shared`` winnowing fingerprints
     with the benchmark; returns the surviving docs unchanged. The doc
@@ -125,6 +134,7 @@ def decontaminate(
     scores = contamination_scores(
         docs, benchmark, k=k, w=w,
         id_col=id_col, text_col=text_col, bench_text_col=bench_text_col,
+        doc_fps=doc_fps,
     )
     if min_shared_frac is not None:
         cond = F.col("shared_frac") >= min_shared_frac

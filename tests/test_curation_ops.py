@@ -124,6 +124,18 @@ def test_decontaminate_drops_planted_leaks(spark):
         for r in decontaminate(docs, bench, min_shared_frac=0.4).collect()
     }
     assert frac == {3, 4, 5}
+    # precomputed-fingerprint reuse (the score-N-benchmarks-at-scale
+    # shape) must give identical results to the inline pass
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+
+    fps = winnowing_fingerprints(docs, k=5, w=4).localCheckpoint()
+    reused = {
+        r.doc_id
+        for r in decontaminate(docs, bench, min_shared=5, doc_fps=fps).collect()
+    }
+    assert reused == kept
     # empty benchmark: nothing to leak, everything survives
     kept_all = {
         r.doc_id
