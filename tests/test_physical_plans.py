@@ -119,3 +119,48 @@ def test_bench_headline_names_exist_in_catalog():
 
     missing = [n for n in bench.HEADLINE if n not in CATALOG]
     assert not missing, missing
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark fingerprint side must BROADCAST (adds no corpus
+    shuffle) and nothing may demote to a cross product; the corpus-side
+    aggregation must partial-aggregate before its exchange."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.decontaminate import (
+        contamination_scores,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bid"), "text"
+    )
+    plan = (
+        contamination_scores(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_single_exchange_no_text(spark, sf_dir):
+    """Packing's one shuffle moves (id, n_tokens, shard) only: exactly
+    one Exchange in the plan, and the text column must not survive past
+    the scan-side projection into the exchange."""
+    from solarpaneldatawrangler_spark.operators.packing import pack_sequences
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = (
+        pack_sequences(docs, max_tokens=2048, n_shards=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan
+    post_exchange = plan.split("Exchange")[0]  # nodes ABOVE the exchange
+    assert "text" not in post_exchange, post_exchange
