@@ -66,18 +66,10 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles joined with a space → array<string> (distinct)."""
-    toks = tokens(text)
-    count = F.size(toks) - F.lit(k - 1)
-    return F.when(
-        count >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), count),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """k-word shingles joined with a space → array<string> (distinct).
+    Defined as the distinct of word_ngrams so the shingle-construction
+    logic (tokenization, sequence guard) lives in ONE place."""
+    return F.array_distinct(word_ngrams(text, k))
 
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
@@ -124,8 +116,8 @@ def lang_marker_score(text: Column, lang: str) -> Column:
 
 
 def word_ngrams(text: Column, n: int = 2) -> Column:
-    """Word n-grams WITH multiplicity (unlike word_shingles, which
-    distincts) → array<string>. The repetition signals below need the
+    """Word n-grams WITH multiplicity (word_shingles = this,
+    distincted) → array<string>. The repetition signals below need the
     duplicates."""
     toks = tokens(text)
     count = F.size(toks) - F.lit(n - 1)
@@ -139,9 +131,15 @@ def word_ngrams(text: Column, n: int = 2) -> Column:
 
 
 def nonempty_lines(text: Column) -> Column:
-    """Trimmed non-empty lines → array<string> (with multiplicity)."""
+    """Trimmed non-empty lines → array<string> (with multiplicity).
+    Trimming is full-whitespace (regexp, matching Python str.strip) —
+    F.trim strips ASCII spaces only, so CRLF files' trailing \\r and
+    tab-only 'blank' lines would otherwise count as content lines."""
     return F.filter(
-        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        F.transform(
+            F.split(text, r"\n"),
+            lambda l: F.regexp_replace(l, r"^\s+|\s+$", ""),
+        ),
         lambda l: F.length(l) > 0,
     )
 

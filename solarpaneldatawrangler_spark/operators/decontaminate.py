@@ -52,6 +52,37 @@ def contamination_scores(
     corpus fingerprint pass is the dominant cost, so computing it once
     and scoring N eval suites against it is the intended shape.
     """
+    per_doc = _per_doc_overlap(
+        docs, benchmark, k, w, id_col, text_col, bench_text_col, doc_fps
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            F.coalesce("shared_frac", F.lit(0.0)).alias("shared_frac"),
+        )
+    )
+
+
+def _per_doc_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int,
+    w: int,
+    id_col: str,
+    text_col: str,
+    bench_text_col: str,
+    doc_fps: DataFrame | None,
+) -> DataFrame:
+    """(id_col, n_fps, n_shared, shared_frac) for every doc holding at
+    least one fingerprint — the shared core. contamination_scores
+    left-joins this back onto the corpus ids to add zero rows (its
+    every-doc-gets-a-row contract); decontaminate thresholds it
+    DIRECTLY — a doc absent here can never be flagged, so the
+    corpus-wide ids join would be pure overhead there."""
     if doc_fps is None:
         doc_fps = winnowing_fingerprints(
             docs.select(F.col(id_col), F.col(text_col)),
@@ -94,19 +125,9 @@ def contamination_scores(
             ).alias("n_shared"),
         )
     )
-    return (
-        docs.select(F.col(id_col))
-        .join(per_doc, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            F.round(
-                F.coalesce("n_shared", F.lit(0))
-                / F.greatest(F.coalesce("n_fps", F.lit(0)), F.lit(1)),
-                6,
-            ).alias("shared_frac"),
-        )
+    return per_doc.withColumn(
+        "shared_frac",
+        F.round(F.col("n_shared") / F.col("n_fps"), 6),  # n_fps >= 1 here
     )
 
 
@@ -131,10 +152,12 @@ def decontaminate(
     draw on shared vocabulary (absolute counts rise with doc length;
     the fraction separates "contains the benchmark item" from "uses the
     same common phrases")."""
-    scores = contamination_scores(
-        docs, benchmark, k=k, w=w,
-        id_col=id_col, text_col=text_col, bench_text_col=bench_text_col,
-        doc_fps=doc_fps,
+    if min_shared_frac is not None and min_shared_frac <= 0:
+        raise ValueError("min_shared_frac must be > 0 (0 would drop everything)")
+    if min_shared_frac is None and min_shared < 1:
+        raise ValueError("min_shared must be >= 1 (0 would drop everything)")
+    scores = _per_doc_overlap(
+        docs, benchmark, k, w, id_col, text_col, bench_text_col, doc_fps
     )
     if min_shared_frac is not None:
         cond = F.col("shared_frac") >= min_shared_frac

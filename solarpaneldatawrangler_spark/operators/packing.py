@@ -60,9 +60,12 @@ def pack_sequences(
         if count_col is not None
         else token_count(F.col(text_col)).cast("long")
     )
+    # null text (raw scrapes) counts as 0 tokens instead of arriving in
+    # pandas as NaN and crashing int(); null ids would form a None group
+    # key — fail loudly in the UDF below instead of a cryptic TypeError
     slim = docs.select(
         F.col(id_col).cast("long").alias("_id"),
-        n_tok.alias("n_tokens"),
+        F.coalesce(n_tok, F.lit(0)).alias("n_tokens"),
         F.pmod(F.col(id_col).cast("long"), F.lit(n_shards))
         .cast("int")
         .alias("shard"),
@@ -74,6 +77,11 @@ def pack_sequences(
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
         (shard,) = key
+        if shard is None or pdf["_id"].isna().any():
+            raise ValueError(
+                f"pack_sequences: null {id_col} in input — assign ids "
+                "before packing (pack order and pack_id derive from them)"
+            )
         pdf = pdf.sort_values("_id")
         seqs, offs = [], []
         seq, acc = 0, 0

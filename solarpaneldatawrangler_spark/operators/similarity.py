@@ -633,7 +633,13 @@ def _half_up(x, dp: int):
     y = np.abs(x) * s
     fast = np.sign(x) * np.floor(y + 0.5) / s
     frac = y - np.floor(y)
-    boundary = np.nonzero(np.abs(frac - 0.5) < 1e-9)[0]
+    # the fast and exact paths can only disagree where y's fraction sits
+    # within the float error of computing y from the decimal value of x
+    # — a few ulps of y, so the detection window must SCALE with y (a
+    # fixed 1e-9 would miss boundaries once |x|*10^dp exceeds ~1e7,
+    # e.g. dp=8 on unit-scale cosines where ulp(y) ~ 1.5e-8)
+    tol = np.maximum(1e-9, y * 2.0 ** -50)
+    boundary = np.nonzero(np.abs(frac - 0.5) < tol)[0]
     if len(boundary):
         q = Decimal(1).scaleb(-dp)
         exact = [

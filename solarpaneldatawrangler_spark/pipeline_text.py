@@ -169,6 +169,11 @@ def curate_corpus(
             min_shared_frac=decontam_min_shared_frac,
             id_col=id_col, text_col=text_col,
         )
+        if with_report:
+            # same reasoning as the near-dup checkpoint: the winnowing
+            # fingerprint pass is the dominant cost, and every
+            # downstream stage count would re-execute it otherwise
+            clean = clean.localCheckpoint()
     else:
         clean = near
     n_decontam = clean.count() if (with_report and benchmark is not None) else -1

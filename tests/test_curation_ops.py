@@ -172,6 +172,10 @@ def test_repetition_signals_match_reference(spark):
         (4, "normal prose with no repeated bigrams at all here"),
         (5, ""),
         (6, "  \n \n  "),  # whitespace-only lines
+        # CRLF + tab-only lines: \r and \t must strip like Python's
+        # str.strip() (F.trim would keep them, inflating the fraction)
+        (7, "alpha\r\n\r\nbeta\r\n\t\r\ngamma\r\n\r\ndelta"),
+        (8, "same line\r\nsame line\r\nother\r\n"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {
@@ -256,3 +260,23 @@ def test_pack_sequences_sharding(spark):
         pack_sequences(df, max_tokens=0)
     with pytest.raises(ValueError):
         pack_sequences(df, max_tokens=10, n_shards=0)
+
+
+def test_pack_sequences_null_text_and_null_id(spark):
+    """Raw-scrape robustness: null text packs as 0 tokens (instead of a
+    NaN crash inside the UDF); a null id fails LOUDLY with a clear
+    message, since pack order derives from ids."""
+    from solarpaneldatawrangler_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "five tokens of text here"), (2, None), (3, "short doc")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_tokens for r in pack_sequences(df, max_tokens=10).collect()}
+    assert got == {1: 5, 2: 0, 3: 2}
+
+    bad = spark.createDataFrame(
+        [(None, "orphan row"), (4, "ok")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="null doc_id"):
+        pack_sequences(bad, max_tokens=10).collect()

@@ -341,9 +341,14 @@ def test_half_up_matches_spark_round_exactly(spark):
     vals += [0.12345, -0.12345, 0.00005, -0.00005, 2.675, -2.675,
              0.99995, -0.99995, 0.5, -0.5, 0.0, 1.0, -1.0]
     vals += [round(n / 20000, 10) for n in range(-40, 40)]  # n*0.00005
+    # dp=8 boundaries on unit-scale cosines: |x|*1e8 has ulp ~1.5e-8,
+    # larger than a fixed 1e-9 detection window — the case that forced
+    # the magnitude-scaled tolerance in _half_up
+    vals += [round(n / 2e8, 16) for n in range(-30, 30)]
+    vals += [round(0.1 + n / 2e8, 16) for n in range(-20, 20)]
     vals = [float(v) for v in vals]
 
-    for dp in (2, 4, 6):
+    for dp in (2, 4, 6, 8):
         df = spark.createDataFrame([(v,) for v in vals], "x double")
         jvm = [r[0] for r in df.select(F.round("x", dp).alias("r")).collect()]
         ours = _half_up(np.array(vals), dp)
