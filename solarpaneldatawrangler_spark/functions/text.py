@@ -177,6 +177,42 @@ def repeated_ngram_fraction(text: Column, n: int = 2) -> Column:
     )
 
 
+# PII patterns, deliberately conservative (favor precision — corpus
+# curation redacts what it is SURE about and leaves ambiguous spans to
+# heavier NER passes): RFC-ish emails, international/US phone shapes
+# with separators, dotted-quad IPv4.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "PHONE": r"(?<![0-9])(?:\+?[0-9]{1,3}[-. ])?(?:\([0-9]{3}\)[-. ]?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}(?![0-9])",
+    "IP": r"(?<![0-9.])(?:[0-9]{1,3}\.){3}[0-9]{1,3}(?![0-9.])",
+}
+
+
+def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
+    """Replace PII spans with ``<KIND>`` markers — the standard scrub
+    gate before training-data release. Pure regexp_replace chain
+    (codegen, runs inside the scan). The patterns use lookarounds for
+    boundary precision (Java/Python regex; NOT RE2 — so the oracle is
+    a Python ``re`` reference, not DuckDB). ``kinds`` selects/reorders
+    from PII_PATTERNS (default: all, in dict order — EMAIL before
+    PHONE so an address's digits aren't half-eaten by the phone
+    pattern first)."""
+    out = text
+    for kind in kinds or list(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind}>")
+    return out
+
+
+def pii_count(text: Column, kinds: list[str] | None = None) -> Column:
+    """Total PII matches (the redaction-audit metric)."""
+    total = F.lit(0)
+    for kind in kinds or list(PII_PATTERNS):
+        total = total + F.size(
+            F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0))
+        )
+    return total
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercased text. Stable across engines (md5 is standard), so it

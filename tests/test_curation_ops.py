@@ -195,6 +195,54 @@ def test_repetition_signals_match_reference(spark):
     assert out[3][1] == 0.8  # "the the" x5 -> 4 of 5 bigrams repeat
 
 
+def test_redact_pii_matches_python_reference(spark):
+    """redact_pii / pii_count vs Python re (same lookaround semantics
+    as the JVM regex engine): emails, phone shapes, IPv4 — and
+    non-PII near-misses (versions, decimals, bare long numbers) must
+    survive untouched."""
+    import re
+
+    from solarpaneldatawrangler_spark.functions.text import (
+        PII_PATTERNS,
+        pii_count,
+        redact_pii,
+    )
+
+    docs = [
+        (1, "contact jane.doe+spam@example.co.uk or call 555-867-5309 now"),
+        (2, "server at 192.168.1.254 answered; fallback (303) 555-0144"),
+        (3, "version 1.2.3.4.5 and pi 3.14159 and order 123456789 stay"),
+        (4, "intl +44 020-7946-0958 vs decimal 10.5 vs ip 8.8.8.8"),
+        (5, "no pii at all in this line"),
+        (6, ""),
+    ]
+
+    def py_redact(t):
+        for kind, pat in PII_PATTERNS.items():
+            t = re.sub(pat, f"<{kind}>", t)
+        return t
+
+    def py_count(t):
+        return sum(len(re.findall(p, t)) for p in PII_PATTERNS.values())
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.red, r.n)
+        for r in df.select(
+            "doc_id",
+            redact_pii(F.col("text")).alias("red"),
+            pii_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    for did, text in docs:
+        assert out[did] == (py_redact(text), py_count(text)), f"doc {did}"
+    # semantic spot checks, not just engine parity
+    assert "<EMAIL>" in out[1][0] and "<PHONE>" in out[1][0]
+    assert "<IP>" in out[2][0] and "<PHONE>" in out[2][0]
+    assert out[3] == (docs[2][1], 0)  # near-misses untouched
+    assert out[5] == ("", 0)
+
+
 def _py_next_fit(items: list[tuple[int, int]], max_tokens: int):
     """(id, n_tokens) in id order -> {id: (seq, offset)} greedy next-fit."""
     out, seq, acc = {}, 0, 0
