@@ -240,7 +240,7 @@ def test_redact_pii_matches_python_reference(spark):
     assert "<EMAIL>" in out[1][0] and "<PHONE>" in out[1][0]
     assert "<IP>" in out[2][0] and "<PHONE>" in out[2][0]
     assert out[3] == (docs[2][1], 0)  # near-misses untouched
-    assert out[5] == ("", 0)
+    assert out[6] == ("", 0)
 
 
 def _py_next_fit(items: list[tuple[int, int]], max_tokens: int):
