@@ -266,22 +266,26 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.sources.star import ensure_session_confs
 
     ensure_session_confs(spark)  # UTC: window starts convert via session TZ
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),  # nanos (see sources.star)
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
-    )
+    # readStream needs an explicit schema; sniff it from a batch read of
+    # the SAME file so the stream tracks whatever the generator wrote —
+    # ts has shipped as both TIMESTAMP(NANOS) (a long under nanosAsLong)
+    # and timestamp_ntz across testdata generations. Hardcoding LongType
+    # here silently mis-decoded the ntz generation into 1970 windows.
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema).get("ts")
+    if ts_type == "bigint":
+        # epoch nanos → micro-precision timestamp (integer div: nanos
+        # exceed 2^53, double arithmetic would lose ±1us)
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # watermarks demand tz-aware TIMESTAMP; the session TZ is pinned
+        # UTC above, so this cast preserves the wall clock exactly
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
