@@ -199,6 +199,20 @@ def _decontaminate_bench(spark, sf_dir):
     return decontaminate(docs, bench, min_shared_frac=0.8)
 
 
+def _semdedup_bench(spark, sf_dir):
+    """SemDeDup over the embeddings table: one narrow assignment stage,
+    one list_id shuffle, per-cluster blocked pairwise cosine. Threshold
+    0.4 matches the corpus' planted near-dup band (q63)."""
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        ivf_centroids_for_dir,
+        semantic_dedup_pairs,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_pairs(emb, ivf_centroids_for_dir(sf_dir), threshold=0.4)
+
+
 def _pack_bench(spark, sf_dir):
     """Greedy sequence packing over the documents table: token counting
     rides the scan, one (id, n_tokens) shuffle into 8 shards."""
@@ -230,6 +244,7 @@ EXTRA = {
     "x_ivf_store_full": lambda spark, sf_dir: _ivf_store_topk(spark, sf_dir, False),
     "x_decontaminate": _decontaminate_bench,
     "x_pack_sequences": _pack_bench,
+    "x_semantic_dedup": _semdedup_bench,
 }
 
 

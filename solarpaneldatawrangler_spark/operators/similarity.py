@@ -796,3 +796,123 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# --- SemDeDup (semantic deduplication) ---------------------------------------
+
+def semantic_dedup_pairs(
+    vectors: DataFrame,
+    centroids: list[list[float]] | None = None,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+    max_cluster: int = 32768,
+) -> DataFrame:
+    """Semantic near-duplicate pairs, SemDeDup-style (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the IVF coarse quantizer
+    (deterministic sample-trained k-means — the SAME centroids the ANN
+    index uses, so one trained quantizer serves both retrieval and
+    dedup), then compare pairs ONLY within a cluster and keep those with
+    rounded cosine >= ``threshold``.
+
+    Returns (id_a, id_b, list_id, cos_r) with id_a < id_b.
+
+    Plan shape (the 100 TB path): assignment rides the scan in one
+    narrow mapInPandas stage (ivf_assign — no shuffle), then ONE shuffle
+    hash-partitions by list_id for the per-cluster pairwise stage. The
+    quadratic term is per-cluster, not global: cost is sum_c |c|^2, so
+    scaling data 100x with n_lists raised 100x keeps cluster sizes — and
+    per-task memory — constant. Pairs that straddle clusters are
+    invisible by design (the SemDeDup trade: the paper reports the lost
+    recall is negligible at dedup-grade thresholds because near-identical
+    points quantize together). For threshold-recall guarantees across
+    cluster boundaries use lsh_neardup_pairs instead.
+
+    Within a cluster the pairwise cosine is a blocked BLAS matmul
+    (row-blocks bound memory at block x cluster), and the cut happens
+    JVM-side on F.round so the half-up rule matches the SQL oracle.
+
+    ``max_cluster`` is a LOUD guard: a cluster past it means the
+    quantizer is too coarse for the corpus (raise ``n_lists``) — fail
+    with the cluster id instead of silently OOMing an executor.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            vectors, n_lists=n_lists, id_col=id_col, vec_col=vec_col
+        )
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+
+    def cluster_pairs(key, pdf):
+        c = len(pdf)
+        if c > max_cluster:
+            raise ValueError(
+                f"semantic_dedup_pairs: cluster {key[0]} has {c} vectors "
+                f"(max_cluster={max_cluster}); raise n_lists so clusters "
+                "stay bounded"
+            )
+        out = {"id_a": [], "id_b": [], "list_id": [], "cos": []}
+        if c >= 2:
+            order = np.argsort(pdf["_i"].to_numpy(), kind="stable")
+            ids = pdf["_i"].to_numpy()[order]
+            mat = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )[order]
+            mat /= np.linalg.norm(mat, axis=1)[:, None]
+            # ids are sorted, so rows of the i-block only pair with
+            # LATER columns (id_a < id_b) — upper triangle, blockwise
+            block = 1024
+            for s in range(0, c - 1, block):
+                e = min(s + block, c)
+                sims = mat[s:e] @ mat[s + 1:].T  # (e-s, c-s-1)
+                ii, jj = np.nonzero(sims >= threshold - 10.0 ** -round_dp)
+                jj = jj + s + 1
+                keep = jj > ii + s  # strictly upper triangle
+                out["id_a"].extend(ids[ii[keep] + s])
+                out["id_b"].extend(ids[jj[keep]])
+                out["cos"].extend(sims[ii[keep], jj[keep] - s - 1])
+        out["list_id"] = [int(key[0])] * len(out["id_a"])
+        return pd.DataFrame(out, columns=["id_a", "id_b", "list_id", "cos"])
+
+    pairs = assigned.groupBy("list_id").applyInPandas(
+        cluster_pairs, "id_a long, id_b long, list_id int, cos double"
+    )
+    # authoritative cut on the JVM-side rounded value (HALF_UP, matching
+    # the oracle's ROUND); the NumPy pre-filter above kept a one-ulp-of-
+    # round_dp margin so boundary pairs survive to this exact cut
+    return (
+        pairs.withColumn("cos_r", F.round("cos", round_dp))
+        .filter(F.col("cos_r") >= threshold)
+        .select("id_a", "id_b", "list_id", "cos_r")
+    )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    centroids: list[list[float]] | None = None,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """SemDeDup keep-set: drop every vector that has a semantically
+    near-identical neighbor with a smaller id in its cluster (keep-first,
+    same deterministic rule as curate_corpus's near-dup stage). Returns
+    the kept rows of ``vectors`` unchanged.
+
+    The drop side is ids-only (id_b of each pair), so the anti-join
+    moves 8-byte keys; at dedup-grade thresholds near-identical groups
+    are cliques and keep-first retains exactly the min id per group.
+    For chain-shaped duplicate graphs compose connected_components over
+    the pairs (pipeline_text.curate_corpus shows the pattern).
+    """
+    pairs = semantic_dedup_pairs(
+        vectors, centroids, threshold, n_lists, id_col, vec_col, round_dp
+    )
+    drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return vectors.join(drops, id_col, "left_anti")
