@@ -213,6 +213,17 @@ def _semdedup_bench(spark, sf_dir):
     return semantic_dedup_pairs(emb, ivf_centroids_for_dir(sf_dir), threshold=0.4)
 
 
+def _bm25_bench(spark, sf_dir):
+    """BM25 scoring of the documents table against a 3-term query: two
+    column-pruned scans (1-row stats agg, then scoring), zero corpus
+    shuffle, no explode."""
+    from solarpaneldatawrangler_spark.operators.ranking import bm25_scores
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, ["vector", "hash", "spark"])
+
+
 def _pack_bench(spark, sf_dir):
     """Greedy sequence packing over the documents table: token counting
     rides the scan, one (id, n_tokens) shuffle into 8 shards."""
@@ -245,6 +256,7 @@ EXTRA = {
     "x_decontaminate": _decontaminate_bench,
     "x_pack_sequences": _pack_bench,
     "x_semantic_dedup": _semdedup_bench,
+    "x_bm25": _bm25_bench,
 }
 
 
