@@ -43,6 +43,7 @@ def bm25_scores(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_dp: int = 6,
+    extras: dict[str, Column] | None = None,
 ) -> DataFrame:
     """BM25 relevance of every document against a bag-of-terms query.
 
@@ -57,6 +58,11 @@ def bm25_scores(
     operators). Duplicate query terms are deduped — BM25's saturation
     already models within-query repetition poorly, and deduping keeps
     the score independent of query phrasing.
+
+    ``extras`` maps output column name -> Column over ``docs``'s raw
+    columns; each rides the same scan and comes out next to ``bm25_r``.
+    This is how q51_token_stats carries its token statistics and the
+    BM25 probe in ONE documents pass instead of a scan + re-scan join.
     """
     if not terms:
         raise ValueError("bm25_scores: empty term list")
@@ -68,10 +74,14 @@ def bm25_scores(
     # tokenize ONCE as a shared attribute: inlining tokens(text) into
     # every per-term tf would re-run the split per term (the q66
     # CollapseProject lesson — measured 300x there)
+    extras = extras or {}
     base = docs.select(
-        F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("_toks")
+        F.col(id_col).alias("id"),
+        tokens(F.col(text_col)).alias("_toks"),
+        *[c.alias(n) for n, c in extras.items()],
     ).select(
         "id",
+        *extras,
         F.size("_toks").alias("_dl"),
         *[_tf(F.col("_toks"), t).alias(f"_tf{i}") for i, t in enumerate(uniq)],
     )
@@ -87,8 +97,16 @@ def bm25_scores(
         ],
     )
     scored = base.join(F.broadcast(stats))
+    # _avgdl guard: if every document tokenizes empty, _dl/_avgdl would
+    # be 0/0 = NaN and poison every score; the documented contract is
+    # 0.0 for zero-match docs, so the length-norm term degrades to
+    # k1*(1-b). Operand order inside the branch stays (b*dl)/avgdl —
+    # the exact sequence the SQL oracle computes.
     norm = F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+        F.lit(1.0 - b)
+        + F.when(
+            F.col("_avgdl") > 0, F.lit(b) * F.col("_dl") / F.col("_avgdl")
+        ).otherwise(F.lit(0.0))
     )
     score: Column = F.lit(0.0)
     for i in range(len(uniq)):
@@ -100,7 +118,9 @@ def bm25_scores(
         tf = F.col(f"_tf{i}")
         score = score + idf * tf * F.lit(k1 + 1.0) / (tf + norm)
     return scored.select(
-        F.col("id").alias(id_col), F.round(score, round_dp).alias("bm25_r")
+        F.col("id").alias(id_col),
+        *extras,
+        F.round(score, round_dp).alias("bm25_r"),
     )
 
 

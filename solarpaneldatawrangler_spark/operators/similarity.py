@@ -862,10 +862,19 @@ def semantic_dedup_pairs(
             mat = np.vstack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
             )[order]
-            mat /= np.linalg.norm(mat, axis=1)[:, None]
+            # zero-norm vectors: dividing by 0 would NaN the row and
+            # make it silently fail every comparison; clamping the norm
+            # to 1 leaves the row all-zero, so its cosine with anything
+            # is 0.0 — i.e. zero vectors are self-distinct by contract
+            # (they carry no direction to be "near" anything)
+            nrm = np.linalg.norm(mat, axis=1)
+            mat /= np.where(nrm == 0.0, 1.0, nrm)[:, None]
             # ids are sorted, so rows of the i-block only pair with
-            # LATER columns (id_a < id_b) — upper triangle, blockwise
-            block = 1024
+            # LATER columns (id_a < id_b) — upper triangle, blockwise.
+            # Block height scales DOWN as the cluster grows so the sims
+            # buffer stays ~128 MB (block * c * 8B) no matter where
+            # between 2 and max_cluster the cluster lands.
+            block = min(1024, max(64, (128 << 20) // (8 * c)))
             for s in range(0, c - 1, block):
                 e = min(s + block, c)
                 sims = mat[s:e] @ mat[s + 1:].T  # (e-s, c-s-1)

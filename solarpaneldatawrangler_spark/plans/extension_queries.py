@@ -53,36 +53,87 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-# --- token counting ----------------------------------------------------------
+# --- token counting + BM25 probe --------------------------------------------
+
+# the fixed bag-of-terms query the BM25 probe scores the corpus against
+# (terms chosen to have non-trivial df in the synthetic corpus — the
+# same list tests/test_ranking.py oracles against)
+_BM25_TERMS = ["vector", "hash", "spark"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+def _bm25_oracle_fragment(terms: list[str], k1: float, b: float) -> str:
+    """DuckDB replay of operators/ranking.bm25_scores: per-term tf and
+    dl per doc, ONE global stats row (N, avgdl, per-term df), score
+    summed in term order with the same operand sequence as the Spark
+    expression tree (idf * tf * (k1+1) / (tf + k1*(1-b + b*dl/avgdl)))
+    so the 6dp rounding sees identical doubles."""
+    tf_cols = ",\n".join(
+        f"len(list_filter({_SQL_TOKS}, t -> t = '{t}')) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * {k1 + 1.0} / (tf_{i} + {k1} * (1.0 - {b}"
+        f" + CASE WHEN avgdl > 0 THEN {b} * dl / avgdl ELSE 0.0 END))"
+        for i in range(len(terms))
+    )
+    return f"""
+    bmbase AS (
+        SELECT doc_id, len({_SQL_TOKS}) AS dl, {tf_cols} FROM documents
+    ),
+    bmstats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl, {df_cols} FROM bmbase
+    ),
+    bm AS (SELECT doc_id, ROUND({score}, 6) AS bm25_r FROM bmbase, bmstats)
+    """
+
 
 @register(
     "q51_token_stats",
     oracle=f"""
-    SELECT doc_id,
+    WITH {_bm25_oracle_fragment(_BM25_TERMS, _BM25_K1, _BM25_B)}
+    SELECT d.doc_id,
            len({_SQL_TOKS}) AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
            length(text) AS n_chars_actual,
            ROUND(CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum') AS DOUBLE)
-                 / GREATEST(len({_SQL_TOKS}), 1), 6) AS mean_word_len
-    FROM documents
+                 / GREATEST(len({_SQL_TOKS}), 1), 6) AS mean_word_len,
+           bm.bm25_r
+    FROM documents d JOIN bm USING (doc_id)
     """,
     doc="Token counting for LLM-cost estimation as pure array expressions "
-    "in the scan stage, zero shuffle: whitespace tokens, GPT-2-pre-"
-    "tokenizer-style BPE-ish segmentation (letter runs / digit runs / "
-    "punctuation, RE2-compatible regexp_extract_all), and mean word "
-    "length.",
+    "in the scan stage, zero corpus shuffle: whitespace tokens, GPT-2-"
+    "pre-tokenizer-style BPE-ish segmentation (letter runs / digit runs "
+    "/ punctuation, RE2-compatible regexp_extract_all), mean word "
+    "length, PLUS the BM25 relevance probe (operators/ranking.py) "
+    "against a fixed term query — all riding ONE documents pass via "
+    "bm25_scores' extras pass-through; the only non-scan work is the "
+    "1-row corpus-stats aggregate broadcast back (the documented "
+    "1-row BroadcastNestedLoopJoin).",
 )
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.ranking import bm25_scores
+
     docs = load_table(spark, sf_dir, "documents")
     bpe = F.regexp_extract_all(
         F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
     )
-    return docs.select(
-        "doc_id",
-        F.size(tokens(F.col("text"))).alias("n_tokens"),
-        F.size(bpe).alias("n_bpe_tokens"),
-        F.length("text").alias("n_chars_actual"),
-        F.round(mean_word_length(F.col("text")), 6).alias("mean_word_len"),
+    return bm25_scores(
+        docs,
+        _BM25_TERMS,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        extras={
+            "n_tokens": F.size(tokens(F.col("text"))),
+            "n_bpe_tokens": F.size(bpe),
+            "n_chars_actual": F.length("text"),
+            "mean_word_len": F.round(mean_word_length(F.col("text")), 6),
+        },
     )
 
 

@@ -83,26 +83,118 @@ def _neardup_oracle_sql() -> str:
     """
 
 
+def _semdedup_oracle_cte() -> str:
+    """DuckDB replay of operators/similarity.semantic_dedup_pairs as a
+    CTE block: the trained IVF centroids (ivf_centroids_for_dir at
+    ORACLE_SF_DIR — the SAME function/dir q67's oracle uses, the driver
+    contract) as VALUES, assignment = argmax(v.c - |c|^2/2) with
+    low-list tiebreak, pairs = within-list self-join, cut on
+    ROUND(cosine, 4). Lifted from tests/test_semdedup.py's
+    _semdedup_oracle_sql, which cross-checks it per-pytest-run."""
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        ivf_centroids_for_dir,
+    )
+    from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
+
+    cents = ivf_centroids_for_dir(ORACLE_SF_DIR)
+    values = ",\n".join(
+        f"({l},{j + 1},{w!r})"
+        for l, cent in enumerate(cents)
+        for j, w in enumerate(cent)
+    )
+    return f"""
+    cent(l, j, w) AS (VALUES {values}),
+    cn AS (SELECT l, SUM(w * w) AS n2 FROM cent GROUP BY l),
+    dots AS (
+        SELECT e.vec_id, c.l, SUM(CAST(e.embedding[c.j] AS DOUBLE) * c.w) AS dot
+        FROM embeddings e JOIN cent c ON c.j <= len(e.embedding)
+        GROUP BY e.vec_id, c.l
+    ),
+    sc AS (
+        SELECT d.vec_id, d.l, ROW_NUMBER() OVER (
+                   PARTITION BY d.vec_id
+                   ORDER BY d.dot - cn.n2 / 2 DESC, d.l) AS rn
+        FROM dots d JOIN cn USING (l)
+    ),
+    assigned AS (SELECT vec_id, l FROM sc WHERE rn = 1),
+    sempairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, CAST(a.l AS INT) AS list_id,
+               ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])), 4)
+                   AS cos_r
+        FROM assigned a
+        JOIN assigned b ON a.l = b.l AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+    )
+    """
+
+
+def _neardup_union_oracle_or_none() -> str | None:
+    """Union oracle for the merged q63: LSH pairs tagged 'lsh' (list_id
+    NULL) + SemDeDup pairs tagged 'sem'. The SemDeDup half needs the
+    driver's sf0.01 embeddings on disk at import time (centroid
+    training); if absent, degrade to rows-only instead of failing the
+    catalog import (q67's pattern)."""
+    try:
+        sem = _semdedup_oracle_cte()
+    except Exception:
+        return None
+    # the LSH fragment, re-bodied: same CTEs, final select tagged
+    lsh_body = _neardup_oracle_sql()
+    lsh_ctes = lsh_body.split("WITH", 1)[1].rsplit("SELECT id_a", 1)[0]
+    return f"""
+    WITH {lsh_ctes.rstrip().rstrip(",")} ,
+    {sem.strip().strip(",")}
+    SELECT 'lsh' AS method, id_a, id_b, CAST(NULL AS INT) AS list_id, cos_r
+    FROM scored WHERE cos_r >= 0.4
+    UNION ALL
+    SELECT 'sem' AS method, id_a, id_b, list_id, cos_r
+    FROM sempairs WHERE cos_r >= 0.4
+    """
+
+
 @register(
     "q63_embedding_neardup",
-    oracle=_neardup_oracle_sql(),
-    doc="Embedding-cosine near-duplicate pairs via sign-LSH bucketing "
-    "(8 planes x 6 tables) + exact cosine verify — the 100 TB path: "
-    "candidate pairs come from a hash-partitioned self-EQUI-join on "
-    "(table, signature), never the all-pairs theta-join "
-    "(BroadcastNestedLoopJoin plan-asserted absent). Cosine rounded to "
-    "4dp before the threshold so float summation order can't flip "
-    "membership; the deterministic hyperplanes are replayed in SQL as a "
-    "VALUES table so DuckDB reproduces buckets, candidates, and the "
-    "final pair set exactly.",
+    oracle=_neardup_union_oracle_or_none(),
+    doc="Embedding near-duplicate pairs by BOTH scale paths, union-"
+    "tagged by method. 'lsh': sign-LSH bucketing (8 planes x 6 tables) "
+    "+ exact cosine verify — candidate pairs from a hash-partitioned "
+    "self-EQUI-join on (table, signature), never the all-pairs "
+    "theta-join (BroadcastNestedLoopJoin plan-asserted absent). 'sem': "
+    "SemDeDup (Abbas et al. 2023) — cluster with the shared IVF coarse "
+    "quantizer, per-cluster blocked-BLAS pairwise, JVM-side rounded "
+    "cut; the quadratic term is per-cluster (sum |c|^2), loudly "
+    "bounded by max_cluster. Cosines rounded to 4dp before the "
+    "threshold so float summation order can't flip membership; "
+    "hyperplanes AND trained centroids replay in SQL as VALUES tables "
+    "so DuckDB reproduces buckets, clusters, candidates, and both "
+    "final pair sets exactly (centroids trained at ORACLE_SF_DIR, "
+    "where the driver runs the gate — q67 contract).",
 )
 def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from solarpaneldatawrangler_spark.operators.similarity import lsh_neardup_pairs
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        ivf_centroids_for_dir,
+        lsh_neardup_pairs,
+        semantic_dedup_pairs,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_neardup_pairs(
+    lsh = lsh_neardup_pairs(
         emb, threshold=0.4, dim=64, n_planes=8, n_tables=6
+    ).select(
+        F.lit("lsh").alias("method"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("int").alias("list_id"),
+        "cos_r",
     )
+    sem = semantic_dedup_pairs(
+        emb, ivf_centroids_for_dir(sf_dir), threshold=0.4
+    ).select(
+        F.lit("sem").alias("method"), "id_a", "id_b", "list_id", "cos_r"
+    )
+    return lsh.unionByName(sem)
 
 
 # BPE-ish token counting (formerly q64) is merged into q51_token_stats:

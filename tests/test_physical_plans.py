@@ -66,8 +66,10 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
 # the size-aware spatial join broadcasts a genuinely small points/polys
 # side (the R-tree-probe analog); test_auto_strategy_routes_by_size
 # proves the same entry point switches to the bucketed hash equi-join
-# when the estimated size crosses the threshold.
-_BNL_ALLOWED = {"q38_spatial_contains", "q41_multipolygon"}
+# when the estimated size crosses the threshold. q51's BNL is the
+# 1-row corpus-stats broadcast of bm25_scores (ranking.py) — a
+# keyless join of a single aggregate row, i.e. free by construction.
+_BNL_ALLOWED = {"q38_spatial_contains", "q41_multipolygon", "q51_token_stats"}
 
 
 def test_no_catalog_query_plans_a_cross_product(spark, sf_dir):
