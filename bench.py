@@ -224,6 +224,74 @@ def _bm25_bench(spark, sf_dir):
     return bm25_scores(docs, ["vector", "hash", "spark"])
 
 
+def _winnow_fixed(spark, sf_dir):
+    """Generator-proof winnowing probe: the corpus is synthesized
+    DISTRIBUTED from a fixed arithmetic pattern (5000 docs x 200 tokens,
+    token_j(id) = 'w' || (id*31 + j*7) mod 1000), so its content — and
+    this number — can never change when the driver regenerates testdata.
+    Tracks the ENGINE; x_winnow_fingerprint tracks engine x data (its
+    r3->r4 4.5x jump was the regenerated templated corpus, not code —
+    this probe exists so that ambiguity can't recur)."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.dedup import winnowing_fingerprints
+
+    docs = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(199)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    ((F.col("id") * 31 + j * 7) % 1000).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    return winnowing_fingerprints(docs, k=5, w=4, reproducible=True)
+
+
+# child script for the fresh-session snake probe: a brand-new JVM runs
+# the same _cc_snake twice and reports the best, so the in-session
+# number (x_cc_snake_1000, which runs after ~25 queries' accumulated
+# session state) can be split into engine cost vs harness/session cost
+_SNAKE_FRESH_CHILD = """
+import sys, time
+sys.path.insert(0, {repo!r})
+from solarpaneldatawrangler_spark.session import get_spark
+spark = get_spark("snake-fresh")
+spark.range(10).count()
+import bench
+ts = []
+for _ in range(2):
+    t = time.perf_counter()
+    bench._cc_snake(spark, "").count()
+    ts.append(time.perf_counter() - t)
+print("SNAKE_FRESH_BEST", min(ts))
+"""
+
+
+def _cc_snake_fresh_seconds() -> float:
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    out = subprocess.run(
+        [sys.executable, "-c", _SNAKE_FRESH_CHILD.format(repo=repo)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=repo,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("SNAKE_FRESH_BEST"):
+            return float(line.split()[1])
+    raise RuntimeError(
+        f"snake-fresh child produced no result: rc={out.returncode} "
+        f"stderr={out.stderr[-300:]}"
+    )
+
+
 def _pack_bench(spark, sf_dir):
     """Greedy sequence packing over the documents table: token counting
     rides the scan, one (id, n_tokens) shuffle into 8 shards."""
@@ -248,6 +316,7 @@ EXTRA = {
     "x_winnow_fingerprint": lambda spark, sf_dir: CATALOG[
         "q66_winnow_fingerprint"
     ].fn(spark, sf_dir),
+    "x_winnow_fixed": _winnow_fixed,
     # the IVF I/O pair: same store, same query — with_index=True reads
     # only probed list_id partitions (partition pruning), False drops
     # the index column so the scan reads every file + re-assigns
@@ -315,6 +384,19 @@ def main() -> None:
         if best is not None:
             extra_timings[name] = round(best, 3)
             extra_total += best
+
+    # fresh-session snake: same workload as x_cc_snake_1000 but in a
+    # child JVM with zero accumulated session state — the gap between
+    # the two numbers is harness/session cost, not engine cost. Timed
+    # INSIDE the child (excludes its JVM startup); not added to
+    # extra_value (it would double-count the snake).
+    if os.environ.get("SPARK_GRAFT_BENCH_FRESH", "1") == "1":
+        try:
+            fresh = _cc_snake_fresh_seconds()
+            extra_timings["x_cc_snake_fresh"] = round(fresh, 3)
+            print(f"# x_cc_snake_fresh: {fresh:.3f}s", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001
+            errors["x_cc_snake_fresh"] = f"{type(ex).__name__}: {ex}"[:300]
 
     # cache-off pass: "value" keeps the columnar-cache bench mode for
     # round-over-round comparability, but how much of it is caching vs

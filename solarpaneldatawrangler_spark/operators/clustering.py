@@ -172,7 +172,22 @@ def _min_label_loop(
     except (TypeError, ValueError):
         orig_num = spark.sparkContext.defaultParallelism
     loop_parts = max(1, min(orig_num, (n_active + 249_999) // 250_000))
+    # Right-size the EDGES side too: the conf above only governs new
+    # exchanges, but the checkpointed edges frame keeps its creation-
+    # time partitioning (neighbor_edges' two joins + symmetrizing union
+    # => 4x the session conf, e.g. 128 RDD partitions for a 2000-edge
+    # snake), and every round's join re-scans it map-side. Dozens of
+    # rounds x 128 near-empty tasks is pure scheduler overhead — the
+    # dominant cost on small high-diameter graphs (measured ~2x on the
+    # diameter-1000 snake). One explicit repartition to loop_parts,
+    # paid once, caps every subsequent per-round stage.
+    if loop_parts < edges.rdd.getNumPartitions():
+        edges = edges.repartition(loop_parts, "src").localCheckpoint(
+            eager=False
+        )
     prev_sum = None
+    aqe_key = "spark.sql.adaptive.enabled"
+    orig_aqe = spark.conf.get(aqe_key)
     try:
         # NOTE: session-global conf for the loop's duration (restored in
         # finally) — concurrent queries on the same session see reduced
@@ -181,6 +196,13 @@ def _min_label_loop(
         # their MAP-side partition count from this conf, and that fixed
         # cost x dozens of loop shuffles is the measured 2x.
         spark.conf.set(conf_key, str(loop_parts))
+        # With single-partition loop shuffles AQE has nothing to
+        # coalesce and no skew to split — it only adds a replanning
+        # pause per shuffle stage, dozens of times (measured ~15% of
+        # snake wall time). Off ONLY in that degenerate geometry; big
+        # active sets keep AQE for its skew handling.
+        if loop_parts == 1:
+            spark.conf.set(aqe_key, "false")
         # 2 rounds per action is MEASURED optimal: fusing 4+ rounds into
         # one job (escalating rounds-per-action) was tried in round 4
         # and came out ~60% SLOWER on the diameter-1000 snake (6.9s vs
@@ -199,5 +221,6 @@ def _min_label_loop(
             prev_sum = label_sum
     finally:
         spark.conf.set(conf_key, orig_parts)
+        spark.conf.set(aqe_key, orig_aqe)
 
     return labels

@@ -396,9 +396,19 @@ def winnowing_fingerprints(
     # the window's), but placed here it (a) moves pre-explode rows —
     # ~len(text)x smaller than the gram relation — and (b) spreads the
     # per-gram hashing across the cluster even when the source is a
-    # single parquet file (one row-group = one task otherwise)
+    # single parquet file (one row-group = one task otherwise).
+    # The partition count is EXPLICIT (AQE honors user-specified
+    # repartitions): AQE's advisory sizing sees only the pre-explode
+    # bytes and coalesced this exchange to 2 partitions on a ~4 MB
+    # corpus, serializing the ~1000x-larger gram stage onto 2 cores
+    # (measured 10.4s -> 1.1s on the fixed-content bench probe).
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = spark.sparkContext.defaultParallelism
     normed = df.select(F.col(id_col).alias("id"), norm.alias("_t")).repartition(
-        F.col("id")
+        n_parts, F.col("id")
     )
     # LOUD length guard: positions pack into the low 21 bits of the
     # window key, so a normalized text of >= 2^21 chars would silently
