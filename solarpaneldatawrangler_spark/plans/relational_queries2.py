@@ -277,15 +277,12 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ts_type = dict((f.name, f.dataType.simpleString()) for f in schema).get("ts")
-    if ts_type == "bigint":
-        # epoch nanos → micro-precision timestamp (integer div: nanos
-        # exceed 2^53, double arithmetic would lose ±1us)
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # watermarks demand tz-aware TIMESTAMP; the session TZ is pinned
-        # UTC above, so this cast preserves the wall clock exactly
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # shared schema-drift chokepoint: converts the known ts generations
+    # (nanos-as-bigint / timestamp_ntz / timestamp) and RAISES on any
+    # new one instead of mis-decoding into 1970 windows (the r4 bug)
+    from solarpaneldatawrangler_spark.sources.star import normalize_event_ts
+
+    stream = normalize_event_ts(stream)
     agg = (
         stream.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))

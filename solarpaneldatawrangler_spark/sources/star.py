@@ -68,6 +68,50 @@ def ensure_session_confs(spark: SparkSession) -> None:
         )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the event timestamp to a tz-aware TIMESTAMP or fail
+    LOUDLY — never decode silently into 1970s.
+
+    The driver's testdata generator has shipped events.ts as parquet
+    TIMESTAMP(NANOS) (a bigint of epoch nanos under nanosAsLong) in one
+    generation and timestamp_ntz in another; round 4's q70 broke because
+    a hardcoded LongType stream schema mis-decoded the ntz generation
+    into 1970-epoch windows with no error. This is the single
+    schema-drift chokepoint for every timestamp-consuming query (batch
+    via load_table, streaming via q70 / available_now_stream): the three
+    types that have shipped convert explicitly, anything else raises
+    with the observed type.
+
+    Works on batch AND streaming DataFrames (schema-only inspection).
+    """
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    t = types.get(col)
+    if t is None:
+        raise TypeError(
+            f"normalize_event_ts: column {col!r} absent; events schema "
+            f"drifted to {types}"
+        )
+    if t == "timestamp":
+        return df
+    if t == "bigint":
+        # epoch nanos -> micro-precision timestamp (integer div: nanos
+        # exceed 2^53, double arithmetic would lose +-1us)
+        return df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+        )
+    if t == "timestamp_ntz":
+        # watermarks/session math demand tz-aware TIMESTAMP; the session
+        # TZ is pinned UTC (ensure_session_confs), so the cast preserves
+        # the wall clock exactly
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    raise TypeError(
+        f"normalize_event_ts: events.{col} arrived as {t!r}; known "
+        "generations are TIMESTAMP(NANOS)-as-bigint, timestamp_ntz, and "
+        "timestamp. The testdata generator changed again — add the new "
+        "type here deliberately instead of letting it mis-decode."
+    )
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     try:
@@ -80,14 +124,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); with
-        # spark.sql.legacy.parquet.nanosAsLong it arrives as a long of
-        # epoch nanos — convert to a real timestamp (micro precision)
-        field = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
-        if field.get("ts") == "bigint":
-            # integer div: ts/1000 via double loses +-1us (epoch nanos
-            # exceed 2^53, beyond double's exact-integer range)
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_event_ts(df)
     if os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1":
         df = df.cache()
     _MEMO[key] = df

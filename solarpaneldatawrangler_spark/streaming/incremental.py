@@ -25,15 +25,57 @@ from pyspark.sql import functions as F
 def available_now_stream(
     spark: SparkSession,
     source_dir: str,
-    schema,
-    transform: Callable[[DataFrame], DataFrame],
-    checkpoint_dir: str,
-    output_dir: str,
+    schema=None,
+    transform: Callable[[DataFrame], DataFrame] = None,
+    checkpoint_dir: str = None,
+    output_dir: str = None,
 ) -> None:
     """Process-everything-pending-then-stop over a parquet directory —
     the streaming form of the reference's restartable inference loop.
     Re-running picks up only new files (checkpoint = the done-set).
+
+    ``schema=None`` (preferred) sniffs the schema from a batch read of
+    the same directory, so the stream always tracks what's on disk. A
+    caller-supplied schema is VALIDATED against the files when any
+    exist: a column typed differently on disk raises instead of letting
+    the file source silently mis-decode it (the q70/r4 failure mode —
+    a stale LongType schema read timestamp_ntz data as 1970-epoch
+    longs with no error). An empty source dir trusts the caller schema
+    (nothing to validate yet; the stream needs one to start).
     """
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+    else:
+        try:
+            on_disk = {
+                f.name: f.dataType.simpleString()
+                for f in spark.read.parquet(source_dir).schema.fields
+            }
+        except Exception:
+            on_disk = None  # empty dir: nothing to validate against
+        if on_disk is not None:
+            fields = (
+                schema.fields
+                if hasattr(schema, "fields")
+                else spark.createDataFrame([], schema).schema.fields
+            )
+            drift = {
+                f.name: (f.dataType.simpleString(), on_disk[f.name])
+                for f in fields
+                if f.name in on_disk
+                and f.dataType.simpleString() != on_disk[f.name]
+            }
+            if drift:
+                raise TypeError(
+                    "available_now_stream: caller schema disagrees with "
+                    f"the files in {source_dir}: "
+                    + ", ".join(
+                        f"{c} declared {d} but stored {a}"
+                        for c, (d, a) in sorted(drift.items())
+                    )
+                    + " — a drifted schema silently mis-decodes; pass "
+                    "schema=None to track the files"
+                )
     stream = spark.readStream.schema(schema).parquet(source_dir)
     out = transform(stream)
     (
