@@ -113,16 +113,23 @@ def _per_doc_overlap(
         .withColumn("_hit", F.lit(1))
     )
 
-    # winnowing's window already hash-partitioned by id; this groupBy
-    # reuses that exchange. The broadcast hash join adds no shuffle.
+    # winnowing's window already hash-partitioned by id; BOTH groupBys
+    # below reuse that exchange (hash partitioning on `id` satisfies a
+    # clustered distribution on (id, fp_hash) — a subset of the keys),
+    # and the broadcast hash join adds no shuffle. The two-step
+    # dedup-then-count replaces count_distinct x2, whose Expand doubles
+    # every fingerprint row through the aggregation (measured 25s ->
+    # 10s on the 55k-doc scale smoke): fingerprints repeat per doc only
+    # across positions, so distinct (id, fp_hash) first, then plain
+    # counts — zero extra exchanges, no Expand.
     per_doc = (
         doc_fps.join(F.broadcast(bench_fps), "fp_hash", "left")
+        .groupBy("id", "fp_hash")
+        .agg(F.max("_hit").alias("_hit"))
         .groupBy(F.col("id").alias(id_col))
         .agg(
-            F.count_distinct("fp_hash").alias("n_fps"),
-            F.count_distinct(
-                F.when(F.col("_hit").isNotNull(), F.col("fp_hash"))
-            ).alias("n_shared"),
+            F.count(F.lit(1)).alias("n_fps"),
+            F.count("_hit").alias("n_shared"),
         )
     )
     return per_doc.withColumn(
