@@ -292,6 +292,39 @@ def _cc_snake_fresh_seconds() -> float:
     )
 
 
+def _paragraph_dedup_bench(spark, sf_dir):
+    """Corpus-level paragraph dedup over a derived two-paragraph corpus
+    (doc i paired with doc i+7 — the driver docs are single-line, so
+    pairing manufactures real cross-doc paragraph duplication): explode
+    -> map-side-combined keeper agg -> equi-join -> reassembly."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.dedup import paragraph_dedup
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = docs.select(
+        (F.col("doc_id") - 7).alias("doc_id"), F.col("text").alias("_t2")
+    )
+    built = docs.join(b, "doc_id", "left").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n\n"), F.coalesce("_t2", F.lit(""))
+        ).alias("text"),
+    )
+    return paragraph_dedup(built)
+
+
+def _temperature_mix_bench(spark, sf_dir):
+    """Temperature mixture resampling by source: one tiny two-level agg
+    broadcast back, the corpus filter runs expression-only in the scan."""
+    from solarpaneldatawrangler_spark.operators.sampling import temperature_resample
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_resample(docs, "source", alpha=0.5, target_frac=0.5)
+
+
 def _pack_bench(spark, sf_dir):
     """Greedy sequence packing over the documents table: token counting
     rides the scan, one (id, n_tokens) shuffle into 8 shards."""
@@ -326,6 +359,8 @@ EXTRA = {
     "x_pack_sequences": _pack_bench,
     "x_semantic_dedup": _semdedup_bench,
     "x_bm25": _bm25_bench,
+    "x_paragraph_dedup": _paragraph_dedup_bench,
+    "x_temperature_mix": _temperature_mix_bench,
 }
 
 

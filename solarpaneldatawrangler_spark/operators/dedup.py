@@ -474,3 +474,90 @@ def winnowing_fingerprints(
             ).alias("fp_pos"),
         )
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level paragraph deduplication (the Dolma/RefinedWeb
+    recipe): split every document on blank lines, drop every paragraph
+    whose normalized form already occurred earlier in the corpus — the
+    FIRST occurrence (smallest (doc_id, position)) survives, all later
+    copies are removed — then reassemble the documents. Boilerplate
+    (nav bars, license blocks, repeated headers) disappears corpus-wide
+    while each distinct paragraph is kept exactly once.
+
+    Returns (id_col, text, n_kept, n_dropped): the rebuilt text
+    (surviving paragraphs joined with a blank line, possibly ""), how
+    many of the doc's non-empty paragraphs survived, how many were
+    dropped. Every input doc gets a row. Whitespace-only paragraphs are
+    discarded up front (they carry no content and their count is a
+    split artifact).
+
+    Plan shape (100 TB notes):
+    - paragraphs = one posexplode off the scan; normalization and the
+      md5 fingerprint are codegen expressions on the exploded rows
+    - the keeper per fingerprint is a groupBy(fp).min(struct(id, pos))
+      — map-side combinable, so a boilerplate paragraph occurring 10^9
+      times partial-aggregates to one row per map task BEFORE the
+      shuffle (a window over fp would funnel the hot fingerprint's
+      every copy through one partition: the skew trap this avoids)
+    - survivors join keepers on fp (hash equi-join; build side is one
+      row per distinct fp) and keep the row iff it IS the keeper
+    - reassembly is one groupBy(id) sorting (pos, para) structs —
+      array_sort + concat_ws, the A4 group-collect idiom
+    Three shuffles total (keeper agg, keeper join, reassembly), each on
+    a scalar key; text moves through exactly one of them (the join).
+    """
+    paras = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), r"\n\s*\n")).alias(
+                "pos", "para"
+            ),
+        )
+        .withColumn(
+            "_norm",
+            F.regexp_replace(F.trim(F.lower(F.col("para"))), r"\s+", " "),
+        )
+        .filter(F.col("_norm") != "")
+        .withColumn("fp", F.md5(F.col("_norm")))
+        .drop("_norm")
+    )
+    keepers = paras.groupBy("fp").agg(
+        F.min(F.struct("id", "pos")).alias("_keep")
+    )
+    kept = (
+        paras.join(keepers, "fp")
+        .filter(
+            (F.col("id") == F.col("_keep.id"))
+            & (F.col("pos") == F.col("_keep.pos"))
+        )
+        .select("id", "pos", "para")
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text"),
+    )
+    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("_n_paras"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce("_n_paras", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_dropped"),
+        )
+    )

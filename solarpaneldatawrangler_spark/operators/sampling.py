@@ -58,3 +58,83 @@ def stratified_hash_sample(
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(stratum_col) == value, F.lit(float(r))).otherwise(rate)
     return df.filter(bucket < rate)
+
+
+def temperature_resample(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    id_col: str = "doc_id",
+    reproducible: bool = True,
+) -> DataFrame:
+    """Temperature-based mixture resampling: downsample each stratum
+    (domain, source, language) so group allocations follow n_g^alpha
+    instead of n_g — the standard multilingual/multi-domain rebalancing
+    (alpha=1 keeps natural proportions, alpha->0 approaches uniform
+    across strata; cf. the sampling-temperature scheme of mBERT/XLM-R
+    and the domain-weighting discussion in Gopher/DoReMi).
+
+    The target size is ``target_frac * N`` rows, allocated to stratum g
+    proportionally to n_g^alpha, capped at keeping the whole stratum:
+        rate_g = round(least(1, target_frac * N * n_g^(alpha-1) / Z), 9)
+        with Z = sum_g n_g^alpha.
+    Small strata hit the cap and keep everything (no iterative
+    redistribution of their surplus — a deterministic single pass,
+    slightly under target, documented). Membership is the same
+    hash-bucket rule as stratified_hash_sample: a pure function of the
+    row id, so reruns/retries/other engines select identical rows and
+    the whole operator replays in SQL.
+
+    Plan shape: ONE map-side-combinable groupBy(stratum) for counts, a
+    1-row global reduce for (N, Z), both broadcast back; the corpus
+    itself never shuffles — the filter is expression-only in the scan
+    stage. Returns the kept rows of ``df`` unchanged (schema-stable);
+    temperature_rates exposes the per-stratum (count, rate) plan for
+    logging and oracle replay.
+    """
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError("target_frac must be in (0, 1]")
+    if alpha <= 0.0:
+        raise ValueError("alpha must be > 0 (0 would divide by zero "
+                         "counts; use explicit rates for uniform picks)")
+    rates = temperature_rates(df, stratum_col, alpha, target_frac)
+    bucket = hash_bucket(F.col(id_col), reproducible)
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(bucket < F.col("_rate"))
+        .drop("_rate", "_n")
+    )
+
+
+def temperature_rates(
+    df: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """Per-stratum keep rates for temperature_resample: (stratum, _n,
+    _rate). The rate expression keeps a FIXED operand order —
+    round(least(1, target_frac * N * pow(n, alpha) / Z / n), 9) — so a
+    SQL oracle computing the identical sequence reproduces the exact
+    doubles and therefore the exact kept-row set."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    norm = counts.agg(
+        F.sum("_n").alias("_total"),
+        F.sum(F.pow("_n", F.lit(alpha))).alias("_z"),
+    )
+    return counts.join(F.broadcast(norm)).select(
+        stratum_col,
+        "_n",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(target_frac)
+                * F.col("_total")
+                * F.pow("_n", F.lit(alpha))
+                / F.col("_z")
+                / F.col("_n"),
+            ),
+            9,
+        ).alias("_rate"),
+    )
