@@ -114,10 +114,19 @@ def shingle_rows(
     # rather than multiplies — placed here it ships whole docs (not
     # token rows) and parallelizes tokenize+explode even from a
     # single-row-group parquet source (same fix as
-    # winnowing_fingerprints; the scan otherwise runs one task)
+    # winnowing_fingerprints; the scan otherwise runs one task).
+    # EXPLICIT partition count (the winnowing lesson): AQE's advisory
+    # sizing sees only the pre-explode doc bytes and coalesced this
+    # exchange to 1 partition at sf0.1, serializing the whole
+    # shingle+md5 stage onto one core (q55 measured 2.4s -> 1.7s warm).
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = spark.sparkContext.defaultParallelism
     toks = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
-        .repartition(F.col("id"))
+        .repartition(n_parts, F.col("id"))
         .select("id", F.posexplode(tokens(F.col("_txt"))).alias("pos", "t0"))
     )
     w = Window.partitionBy("id").orderBy("pos")
