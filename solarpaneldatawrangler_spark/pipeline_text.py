@@ -2,8 +2,9 @@
 
 Composes the §2.12 extension operators into the standard
 training-data flow — exact dedup → near-dup removal → [benchmark
-decontamination] → [repetition gate] → quality gate → language gate →
-stratified downsample — as one lazy DataFrame chain
+decontamination] → [paragraph-level dedup] → [repetition gate] →
+quality gate → language gate → stratified or temperature downsample —
+as one lazy DataFrame chain
 (materialized once at the sink; every stage is the already-tested
 operator, so the pipeline adds composition, not new semantics).
 
@@ -43,6 +44,7 @@ class CurationReport:
     # -1 = stage not enabled (benchmark / max_repetition not passed)
     n_after_decontam: int = -1
     n_after_repetition: int = -1
+    n_after_paragraph: int = -1
 
 
 def drop_near_duplicates(
@@ -105,6 +107,9 @@ def curate_corpus(
     decontam_min_shared: int = 5,
     decontam_min_shared_frac: float | None = None,
     max_repetition: float | None = None,
+    dedup_paragraphs: bool = False,
+    temperature_alpha: float | None = None,
+    temperature_frac: float = 0.5,
     with_report: bool = True,
 ) -> tuple[DataFrame, CurationReport | None]:
     """Run the full curation chain; returns (survivors, report).
@@ -122,7 +127,20 @@ def curate_corpus(
     whatever pathological buckets remain (see minhash_near_dup_pairs);
     ``transitive_near_dup`` upgrades keep-first pair semantics to
     one-representative-per-duplicate-CLUSTER via connected components.
+
+    ``dedup_paragraphs=True`` inserts corpus-level paragraph dedup
+    AFTER doc-level dedup/decontamination (so boilerplate is stripped
+    from each surviving doc once, not per copy) and BEFORE the
+    repetition/quality gates (which then judge the CLEANED text); docs
+    whose every paragraph was a duplicate drop out. ``temperature_alpha``
+    replaces the explicit ``sample_rates`` downsample with n^alpha
+    mixture rebalancing (mutually exclusive with sample_rates).
     """
+    if temperature_alpha is not None and sample_rates:
+        raise ValueError(
+            "pass either sample_rates (explicit per-stratum rates) or "
+            "temperature_alpha (n^alpha mixture), not both"
+        )
     n_input = docs.count() if with_report else -1
 
     # 1. exact dedup: keep the min-id representative per fingerprint.
@@ -178,6 +196,25 @@ def curate_corpus(
         clean = near
     n_decontam = clean.count() if (with_report and benchmark is not None) else -1
 
+    # 3b. paragraph-level dedup (optional): rewrite each surviving doc
+    # with corpus-wide duplicate paragraphs removed; docs left with no
+    # paragraphs drop out. Runs before the repetition/quality gates so
+    # they judge the cleaned text.
+    if dedup_paragraphs:
+        from solarpaneldatawrangler_spark.operators.dedup import paragraph_dedup
+
+        kept_text = (
+            paragraph_dedup(clean, text_col=text_col, id_col=id_col)
+            .filter(F.col("n_kept") > 0)
+            .select(F.col(id_col), F.col("text").alias(text_col))
+        )
+        clean = clean.drop(text_col).join(kept_text, id_col)
+        if with_report:
+            # text was rewritten through three shuffles; bound the
+            # downstream stage counts to one execution of them
+            clean = clean.localCheckpoint()
+    n_para = clean.count() if (with_report and dedup_paragraphs) else -1
+
     # 4. repetition gate (optional, scan-stage expressions): drops
     # boilerplate-heavy / degenerate-generation docs by the Gopher
     # signals
@@ -205,20 +242,30 @@ def curate_corpus(
     lang = qual if language is None else qual.filter(F.col(lang_col) == language)
     n_lang = lang.count() if with_report else -1
 
-    # 7. stratified downsample (deterministic hash buckets)
-    out = (
-        lang
-        if not sample_rates
-        else stratified_hash_sample(
+    # 7. downsample: explicit per-stratum rates OR n^alpha temperature
+    # rebalancing (both deterministic hash-bucket membership)
+    if temperature_alpha is not None:
+        from solarpaneldatawrangler_spark.operators.sampling import (
+            temperature_resample,
+        )
+
+        out = temperature_resample(
+            lang, stratum_col, alpha=temperature_alpha,
+            target_frac=temperature_frac, id_col=id_col,
+        )
+    elif sample_rates:
+        out = stratified_hash_sample(
             lang, stratum_col, sample_rates, id_col=id_col
         )
-    )
+    else:
+        out = lang
     n_out = out.count() if with_report else -1
 
     report = (
         CurationReport(
             n_input, n_exact, n_near, n_qual, n_lang, n_out,
             n_after_decontam=n_decontam, n_after_repetition=n_norep,
+            n_after_paragraph=n_para,
         )
         if with_report
         else None

@@ -172,3 +172,63 @@ def test_curate_corpus_decontam_and_repetition_stages(spark, sf_dir):
     # default-off keeps prior behavior and marks the stages not-run
     _, rep_off = curate_corpus(corpus, min_quality=0.0, jaccard_threshold=0.99)
     assert rep_off.n_after_decontam == -1 and rep_off.n_after_repetition == -1
+
+
+def test_curate_corpus_paragraph_and_temperature_stages(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    # plant a shared boilerplate paragraph in front of every 5th doc: the
+    # paragraph stage must strip all but its first occurrence, and those
+    # docs must SURVIVE with their remaining (original) text
+    boiler = "all rights reserved contact us for licensing details"
+    corpus = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(boiler + "\n\n"), F.col("text")),
+        ).otherwise(F.col("text")),
+    )
+    out, rep = curate_corpus(
+        corpus,
+        min_quality=0.0,
+        dedup_paragraphs=True,
+        temperature_alpha=0.5,
+        temperature_frac=0.5,
+    )
+    rows = out.collect()
+    assert rep.n_after_paragraph > 0
+    assert rep.n_output == len(rows)
+    # at most ONE surviving doc still contains the boilerplate line
+    assert sum(boiler in r.text for r in rows) <= 1
+    # boilerplate-carrying docs survived with their own content intact
+    survived = [r for r in rows if r.doc_id % 5 == 0 and boiler not in r.text]
+    assert survived, "paragraph stage dropped every boilerplate doc"
+    assert all(len(r.text) > 0 for r in rows)
+    # mixture: both strata present and determinism across reruns
+    out2, _ = curate_corpus(
+        corpus,
+        min_quality=0.0,
+        dedup_paragraphs=True,
+        temperature_alpha=0.5,
+        temperature_frac=0.5,
+        with_report=False,
+    )
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+
+
+def test_curate_corpus_rejects_conflicting_sampling(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    with pytest.raises(ValueError, match="not both"):
+        curate_corpus(
+            docs,
+            sample_rates={"src1": 0.5},
+            temperature_alpha=0.5,
+            with_report=False,
+        )
