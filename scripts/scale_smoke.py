@@ -191,6 +191,33 @@ def main():
     timed("pack_sequences 1M docs / 32 shards",
           lambda: pack_sequences(synth, max_tokens=2048, n_shards=32).count())
 
+    # paragraph-level dedup at 55k two-paragraph docs (~110k paragraph
+    # rows, every source text occurring twice): explode -> map-side
+    # keeper agg -> join -> reassembly
+    from solarpaneldatawrangler_spark.operators.dedup import paragraph_dedup
+
+    pair = big.select((FF.col("doc_id") - 7).alias("doc_id"),
+                      FF.col("text").alias("_t2"))
+    built = big.join(pair, "doc_id", "left").select(
+        "doc_id",
+        FF.concat(FF.col("text"), FF.lit("\n\n"),
+                  FF.coalesce("_t2", FF.lit(""))).alias("text"),
+    )
+    timed("paragraph_dedup 55k two-para docs",
+          lambda: paragraph_dedup(built).count())
+
+    # temperature mixture resample at 10M rows / 20 strata: the corpus
+    # never shuffles — one tiny agg broadcast back, filter in the scan
+    from solarpaneldatawrangler_spark.operators.sampling import temperature_resample
+
+    mix = spark.range(10_000_000).select(
+        F.col("id").alias("doc_id"),
+        FF.concat(FF.lit("s"), (FF.pmod(FF.col("id") * 2654435761, 97) % 20)
+                  .cast("string")).alias("source"),
+    )
+    timed("temperature_resample 10M rows / 20 strata",
+          lambda: temperature_resample(mix, "source", 0.5, 0.5).count())
+
 
 if __name__ == "__main__":
     main()
