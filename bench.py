@@ -113,6 +113,52 @@ def _ivf_store_dir(spark, sf_dir: str) -> str:
     return d
 
 
+_FP_STORE: dict[str, str] = {}
+
+
+def _fp_store_dir(spark, sf_dir: str) -> str:
+    """One-time write of the documents fingerprint store (bucket-
+    partitioned md5 fingerprints) for the incremental-dedup extra —
+    same eager-setup/exit-cleanup contract as the IVF store."""
+    got = _FP_STORE.get(sf_dir)
+    if got is not None:
+        return got
+    import atexit
+    import shutil
+    import tempfile
+
+    from solarpaneldatawrangler_spark.operators.dedup import write_fingerprint_store
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    d = tempfile.mkdtemp(prefix="spark_graft_fp_store_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    write_fingerprint_store(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), d
+    )
+    _FP_STORE[sf_dir] = d
+    return d
+
+
+def _incremental_dedup_bench(spark, sf_dir):
+    """Incremental admission of a 1%-sized batch (half known content,
+    half new) against the corpus fingerprint store: the batch's bucket
+    set partition-prunes the store scan, so the corpus side is O(batch)
+    files, not O(corpus)."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.dedup import incremental_new_docs
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    store = _fp_store_dir(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    known = docs.filter(F.col("doc_id") % 200 == 0)
+    fresh = docs.filter(F.col("doc_id") % 200 == 1).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat(F.lit("novel "), F.col("text")).alias("text"),
+    )
+    return incremental_new_docs(known.unionByName(fresh), store)
+
+
 def _ivf_store_corpus(spark, sf_dir: str, with_index: bool):
     store = spark.read.parquet(_ivf_store_dir(spark, sf_dir))
     return store if with_index else store.drop("list_id")
@@ -361,6 +407,7 @@ EXTRA = {
     "x_bm25": _bm25_bench,
     "x_paragraph_dedup": _paragraph_dedup_bench,
     "x_temperature_mix": _temperature_mix_bench,
+    "x_incremental_dedup": _incremental_dedup_bench,
 }
 
 
@@ -411,6 +458,10 @@ def main() -> None:
         _ivf_store_dir(spark, sf_dir)
     except Exception as ex:  # noqa: BLE001
         errors["ivf_store_setup"] = f"{type(ex).__name__}: {ex}"[:300]
+    try:
+        _fp_store_dir(spark, sf_dir)
+    except Exception as ex:  # noqa: BLE001
+        errors["fp_store_setup"] = f"{type(ex).__name__}: {ex}"[:300]
 
     extra_timings: dict[str, float] = {}
     extra_total = 0.0

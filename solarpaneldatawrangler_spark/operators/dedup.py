@@ -570,3 +570,81 @@ def paragraph_dedup(
             ).alias("n_dropped"),
         )
     )
+
+
+# --- incremental exact dedup against a fingerprint store ---------------------
+
+def _fp_bucket(fp: Column, n_buckets: int) -> Column:
+    """Partition bucket from the first 16 bits of the md5 fingerprint —
+    pure hex arithmetic, reproducible in any engine."""
+    return F.pmod(
+        F.conv(F.substring(fp, 1, 4), 16, 10).cast("long"), F.lit(n_buckets)
+    )
+
+
+def write_fingerprint_store(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus' DISTINCT content fingerprints as a parquet
+    store partitioned by a 16-bit-prefix bucket — the corpus-side half
+    of incremental exact dedup.
+
+    At 100 TB the corpus is append-heavy and re-fingerprinting it per
+    ingest batch is the dominant cost; this store is written once (and
+    appended per accepted batch with mode='append'), and the bucket
+    partitioning lets a SMALL batch probe only the partitions its own
+    fingerprints hash into — partition pruning turns the corpus side
+    of the dedup join into an O(batch) file scan (the IVF-store idiom,
+    measured there as files_probed/files_total in bench's ivf_io).
+    """
+    fps = (
+        df.select(fingerprint(F.col(text_col)).alias("fingerprint"))
+        .distinct()
+        .withColumn("bucket", _fp_bucket(F.col("fingerprint"), n_buckets))
+    )
+    fps.write.partitionBy("bucket").mode(mode).parquet(path)
+
+
+def incremental_new_docs(
+    batch: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Rows of ``batch`` whose content fingerprint is NOT in the store —
+    the admission filter of an incremental ingest pipeline. Batch-
+    internal duplicates are NOT collapsed here (run exact_dedup on the
+    admitted rows; composing the two keeps each operator single-duty).
+
+    Plan shape: the batch's distinct bucket set (bounded by
+    ``n_buckets`` — the one contractual driver collect) becomes a
+    partition-pruning IN-filter on the store scan, so the corpus side
+    reads only the files the batch can possibly hit; the anti-join then
+    runs on the pruned fingerprints. The corpus is never shuffled and
+    never read beyond the probed partitions.
+
+    ``n_buckets`` must match the store's writer. A fingerprint column
+    mismatch (different normalization) admits everything — fingerprints
+    are md5 of whitespace-normalized lowercased text on both sides
+    (functions.text.fingerprint), the q50 contract.
+    """
+    spark = batch.sparkSession
+    b = batch.withColumn("_fp", fingerprint(F.col(text_col)))
+    buckets = [
+        r[0]
+        for r in b.select(_fp_bucket(F.col("_fp"), n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    ]
+    store = (
+        spark.read.parquet(store_path)
+        .filter(F.col("bucket").isin(buckets))
+        .select(F.col("fingerprint").alias("_fp"))
+    )
+    return b.join(store, "_fp", "left_anti").drop("_fp")
