@@ -361,6 +361,16 @@ def _paragraph_dedup_bench(spark, sf_dir):
     return paragraph_dedup(built)
 
 
+def _chunk_documents_bench(spark, sf_dir):
+    """Sliding-window chunking of the documents table: tokenize, window
+    starts, one posexplode — map-only, zero shuffle."""
+    from solarpaneldatawrangler_spark.operators.packing import chunk_documents
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=128, overlap=16)
+
+
 def _temperature_mix_bench(spark, sf_dir):
     """Temperature mixture resampling by source: one tiny two-level agg
     broadcast back, the corpus filter runs expression-only in the scan."""
@@ -408,6 +418,7 @@ EXTRA = {
     "x_paragraph_dedup": _paragraph_dedup_bench,
     "x_temperature_mix": _temperature_mix_bench,
     "x_incremental_dedup": _incremental_dedup_bench,
+    "x_chunk_documents": _chunk_documents_bench,
 }
 
 

@@ -103,3 +103,62 @@ def pack_sequences(
         )
 
     return slim.groupBy("shard").applyInPandas(pack, out_schema)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    pretraining complement of pack_sequences (packing joins short docs;
+    chunking splits long ones to the model's context window, the
+    sliding-window convention of BERT/RAG ingestion).
+
+    Returns (id_col, chunk_id, n_chunk_tokens, text): chunk_id is the
+    0-based window index, chunks start every ``max_tokens - overlap``
+    tokens, each carries up to ``max_tokens`` tokens, and a trailing
+    window that would contribute no NEW tokens beyond the overlap is
+    not emitted (start == 0 or start + overlap < n_tokens). Chunk text
+    is the whitespace-token join (single spaces — tokenization is not
+    reversible; the contract is token-level, matching token_count).
+    Docs that tokenize empty produce no rows.
+
+    Plan shape: everything is array expressions on the scan — tokenize
+    once, generate the (filtered) start sequence, ONE posexplode to a
+    row per chunk, slice + join per row. No shuffle at all: chunking
+    10^9 docs is a map-only job.
+    """
+    if overlap < 0 or overlap >= max_tokens:
+        raise ValueError("need 0 <= overlap < max_tokens")
+    stride = max_tokens - overlap
+    from solarpaneldatawrangler_spark.functions.text import tokens
+
+    toked = docs.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        "_toks",
+        F.size("_toks").alias("_n"),
+    )
+    starts = F.filter(
+        F.when(
+            F.col("_n") > 0,
+            F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride)),
+        ).otherwise(F.array().cast("array<int>")),
+        lambda s: (s == 0) | (s + F.lit(overlap) < F.col("_n")),
+    )
+    chunks = toked.select(
+        id_col,
+        "_toks",
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("_start") + 1, max_tokens)
+    return chunks.select(
+        id_col,
+        "chunk_id",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("text"),
+    )

@@ -214,3 +214,84 @@ def test_temperature_resample_rejects_bad_params(spark):
         temperature_resample(df, "source", alpha=0.0)
     with pytest.raises(ValueError):
         temperature_resample(df, "source", target_frac=1.5)
+
+
+# --- document chunking (packing.chunk_documents) ---------------------------
+
+_CHUNK_ORACLE = r"""
+WITH toked AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'),
+                       t -> len(t) > 0) AS toks
+    FROM documents
+),
+starts AS (
+    SELECT doc_id, toks, len(toks) AS n,
+           unnest(list_filter(generate_series(0, len(toks) - 1, {stride}),
+                              s -> s = 0 OR s + {overlap} < len(toks))) AS start
+    FROM toked WHERE len(toks) > 0
+),
+numbered AS (
+    SELECT doc_id, toks, start,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS chunk_id
+    FROM starts
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(toks[start + 1 : start + {maxtok}]) AS INT) AS n_chunk_tokens,
+       array_to_string(toks[start + 1 : start + {maxtok}], ' ') AS text
+FROM numbered
+"""
+
+
+def test_chunk_documents_matches_duckdb(spark, sf_dir):
+    from solarpaneldatawrangler_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = chunk_documents(docs, max_tokens=40, overlap=8)
+    assert got.filter(F.col("chunk_id") > 0).count() > 0, (
+        "no doc produced a second chunk — probe is vacuous"
+    )
+    want = run_oracle(
+        _CHUNK_ORACLE.format(stride=32, overlap=8, maxtok=40), sf_dir
+    )
+    compare(got, want, "chunk_documents")
+
+
+def test_chunk_documents_hand_case(spark):
+    from solarpaneldatawrangler_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks
+            (2, "a b"),
+            (3, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.text)
+        for r in chunk_documents(docs, max_tokens=6, overlap=2).collect()
+    )
+    # doc 1: stride 4 -> candidate starts 0, 4, 8; start 8 is dropped
+    # (8 + overlap 2 = 10, not < 10: its tokens t8,t9 are already fully
+    # covered by the start-4 chunk, so it would add nothing new)
+    assert rows == [
+        (1, 0, 6, "t0 t1 t2 t3 t4 t5"),
+        (1, 1, 6, "t4 t5 t6 t7 t8 t9"),
+        (2, 0, 2, "a b"),
+    ]
+    # every token index appears in some chunk (coverage invariant)
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_chunk_documents_no_shuffle(spark, sf_dir):
+    from solarpaneldatawrangler_spark.operators.packing import chunk_documents
+
+    plan = (
+        chunk_documents(load_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # map-only: chunking never shuffles
