@@ -192,34 +192,14 @@ def minhash_near_dup_pairs(
     cap's count window hash-partitions on the same (band, band_sig)
     keys as the join, reusing the exchange.
     """
-    rows_per_band = num_hashes // bands
     # the shingle relation feeds the signature, both self-join branches,
     # and both verify joins — without a checkpoint the tokenize+window
-    # lineage re-executes ~6x (measured 57s -> ~10s at sf0.1)
-    shx = shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint()
-    sh = shx.groupBy("id").agg(F.collect_list("t").alias("shingles"))
-    sig = minhash_from_shingle_rows(shx, num_hashes, reproducible)
-
-    def band_key(b: int):
-        return F.concat_ws(
-            ",",
-            *[
-                F.col(f"m{i}").cast("string")
-                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-            ],
-        )
-
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), band_key(b).alias("band_sig"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "bb.band", "bb.band_sig")
+    # lineage re-executes ~6x (measured 57s -> ~10s at sf0.1); the
+    # checkpoint lives inside _banded_keys (shared with the cross-corpus
+    # path)
+    banded, sh = _banded_keys(
+        df, text_col, id_col, num_hashes, bands, shingle_k, reproducible
+    )
 
     if max_bucket is not None:
         from solarpaneldatawrangler_spark.operators.similarity import _cap_buckets
@@ -648,3 +628,141 @@ def incremental_new_docs(
         .select(F.col("fingerprint").alias("_fp"))
     )
     return b.join(store, "_fp", "left_anti").drop("_fp")
+
+
+# --- cross-corpus near-dup (incremental ingest admission) --------------------
+
+def _banded_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_k: int,
+    reproducible: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(banded, shingles) for one corpus: banded = (id, band, band_sig)
+    LSH bucket rows, shingles = (id, shingles) arrays for the exact
+    verify — the shared front half of the self-join and cross-join
+    near-dup paths. The shingle relation is checkpointed: it feeds the
+    signature AND the verify join, and its tokenize+window lineage must
+    execute once."""
+    rows_per_band = num_hashes // bands
+    shx = shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint()
+    sh = shx.groupBy("id").agg(F.collect_list("t").alias("shingles"))
+    sig = minhash_from_shingle_rows(shx, num_hashes, reproducible)
+
+    def band_key(b: int):
+        return F.concat_ws(
+            ",",
+            *[
+                F.col(f"m{i}").cast("string")
+                for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+            ],
+        )
+
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_key(b).alias("band_sig"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.band_sig")
+    return banded, sh
+
+
+def minhash_cross_dup_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.5,
+    reproducible: bool = False,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora — each pair is one batch
+    doc and one corpus doc with band-collision candidacy and exact
+    shingle Jaccard >= threshold. Returns (batch_id, corpus_id,
+    jaccard). The id spaces are independent (no ordering constraint —
+    unlike the self-join path, identical ids on both sides are a
+    legitimate pair).
+
+    This is the near-dup half of incremental ingest admission (the
+    MinHash analog of incremental_new_docs): instead of self-joining
+    batch+corpus — which would re-bucket the whole corpus against
+    itself — only batch x corpus collisions are generated, so the
+    corpus side contributes exactly its banded signature relation (at
+    100 TB: precompute and persist it once; signatures are ~100 bytes/
+    doc and append per accepted batch).
+
+    ``max_bucket`` caps CORPUS-side bucket sizes (the big side): a
+    batch doc colliding with a capped bucket loses those candidates —
+    bounded-recall degradation under boilerplate floods, same contract
+    as minhash_near_dup_pairs.
+    """
+    b_banded, b_sh = _banded_keys(
+        batch, text_col, id_col, num_hashes, bands, shingle_k, reproducible
+    )
+    c_banded, c_sh = _banded_keys(
+        corpus, text_col, id_col, num_hashes, bands, shingle_k, reproducible
+    )
+    if max_bucket is not None:
+        from solarpaneldatawrangler_spark.operators.similarity import _cap_buckets
+
+        c_banded = _cap_buckets(c_banded, ["band", "band_sig"], max_bucket)
+    pairs = (
+        b_banded.alias("l")
+        .join(
+            c_banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig")),
+        )
+        .select(
+            F.col("l.id").alias("batch_id"), F.col("r.id").alias("corpus_id")
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    verified = (
+        pairs.join(
+            b_sh.select(F.col("id").alias("batch_id"), F.col("shingles").alias("sh_a")),
+            "batch_id",
+        )
+        .join(
+            c_sh.select(F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_b")),
+            "corpus_id",
+        )
+        .withColumn("jaccard", ngram_jaccard(F.col("sh_a"), F.col("sh_b")))
+    )
+    return verified.filter(F.col("jaccard") >= jaccard_threshold).select(
+        "batch_id", "corpus_id", "jaccard"
+    )
+
+
+def near_dup_new_docs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """Rows of ``batch`` with NO near-duplicate in ``corpus`` — the
+    fuzzy admission filter (compose after incremental_new_docs' exact
+    filter: exact is cheaper and removes the band-flooding identical
+    docs first, the same ordering contract as curate_corpus)."""
+    flagged = (
+        minhash_cross_dup_pairs(
+            batch, corpus, text_col, id_col,
+            jaccard_threshold=jaccard_threshold, **minhash_kwargs,
+        )
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(flagged, id_col, "left_anti")

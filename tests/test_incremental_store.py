@@ -95,3 +95,110 @@ def test_append_mode_accumulates(spark, tmp_path):
     # ingest the admitted rows, then nothing in b2 is new anymore
     write_fingerprint_store(admitted, store, mode="append")
     assert incremental_new_docs(b2, store).count() == 0
+
+
+# --- cross-corpus near-dup admission (dedup.minhash_cross_dup_pairs) --------
+
+_CROSS_ORACLE = r"""
+WITH sides AS (
+    SELECT doc_id, text, doc_id % 2 = 1 AS is_batch FROM documents
+),
+toks AS (
+    SELECT doc_id, is_batch,
+           list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+    FROM sides
+),
+sh AS (
+    SELECT doc_id, is_batch,
+           list_distinct(list_transform(
+               range(1, GREATEST(len(toks) - 1, 1)),
+               i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+    FROM toks
+),
+shx AS (SELECT doc_id, is_batch, unnest(shingles) AS t FROM sh),
+hv AS (
+    SELECT doc_id, is_batch, g.i,
+           MIN(((2 * g.i + 1) * (('0x' || substr(md5(t), 1, 8))::BIGINT) + 13 * g.i)
+               % 2147483647) AS mh
+    FROM shx CROSS JOIN generate_series(0, 15) g(i)
+    GROUP BY doc_id, is_batch, g.i
+),
+bands AS (
+    SELECT doc_id, is_batch, i // 4 AS band,
+           string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_sig
+    FROM hv GROUP BY doc_id, is_batch, i // 4
+),
+pairs AS (
+    SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig
+    WHERE a.is_batch AND NOT b.is_batch
+)
+SELECT p.batch_id, p.corpus_id,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+FROM pairs p
+JOIN sh sa ON sa.doc_id = p.batch_id
+JOIN sh sb ON sb.doc_id = p.corpus_id
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {thr}
+"""
+
+
+def test_cross_dup_pairs_match_duckdb(spark, sf_dir):
+    from solarpaneldatawrangler_spark.operators.dedup import minhash_cross_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    # threshold 0.1: the synthetic docs are templated enough to collide
+    got = minhash_cross_dup_pairs(
+        batch, corpus, jaccard_threshold=0.1, reproducible=True
+    )
+    assert got.count() > 0, "no cross pairs at 0.1 — probe is vacuous"
+    want = run_oracle(_CROSS_ORACLE.format(thr=0.1), sf_dir)
+    compare(got, want, "minhash_cross_dup_pairs")
+
+
+def test_near_dup_admission_blocks_planted_twins(spark, sf_dir):
+    from solarpaneldatawrangler_spark.operators.dedup import near_dup_new_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 300)
+    # batch: near-copies of corpus docs (must be rejected) + genuinely
+    # novel docs (must be admitted)
+    twins = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 9_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    novel = spark.createDataFrame(
+        [(8_000_000 + i,
+          " ".join(f"uniqueword{i}x{j}" for j in range(30)))
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    batch = twins.unionByName(novel)
+    admitted = {
+        r.doc_id
+        for r in near_dup_new_docs(
+            batch, corpus, jaccard_threshold=0.5, reproducible=True
+        ).collect()
+    }
+    assert {8_000_000 + i for i in range(5)} <= admitted
+    assert not any(i >= 9_000_000 for i in admitted), (
+        "a planted near-twin of the corpus was admitted"
+    )
+
+
+def test_cross_dup_no_cartesian(spark, sf_dir):
+    from solarpaneldatawrangler_spark.operators.dedup import minhash_cross_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    plan = (
+        minhash_cross_dup_pairs(
+            docs.filter(F.col("doc_id") % 2 == 1),
+            docs.filter(F.col("doc_id") % 2 == 0),
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
