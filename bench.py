@@ -361,6 +361,27 @@ def _paragraph_dedup_bench(spark, sf_dir):
     return paragraph_dedup(built)
 
 
+def _cross_dedup_bench(spark, sf_dir):
+    """Cross-corpus near-dup admission: a 10%-sized batch (half near-
+    twins of corpus docs, half untouched originals re-keyed) against
+    the other 90% — batch x corpus band equi-join only, the corpus is
+    never self-joined."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.dedup import near_dup_new_docs
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 20 == 0, F.concat(F.col("text"), F.lit(" zz"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return near_dup_new_docs(batch, corpus, jaccard_threshold=0.5)
+
+
 def _chunk_documents_bench(spark, sf_dir):
     """Sliding-window chunking of the documents table: tokenize, window
     starts, one posexplode — map-only, zero shuffle."""
@@ -419,6 +440,7 @@ EXTRA = {
     "x_temperature_mix": _temperature_mix_bench,
     "x_incremental_dedup": _incremental_dedup_bench,
     "x_chunk_documents": _chunk_documents_bench,
+    "x_cross_dedup": _cross_dedup_bench,
 }
 
 
