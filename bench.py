@@ -362,10 +362,13 @@ def _paragraph_dedup_bench(spark, sf_dir):
 
 
 def _cross_dedup_bench(spark, sf_dir):
-    """Cross-corpus near-dup admission: a 10%-sized batch (half near-
-    twins of corpus docs, half untouched originals re-keyed) against
-    the other 90% — batch x corpus band equi-join only, the corpus is
-    never self-joined."""
+    """Cross-corpus near-dup admission: a 10%-sized batch — half
+    near-twins of CORPUS docs (re-keyed, ' zz' appended: these must
+    collide with their originals through the band join), half docs the
+    corpus has never seen (re-keyed %20==0 rows, which are excluded
+    from the corpus: only template collisions) — against the 90%
+    corpus. Batch x corpus band equi-join only; the corpus is never
+    self-joined."""
     from pyspark.sql import functions as F
 
     from solarpaneldatawrangler_spark.operators.dedup import near_dup_new_docs
@@ -373,13 +376,14 @@ def _cross_dedup_bench(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    batch = docs.filter(F.col("doc_id") % 10 == 0).select(
+    twins = docs.filter(F.col("doc_id") % 20 == 1).select(
         (F.col("doc_id") + 7_000_000).alias("doc_id"),
-        F.when(
-            F.col("doc_id") % 20 == 0, F.concat(F.col("text"), F.lit(" zz"))
-        ).otherwise(F.col("text")).alias("text"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
     )
-    return near_dup_new_docs(batch, corpus, jaccard_threshold=0.5)
+    novel = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 8_000_000).alias("doc_id"), "text"
+    )
+    return near_dup_new_docs(twins.unionByName(novel), corpus, jaccard_threshold=0.5)
 
 
 def _chunk_documents_bench(spark, sf_dir):

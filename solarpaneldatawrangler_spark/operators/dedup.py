@@ -583,11 +583,21 @@ def write_fingerprint_store(
     measured there as files_probed/files_total in bench's ivf_io).
     """
     fps = (
-        df.select(fingerprint(F.col(text_col)).alias("fingerprint"))
+        df.select(_store_fingerprint(text_col).alias("fingerprint"))
         .distinct()
         .withColumn("bucket", _fp_bucket(F.col("fingerprint"), n_buckets))
     )
     fps.write.partitionBy("bucket").mode(mode).parquet(path)
+
+
+def _store_fingerprint(text_col: str) -> Column:
+    """Fingerprint for the incremental store, with null text normalized
+    to the empty string FIRST: md5(NULL) is NULL, and a NULL join key
+    never matches a left_anti probe, so un-normalized null-text rows
+    would be re-admitted on every batch (and the store would grow a
+    NULL-fingerprint row in the default partition). Both the store
+    writer and the batch prober MUST use this same column."""
+    return fingerprint(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
 
 
 def incremental_new_docs(
@@ -612,10 +622,12 @@ def incremental_new_docs(
     ``n_buckets`` must match the store's writer. A fingerprint column
     mismatch (different normalization) admits everything — fingerprints
     are md5 of whitespace-normalized lowercased text on both sides
-    (functions.text.fingerprint), the q50 contract.
+    (functions.text.fingerprint), the q50 contract, with null text
+    normalized to "" first (_store_fingerprint) so repeated null docs
+    cannot bypass the admission filter via NULL join keys.
     """
     spark = batch.sparkSession
-    b = batch.withColumn("_fp", fingerprint(F.col(text_col)))
+    b = batch.withColumn("_fp", _store_fingerprint(text_col))
     buckets = [
         r[0]
         for r in b.select(_fp_bucket(F.col("_fp"), n_buckets).alias("b"))

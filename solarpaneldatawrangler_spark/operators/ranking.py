@@ -75,6 +75,18 @@ def bm25_scores(
     # every per-term tf would re-run the split per term (the q66
     # CollapseProject lesson — measured 300x there)
     extras = extras or {}
+    reserved = (
+        {"id", "_toks", "_dl", "_n", "_avgdl", "bm25_r", id_col}
+        | {f"_tf{i}" for i in range(len(uniq))}
+        | {f"_df{i}" for i in range(len(uniq))}
+    )
+    bad = sorted(set(extras) & reserved)
+    if bad:
+        raise ValueError(
+            f"bm25_scores: extras keys {bad} collide with internal/output "
+            "column names — rename them (a collision would silently "
+            "produce ambiguous columns)"
+        )
     base = docs.select(
         F.col(id_col).alias("id"),
         tokens(F.col(text_col)).alias("_toks"),

@@ -86,12 +86,14 @@ def temperature_resample(
     row id, so reruns/retries/other engines select identical rows and
     the whole operator replays in SQL.
 
-    Plan shape: ONE map-side-combinable groupBy(stratum) for counts, a
-    1-row global reduce for (N, Z), both broadcast back; the corpus
-    itself never shuffles — the filter is expression-only in the scan
-    stage. Returns the kept rows of ``df`` unchanged (schema-stable);
-    temperature_rates exposes the per-stratum (count, rate) plan for
-    logging and oracle replay.
+    Plan shape: ONE map-side-combinable groupBy(stratum) for counts
+    (collected — bounded by stratum cardinality — so Z and the rates
+    are computed driver-side in a deterministic order, see
+    temperature_rate_table), then the tiny rate table is broadcast
+    back; the corpus itself never shuffles — the filter is
+    expression-only in the scan stage. Returns the kept rows of ``df``
+    unchanged (schema-stable); temperature_rates exposes the
+    per-stratum (count, rate) table for logging and oracle replay.
     """
     if not 0.0 < target_frac <= 1.0:
         raise ValueError("target_frac must be in (0, 1]")
@@ -107,6 +109,44 @@ def temperature_resample(
     )
 
 
+def temperature_rate_table(
+    counts: list[tuple], alpha: float, target_frac: float
+) -> list[tuple]:
+    """Pure-Python rate computation shared by temperature_rates and its
+    SQL-oracle builders: given (stratum, n) pairs, return (stratum, n,
+    rate) with rate = round(min(1, target_frac * N * n^alpha / Z / n), 9)
+    and Z = sum n^alpha accumulated in SORTED-stratum order.
+
+    Computing Z here — one deterministic left-to-right float sum over a
+    sorted, bounded list — instead of as a distributed SUM(pow(n, alpha))
+    removes the last engine-order dependence: Spark's partial-agg merge
+    order and another engine's summation order can disagree in the low
+    bits of Z, and a stratum whose rate sits on a 9dp rounding boundary
+    would then flip membership for every row it governs. With the rates
+    fixed driver-side, every engine filters against the identical
+    doubles."""
+    items = sorted(counts, key=lambda kv: (kv[0] is None, kv[0]))
+    total = 0
+    z = 0.0
+    for _, n in items:
+        total += int(n)
+        z += float(n) ** alpha
+    return [
+        (
+            s,
+            int(n),
+            round(
+                min(
+                    1.0,
+                    target_frac * float(total) * (float(n) ** alpha) / z / float(n),
+                ),
+                9,
+            ),
+        )
+        for s, n in items
+    ]
+
+
 def temperature_rates(
     df: DataFrame,
     stratum_col: str,
@@ -114,27 +154,27 @@ def temperature_rates(
     target_frac: float = 0.5,
 ) -> DataFrame:
     """Per-stratum keep rates for temperature_resample: (stratum, _n,
-    _rate). The rate expression keeps a FIXED operand order —
-    round(least(1, target_frac * N * pow(n, alpha) / Z / n), 9) — so a
-    SQL oracle computing the identical sequence reproduces the exact
-    doubles and therefore the exact kept-row set."""
-    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
-    norm = counts.agg(
-        F.sum("_n").alias("_total"),
-        F.sum(F.pow("_n", F.lit(alpha))).alias("_z"),
+    _rate). The per-stratum counts are collected (the one contractual
+    driver collect — bounded by the stratum cardinality, which is
+    human-scale by construction: sources, languages, quality bands) and
+    the rates computed driver-side by temperature_rate_table, so the
+    normalizer Z is a deterministic sorted-order float sum and the rate
+    doubles are engine- and layout-independent. A SQL oracle replays
+    them as literals (VALUES), not as a re-derivation."""
+    counts = [
+        (r[0], r[1])
+        for r in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    ]
+    rows = temperature_rate_table(counts, alpha, target_frac)
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField(stratum_col, df.schema[stratum_col].dataType),
+            StructField("_n", LongType()),
+            StructField("_rate", DoubleType()),
+        ]
     )
-    return counts.join(F.broadcast(norm)).select(
-        stratum_col,
-        "_n",
-        F.round(
-            F.least(
-                F.lit(1.0),
-                F.lit(target_frac)
-                * F.col("_total")
-                * F.pow("_n", F.lit(alpha))
-                / F.col("_z")
-                / F.col("_n"),
-            ),
-            9,
-        ).alias("_rate"),
-    )
+    return df.sparkSession.createDataFrame(rows, schema)

@@ -46,13 +46,27 @@ def available_now_stream(
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     else:
+        from pyspark.errors import AnalysisException
+
         try:
             on_disk = {
                 f.name: f.dataType.simpleString()
                 for f in spark.read.parquet(source_dir).schema.fields
             }
-        except Exception:
-            on_disk = None  # empty dir: nothing to validate against
+        except AnalysisException as ex:
+            # ONLY the two empty-source shapes skip validation (nothing
+            # on disk to validate against — the stream still needs the
+            # caller schema to start). Anything else (corrupt footer,
+            # permission error) must propagate: swallowing it would
+            # silently skip the very drift guard this function exists
+            # for and start the stream on an unverified schema.
+            marker = str(ex)  # the error class is embedded, e.g. "[PATH_NOT_FOUND] ..."
+            if not any(
+                m in marker
+                for m in ("UNABLE_TO_INFER_SCHEMA", "PATH_NOT_FOUND", "Unable to infer")
+            ):
+                raise
+            on_disk = None  # empty/missing dir: nothing to validate against
         if on_disk is not None:
             fields = (
                 schema.fields

@@ -85,6 +85,28 @@ def test_store_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     assert len(probed) <= 3 < n_partitions
 
 
+def test_null_text_cannot_bypass_admission(spark, tmp_path):
+    """Null text fingerprints to NULL without normalization, and NULL
+    join keys never match a left_anti probe — so repeated null docs
+    would be re-admitted forever (ADVICE r6). Both sides now normalize
+    null -> '' before fingerprinting."""
+    store = str(tmp_path / "fpstore")
+    b1 = spark.createDataFrame(
+        [(1, None), (2, "real text")], "doc_id long, text string"
+    )
+    write_fingerprint_store(b1, store)
+    # the store must carry a REAL fingerprint for the null doc, not a
+    # NULL row in the default partition
+    fps = spark.read.parquet(store)
+    assert fps.filter(F.col("fingerprint").isNull()).count() == 0
+    # a later batch's null/empty docs are known content, not new
+    b2 = spark.createDataFrame(
+        [(3, None), (4, ""), (5, "genuinely new")], "doc_id long, text string"
+    )
+    admitted = sorted(r.doc_id for r in incremental_new_docs(b2, store).collect())
+    assert admitted == [5]
+
+
 def test_append_mode_accumulates(spark, tmp_path):
     store = str(tmp_path / "fpstore")
     b1 = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id long, text string")

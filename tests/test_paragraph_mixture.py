@@ -295,3 +295,18 @@ def test_chunk_documents_no_shuffle(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # map-only: chunking never shuffles
+
+
+def test_temperature_rate_table_pure_python():
+    from solarpaneldatawrangler_spark.operators.sampling import (
+        temperature_rate_table,
+    )
+
+    rows = temperature_rate_table([("big", 990), ("tiny", 10)], 0.2, 0.5)
+    by = {s: (n, r) for s, n, r in rows}
+    assert by["tiny"] == (10, 1.0)  # capped
+    assert 0.0 < by["big"][1] < 1.0
+    # deterministic under input order; None strata sort last, don't crash
+    assert rows == temperature_rate_table([("tiny", 10), ("big", 990)], 0.2, 0.5)
+    rows2 = temperature_rate_table([(None, 5), ("a", 5)], 1.0, 0.5)
+    assert [s for s, _, _ in rows2] == ["a", None]

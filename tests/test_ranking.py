@@ -104,3 +104,15 @@ def test_empty_terms_raise(spark, sf_dir):
 def test_idf_weights_helper():
     w = idf_weights(100, {"rare": 1, "common": 99})
     assert w["rare"] > w["common"] > 0
+
+
+def test_extras_key_collision_raises(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    from pyspark.sql import functions as F
+
+    for bad in ("_dl", "_tf0", "doc_id", "bm25_r"):
+        with pytest.raises(ValueError, match="collide"):
+            bm25_scores(docs, ["a"], extras={bad: F.length("text")})
+    # non-colliding extras still pass through
+    out = bm25_scores(docs, ["a"], extras={"n_chars": F.length("text")})
+    assert out.columns == ["doc_id", "n_chars", "bm25_r"]

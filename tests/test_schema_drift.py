@@ -110,6 +110,53 @@ def test_available_now_stream_rejects_drifted_caller_schema(spark, tmp_path):
         )
 
 
+def test_available_now_stream_propagates_corrupt_source(spark, tmp_path):
+    """A validation-read failure that is NOT 'empty dir' (here: a corrupt
+    parquet footer) must propagate instead of being swallowed as
+    nothing-to-validate — the stream must never start on an unverified
+    schema (ADVICE r6: the old blanket except skipped the guard)."""
+    from solarpaneldatawrangler_spark.streaming.incremental import (
+        available_now_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part-0000.parquet").write_bytes(b"this is not a parquet file")
+    chk = tmp_path / "chk"
+    with pytest.raises(Exception) as ei:
+        available_now_stream(
+            spark,
+            str(src),
+            schema="event_id long, ts timestamp",
+            transform=lambda df: df,
+            checkpoint_dir=str(chk),
+            output_dir=str(tmp_path / "out"),
+        )
+    assert "nothing to validate" not in str(ei.value)
+    # fast-fail proof: the failure came from the validation read, before
+    # the stream (and its checkpoint) ever started
+    assert not chk.exists()
+
+
+def test_available_now_stream_accepts_empty_source_dir(spark, tmp_path):
+    """An EXISTING but empty source dir is the legitimate skip case:
+    nothing on disk to validate, the caller schema starts the stream."""
+    from solarpaneldatawrangler_spark.streaming.incremental import (
+        available_now_stream,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    available_now_stream(
+        spark,
+        str(src),
+        schema="event_id long, ts timestamp",
+        transform=lambda df: df,
+        checkpoint_dir=str(tmp_path / "chk"),
+        output_dir=str(tmp_path / "out"),
+    )
+
+
 def test_available_now_stream_sniffs_schema_when_none(spark, tmp_path):
     from solarpaneldatawrangler_spark.streaming.incremental import (
         available_now_stream,
