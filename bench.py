@@ -47,6 +47,29 @@ HEADLINE = [
 ]
 
 
+def _exact_dedup_headline(spark, sf_dir):
+    """Pinned q50 HEADLINE workload: the pure exact_dedup operator. The
+    catalog's q50 entry grew merged paragraph-dedup columns in r7 (the
+    driver-correctness rotation); timing the merged entry would break
+    the round-over-round headline comparable, so the headline keeps
+    timing exactly what it timed in r1-r6 (x_paragraph_dedup covers the
+    merged half)."""
+    from solarpaneldatawrangler_spark.operators.dedup import exact_dedup
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# headline entries whose CATALOG fn has diverged from the stable bench
+# workload (merged correctness-rotation columns): the bench times the
+# pinned original operator
+HEADLINE_FNS = {"q50_exact_dedup": _exact_dedup_headline}
+
+
+def _headline_fn(name: str):
+    return HEADLINE_FNS.get(name) or CATALOG[name].fn
+
+
 def _cc_snake(spark, sf_dir):
     """Connected-components worst case: one 1000-cell snake (a single
     path graph, diameter 999) — maximizes pointer-jumping rounds, the
@@ -496,7 +519,7 @@ def main() -> None:
     total = 0.0
     snap_load("headline_start")
     for name in HEADLINE:
-        best = run_safe(name, CATALOG[name].fn)
+        best = run_safe(name, _headline_fn(name))
         if best is not None:
             timings[name] = round(best, 3)
             total += best
@@ -553,7 +576,7 @@ def main() -> None:
         star._MEMO.clear()
         spark.catalog.clearCache()
         for name in HEADLINE:
-            best = run_safe("cold:" + name, CATALOG[name].fn)
+            best = run_safe("cold:" + name, _headline_fn(name))
             if best is not None:
                 cold_timings[name] = round(best, 3)
                 cold_total += best
@@ -577,7 +600,7 @@ def main() -> None:
             os.environ["SPARK_GRAFT_CACHE_TABLES"] = "1"
             star._MEMO.clear()
             for name in suspect:
-                best = run_safe("rerun:" + name, CATALOG[name].fn)
+                best = run_safe("rerun:" + name, _headline_fn(name))
                 if best is not None and best < timings[name]:
                     warm_reruns[name] = round(best, 3)
                     timings[name] = round(best, 3)

@@ -31,7 +31,14 @@ from solarpaneldatawrangler_spark.operators.similarity import brute_force_topk  
 from solarpaneldatawrangler_spark.session import get_spark  # noqa: E402
 
 
+# optional substring filter: `python scripts/scale_smoke.py flood` runs
+# only probes whose label contains "flood"
+_ONLY = sys.argv[1] if len(sys.argv) > 1 else None
+
+
 def timed(label, fn):
+    if _ONLY is not None and _ONLY not in label:
+        return None
     t0 = time.perf_counter()
     out = fn()
     dt = time.perf_counter() - t0
@@ -217,6 +224,109 @@ def main():
     )
     timed("temperature_resample 10M rows / 20 strata",
           lambda: temperature_resample(mix, "source", 0.5, 0.5).count())
+
+    # paragraph-dedup HOT-FINGERPRINT skew (r7, VERDICT item 5): one
+    # boilerplate paragraph repeated 10M times across docs, each doc
+    # also carrying a unique paragraph. The keeper agg must partial-
+    # aggregate the hot fingerprint map-side (groupBy.min(struct), never
+    # a window) — success criterion is LINEAR wall time, no single-task
+    # funnel of 10M rows. Expected kept rows: 10M docs (1 unique para
+    # each) with exactly one also keeping the boilerplate.
+    from solarpaneldatawrangler_spark.operators.dedup import paragraph_dedup
+
+    hot = spark.range(10_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("subscribe to our newsletter for updates\n\nunique content "),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    timed("paragraph_dedup hot-fp 10M docs x 1 boilerplate para",
+          lambda: paragraph_dedup(hot).filter(F.col("n_kept") > 0).count())
+
+    # cross-corpus admission under a BOILERPLATE FLOOD (r7, VERDICT item
+    # 3): 100k DISTINCT-but-near-identical corpus docs (a 16-word
+    # template + one unique token each — what survives exact dedup when
+    # boilerplate differs by a counter/timestamp) share most band
+    # buckets. The batch: 100 twins of normal corpus docs, 10 twins of
+    # flood docs, 100 novel. Uncapped, each flood-twin collides with
+    # ~the whole flood per band; max_bucket=64 drops the hot buckets
+    # before the join. Recall contract, printed for proof: normal-twin
+    # recall is UNAFFECTED by the cap (their buckets are small); only
+    # flood-twin detection is sacrificed — bounded, documented
+    # degradation, not a wrong answer.
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        minhash_cross_dup_pairs,
+    )
+
+    _TPL = ("cookie banner terms apply all rights reserved contact us "
+            "privacy policy sitemap careers press kit help center")
+    normal = spark.range(2000).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(49)),
+                lambda j: F.concat(
+                    F.lit("w"), ((F.col("id") * 37 + j * 11) % 5000).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    )
+    flood = spark.range(100_000).select(
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        F.concat(
+            F.lit(_TPL + " u"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    corpus_fl = normal.unionByName(flood)
+    twins_fl = normal.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 6_000_000).alias("doc_id"),  # 7.000M..7.002M
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    flood_twins = flood.filter(F.col("doc_id") % 10_000 == 0).select(
+        (F.col("doc_id") + 5_500_000).alias("doc_id"),  # 7.500M..7.600M
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    novel_fl = spark.range(100).select(
+        (F.col("id") + 8_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda j: F.concat(
+                    F.lit("novel"), (F.col("id") * 100 + j).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    )
+    batch_fl = twins_fl.unionByName(flood_twins).unionByName(novel_fl)
+    n_normal_twins = twins_fl.count()
+    n_flood_twins = flood_twins.count()
+
+    def flood_recall(max_bucket):
+        pairs = minhash_cross_dup_pairs(
+            batch_fl, corpus_fl, jaccard_threshold=0.5, max_bucket=max_bucket
+        )
+        found = pairs.select("batch_id").distinct()
+        normal_hits = found.filter(
+            (F.col("batch_id") >= 7_000_000) & (F.col("batch_id") < 7_500_000)
+        ).count()
+        flood_hits = found.filter(
+            (F.col("batch_id") >= 7_500_000) & (F.col("batch_id") < 8_000_000)
+        ).count()
+        print(
+            f"  recall (max_bucket={max_bucket}): normal twins "
+            f"{normal_hits}/{n_normal_twins}, flood twins "
+            f"{flood_hits}/{n_flood_twins}",
+            flush=True,
+        )
+        return pairs.count()
+
+    timed("cross-dedup flood 100k-doc hot buckets, max_bucket=64",
+          lambda: flood_recall(64))
+    timed("cross-dedup flood 100k-doc hot buckets, UNCAPPED",
+          lambda: flood_recall(None))
 
 
 if __name__ == "__main__":

@@ -642,6 +642,39 @@ def incremental_new_docs(
     return b.join(store, "_fp", "left_anti").drop("_fp")
 
 
+def compact_fingerprint_store(
+    spark,
+    path: str,
+    n_buckets: int = 64,
+) -> None:
+    """Rewrite the fingerprint store to ONE file per bucket with distinct
+    fingerprints — the maintenance pass for append-heavy ingest.
+
+    mode='append' writes one small parquet file per bucket per accepted
+    batch; at daily ingest that is file-count rot: a probe of B buckets
+    reads B x n_appends footers, quietly eroding the O(batch) pruning
+    win (and duplicate fingerprints from racing writers add row bloat).
+    Compaction restores the invariant probing cost: files_probed ==
+    buckets_probed.
+
+    Plan shape: one read of the store, distinct per fingerprint, one
+    repartition on bucket (each bucket hashes to exactly one of the
+    n_buckets partitions, so the partitioned write emits exactly one
+    file per non-empty bucket), overwrite. The localCheckpoint
+    materializes the compacted rows BEFORE the overwrite truncates the
+    directory being read — the standard self-overwrite guard. At 100 TB
+    the store is ~32 bytes/doc; per-bucket compaction cost is bounded
+    and embarrassingly parallel."""
+    df = (
+        spark.read.parquet(path)
+        .select("fingerprint", "bucket")
+        .dropDuplicates(["fingerprint"])
+        .repartition(n_buckets, F.col("bucket"))
+        .localCheckpoint()
+    )
+    df.write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+
 # --- cross-corpus near-dup (incremental ingest admission) --------------------
 
 def _banded_keys(

@@ -34,23 +34,112 @@ from solarpaneldatawrangler_spark.sources.star import load_table
 _SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
 
-# --- exact dedup (hash-groupBy) ---------------------------------------------
+# --- exact dedup (hash-groupBy) + paragraph dedup (merged r7) ----------------
+
+# The driver documents are single-line, so the paragraph-dedup half runs
+# on a DERIVED two-paragraph corpus built identically in both engines
+# (doc i = text_i + blank line + text_{i+7}: every source text occurs as
+# a paragraph in two docs — real cross-doc duplication). Same derivation
+# as tests/test_paragraph_mixture.py and bench's x_paragraph_dedup.
+_PARA_CTES = r"""
+    built AS (
+        SELECT a.doc_id,
+               a.text || chr(10) || chr(10) || COALESCE(b.text, '') AS text
+        FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 7
+    ),
+    paras0 AS (
+        SELECT doc_id,
+               generate_subscripts(l, 1) - 1 AS pos,
+               unnest(l) AS para
+        FROM (SELECT doc_id,
+                     string_split_regex(text, '\n\s*\n') AS l
+              FROM built)
+    ),
+    paras AS (
+        SELECT doc_id, pos, para,
+               md5(regexp_replace(trim(lower(para)), '\s+', ' ', 'g')) AS fp
+        FROM paras0
+        WHERE regexp_replace(trim(lower(para)), '\s+', ' ', 'g') <> ''
+    ),
+    pranked AS (
+        SELECT doc_id, pos, para,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+        FROM paras
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               COUNT(*) AS n_kept,
+               string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+        FROM pranked WHERE rn = 1
+        GROUP BY doc_id
+    ),
+    ptotals AS (SELECT doc_id, COUNT(*) AS n_paras FROM paras GROUP BY doc_id),
+    para AS (
+        SELECT d.doc_id AS keep_id,
+               md5(COALESCE(r.text, '')) AS para_fp,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS para_kept,
+               CAST(COALESCE(t.n_paras, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+                   AS para_dropped
+        FROM built d
+        LEFT JOIN ptotals t USING (doc_id)
+        LEFT JOIN rebuilt r USING (doc_id)
+    )
+"""
+
 
 @register(
     "q50_exact_dedup",
-    oracle="""
-    SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
-           MIN(doc_id) AS keep_id,
-           COUNT(*) AS n_copies
-    FROM documents
-    GROUP BY 1
+    oracle=f"""
+    WITH {_PARA_CTES},
+    ex AS (
+        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    )
+    SELECT ex.fingerprint, ex.keep_id, ex.n_copies,
+           p.para_fp, p.para_kept, p.para_dropped
+    FROM ex JOIN para p USING (keep_id)
     """,
-    doc="Exact dedup: md5 fingerprint of normalized text, deterministic "
-    "min-id representative. One shuffle on a 32-byte key; map-side "
-    "combinable.",
+    doc="Exact dedup (md5 fingerprint of normalized text, deterministic "
+    "min-id representative; one shuffle on a 32-byte key, map-side "
+    "combinable) MERGED (r7) with corpus-level paragraph dedup "
+    "(operators/dedup.paragraph_dedup, the Dolma/RefinedWeb recipe) over "
+    "a derived two-paragraph corpus: each representative row carries the "
+    "md5 of its rebuilt text (pins reassembly order + separator), kept "
+    "and dropped paragraph counts. The keeper selection is a map-side-"
+    "combinable groupBy(fp).min(struct) — never a window over the hot "
+    "fingerprint. Hashed surfaces: exact (fingerprint, keep_id, "
+    "n_copies); paragraph (para_fp, para_kept, para_dropped). Bench "
+    "keeps timing the pure exact_dedup half (headline pin) and "
+    "x_paragraph_dedup the paragraph half.",
 )
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup(load_table(spark, sf_dir, "documents"))
+    from solarpaneldatawrangler_spark.operators.dedup import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = exact_dedup(docs)
+    b = docs.select(
+        (F.col("doc_id") - 7).alias("doc_id"), F.col("text").alias("_t2")
+    )
+    built = (
+        docs.select("doc_id", "text")
+        .join(b, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit("\n\n"), F.coalesce("_t2", F.lit(""))
+            ).alias("text"),
+        )
+    )
+    para = paragraph_dedup(built).select(
+        F.col("doc_id").alias("keep_id"),
+        F.md5("text").alias("para_fp"),
+        F.col("n_kept").alias("para_kept"),
+        F.col("n_dropped").alias("para_dropped"),
+    )
+    return ex.join(para, "keep_id")
 
 
 # --- token counting + BM25 probe --------------------------------------------
@@ -93,18 +182,60 @@ def _bm25_oracle_fragment(terms: list[str], k1: float, b: float) -> str:
     """
 
 
+# chunking params for the merged q51 column set: small window so the
+# sf0.01 docs (a few hundred tokens) produce several chunks each — the
+# same (40, 8) probe tests/test_paragraph_mixture.py oracles
+_CHUNK_MAX, _CHUNK_OVERLAP = 40, 8
+
+_CHUNK_CTES = f"""
+    chtoked AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    chstarts AS (
+        SELECT doc_id, toks,
+               unnest(list_filter(
+                   generate_series(0, len(toks) - 1, {_CHUNK_MAX - _CHUNK_OVERLAP}),
+                   s -> s = 0 OR s + {_CHUNK_OVERLAP} < len(toks))) AS start
+        FROM chtoked WHERE len(toks) > 0
+    ),
+    chnum AS (
+        SELECT doc_id, toks, start,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) - 1
+                   AS chunk_id
+        FROM chstarts
+    ),
+    chrows AS (
+        SELECT doc_id, chunk_id,
+               len(toks[start + 1 : start + {_CHUNK_MAX}]) AS n_chunk_tokens,
+               array_to_string(toks[start + 1 : start + {_CHUNK_MAX}], ' ') AS text
+        FROM chnum
+    ),
+    chagg AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(n_chunk_tokens) AS BIGINT) AS chunk_tok_sum,
+               md5(string_agg(text, chr(31) ORDER BY chunk_id)) AS chunks_fp
+        FROM chrows GROUP BY doc_id
+    )
+"""
+
+
 @register(
     "q51_token_stats",
     oracle=f"""
-    WITH {_bm25_oracle_fragment(_BM25_TERMS, _BM25_K1, _BM25_B)}
+    WITH {_bm25_oracle_fragment(_BM25_TERMS, _BM25_K1, _BM25_B)},
+    {_CHUNK_CTES}
     SELECT d.doc_id,
            len({_SQL_TOKS}) AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
            length(text) AS n_chars_actual,
            ROUND(CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum') AS DOUBLE)
                  / GREATEST(len({_SQL_TOKS}), 1), 6) AS mean_word_len,
-           bm.bm25_r
-    FROM documents d JOIN bm USING (doc_id)
+           bm.bm25_r,
+           COALESCE(ch.n_chunks, 0) AS n_chunks,
+           COALESCE(ch.chunk_tok_sum, 0) AS chunk_tok_sum,
+           COALESCE(ch.chunks_fp, '') AS chunks_fp
+    FROM documents d
+    JOIN bm USING (doc_id)
+    LEFT JOIN chagg ch USING (doc_id)
     """,
     doc="Token counting for LLM-cost estimation as pure array expressions "
     "in the scan stage, zero corpus shuffle: whitespace tokens, GPT-2-"
@@ -114,16 +245,23 @@ def _bm25_oracle_fragment(terms: list[str], k1: float, b: float) -> str:
     "against a fixed term query — all riding ONE documents pass via "
     "bm25_scores' extras pass-through; the only non-scan work is the "
     "1-row corpus-stats aggregate broadcast back (the documented "
-    "1-row BroadcastNestedLoopJoin).",
+    "1-row BroadcastNestedLoopJoin). MERGED (r7): sliding-window "
+    "document chunking (operators/packing.chunk_documents, max_tokens="
+    "40/overlap=8) aggregated per doc — n_chunks, chunk_tok_sum, and "
+    "chunks_fp = md5 of the chunk texts joined in chunk order, which "
+    "pins every chunk's exact token content and boundaries. Hashed "
+    "surfaces: token stats + bm25_r (as before); chunking (n_chunks, "
+    "chunk_tok_sum, chunks_fp).",
 )
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.packing import chunk_documents
     from solarpaneldatawrangler_spark.operators.ranking import bm25_scores
 
     docs = load_table(spark, sf_dir, "documents")
     bpe = F.regexp_extract_all(
         F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
     )
-    return bm25_scores(
+    base = bm25_scores(
         docs,
         _BM25_TERMS,
         k1=_BM25_K1,
@@ -134,6 +272,34 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars_actual": F.length("text"),
             "mean_word_len": F.round(mean_word_length(F.col("text")), 6),
         },
+    )
+    chagg = (
+        chunk_documents(docs, max_tokens=_CHUNK_MAX, overlap=_CHUNK_OVERLAP)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_chunk_tokens").cast("long").alias("chunk_tok_sum"),
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("chunk_id", "text"))),
+                        lambda s: s["text"],
+                    ),
+                )
+            ).alias("chunks_fp"),
+        )
+    )
+    return base.join(chagg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_bpe_tokens",
+        "n_chars_actual",
+        "mean_word_len",
+        "bm25_r",
+        F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+        F.coalesce("chunk_tok_sum", F.lit(0)).alias("chunk_tok_sum"),
+        F.coalesce("chunks_fp", F.lit("")).alias("chunks_fp"),
     )
 
 
@@ -168,12 +334,53 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
-# --- language ID -------------------------------------------------------------
+# --- language ID + temperature mixture membership (merged r7) ---------------
 
-@register(
-    "q53_lang_id",
-    oracle=f"""
-    WITH scores AS (
+# temperature_resample params for the merged q53 columns: stratum = the
+# documents lang column, the same (alpha, frac) point the pytest oracle
+# checks first
+_TEMP_ALPHA, _TEMP_FRAC = 0.5, 0.5
+
+
+def _lang_rates_values_or_none() -> str | None:
+    """The per-lang temperature rate table as a SQL VALUES body —
+    computed at import time from ORACLE_SF_DIR's documents with the
+    SAME pure-Python temperature_rate_table the Spark operator uses, so
+    both engines compare literal-identical doubles (the q67 trained-
+    centroid idiom: data-dependent constants replayed as VALUES; only
+    meaningful when the gate runs at ORACLE_SF_DIR). None if the
+    testdata is absent in this environment (degrade to rows-only)."""
+    try:
+        import duckdb
+
+        from solarpaneldatawrangler_spark.operators.sampling import (
+            temperature_rate_table,
+        )
+        from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
+
+        counts = (
+            duckdb.connect()
+            .execute(
+                "SELECT lang, COUNT(*) FROM read_parquet("
+                f"'{ORACLE_SF_DIR}/documents.parquet') GROUP BY lang"
+            )
+            .fetchall()
+        )
+        rows = temperature_rate_table(counts, _TEMP_ALPHA, _TEMP_FRAC)
+        return ",\n".join(
+            f"({s!r}, {int(n)}, CAST({r!r} AS DOUBLE))" for s, n, r in rows
+        )
+    except Exception:
+        return None
+
+
+def _q53_oracle_or_none() -> str | None:
+    values = _lang_rates_values_or_none()
+    if values is None:
+        return None
+    return f"""
+    WITH trates(lang, lang_n, lang_rate) AS (VALUES {values}),
+    scores AS (
         SELECT doc_id, lang,
             len(list_filter({_SQL_TOKS}, t -> list_contains(['the','and','of','to','a'], t))) AS s_en,
             len(list_filter({_SQL_TOKS}, t -> list_contains(['el','la','de','que','y'], t))) AS s_es,
@@ -181,17 +388,40 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
             len(list_filter({_SQL_TOKS}, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de
         FROM documents
     )
-    SELECT doc_id, lang,
+    SELECT s.doc_id, s.lang,
            CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
                 WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
                 WHEN s_fr >= s_de THEN 'fr'
-                ELSE 'de' END AS pred_lang
-    FROM scores
-    """,
-    doc="Language-ID heuristic: marker-token counts per language, "
-    "deterministic argmax (ties break en>es>fr>de).",
+                ELSE 'de' END AS pred_lang,
+           CAST(t.lang_n AS BIGINT) AS lang_n,
+           t.lang_rate,
+           (('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0) < t.lang_rate AS kept
+    FROM scores s JOIN trates t USING (lang)
+    """
+
+
+@register(
+    "q53_lang_id",
+    oracle=_q53_oracle_or_none(),
+    doc="Language-ID heuristic (marker-token counts per language, "
+    "deterministic argmax, ties break en>es>fr>de) MERGED (r7) with "
+    "temperature mixture resampling membership (operators/sampling."
+    "temperature_resample, alpha=0.5, target_frac=0.5, stratum=lang): "
+    "each doc row carries its stratum count, the driver-side "
+    "deterministic keep rate (temperature_rate_table — sorted-stratum "
+    "Z sum, replayed in SQL as literal VALUES), and its md5-hash-bucket "
+    "membership verdict. The corpus never shuffles: rates broadcast "
+    "back, membership is expression-only in the scan. Hashed surfaces: "
+    "lang-ID (doc_id, lang, pred_lang); temperature (lang_n, lang_rate, "
+    "kept).",
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.sampling import (
+        hash_bucket,
+        temperature_rates,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     s_en, s_es = lang_marker_score(t, "en"), lang_marker_score(t, "es")
@@ -202,7 +432,15 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(s_fr >= s_de, F.lit("fr"))
         .otherwise(F.lit("de"))
     )
-    return docs.select("doc_id", "lang", pred.alias("pred_lang"))
+    rates = temperature_rates(docs, "lang", _TEMP_ALPHA, _TEMP_FRAC)
+    return docs.join(F.broadcast(rates), "lang").select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        F.col("_n").alias("lang_n"),
+        F.col("_rate").alias("lang_rate"),
+        (hash_bucket(F.col("doc_id")) < F.col("_rate")).alias("kept"),
+    )
 
 
 # --- MinHash signatures (oracle-checkable md5 hash family) ------------------
@@ -360,44 +598,126 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_df(docs, "text", "doc_id", reproducible=True)
 
 
-# --- n-gram Jaccard between consecutive docs --------------------------------
+# --- n-gram Jaccard + cross-corpus near-dup pairs (merged r7) ---------------
+
+# cross-corpus admission probe: odd doc_ids are the ingest batch, even
+# ones the standing corpus; threshold 0.1 because the synthetic docs are
+# templated enough to collide there (the same split/threshold
+# tests/test_incremental_store.py oracles)
+_CROSS_THR = 0.1
+
+_CROSS_CTES = r"""
+    xsides AS (
+        SELECT doc_id, text, doc_id % 2 = 1 AS is_batch FROM documents
+    ),
+    xtoks AS (
+        SELECT doc_id, is_batch,
+               list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS toks
+        FROM xsides
+    ),
+    xsh AS (
+        SELECT doc_id, is_batch,
+               list_distinct(list_transform(
+                   range(1, GREATEST(len(toks) - 1, 1)),
+                   i -> array_to_string(list_slice(toks, i, i + 2), ' '))) AS shingles
+        FROM xtoks
+    ),
+    xshx AS (SELECT doc_id, is_batch, unnest(shingles) AS t FROM xsh),
+    xhv AS (
+        SELECT doc_id, is_batch, g.i,
+               MIN(((2 * g.i + 1) * (('0x' || substr(md5(t), 1, 8))::BIGINT) + 13 * g.i)
+                   % 2147483647) AS mh
+        FROM xshx CROSS JOIN generate_series(0, 15) g(i)
+        GROUP BY doc_id, is_batch, g.i
+    ),
+    xbands AS (
+        SELECT doc_id, is_batch, i // 4 AS band,
+               string_agg(mh::VARCHAR, ',' ORDER BY i) AS band_sig
+        FROM xhv GROUP BY doc_id, is_batch, i // 4
+    ),
+    xpairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM xbands a JOIN xbands b
+          ON a.band = b.band AND a.band_sig = b.band_sig
+        WHERE a.is_batch AND NOT b.is_batch
+    ),
+    xcross AS (
+        SELECT p.id_a, p.id_b,
+               ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
+                   AS jaccard
+        FROM xpairs p
+        JOIN xsh sa ON sa.doc_id = p.id_a
+        JOIN xsh sb ON sb.doc_id = p.id_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.1
+    )
+"""
+
 
 @register(
     "q57_ngram_jaccard",
-    oracle="""
-    WITH sh AS (
+    oracle=f"""
+    WITH {_CROSS_CTES},
+    adjsh AS (
         SELECT doc_id,
                list_distinct(list_transform(
                    range(1, GREATEST(length(lower(text)) - 1, 1)),
                    i -> substr(lower(text), i, 3))) AS grams
         FROM documents
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT 'adjacent' AS method, a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    FROM adjsh a JOIN adjsh b ON b.doc_id = a.doc_id + 1
+    UNION ALL
+    SELECT 'cross' AS method, id_a, id_b, jaccard FROM xcross
     """,
-    doc="Character-3-gram Jaccard similarity between consecutive doc ids — "
-    "the exact-verify kernel used by every near-dup path, as pure array "
-    "expressions.",
+    doc="Character-3-gram Jaccard between consecutive doc ids (the "
+    "exact-verify kernel used by every near-dup path, as pure array "
+    "expressions) MERGED (r7) with cross-corpus MinHash near-dup "
+    "admission (operators/dedup.minhash_cross_dup_pairs): odd-id docs "
+    "as the ingest batch vs even-id docs as the standing corpus, banded "
+    "(16 hashes / 4 bands) batch x corpus equi-join — the corpus is "
+    "never self-joined — with exact shingle-Jaccard verify at 0.1. "
+    "Union-tagged by method. Hashed surfaces: 'adjacent' rows (the "
+    "original q57); 'cross' rows (batch_id, corpus_id, verified "
+    "jaccard — pins banding, collision set, and the verify kernel).",
 )
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.functions.text import char_ngrams
-    from solarpaneldatawrangler_spark.operators.dedup import ngram_jaccard
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        minhash_cross_dup_pairs,
+        ngram_jaccard,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.array_distinct(char_ngrams(F.col("text"), 3)).alias("grams")
     )
     a, b = sh.alias("a"), sh.alias("b")
-    return (
+    adjacent = (
         a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
         .select(
+            F.lit("adjacent").alias("method"),
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
             F.round(ngram_jaccard(F.col("a.grams"), F.col("b.grams")), 6).alias("jaccard"),
         )
     )
+    slim = docs.select("doc_id", "text")
+    cross = minhash_cross_dup_pairs(
+        slim.filter(F.col("doc_id") % 2 == 1),
+        slim.filter(F.col("doc_id") % 2 == 0),
+        jaccard_threshold=_CROSS_THR,
+        reproducible=True,
+    ).select(
+        F.lit("cross").alias("method"),
+        F.col("batch_id").alias("id_a"),
+        F.col("corpus_id").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    return adjacent.unionByName(cross)
 
 
 # --- brute-force ANN (exact cosine top-k) -----------------------------------
@@ -622,24 +942,76 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# one fingerprint store per (process, sf_dir) for the merged q61: the
+# corpus half (even doc_ids) is written ONCE to a temp bucket-partitioned
+# parquet store and probed by every later call — the bench _FP_STORE
+# idiom; cleaned up at process exit
+_Q61_STORE: dict[str, str] = {}
+
+
+def _q61_store_dir(spark: SparkSession, sf_dir: str) -> str:
+    got = _Q61_STORE.get(sf_dir)
+    if got is not None:
+        return got
+    import atexit
+    import shutil
+    import tempfile
+
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        write_fingerprint_store,
+    )
+
+    d = tempfile.mkdtemp(prefix="spark_graft_q61_fpstore_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    corpus = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    write_fingerprint_store(corpus, d)
+    _Q61_STORE[sf_dir] = d
+    return d
+
+
 @register(
     "q61_binary_meta",
     oracle="""
     SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,
-           sha256(text) AS content_sha
+           sha256(text) AS content_sha,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) NOT IN (
+               SELECT md5(regexp_replace(trim(lower(c.text)), '\\s+', ' ', 'g'))
+               FROM documents c WHERE c.doc_id % 2 = 0
+           ) AS is_new
     FROM documents
     """,
     doc="Multimodal binary-column plumbing: opaque binary payload + typed "
     "metadata (byte length, content hash) — the schema/partitioning "
     "pattern for image/audio columns (SURVEY §2.9 G4-G8; decode stubs "
-    "live in operators.multimodal).",
+    "live in operators.multimodal). MERGED (r7): incremental exact-dedup "
+    "admission (operators/dedup.incremental_new_docs) against a REAL "
+    "bucket-partitioned parquet fingerprint store of the even-id corpus "
+    "half, written once per process — each row's is_new flag is the "
+    "store-probe verdict (the batch's bucket set partition-prunes the "
+    "store scan; the oracle replays the store from first principles as "
+    "the even-id fingerprint set). Hashed surfaces: binary meta "
+    "(n_bytes, content_sha); admission (is_new per doc).",
 )
 def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.dedup import incremental_new_docs
+
     docs = load_table(spark, sf_dir, "documents")
+    store = _q61_store_dir(spark, sf_dir)
+    admitted = incremental_new_docs(docs.select("doc_id", "text"), store).select(
+        "doc_id", F.lit(True).alias("is_new")
+    )
     content = F.encode(F.col("text"), "UTF-8")
-    return docs.select(
-        "doc_id",
-        F.length(content).alias("n_bytes"),
-        F.sha2(content, 256).alias("content_sha"),
+    return (
+        docs.select(
+            "doc_id",
+            F.length(content).alias("n_bytes"),
+            F.sha2(content, 256).alias("content_sha"),
+        )
+        .join(admitted, "doc_id", "left")
+        .withColumn("is_new", F.coalesce("is_new", F.lit(False)))
     )

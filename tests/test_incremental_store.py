@@ -224,3 +224,51 @@ def test_cross_dup_no_cartesian(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_compaction_bounds_probe_cost_after_appends(spark, tmp_path):
+    """mode='append' grows one file per bucket per batch; after N
+    appends a B-bucket probe reads ~B*N files. compact_fingerprint_store
+    must restore files-per-bucket to 1 WITHOUT changing admission
+    semantics."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        compact_fingerprint_store,
+    )
+
+    store = str(tmp_path / "fpstore")
+    write_fingerprint_store(
+        spark.createDataFrame([(0, "seed doc")], "doc_id long, text string"),
+        store,
+    )
+    for i in range(1, 21):
+        batch = spark.createDataFrame(
+            [(i * 10 + j, f"batch {i} doc {j}") for j in range(5)],
+            "doc_id long, text string",
+        )
+        admitted = incremental_new_docs(batch, store)
+        write_fingerprint_store(admitted, store, mode="append")
+
+    def files_per_bucket():
+        buckets = glob.glob(os.path.join(store, "bucket=*"))
+        counts = [
+            len(glob.glob(os.path.join(b, "*.parquet"))) for b in buckets
+        ]
+        return max(counts), len(buckets)
+
+    probe = spark.createDataFrame(
+        [(999, "batch 7 doc 3"), (1000, "never seen")],
+        "doc_id long, text string",
+    )
+    before = sorted(r.doc_id for r in incremental_new_docs(probe, store).collect())
+    max_before, _ = files_per_bucket()
+    assert max_before > 1, "appends produced no per-bucket file growth — vacuous"
+
+    compact_fingerprint_store(spark, store)
+    max_after, n_buckets_after = files_per_bucket()
+    # the invariant the pruning win depends on: probing B buckets reads
+    # exactly B files again
+    assert max_after == 1, f"bucket still holds {max_after} files"
+    after = sorted(r.doc_id for r in incremental_new_docs(probe, store).collect())
+    assert after == before == [1000]
+    # distinct survived: total fingerprints == 1 seed + 20*5 batch docs
+    assert spark.read.parquet(store).count() == 101
