@@ -60,10 +60,50 @@ def _exact_dedup_headline(spark, sf_dir):
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def _minhash_pairs_headline(spark, sf_dir):
+    """Pinned q55 HEADLINE workload: the pure minhash_near_dup_pairs
+    operator over the planted-duplicate corpus — exactly what r1-r6
+    timed, before the catalog entry grew merged transitive-cluster rows
+    (x_dedup_clusters times the cluster step)."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.dedup import minhash_near_dup_pairs
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(planted)
+    return minhash_near_dup_pairs(
+        corpus, num_hashes=16, bands=4, shingle_k=3,
+        jaccard_threshold=0.5, reproducible=True,
+    )
+
+
+def _dedup_clusters_bench(spark, sf_dir):
+    """Transitive duplicate clustering: the verified minhash pair graph
+    -> connected_components_edges (pointer-jumping min-label) -> one
+    deterministic representative per duplicate chain."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.clustering import (
+        connected_components_edges,
+    )
+
+    pairs = _minhash_pairs_headline(spark, sf_dir).localCheckpoint(eager=False)
+    return connected_components_edges(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+
+
 # headline entries whose CATALOG fn has diverged from the stable bench
 # workload (merged correctness-rotation columns): the bench times the
 # pinned original operator
-HEADLINE_FNS = {"q50_exact_dedup": _exact_dedup_headline}
+HEADLINE_FNS = {
+    "q50_exact_dedup": _exact_dedup_headline,
+    "q55_minhash_neardup": _minhash_pairs_headline,
+}
 
 
 def _headline_fn(name: str):
@@ -468,6 +508,7 @@ EXTRA = {
     "x_incremental_dedup": _incremental_dedup_bench,
     "x_chunk_documents": _chunk_documents_bench,
     "x_cross_dedup": _cross_dedup_bench,
+    "x_dedup_clusters": _dedup_clusters_bench,
 }
 
 

@@ -503,7 +503,7 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q55_minhash_neardup",
     oracle="""
-    WITH corpus AS (
+    WITH RECURSIVE corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
@@ -536,35 +536,84 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    )
-    SELECT p.id_a, p.id_b,
-           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
-    FROM pairs p
-    JOIN sh sa ON sa.doc_id = p.id_a
-    JOIN sh sb ON sb.doc_id = p.id_b
-    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-             / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+    ),
+    verified AS (
+        SELECT p.id_a, p.id_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.id_a
+        JOIN sh sb ON sb.doc_id = p.id_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= 0.5
+    ),
+    dedges AS (
+        SELECT id_a AS src, id_b AS dst FROM verified
+        UNION
+        SELECT id_b, id_a FROM verified
+    ),
+    dnodes AS (SELECT DISTINCT src AS id FROM dedges),
+    dreach(id, label) AS (
+        SELECT id, id FROM dnodes
+        UNION
+        SELECT e.dst, r.label FROM dreach r JOIN dedges e ON r.id = e.src
+    ),
+    dcomp AS (SELECT id, MIN(label) AS component FROM dreach GROUP BY id)
+    SELECT 'pair' AS method, id_a, id_b, jaccard FROM verified
+    UNION ALL
+    SELECT 'cluster' AS method, id AS id_a, component AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard
+    FROM dcomp
     """,
     doc="MinHash LSH near-dup pairs (16 hashes, 4 bands) + exact Jaccard "
     "verify, over documents augmented with planted duplicates. The banded "
     "self-join is an equi-join on (band, band_sig) — hash-partitioned, "
-    "no cross product. Oracle mirrors the banding exactly.",
+    "no cross product. Oracle mirrors the banding exactly. MERGED (r7): "
+    "transitive duplicate CLUSTERS (operators/clustering."
+    "connected_components_edges over the verified pair graph — the "
+    "SlimPajama-style step that turns a~b, b~c into one cluster with a "
+    "deterministic min-id representative; pointer-jumping min-label "
+    "loop, O(log diameter) rounds). Union-tagged by method. Hashed "
+    "surfaces: 'pair' rows (id_a, id_b, jaccard — banding + verify); "
+    "'cluster' rows (member id_a -> component id_b — replayed in SQL as "
+    "recursive-CTE reachability, the q40 idiom). Bench pins the q55 "
+    "headline to the pure pair workload; x_dedup_clusters times the "
+    "cluster step.",
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.clustering import (
+        connected_components_edges,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(planted)
-    return minhash_near_dup_pairs(
+    # the pair relation feeds BOTH output halves (pair rows + the CC
+    # edge list); the lazy checkpoint materializes the whole minhash
+    # pipeline once instead of re-executing it per branch
+    pairs = minhash_near_dup_pairs(
         corpus,
         num_hashes=16,
         bands=4,
         shingle_k=3,
         jaccard_threshold=0.5,
         reproducible=True,
+    ).localCheckpoint(eager=False)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("method"), "id_a", "id_b", "jaccard"
     )
+    comp = connected_components_edges(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    cluster_rows = comp.select(
+        F.lit("cluster").alias("method"),
+        F.col("id").alias("id_a"),
+        F.col("component").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return pair_rows.unionByName(cluster_rows)
 
 
 # --- SimHash fingerprints ----------------------------------------------------
