@@ -482,6 +482,45 @@ def _pack_bench(spark, sf_dir):
 # breadth set: NOT in "value" (the round-over-round comparable) — timed
 # and reported separately so regressions in the iterative/join-heavy
 # operators are visible per-query
+def _curation_gates_bench(spark, sf_dir):
+    """The three scan-side admission gates in one pass over documents:
+    hashed-linear classifier score, RE2 PII scrub fingerprint, URL
+    blocklist verdict — all codegen, zero shuffle (one map stage)."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.functions.text import (
+        PII_PATTERNS_RE2,
+        pii_count,
+        redact_pii,
+    )
+    from solarpaneldatawrangler_spark.operators.curation import (
+        doc_url_flags,
+        hashed_linear_score,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    flagged = doc_url_flags(docs, ["example.com", "spam.io"])
+    return flagged.select(
+        "doc_id",
+        hashed_linear_score(F.col("text")).alias("clf"),
+        pii_count(F.col("text"), patterns=PII_PATTERNS_RE2).alias("pii_n"),
+        F.md5(redact_pii(F.col("text"), patterns=PII_PATTERNS_RE2)).alias("red_fp"),
+        "n_urls",
+        "url_blocked",
+    )
+
+
+def _shuffle_shards_bench(spark, sf_dir):
+    """Deterministic training-shard permutation over documents: one
+    hash shuffle on shard, per-shard parallel rank."""
+    from solarpaneldatawrangler_spark.operators.curation import shuffle_shards
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, n_shards=32, seed="bench")
+
+
 EXTRA = {
     "x_ann_lsh": lambda spark, sf_dir: CATALOG["q59_ann_lsh"].fn(spark, sf_dir),
     "x_ann_ivf": lambda spark, sf_dir: CATALOG["q67_ivf_ann"].fn(spark, sf_dir),
@@ -509,6 +548,8 @@ EXTRA = {
     "x_chunk_documents": _chunk_documents_bench,
     "x_cross_dedup": _cross_dedup_bench,
     "x_dedup_clusters": _dedup_clusters_bench,
+    "x_curation_gates": _curation_gates_bench,
+    "x_shuffle_shards": _shuffle_shards_bench,
 }
 
 

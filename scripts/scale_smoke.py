@@ -328,6 +328,52 @@ def main():
     timed("cross-dedup flood 100k-doc hot buckets, UNCAPPED",
           lambda: flood_recall(None))
 
+    # curation gates: 10M synthetic docs through the scan-side trio
+    # (hashed-linear clf + RE2 PII scrub + URL verdict) — one map
+    # stage, zero shuffle; then the deterministic shard permutation
+    # (one hash shuffle + 256 PARALLEL per-shard sorts, never a global
+    # single-partition window).
+    from solarpaneldatawrangler_spark.functions.text import (
+        PII_PATTERNS_RE2,
+        pii_count,
+        redact_pii,
+    )
+    from solarpaneldatawrangler_spark.operators.curation import (
+        doc_url_flags,
+        hashed_linear_score,
+        shuffle_shards,
+    )
+
+    cdocs = spark.range(10_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("lorem ipsum tok"), (F.col("id") % 997).cast("string"),
+            F.lit(" mail u"), F.col("id").cast("string"),
+            F.lit("@mail"), (F.col("id") % 5).cast("string"),
+            F.lit(".net at 10."), (F.col("id") % 200).cast("string"),
+            F.lit(".3.9 see https://w"), (F.col("id") % 7).cast("string"),
+            F.lit(".example"), (F.col("id") % 3).cast("string"),
+            F.lit(".com/p"),
+        ).alias("text"),
+    )
+
+    def gates_count():
+        out = doc_url_flags(cdocs, ["example1.com", "spam.io"]).select(
+            hashed_linear_score(F.col("text")).alias("clf"),
+            pii_count(F.col("text"), patterns=PII_PATTERNS_RE2).alias("pii_n"),
+            F.md5(redact_pii(F.col("text"), patterns=PII_PATTERNS_RE2)).alias("fp"),
+            "n_urls", "url_blocked",
+        )
+        return out.filter(F.col("pii_n") >= 2).count()
+
+    timed("curation gates (clf+PII+URL) 10M docs", gates_count)
+
+    timed("shuffle_shards 10M docs / 256 shards",
+          lambda: shuffle_shards(
+              spark.range(10_000_000).select(F.col("id").alias("doc_id")),
+              n_shards=256, seed="s",
+          ).filter(F.col("shard_pos") <= 10).count())
+
 
 if __name__ == "__main__":
     main()

@@ -188,27 +188,48 @@ PII_PATTERNS: dict[str, str] = {
 }
 
 
-def redact_pii(text: Column, kinds: list[str] | None = None) -> Column:
+# RE2-safe variants (word boundaries instead of lookarounds): slightly
+# coarser at digit/dot edges, but they run IDENTICALLY as Java regex
+# (Spark) and in DuckDB's RE2 — so the redaction output itself is
+# DuckDB-oracle-checkable (the q52 merge hashes the redacted text).
+PII_PATTERNS_RE2: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def redact_pii(
+    text: Column,
+    kinds: list[str] | None = None,
+    patterns: dict[str, str] | None = None,
+) -> Column:
     """Replace PII spans with ``<KIND>`` markers — the standard scrub
     gate before training-data release. Pure regexp_replace chain
-    (codegen, runs inside the scan). The patterns use lookarounds for
-    boundary precision (Java/Python regex; NOT RE2 — so the oracle is
-    a Python ``re`` reference, not DuckDB). ``kinds`` selects/reorders
-    from PII_PATTERNS (default: all, in dict order — EMAIL before
-    PHONE so an address's digits aren't half-eaten by the phone
-    pattern first)."""
+    (codegen, runs inside the scan). The default patterns use
+    lookarounds for boundary precision (Java/Python regex; NOT RE2 —
+    so their oracle is a Python ``re`` reference); pass
+    ``patterns=PII_PATTERNS_RE2`` for the cross-engine-exact variant
+    DuckDB can replay. ``kinds`` selects/reorders (default: all, in
+    dict order — EMAIL before PHONE so an address's digits aren't
+    half-eaten by the phone pattern first)."""
+    pats = patterns if patterns is not None else PII_PATTERNS
     out = text
-    for kind in kinds or list(PII_PATTERNS):
-        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind}>")
+    for kind in kinds or list(pats):
+        out = F.regexp_replace(out, pats[kind], f"<{kind}>")
     return out
 
 
-def pii_count(text: Column, kinds: list[str] | None = None) -> Column:
+def pii_count(
+    text: Column,
+    kinds: list[str] | None = None,
+    patterns: dict[str, str] | None = None,
+) -> Column:
     """Total PII matches (the redaction-audit metric)."""
+    pats = patterns if patterns is not None else PII_PATTERNS
     total = F.lit(0)
-    for kind in kinds or list(PII_PATTERNS):
+    for kind in kinds or list(pats):
         total = total + F.size(
-            F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), F.lit(0))
+            F.regexp_extract_all(text, F.lit(pats[kind]), F.lit(0))
         )
     return total
 

@@ -1,0 +1,259 @@
+"""Corpus-curation admission gates beyond dedup (SURVEY.md §2.12
+extension family): URL/domain blocklist filtering, a hashed-linear
+(fastText-style) quality classifier, and deterministic training-shard
+assignment.
+
+These are the three standard gates a CCNet/RefinedWeb/FineWeb-style
+pipeline applies that this engine did not yet cover: a URL blocklist
+(drop documents citing banned domains, with subdomain suffix matching),
+a learned quality classifier (here: the exact hashed-bag-of-words
+linear architecture fastText uses, with injectable weights), and the
+final deterministic shuffle into training shards.
+
+100 TB shape:
+- `url_blocklist_filter`: host extraction and the suffix chain are
+  scan-side codegen; the blocklist is a broadcast equi-join on the
+  exploded suffix chain (bounded ~5 rows/host). The corpus never
+  shuffles — verdicts come back via a broadcast semi/anti join on id.
+- `hashed_linear_score`: entirely inside the scan (aggregate over the
+  token array), zero shuffle, zero Python. Weight lookup is
+  `element_at` on a broadcast array literal when real weights are
+  given, else a closed-form pseudo-weight (exact binary fractions, so
+  the fold is order-independent and engine-exact).
+- `shuffle_shards`: one hash shuffle on (shard), per-shard parallel
+  sort — never a global single-partition window. Shards are md5-based
+  so the permutation is reproducible on any engine and any layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.functions.text import md5_long, tokens
+
+# RE2-safe (no lookarounds): works identically as a Java regex (Spark)
+# and in DuckDB's RE2 — the oracle replays it verbatim.
+URL_HOST_RE = r"https?://([a-z0-9.-]+)"
+
+
+def extract_hosts(text: Column) -> Column:
+    """All URL hosts cited in the text, lowercased, in document order
+    (duplicates kept — callers distinct() when they need the set).
+    Null text counts as no citations (the repo-wide null-text
+    normalization contract — see exact_dedup).
+    """
+    return F.regexp_extract_all(
+        F.lower(F.coalesce(text, F.lit(""))), F.lit(URL_HOST_RE), F.lit(1)
+    )
+
+
+def host_suffix_chain(host: Column) -> Column:
+    """Domain suffix chain for subdomain blocklist matching:
+    ``a.b.example.com`` → ``[a.b.example.com, b.example.com,
+    example.com, com]``. A blocklist entry ``example.com`` then blocks
+    every subdomain via a plain equi-join — no per-row regex against
+    the blocklist, no theta-join. (Public-suffix-list nuances are out
+    of scope; entries are matched as whole label suffixes.)
+    """
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+    )
+
+
+def doc_url_flags(
+    docs: DataFrame,
+    blocked_hosts: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Scan-side URL audit columns: ``n_urls`` (citations found),
+    ``url_host`` (first cited host, '' if none) and ``url_blocked``
+    (any cited host has a suffix in the blocklist).
+
+    For a literal blocklist (the common case — these lists are
+    thousands of entries, trivially broadcastable) the membership test
+    compiles to pure codegen: exists(host, exists(suffix, isin)).
+    """
+    hosts = extract_hosts(F.col(text_col))
+    blocked_arr = F.array(*[F.lit(b.lower()) for b in blocked_hosts])
+    blocked = F.exists(
+        hosts,
+        lambda h: F.exists(
+            host_suffix_chain(h), lambda s: F.array_contains(blocked_arr, s)
+        ),
+    )
+    return docs.withColumns(
+        {
+            "n_urls": F.size(hosts),
+            "url_host": F.coalesce(F.try_element_at(hosts, F.lit(1)), F.lit("")),
+            "url_blocked": blocked,
+        }
+    )
+
+
+def url_blocklist_filter(
+    docs: DataFrame,
+    blocked_hosts_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admission gate: drop documents citing any blocklisted host
+    (subdomains included via the suffix chain).
+
+    The scale path for a DataFrame-shaped blocklist: explode the
+    (bounded) suffix chain of each distinct cited host, broadcast
+    equi-join against the blocklist, and anti-join the blocked ids
+    back. The corpus itself never shuffles; only (id, suffix) pairs
+    move. ``blocked_hosts_df`` must have a ``host`` column.
+    """
+    pairs = docs.select(
+        F.col(id_col), F.explode(extract_hosts(F.col(text_col))).alias("_h")
+    ).select(id_col, F.explode(host_suffix_chain(F.col("_h"))).alias("_sfx"))
+    blocked_ids = (
+        pairs.join(
+            F.broadcast(blocked_hosts_df.select(F.lower("host").alias("_sfx"))),
+            "_sfx",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return docs.join(F.broadcast(blocked_ids), id_col, "left_anti")
+
+
+# --- hashed-linear quality classifier (fastText architecture) --------------
+
+# Pseudo-weight parameters: w(b) = ((b % _W_MOD) - _W_SHIFT) / _W_DEN.
+# _W_DEN is a power of two, so every weight is an exact binary
+# fraction and partial sums are EXACT in float64 — the aggregation
+# order cannot change the result (the concern ADVICE raised for
+# temperature_rates' float Z). _W_MOD is prime so buckets spread.
+_W_MOD = 1009
+_W_SHIFT = 504
+_W_DEN = 512.0
+
+
+def hashed_linear_score(
+    text: Column,
+    weights: list[float] | None = None,
+    n_buckets: int = 1 << 18,
+    bias: float = 0.0,
+    sigmoid: bool = False,
+) -> Column:
+    """fastText-architecture quality score: mean over tokens of a
+    hashed weight lookup (+ bias), optionally squashed by a sigmoid.
+
+    The architecture is exactly fastText's (Joulin et al. 2016,
+    "Bag of Tricks"): hash each token into one of ``n_buckets``
+    buckets, average the bucket weights, add a bias. Pass trained
+    ``weights`` (len == n_buckets) for a real model — they compile to
+    an `element_at` on an array literal, broadcast once. With no
+    weights, a deterministic closed-form pseudo-weight stands in (for
+    oracle replay and plumbing tests; NOT a trained model).
+
+    Runs entirely inside the scan (F.aggregate over the token array):
+    zero shuffle, zero Python. Bucket = md5_long(token) % n_buckets,
+    so any engine reproduces it (DuckDB:
+    ('0x'||substr(md5(t),1,8))::BIGINT % n_buckets).
+    """
+    toks = tokens(F.coalesce(text, F.lit("")))
+    if weights is not None:
+        if len(weights) != n_buckets:
+            raise ValueError(
+                f"weights has {len(weights)} entries, expected n_buckets={n_buckets}"
+            )
+        arr = F.array(*[F.lit(float(w)) for w in weights])
+        def w_of(t: Column) -> Column:
+            return F.element_at(arr, (md5_long(t) % n_buckets + 1).cast("int"))
+    else:
+        def w_of(t: Column) -> Column:
+            b = md5_long(t) % n_buckets
+            return ((b % _W_MOD) - _W_SHIFT).cast("double") / F.lit(_W_DEN)
+    total = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + w_of(t))
+    raw = total / F.greatest(F.size(toks), F.lit(1)) + F.lit(float(bias))
+    if sigmoid:
+        return F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
+    return raw
+
+
+def hashed_linear_score_sql(
+    text_expr: str, n_buckets: int = 1 << 18
+) -> str:
+    """DuckDB replay of the pseudo-weight hashed_linear_score (same
+    bucket hash, same exact-binary-fraction weights, same left fold)."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_expr}), '\\s+'),"
+        " t -> len(t) > 0)"
+    )
+    w = (
+        f"(((('0x' || substr(md5(t), 1, 8))::BIGINT % {n_buckets})"
+        f" % {_W_MOD}) - {_W_SHIFT}) / {_W_DEN}"
+    )
+    return (
+        f"COALESCE(list_sum(list_transform({toks}, t -> {w})), 0.0)"
+        f" / GREATEST(len({toks}), 1)"
+    )
+
+
+# --- deterministic training shards -----------------------------------------
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: str = "0",
+) -> DataFrame:
+    """Deterministic corpus shuffle into training shards: every row
+    gets ``(shard, shard_pos)`` — a reproducible pseudo-random
+    permutation, materialized as shard assignment plus position within
+    the shard. This is the final step of a curation pipeline (fix the
+    training order once, reproducibly), and the standard trick for
+    doing a "global shuffle" of 100 TB without a global sort: one hash
+    shuffle on shard, then n_shards PARALLEL sorts — never a global
+    single-partition window.
+
+    shard    = md5_long(seed:id) % n_shards
+    shard_pos = rank of md5(seed:id) within the shard (ties by id)
+
+    Both are md5-derived, so the permutation replays exactly in any
+    engine and is independent of input partitioning.
+    """
+    key = F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return (
+        df.withColumns(
+            {
+                "shard": (md5_long(key) % n_shards).cast("int"),
+                "_skey": F.md5(key),
+            }
+        )
+        .withColumn("shard_pos", F.row_number().over(w))
+        .drop("_skey")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: str = "0",
+) -> None:
+    """Materialize the deterministic shuffle: one parquet directory
+    per shard (partitionBy), rows within each file in shard_pos order.
+    repartition(n_shards, shard) keeps it one task per shard;
+    partition-pruned readers stream shards independently.
+    """
+    out = shuffle_shards(df, id_col, n_shards, seed)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

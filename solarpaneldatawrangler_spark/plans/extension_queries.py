@@ -18,6 +18,9 @@ from solarpaneldatawrangler_spark.functions.text import (
     stopword_ratio,
     tokens,
 )
+from solarpaneldatawrangler_spark.operators.curation import (
+    hashed_linear_score_sql,
+)
 from solarpaneldatawrangler_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup_pairs,
@@ -307,6 +310,29 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SW_LIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
 
+# PII-injected derived text for the merged q52 scrub columns (the
+# driver documents carry no PII, so both engines inject a synthetic
+# email + IPv4 whose shape varies with doc_id, then redact with the
+# RE2-safe patterns — identical Java-regex/RE2 semantics).
+_PII_TEXT_SQL = (
+    "text || ' contact u' || doc_id || '@mail' || (doc_id % 4)"
+    " || '.net from 10.' || (doc_id % 200) || '.3.' || (doc_id % 250)"
+)
+_PII_EMAIL_RE2 = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP_RE2 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+# URL-injected derived text + blocklist for the merged q54 URL-gate
+# columns (the driver documents cite no URLs; subdomain depth varies
+# with doc_id so the suffix-chain match is exercised at several depths).
+_URL_TEXT_SQL = (
+    "text || ' see https://www' || (doc_id % 7) || '.blog' || (doc_id % 5)"
+    " || '.example' || (doc_id % 3) || '.com/p and https://ok' || (doc_id % 2)"
+    " || '.org/q'"
+)
+_URL_BLOCKLIST = ["example1.com", "blog2.example0.com", "www3.blog4.example2.com"]
+_URL_BL_SQL = ", ".join(f"'{b}'" for b in _URL_BLOCKLIST)
+
+
 @register(
     "q52_quality_score",
     oracle=f"""
@@ -317,21 +343,60 @@ _SW_LIST = "[" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + "]"
             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
               / GREATEST(length(text), 1) AS pr,
             CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum') AS DOUBLE)
-              / GREATEST(len({_SQL_TOKS}), 1) AS mwl
+              / GREATEST(len({_SQL_TOKS}), 1) AS mwl,
+            {hashed_linear_score_sql("text")} AS clf,
+            {_PII_TEXT_SQL} AS ptext
         FROM documents
     )
     SELECT doc_id,
            ROUND(sw * 0.5 + (1.0 - pr) * 0.3
                  + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
-                 6) AS quality
+                 6) AS quality,
+           ROUND(clf, 6) AS clf_r,
+           CAST(len(regexp_extract_all(ptext, '{_PII_EMAIL_RE2}'))
+                + len(regexp_extract_all(ptext, '{_PII_IP_RE2}')) AS BIGINT)
+             AS pii_n,
+           md5(regexp_replace(regexp_replace(ptext, '{_PII_EMAIL_RE2}',
+                   '<EMAIL>', 'g'), '{_PII_IP_RE2}', '<IP>', 'g')) AS red_fp
     FROM feats
     """,
     doc="Gopher/C4-style quality score: stopword ratio + punctuation ratio "
-    "+ word-length gate, combined deterministically. Expression-only.",
+    "+ word-length gate, combined deterministically. Expression-only. "
+    "MERGED (r7) with two more scan-side curation gates on the same rows: "
+    "clf_r = operators.curation.hashed_linear_score (the fastText "
+    "hashed-bag-of-words linear architecture, pseudo-weights in exact "
+    "binary fractions so the fold is order-independent and engine-exact) "
+    "and a PII scrub audit over a PII-injected derived text — pii_n match "
+    "count plus red_fp = md5 of the redacted text (pins every redaction "
+    "span; functions.text.redact_pii with the RE2-safe pattern set). "
+    "Hashed surfaces: quality (quality_score), clf_r (hashed_linear_score), "
+    "pii_n + red_fp (redact_pii/pii_count).",
 )
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.functions.text import (
+        PII_PATTERNS_RE2,
+        pii_count,
+        redact_pii,
+    )
+    from solarpaneldatawrangler_spark.operators.curation import (
+        hashed_linear_score,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+    ptext = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail"), (F.col("doc_id") % 4).cast("string"),
+        F.lit(".net from 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".3."), (F.col("doc_id") % 250).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        F.round(hashed_linear_score(F.col("text")), 6).alias("clf_r"),
+        pii_count(ptext, patterns=PII_PATTERNS_RE2).cast("long").alias("pii_n"),
+        F.md5(redact_pii(ptext, patterns=PII_PATTERNS_RE2)).alias("red_fp"),
+    )
 
 
 # --- language ID + temperature mixture membership (merged r7) ---------------
@@ -465,15 +530,50 @@ _SQL_SHINGLES = (
                ((2 * g.i + 1) * (('0x' || substr(md5(t), 1, 8))::BIGINT) + 13 * g.i)
                  % 2147483647 AS h
         FROM sh CROSS JOIN generate_series(0, 7) g(i)
+    ),
+    sig AS (
+        SELECT doc_id, i AS hash_idx, MIN(h) AS min_hash
+        FROM hv GROUP BY doc_id, i
+    ),
+    u AS (SELECT doc_id, {_URL_TEXT_SQL} AS text FROM documents),
+    uh AS (
+        SELECT doc_id,
+               regexp_extract_all(lower(text), 'https?://([a-z0-9.-]+)', 1)
+                 AS hosts
+        FROM u
+    ),
+    usfx AS (
+        SELECT doc_id, unnest(list_transform(
+                   generate_series(1, len(string_split(hh.h, '.'))),
+                   i -> array_to_string(string_split(hh.h, '.')[i:], '.')))
+                 AS s
+        FROM (SELECT doc_id, unnest(hosts) AS h FROM uh) hh
+    ),
+    ublocked AS (SELECT DISTINCT doc_id FROM usfx WHERE s IN ({_URL_BL_SQL})),
+    uflags AS (
+        SELECT uh.doc_id,
+               CAST(len(hosts) AS BIGINT) AS n_urls,
+               COALESCE(hosts[1], '') AS url_host,
+               (b.doc_id IS NOT NULL) AS url_blocked
+        FROM uh LEFT JOIN ublocked b USING (doc_id)
     )
-    SELECT doc_id, i AS hash_idx, MIN(h) AS min_hash
-    FROM hv GROUP BY doc_id, i
+    SELECT sig.doc_id, sig.hash_idx, sig.min_hash,
+           f.n_urls, f.url_host, f.url_blocked
+    FROM sig JOIN uflags f ON f.doc_id = sig.doc_id
     """,
     doc="MinHash signature (8 perms) over distinct 3-word shingles; "
     "md5-derived universal hashes so any engine reproduces it. Production "
-    "path swaps in xxhash64 (reproducible=False).",
+    "path swaps in xxhash64 (reproducible=False). MERGED (r7) with the "
+    "URL/domain blocklist admission gate (operators.curation): each row "
+    "carries n_urls / url_host / url_blocked computed over a derived "
+    "URL-injected corpus (the driver documents cite no URLs) — "
+    "url_blocked pins host extraction AND the subdomain suffix-chain "
+    "blocklist match (a.b.example.com blocked by entry example.com). "
+    "Hashed surfaces: (hash_idx, min_hash) = minhash_from_shingle_rows; "
+    "(n_urls, url_host, url_blocked) = curation.doc_url_flags.",
 )
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.curation import doc_url_flags
     from solarpaneldatawrangler_spark.operators.dedup import (
         minhash_from_shingle_rows,
         shingle_rows,
@@ -483,7 +583,7 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     shx = shingle_rows(docs, "text", "doc_id", 3)
     sig = minhash_from_shingle_rows(shx, num_hashes=8, reproducible=True)
     # unpivot (id, m0..m7) -> (doc_id, hash_idx, min_hash)
-    return sig.select(
+    sig_rows = sig.select(
         F.col("id").alias("doc_id"),
         F.explode(
             F.array(
@@ -496,6 +596,24 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", "s.hash_idx", "s.min_hash")
+    url_docs = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://www"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".blog"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com/p and https://ok"), (F.col("doc_id") % 2).cast("string"),
+            F.lit(".org/q"),
+        ).alias("text"),
+    )
+    flags = doc_url_flags(url_docs, _URL_BLOCKLIST).select(
+        "doc_id",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        "url_host",
+        "url_blocked",
+    )
+    return sig_rows.join(F.broadcast(flags), "doc_id")
 
 
 # --- MinHash LSH near-dup pairs ---------------------------------------------
@@ -633,18 +751,49 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
                     THEN 1::BIGINT ELSE 0::BIGINT END AS bit
         FROM hv CROSS JOIN generate_series(0, 63) g(b)
         GROUP BY doc_id, g.b
+    ),
+    sh AS (
+        SELECT doc_id, CAST(SUM(bit << b) AS BIGINT) AS simhash
+        FROM bits GROUP BY doc_id
+    ),
+    k AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('7:' || doc_id), 1, 8))::BIGINT % 16
+                 AS shard,
+               md5('7:' || doc_id) AS skey
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                       ORDER BY skey, doc_id) AS BIGINT)
+                 AS shard_pos
+        FROM k
     )
-    SELECT doc_id, CAST(SUM(bit << b) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
+    SELECT sh.doc_id, sh.simhash, pos.shard, pos.shard_pos
+    FROM sh JOIN pos ON pos.doc_id = sh.doc_id
     """,
     doc="64-bit SimHash (Charikar'02) over tokens, md5-based reproducible "
     "hash family; near-dup candidates come from band equality "
-    "(operators.dedup.simhash_bands).",
+    "(operators.dedup.simhash_bands). MERGED (r7) with deterministic "
+    "training-shard assignment (operators.curation.shuffle_shards, seed=7, "
+    "16 shards): shard + shard_pos pin the full reproducible corpus "
+    "permutation — md5-keyed shard membership AND the per-shard order. "
+    "Hashed surfaces: simhash (dedup.simhash_df); shard + shard_pos "
+    "(curation.shuffle_shards).",
 )
 def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.curation import shuffle_shards
     from solarpaneldatawrangler_spark.operators.dedup import simhash_df
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_df(docs, "text", "doc_id", reproducible=True)
+    sh = simhash_df(docs, "text", "doc_id", reproducible=True)
+    shards = shuffle_shards(docs, n_shards=16, seed="7").select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("shard_pos").cast("long").alias("shard_pos"),
+    )
+    return sh.join(shards, "doc_id")
 
 
 # --- n-gram Jaccard + cross-corpus near-dup pairs (merged r7) ---------------

@@ -1,0 +1,247 @@
+"""Curation admission gates (operators/curation.py): URL blocklist
+filtering, hashed-linear quality classifier, deterministic training
+shards — DuckDB oracles on the driver documents table, hand cases,
+permutation properties, plan shape."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.operators.curation import (
+    doc_url_flags,
+    hashed_linear_score,
+    hashed_linear_score_sql,
+    shuffle_shards,
+    url_blocklist_filter,
+    write_training_shards,
+)
+from solarpaneldatawrangler_spark.sources.star import load_table
+from tests.oracle_harness import compare, run_oracle
+
+# The driver documents carry no URLs, so the cross-engine probe runs on
+# a DERIVED corpus built identically in both engines: each doc cites a
+# synthetic host whose subdomain depth varies with doc_id.
+_URL_TEXT_SQL = (
+    "text || ' see https://www' || (doc_id % 7) || '.blog' || (doc_id % 5)"
+    " || '.example' || (doc_id % 3) || '.com/p and https://ok' || (doc_id % 2)"
+    " || '.org/q'"
+)
+_BLOCKLIST = ["example1.com", "blog2.example0.com", "www3.blog4.example2.com"]
+
+
+def _url_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://www"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".blog"), (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com/p and https://ok"), (F.col("doc_id") % 2).cast("string"),
+            F.lit(".org/q"),
+        ).alias("text"),
+    )
+
+
+def test_url_flags_match_duckdb(spark, sf_dir):
+    got = doc_url_flags(_url_docs(spark, sf_dir), _BLOCKLIST).select(
+        "doc_id",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        "url_host",
+        "url_blocked",
+    )
+    bl = ", ".join(f"'{b}'" for b in _BLOCKLIST)
+    want = run_oracle(
+        f"""
+        WITH u AS (SELECT doc_id, {_URL_TEXT_SQL} AS text FROM documents),
+        h AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(text), 'https?://([a-z0-9.-]+)', 1)
+                     AS hosts
+            FROM u
+        ),
+        sfx AS (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, len(string_split(hh.h, '.'))),
+                       i -> array_to_string(string_split(hh.h, '.')[i:], '.')))
+                     AS s
+            FROM (SELECT doc_id, unnest(hosts) AS h FROM h) hh
+        ),
+        blocked AS (SELECT DISTINCT doc_id FROM sfx WHERE s IN ({bl}))
+        SELECT h.doc_id,
+               CAST(len(hosts) AS BIGINT) AS n_urls,
+               COALESCE(hosts[1], '') AS url_host,
+               (b.doc_id IS NOT NULL) AS url_blocked
+        FROM h LEFT JOIN blocked b USING (doc_id)
+        """,
+        sf_dir,
+    )
+    compare(got, want, "url_flags")
+
+
+def test_url_blocklist_filter_hand_case(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "buy at https://shop.spam.example.com/deal"),  # subdomain hit
+            (1, "read https://news.org/a and https://spam.example.com/b"),
+            (2, "clean doc citing https://ok.org only"),
+            (3, "no urls at all"),
+            (4, None),  # null text admitted (no citations)
+            (5, "https://example.com.evil.io/phish"),  # suffix NOT example.com
+        ],
+        "doc_id bigint, text string",
+    )
+    bl = spark.createDataFrame([("spam.example.com",)], "host string")
+    kept = url_blocklist_filter(docs, bl)
+    assert sorted(r.doc_id for r in kept.collect()) == [2, 3, 4, 5]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_flags_plan_is_map_only(spark, sf_dir):
+    """The literal-blocklist audit runs inside the scan: no Exchange."""
+    plan = (
+        doc_url_flags(_url_docs(spark, sf_dir), _BLOCKLIST)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_hashed_linear_matches_duckdb(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = docs.select(
+        "doc_id", F.round(hashed_linear_score(F.col("text")), 6).alias("clf_r")
+    )
+    want = run_oracle(
+        f"SELECT doc_id, ROUND({hashed_linear_score_sql('text')}, 6) AS clf_r"
+        " FROM documents",
+        sf_dir,
+    )
+    compare(got, want, "hashed_linear")
+
+
+def test_hashed_linear_real_weights_reference(spark):
+    """Trained-weights path vs a Python reference on a tiny model."""
+    nb = 8
+    weights = [0.5, -0.25, 0.125, 0.0, -0.5, 0.25, -0.125, 1.0]
+    rows = [(0, "alpha beta gamma beta"), (1, "delta"), (2, ""), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id",
+            hashed_linear_score(
+                F.col("text"), weights=weights, n_buckets=nb, bias=0.1,
+                sigmoid=True,
+            ).alias("s"),
+        ).collect()
+    }
+
+    import math
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % nb
+
+    for doc_id, text in rows:
+        toks = [t for t in (text or "").lower().split() if t]
+        raw = sum(weights[bucket(t)] for t in toks) / max(len(toks), 1) + 0.1
+        want = 1.0 / (1.0 + math.exp(-raw))
+        assert got[doc_id] == pytest.approx(want, rel=1e-12), doc_id
+
+    with pytest.raises(ValueError):
+        hashed_linear_score(F.col("text"), weights=[0.0], n_buckets=4)
+
+
+def test_hashed_linear_plan_is_map_only(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        docs.select(hashed_linear_score(F.col("text")).alias("s"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_shuffle_shards_match_duckdb(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    got = shuffle_shards(docs, n_shards=8, seed="42").select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        F.col("shard_pos").cast("long").alias("shard_pos"),
+    )
+    want = run_oracle(
+        """
+        WITH k AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('42:' || doc_id), 1, 8))::BIGINT % 8
+                     AS shard,
+                   md5('42:' || doc_id) AS skey
+            FROM documents
+        )
+        SELECT doc_id, shard,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+                    AS BIGINT) AS shard_pos
+        FROM k
+        """,
+        sf_dir,
+    )
+    compare(got, want, "shuffle_shards")
+
+
+def test_shuffle_shards_permutation_properties(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, n_shards=4, seed="s1")
+    rows = out.select("doc_id", "shard", "shard_pos").collect()
+    n = docs.count()
+    assert len(rows) == n and len({r.doc_id for r in rows}) == n
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+
+    # layout-independent: same permutation from a different partitioning
+    again = {
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in shuffle_shards(docs.repartition(7), n_shards=4, seed="s1")
+        .select("doc_id", "shard", "shard_pos")
+        .collect()
+    }
+    assert again == {(r.doc_id, r.shard, r.shard_pos) for r in rows}
+
+    # a different seed is a different permutation
+    other = {
+        (r.doc_id, r.shard, r.shard_pos)
+        for r in shuffle_shards(docs, n_shards=4, seed="s2")
+        .select("doc_id", "shard", "shard_pos")
+        .collect()
+    }
+    assert other != again
+
+
+def test_write_training_shards_layout(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    path = os.path.join(str(tmp_path), "shards")
+    write_training_shards(docs, path, n_shards=4, seed="7")
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert len(dirs) == 4
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    # within each shard the parquet row order IS shard_pos order
+    for d in dirs:
+        pdf = spark.read.parquet(os.path.join(path, d)).toPandas()
+        assert pdf["shard_pos"].tolist() == sorted(pdf["shard_pos"].tolist())
+    # partition pruning: reading one shard touches one directory only
+    one = back.filter(F.col("shard") == 2)
+    scan = one._jdf.queryExecution().executedPlan().toString()
+    assert one.count() > 0 and "PartitionFilters: [isnotnull(shard" in scan
