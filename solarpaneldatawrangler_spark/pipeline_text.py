@@ -1,10 +1,11 @@
 """Corpus-curation pipeline: the text twin of pipeline.run_pipeline.
 
 Composes the §2.12 extension operators into the standard
-training-data flow — exact dedup → near-dup removal → [benchmark
-decontamination] → [paragraph-level dedup] → [repetition gate] →
-quality gate → language gate → stratified or temperature downsample —
-as one lazy DataFrame chain
+training-data flow — [URL blocklist] → exact dedup → near-dup removal
+→ [benchmark decontamination] → [paragraph-level dedup] →
+[repetition gate] → quality gate → [classifier gate] → language gate
+→ stratified or temperature downsample → [PII scrub] → [training
+shards] — as one lazy DataFrame chain
 (materialized once at the sink; every stage is the already-tested
 operator, so the pipeline adds composition, not new semantics).
 
@@ -45,6 +46,8 @@ class CurationReport:
     n_after_decontam: int = -1
     n_after_repetition: int = -1
     n_after_paragraph: int = -1
+    n_after_urlgate: int = -1
+    n_after_classifier: int = -1
 
 
 def drop_near_duplicates(
@@ -110,6 +113,14 @@ def curate_corpus(
     dedup_paragraphs: bool = False,
     temperature_alpha: float | None = None,
     temperature_frac: float = 0.5,
+    blocked_hosts: list[str] | None = None,
+    min_classifier_score: float | None = None,
+    classifier_weights: list[float] | None = None,
+    classifier_n_buckets: int = 1 << 18,
+    classifier_bias: float = 0.0,
+    scrub_pii: bool = False,
+    n_shards: int | None = None,
+    shard_seed: str = "0",
     with_report: bool = True,
 ) -> tuple[DataFrame, CurationReport | None]:
     """Run the full curation chain; returns (survivors, report).
@@ -135,6 +146,16 @@ def curate_corpus(
     whose every paragraph was a duplicate drop out. ``temperature_alpha``
     replaces the explicit ``sample_rates`` downsample with n^alpha
     mixture rebalancing (mutually exclusive with sample_rates).
+
+    Round-7 gates: ``blocked_hosts`` inserts the URL/domain blocklist
+    FIRST (the cheapest drop — pure codegen — runs before any shuffle
+    so blocked docs never reach the dedup stages);
+    ``min_classifier_score`` adds the hashed-linear (fastText-arch)
+    classifier gate beside the quality gate (pass trained
+    ``classifier_weights`` for a real model); ``scrub_pii`` rewrites
+    the surviving text through the PII redaction chain LAST (scrub
+    once, on released docs only); ``n_shards`` appends deterministic
+    (shard, shard_pos) training-shard assignment as the final step.
     """
     if temperature_alpha is not None and sample_rates:
         raise ValueError(
@@ -142,6 +163,21 @@ def curate_corpus(
             "temperature_alpha (n^alpha mixture), not both"
         )
     n_input = docs.count() if with_report else -1
+
+    # 0. URL blocklist (optional): the cheapest gate — a pure codegen
+    # predicate against the literal blocklist — so it runs before any
+    # shuffle and blocked docs never reach the dedup stages
+    if blocked_hosts:
+        from solarpaneldatawrangler_spark.operators.curation import (
+            doc_url_flags,
+        )
+
+        docs = (
+            doc_url_flags(docs, blocked_hosts, text_col=text_col)
+            .filter(~F.col("url_blocked"))
+            .drop("n_urls", "url_host", "url_blocked")
+        )
+    n_urlgate = docs.count() if (with_report and blocked_hosts) else -1
 
     # 1. exact dedup: keep the min-id representative per fingerprint.
     # NO broadcast hint: the keep-set is one id per distinct document,
@@ -238,6 +274,28 @@ def curate_corpus(
     qual = norep.filter(quality_score(F.col(text_col)) >= min_quality)
     n_qual = qual.count() if with_report else -1
 
+    # 5b. classifier gate (optional, scan-stage): hashed-linear
+    # (fastText-architecture) score with sigmoid squash — trained
+    # weights when given, deterministic pseudo-weights otherwise
+    if min_classifier_score is not None:
+        from solarpaneldatawrangler_spark.operators.curation import (
+            hashed_linear_score,
+        )
+
+        qual = qual.filter(
+            hashed_linear_score(
+                F.col(text_col),
+                weights=classifier_weights,
+                n_buckets=classifier_n_buckets,
+                bias=classifier_bias,
+                sigmoid=True,
+            )
+            >= min_classifier_score
+        )
+    n_clf = (
+        qual.count() if (with_report and min_classifier_score is not None) else -1
+    )
+
     # 6. language gate
     lang = qual if language is None else qual.filter(F.col(lang_col) == language)
     n_lang = lang.count() if with_report else -1
@@ -261,11 +319,29 @@ def curate_corpus(
         out = lang
     n_out = out.count() if with_report else -1
 
+    # 8. PII scrub (optional): rewrite the RELEASED text only — scrub
+    # runs once, after every drop gate, never on docs that won't ship
+    if scrub_pii:
+        from solarpaneldatawrangler_spark.functions.text import redact_pii
+
+        out = out.withColumn(text_col, redact_pii(F.col(text_col)))
+
+    # 9. training shards (optional): deterministic (shard, shard_pos)
+    # permutation — the reproducible training order
+    if n_shards is not None:
+        from solarpaneldatawrangler_spark.operators.curation import (
+            shuffle_shards,
+        )
+
+        out = shuffle_shards(out, id_col=id_col, n_shards=n_shards,
+                             seed=shard_seed)
+
     report = (
         CurationReport(
             n_input, n_exact, n_near, n_qual, n_lang, n_out,
             n_after_decontam=n_decontam, n_after_repetition=n_norep,
-            n_after_paragraph=n_para,
+            n_after_paragraph=n_para, n_after_urlgate=n_urlgate,
+            n_after_classifier=n_clf,
         )
         if with_report
         else None

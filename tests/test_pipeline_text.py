@@ -232,3 +232,65 @@ def test_curate_corpus_rejects_conflicting_sampling(spark, sf_dir):
             temperature_alpha=0.5,
             with_report=False,
         )
+
+
+def test_curate_corpus_urlgate_classifier_scrub_shards(spark, sf_dir):
+    """Round-7 gates through the pipeline: URL blocklist drops citing
+    docs first, the classifier gate filters, PII is scrubbed from the
+    RELEASED text only, and the shard permutation is appended."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    # every 10th doc cites a blocklisted subdomain; every 3rd doc
+    # carries a planted email that the scrub stage must redact
+    corpus = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(F.col("text"), F.lit(" via https://ads.track.example.com/x")),
+        ).when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" mail bob@example.org now")),
+        ).otherwise(F.col("text")),
+    )
+    out, rep = curate_corpus(
+        corpus,
+        min_quality=0.0,
+        blocked_hosts=["example.com"],
+        min_classifier_score=0.4,
+        scrub_pii=True,
+        n_shards=4,
+        shard_seed="t",
+    )
+    rows = out.collect()
+
+    # URL gate ran first and dropped exactly the citing docs
+    assert rep.n_after_urlgate == corpus.count() - corpus.filter(
+        F.col("doc_id") % 10 == 0
+    ).count()
+    assert all(r.doc_id % 10 != 0 for r in rows)
+    # classifier gate shrank (or held) the quality survivors
+    assert 0 < rep.n_after_classifier <= rep.n_after_quality
+    # released text is scrubbed: no raw email survives, markers do
+    assert all("bob@example.org" not in r.text for r in rows)
+    assert any("<EMAIL>" in r.text for r in rows if r.doc_id % 3 == 0)
+    # shard columns present, positions contiguous per shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    # determinism: rerun without report keeps the same docs and order
+    out2, _ = curate_corpus(
+        corpus,
+        min_quality=0.0,
+        blocked_hosts=["example.com"],
+        min_classifier_score=0.4,
+        scrub_pii=True,
+        n_shards=4,
+        shard_seed="t",
+        with_report=False,
+    )
+    assert sorted((r.doc_id, r.shard, r.shard_pos) for r in rows) == sorted(
+        (r.doc_id, r.shard, r.shard_pos) for r in out2.collect()
+    )
