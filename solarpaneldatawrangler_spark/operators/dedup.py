@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from solarpaneldatawrangler_spark.functions.text import fingerprint, tokens, word_shingles
+from solarpaneldatawrangler_spark.functions.text import (
+    fingerprint,
+    md5_long,
+    tokens,
+    word_shingles,
+)
 
 # a large prime < 2^31 for universal hashing
 _P = 2147483647
@@ -811,3 +816,117 @@ def near_dup_new_docs(
         .distinct()
     )
     return batch.join(flagged, id_col, "left_anti")
+
+
+# --- exact-substring span removal (token k-gram approximation) ---------------
+
+def duplicate_span_occurrences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """(id, pos, h) occurrences of token k-grams whose corpus-wide
+    occurrence count is >= min_count — the duplicated-substring
+    evidence behind remove_duplicate_spans. pos is the 1-based token
+    index of the gram's first token; h is the 32-bit md5 gram hash
+    (functions.text.md5_long), reproducible in any engine.
+
+    Counting is over OCCURRENCES (not distinct docs), so a gram
+    repeated inside one document also qualifies — matching the
+    suffix-array semantics of "any substring appearing twice anywhere"
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better", ExactSubstr).
+
+    Plan shape (100 TB notes):
+    - grams are one generator expression off the scan (transform over
+      sequence, slice + array_join + md5): no per-row Python
+    - the count is groupBy(h).count() on a scalar BIGINT key —
+      map-side combinable, so a boilerplate gram occurring 10^9 times
+      partial-aggregates before the shuffle (same skew argument as
+      paragraph_dedup's keeper agg)
+    - occurrences rejoin the >=min_count hashes on h: hash equi-join
+      on the SAME key as the agg, so the exchange is reused
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    gram_hashes = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda p: md5_long(
+                F.array_join(F.slice(toks, p, k), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(gram_hashes).alias("pos0", "h"),
+    ).select("id", (F.col("pos0") + 1).alias("pos"), "h")
+    dup_h = occ.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ")).filter(
+        F.col("n_occ") >= min_count
+    )
+    return occ.join(dup_h.select("h"), "h").select("id", "pos", "h")
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring deduplication, token-k-gram approximation of
+    Lee et al. 2022's ExactSubstr (suffix-array) recipe: any token
+    k-gram occurring >= min_count times corpus-wide marks its k-token
+    span as duplicated; every token covered by at least one duplicated
+    span is REMOVED from the document (all copies — the suffix-array
+    method likewise cuts the repeated bytes out of every occurrence).
+    Adjacent/overlapping duplicated grams merge naturally because
+    coverage is per-token.
+
+    Returns one row per input doc:
+      (id_col, clean_text, n_tokens, n_removed, n_dup_grams)
+    clean_text = surviving tokens joined by ' ' (tokenization is
+    functions.text.tokens: lowercased whitespace split, so
+    reconstruction canonicalizes whitespace/case like exact_dedup's
+    normalization contract).
+
+    Plan shape (100 TB notes): one gram-count shuffle (map-side
+    combinable, boilerplate-skew-proof), one equi-join back on h, one
+    groupBy(id) to gather each doc's duplicated starts (ints only —
+    text does NOT move through it), one join of that small starts
+    table back to the scan. Coverage is a per-row array expression
+    (exists over the doc's own starts), never a window.
+    """
+    starts = (
+        duplicate_span_occurrences(df, text_col, id_col, k, min_count)
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("_starts"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+    )
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    joined = base.join(starts, "id", "left").select(
+        "id",
+        "_toks",
+        F.coalesce("_starts", F.array().cast("array<int>")).alias("_starts"),
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_starts"),
+            lambda s: (s <= i + 1) & (i + 1 < s + k),
+        ),
+    )
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_toks").alias("n_tokens"),
+        (F.size("_toks") - F.size(kept)).alias("n_removed"),
+        "n_dup_grams",
+    )

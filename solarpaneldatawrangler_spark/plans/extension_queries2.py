@@ -205,7 +205,11 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- winnowing rolling-hash fingerprints ------------------------------------
 
-_WINNOW_ORACLE = """
+_SQL_TOKS2 = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+)
+
+_WINNOW_ORACLE = f"""
     WITH norm AS (
         SELECT doc_id, regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
         FROM documents
@@ -224,13 +228,52 @@ _WINNOW_ORACLE = """
                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
                ) AS skey
         FROM grams
+    ),
+    wn AS (
+        SELECT DISTINCT
+               doc_id AS id,
+               (skey + 2097151) // 2097152 AS h,
+               ((skey + 2097151) // 2097152) * 2097152 - skey AS p
+        FROM sel
+        WHERE pos >= 4
+    ),
+    sn AS (SELECT doc_id, {_SQL_TOKS2} AS toks FROM documents),
+    sg AS (
+        SELECT n.doc_id, CAST(u.p AS BIGINT) AS pos,
+               ('0x' || substr(md5(array_to_string(
+                   list_slice(n.toks, CAST(u.p AS INT), CAST(u.p AS INT) + 7),
+                   ' ')), 1, 8))::BIGINT AS h
+        FROM sn n, LATERAL UNNEST(range(1, len(n.toks) - 8 + 2)) AS u(p)
+        WHERE len(n.toks) >= 8
+    ),
+    sdup AS (SELECT h FROM sg GROUP BY h HAVING COUNT(*) >= 2),
+    sst AS (SELECT sg.doc_id, sg.pos FROM sg JOIN sdup USING (h)),
+    stoks AS (
+        SELECT n.doc_id, CAST(u.i AS BIGINT) AS i,
+               n.toks[CAST(u.i AS INT)] AS tok, len(n.toks) AS n
+        FROM sn n, LATERAL UNNEST(range(1, len(n.toks) + 1)) AS u(i)
+    ),
+    skeep AS (
+        SELECT t.* FROM stoks t
+        WHERE NOT EXISTS (SELECT 1 FROM sst
+                          WHERE sst.doc_id = t.doc_id
+                            AND sst.pos <= t.i AND t.i < sst.pos + 8)
+    ),
+    srebuilt AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM skeep GROUP BY doc_id
+    ),
+    span AS (
+        SELECT n.doc_id AS id,
+               ('0x' || substr(md5(COALESCE(r.clean_text, '')), 1, 8))::BIGINT
+                   AS h,
+               CAST(len(n.toks) - COALESCE(r.n_kept, 0) AS BIGINT) AS p
+        FROM sn n LEFT JOIN srebuilt r USING (doc_id)
     )
-    SELECT DISTINCT
-           doc_id AS id,
-           (skey + 2097151) // 2097152 AS fp_hash,
-           ((skey + 2097151) // 2097152) * 2097152 - skey AS fp_pos
-    FROM sel
-    WHERE pos >= 4
+    SELECT 'winnow' AS method, id, h, p FROM wn
+    UNION ALL
+    SELECT 'span' AS method, id, h, p FROM span
 """
 
 
@@ -243,13 +286,36 @@ _WINNOW_ORACLE = """
     "dedupe. The (hash, -pos) pair packs into one BIGINT so MIN() gives "
     "the rightmost-min rule as plain integer arithmetic — bit-identical "
     "in any engine. One explode + one per-doc window shuffle; the "
-    "dedup partial-aggregates under the same partitioning.",
+    "dedup partial-aggregates under the same partitioning. MERGED (r7) "
+    "with exact-substring span removal (dedup.remove_duplicate_spans — "
+    "the Lee et al. 2022 ExactSubstr recipe at token-8-gram "
+    "granularity): 'span'-tagged rows carry h = md5_long of the "
+    "rebuilt clean text (pins tokenization, duplicated-gram detection "
+    "incl. within-doc repeats, per-token coverage, reassembly order) "
+    "and p = n_removed tokens. Hashed surfaces: winnowing (method="
+    "'winnow' rows), span removal (method='span' rows).",
 )
 def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from solarpaneldatawrangler_spark.operators.dedup import winnowing_fingerprints
+    from solarpaneldatawrangler_spark.functions.text import md5_long
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        remove_duplicate_spans,
+        winnowing_fingerprints,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return winnowing_fingerprints(docs, k=5, w=4, reproducible=True)
+    winnow = winnowing_fingerprints(docs, k=5, w=4, reproducible=True).select(
+        F.lit("winnow").alias("method"),
+        F.col("id"),
+        F.col("fp_hash").cast("bigint").alias("h"),
+        F.col("fp_pos").cast("bigint").alias("p"),
+    )
+    spans = remove_duplicate_spans(docs, k=8).select(
+        F.lit("span").alias("method"),
+        F.col("doc_id").alias("id"),
+        md5_long(F.col("clean_text")).alias("h"),
+        F.col("n_removed").cast("bigint").alias("p"),
+    )
+    return winnow.unionByName(spans)
 
 
 # --- IVF ANN (k-means coarse quantizer + probe lists) -----------------------
