@@ -257,3 +257,100 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+# --- n-gram language-model quality score (CCNet-style perplexity proxy) ------
+
+def bigram_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, w1, w2) adjacent-token bigram occurrences — one generator
+    expression off the scan (transform over sequence + explode), no
+    per-row Python."""
+    toks = tokens(F.col(text_col))
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("_p")
+    ).select("id", "_p.w1", "_p.w2")
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document bigram language-model log-likelihood — the
+    Spark-native stand-in for CCNet/CC-Net's KenLM perplexity quality
+    signal (Wenzek et al. 2020 filter Common Crawl by LM perplexity;
+    Laplace add-one smoothing replaces the KenLM binary so the whole
+    model lives in DataFrames).
+
+    Model (trained on ``train``, default the scored corpus itself):
+      P(w | prev) = (C(prev, w) + 1) / (C(prev) + V)
+    where C(prev) counts prev as a bigram CONTEXT and V is the distinct
+    token count of the training corpus. An unseen context therefore
+    backs off to the uniform 1/V.
+
+    Returns one row per input doc: (id_col, lm_sum_r, lm_n) where
+    lm_sum_r = SUM over the doc's bigram positions of
+    ROUND(ln(C(prev,w)+1) - ln(C(prev)+V), 6), summed EXACTLY as
+    DECIMAL(27,6) so partition merge order can't change the value
+    (the exact_sum idiom), cast back to double; lm_n = the number of
+    bigram positions (docs under 2 tokens get 0.0 / 0). Downstream
+    quality filters cut on lm_sum_r / lm_n (mean log-prob, a monotone
+    transform of perplexity); the sum+count pair is emitted instead of
+    the mean so the output stays division-free and engine-exact.
+
+    Plan shape (100 TB notes): two count aggs on scalar string keys
+    (map-side combinable — "of the" occurring 10^9 times partial-
+    aggregates before the shuffle), one 1-row vocab aggregate joined
+    via broadcast (the q51 BM25 stats idiom), two hash equi-joins of
+    the occurrence stream against the count tables, one final
+    groupBy(id). Text itself never shuffles — only (id, w1, w2) rows
+    and the count tables move.
+    """
+    rows = bigram_rows(df, text_col, id_col)
+    tr_rows = (
+        rows if train is None else bigram_rows(train, text_col, id_col)
+    )
+    tr_docs = df if train is None else train
+    ctx = tr_rows.groupBy("w1").agg(F.count(F.lit(1)).alias("_c_ctx"))
+    big = tr_rows.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c_big"))
+    vocab = (
+        tr_docs.select(F.explode(tokens(F.col(text_col))).alias("_t"))
+        .agg(F.count_distinct("_t").alias("_V"))
+    )
+    logp = F.round(
+        F.log(F.coalesce("_c_big", F.lit(0)) + F.lit(1))
+        - F.log(F.coalesce("_c_ctx", F.lit(0)) + F.col("_V")),
+        6,
+    )
+    per_doc = (
+        rows.join(big, ["w1", "w2"], "left")
+        .join(ctx, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("id")
+        .agg(
+            F.sum(logp.cast("decimal(27,6)")).cast("double").alias("lm_sum_r"),
+            F.count(F.lit(1)).alias("lm_n"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("lm_sum_r", F.lit(0.0)).alias("lm_sum_r"),
+            F.coalesce("lm_n", F.lit(0)).alias("lm_n"),
+        )
+    )

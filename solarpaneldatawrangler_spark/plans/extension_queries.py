@@ -452,6 +452,30 @@ def _q53_oracle_or_none() -> str | None:
             len(list_filter({_SQL_TOKS}, t -> list_contains(['le','la','et','les','des'], t))) AS s_fr,
             len(list_filter({_SQL_TOKS}, t -> list_contains(['der','die','und','das','ist'], t))) AS s_de
         FROM documents
+    ),
+    btoks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    brows AS (
+        SELECT doc_id, toks[CAST(u.i AS INT)] AS w1,
+               toks[CAST(u.i AS INT) + 1] AS w2
+        FROM btoks, LATERAL UNNEST(range(1, len(toks))) AS u(i)
+    ),
+    bctx AS (SELECT w1, COUNT(*) AS c_ctx FROM brows GROUP BY w1),
+    bbig AS (SELECT w1, w2, COUNT(*) AS c_big FROM brows GROUP BY w1, w2),
+    bv AS (SELECT COUNT(DISTINCT t) AS v
+           FROM (SELECT unnest(toks) AS t FROM btoks)),
+    bsc AS (
+        SELECT r.doc_id,
+               ROUND(ln(COALESCE(b.c_big, 0) + 1)
+                     - ln(COALESCE(c.c_ctx, 0) + bv.v), 6) AS logp
+        FROM brows r
+        LEFT JOIN bbig b USING (w1, w2)
+        LEFT JOIN bctx c USING (w1), bv
+    ),
+    blm AS (
+        SELECT doc_id,
+               CAST(SUM(CAST(logp AS DECIMAL(27,6))) AS DOUBLE) AS lm_sum_r,
+               COUNT(*) AS lm_n
+        FROM bsc GROUP BY doc_id
     )
     SELECT s.doc_id, s.lang,
            CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
@@ -461,8 +485,12 @@ def _q53_oracle_or_none() -> str | None:
            CAST(t.lang_n AS BIGINT) AS lang_n,
            t.lang_rate,
            (('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
-              / 4294967296.0) < t.lang_rate AS kept
-    FROM scores s JOIN trates t USING (lang)
+              / 4294967296.0) < t.lang_rate AS kept,
+           COALESCE(l.lm_sum_r, 0.0) AS lm_sum_r,
+           COALESCE(l.lm_n, 0) AS lm_n
+    FROM scores s
+    JOIN trates t USING (lang)
+    LEFT JOIN blm l ON l.doc_id = s.doc_id
     """
 
 
@@ -477,11 +505,17 @@ def _q53_oracle_or_none() -> str | None:
     "deterministic keep rate (temperature_rate_table — sorted-stratum "
     "Z sum, replayed in SQL as literal VALUES), and its md5-hash-bucket "
     "membership verdict. The corpus never shuffles: rates broadcast "
-    "back, membership is expression-only in the scan. Hashed surfaces: "
-    "lang-ID (doc_id, lang, pred_lang); temperature (lang_n, lang_rate, "
-    "kept).",
+    "back, membership is expression-only in the scan. ALSO MERGED (r7): "
+    "bigram language-model log-likelihood (operators/curation."
+    "bigram_lm_score — the CCNet KenLM-perplexity quality signal as a "
+    "Spark-native add-one bigram LM): lm_sum_r = exact decimal sum of "
+    "6dp-rounded per-position ln P(w|prev), lm_n = bigram positions. "
+    "Hashed surfaces: lang-ID (doc_id, lang, pred_lang); temperature "
+    "(lang_n, lang_rate, kept); LM (lm_sum_r, lm_n — pins tokenizer, "
+    "count tables, vocab size, smoothing, and the summation contract).",
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.curation import bigram_lm_score
     from solarpaneldatawrangler_spark.operators.sampling import (
         hash_bucket,
         temperature_rates,
@@ -498,13 +532,20 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("de"))
     )
     rates = temperature_rates(docs, "lang", _TEMP_ALPHA, _TEMP_FRAC)
-    return docs.join(F.broadcast(rates), "lang").select(
-        "doc_id",
-        "lang",
-        pred.alias("pred_lang"),
-        F.col("_n").alias("lang_n"),
-        F.col("_rate").alias("lang_rate"),
-        (hash_bucket(F.col("doc_id")) < F.col("_rate")).alias("kept"),
+    lm = bigram_lm_score(docs)
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .join(lm, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            pred.alias("pred_lang"),
+            F.col("_n").alias("lang_n"),
+            F.col("_rate").alias("lang_rate"),
+            (hash_bucket(F.col("doc_id")) < F.col("_rate")).alias("kept"),
+            "lm_sum_r",
+            "lm_n",
+        )
     )
 
 

@@ -69,7 +69,14 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
 # when the estimated size crosses the threshold. q51's BNL is the
 # 1-row corpus-stats broadcast of bm25_scores (ranking.py) — a
 # keyless join of a single aggregate row, i.e. free by construction.
-_BNL_ALLOWED = {"q38_spatial_contains", "q41_multipolygon", "q51_token_stats"}
+# q53's BNL is the same 1-row idiom: bigram_lm_score's vocab-size
+# aggregate (curation.py) crossJoin-broadcasts a single row.
+_BNL_ALLOWED = {
+    "q38_spatial_contains",
+    "q41_multipolygon",
+    "q51_token_stats",
+    "q53_lang_id",
+}
 
 
 def test_no_catalog_query_plans_a_cross_product(spark, sf_dir):
