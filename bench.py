@@ -469,6 +469,48 @@ def _temperature_mix_bench(spark, sf_dir):
     return temperature_resample(docs, "source", alpha=0.5, target_frac=0.5)
 
 
+def _pq_adc_bench(spark, sf_dir):
+    """PQ compress-then-search: encode every embedding to 8 codebook
+    indices (map-only BLAS) and run the 5-query ADC top-10 over the
+    codes — the compressed-domain ANN path q59 oracle-checks."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks_for_dir,
+        pq_encode,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks_for_dir(sf_dir)
+    return pq_adc_topk(
+        pq_encode(emb, books), emb.filter(F.col("vec_id") < 5), books, k=10
+    )
+
+
+def _span_dedup_bench(spark, sf_dir):
+    """Exact-substring span removal over the documents table: one
+    combinable gram-count shuffle + equi-joins (q66's 'span' half)."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(docs, k=8)
+
+
+def _lm_score_bench(spark, sf_dir):
+    """Bigram-LM scoring of the corpus against itself: two combinable
+    count aggs + two equi-joins + the 1-row vocab broadcast."""
+    from solarpaneldatawrangler_spark.operators.curation import bigram_lm_score
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_score(docs)
+
+
 def _pack_bench(spark, sf_dir):
     """Greedy sequence packing over the documents table: token counting
     rides the scan, one (id, n_tokens) shuffle into 8 shards."""
@@ -550,6 +592,9 @@ EXTRA = {
     "x_dedup_clusters": _dedup_clusters_bench,
     "x_curation_gates": _curation_gates_bench,
     "x_shuffle_shards": _shuffle_shards_bench,
+    "x_pq_adc": _pq_adc_bench,
+    "x_span_dedup": _span_dedup_bench,
+    "x_lm_score": _lm_score_bench,
 }
 
 

@@ -1086,22 +1086,113 @@ def _lsh_oracle_sql() -> str:
     """
 
 
+def _pq_oracle_cte() -> str:
+    """DuckDB replay of operators/pq as a CTE block: the trained
+    codebooks (pq_codebooks_for_dir at ORACLE_SF_DIR — the SAME
+    function/dir the Spark query uses, the q67 contract) as VALUES;
+    per-subspace assignment = argmax(v_s.c - |c|^2/2) with low-code
+    tiebreak; the query LUT reuses the same sub-dot CTE; ADC score =
+    SUM of the query's m sub-dots at its neighbor's codes, rounded to
+    4dp; rank with id tiebreak (q58 contract)."""
+    from solarpaneldatawrangler_spark.operators.pq import (
+        pq_books_values_sql,
+        pq_codebooks_for_dir,
+    )
+    from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
+
+    books = pq_codebooks_for_dir(ORACLE_SF_DIR)
+    sub = len(books[0][0])
+    values = pq_books_values_sql(books)
+    return f"""
+    pqb(s, c, j, w) AS (VALUES {values}),
+    pbn AS (SELECT s, c, SUM(w * w) AS n2 FROM pqb GROUP BY s, c),
+    pdots AS (
+        SELECT e.vec_id, b.s, b.c,
+               SUM(CAST(e.embedding[b.s * {sub} + b.j] AS DOUBLE) * b.w) AS dot
+        FROM embeddings e JOIN pqb b ON b.s * {sub} + b.j <= len(e.embedding)
+        GROUP BY e.vec_id, b.s, b.c
+    ),
+    passign AS (
+        SELECT vec_id, s, c FROM (
+            SELECT d.vec_id, d.s, d.c,
+                   ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
+                                      ORDER BY d.dot - n.n2 / 2 DESC, d.c)
+                       AS rn
+            FROM pdots d JOIN pbn n USING (s, c)
+        ) WHERE rn = 1
+    ),
+    plut AS (
+        SELECT vec_id AS query_id, s, c, dot AS lut
+        FROM pdots WHERE vec_id < 5
+    ),
+    pscored AS (
+        SELECT l.query_id, a.vec_id AS neighbor_id,
+               ROUND(SUM(l.lut), 4) AS score_r
+        FROM passign a JOIN plut l ON l.s = a.s AND l.c = a.c
+        WHERE a.vec_id <> l.query_id
+        GROUP BY l.query_id, a.vec_id
+    ),
+    pranked AS (
+        SELECT query_id, neighbor_id, score_r,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_r DESC, neighbor_id) AS rank
+        FROM pscored
+    )
+    """
+
+
+def _q59_oracle_or_none() -> str | None:
+    """Union oracle for the merged q59: LSH rows tagged 'lsh' + PQ/ADC
+    rows tagged 'pq'. The PQ half needs the driver's sf0.01 embeddings
+    on disk at import time (codebook training); if absent, degrade to
+    rows-only (q67's pattern)."""
+    try:
+        pq_cte = _pq_oracle_cte()
+    except Exception:
+        return None
+    lsh = _lsh_oracle_sql()
+    lsh_ctes = lsh.split("WITH", 1)[1].rsplit("SELECT query_id", 1)[0]
+    return f"""
+    WITH {lsh_ctes.rstrip().rstrip(",")},
+    {pq_cte.strip().strip(",")}
+    SELECT 'lsh' AS method, query_id, neighbor_id,
+           cosine_sim_r AS score_r, rank
+    FROM ranked WHERE rank <= 10
+    UNION ALL
+    SELECT 'pq' AS method, query_id, neighbor_id, score_r, rank
+    FROM pranked WHERE rank <= 10
+    """
+
+
 @register(
     "q59_ann_lsh",
-    oracle=_lsh_oracle_sql(),
-    doc="Approximate ANN via random-hyperplane LSH bucketing + exact "
-    "re-rank — the 100 TB path (equi-join on signature buckets instead "
-    "of a cross product). Fully oracle-checked: the deterministic "
-    "hyperplanes are replayed in SQL as a VALUES table, so DuckDB "
-    "reproduces buckets, candidates, and the rounded re-rank.",
+    oracle=_q59_oracle_or_none(),
+    doc="Approximate ANN by BOTH compressed-domain scale paths, union-"
+    "tagged by method. 'lsh': random-hyperplane LSH bucketing + exact "
+    "re-rank (equi-join on signature buckets instead of a cross "
+    "product); hyperplanes replay in SQL as VALUES. 'pq' (r7): product "
+    "quantization + asymmetric-distance top-k (operators/pq — Jegou et "
+    "al. 2011): the corpus is compressed to m=8 codebook indices "
+    "(~32-64x smaller than raw embeddings — at 100 TB the codes table "
+    "is the ONLY thing scanned) and ranked by LUT-summed approximate "
+    "inner product, rounded to 4dp with id tiebreak. Codebooks train "
+    "on a bounded deterministic sample at ORACLE_SF_DIR and replay in "
+    "SQL as VALUES, so DuckDB reproduces codes, LUTs, scores, and "
+    "ranks exactly (q67 trained-quantizer contract). Hashed surfaces: "
+    "LSH (method='lsh' rows), PQ encode+ADC (method='pq' rows).",
 )
 def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    out = lsh_bucketed_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=1_000_000, dim=64
+    from solarpaneldatawrangler_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebooks_for_dir,
+        pq_encode,
     )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = lsh_bucketed_topk(emb, queries, k=1_000_000, dim=64)
     # re-rank ALL candidates on the rounded cosine (q58 contract): the
     # unrounded rank's top-k could drop a candidate that reenters under
     # 4dp rounding + id tiebreak
@@ -1109,11 +1200,28 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim_r"), F.asc("neighbor_id")
     )
-    return (
+    lsh = (
         rounded.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
-        .select("query_id", "neighbor_id", "cosine_sim_r", "rank")
+        .select(
+            F.lit("lsh").alias("method"),
+            "query_id",
+            "neighbor_id",
+            F.col("cosine_sim_r").alias("score_r"),
+            "rank",
+        )
     )
+    books = pq_codebooks_for_dir(sf_dir)
+    pq = pq_adc_topk(
+        pq_encode(emb, books), queries, books, k=10, rank_dp=4
+    ).select(
+        F.lit("pq").alias("method"),
+        "query_id",
+        "neighbor_id",
+        F.round("approx_ip", 4).alias("score_r"),
+        "rank",
+    )
+    return lsh.unionByName(pq)
 
 
 # --- multimodal binary-column plumbing --------------------------------------
