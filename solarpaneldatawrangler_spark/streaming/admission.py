@@ -1,0 +1,142 @@
+"""Streaming ingest admission: the batch admission operators glued to a
+Structured Streaming source.
+
+A 100 TB training-data pipeline ingests continuously; admission (don't
+re-admit content the corpus already has) must therefore run per
+micro-batch against DURABLE state, not a static corpus snapshot. The
+batch operators already define the semantics — incremental_new_docs
+(exact, partition-pruned fingerprint store) and near_dup_new_docs
+(MinHash cross-corpus) — so the stream side is a foreachBatch
+composition: Structured Streaming owns WHICH files have been ingested
+(checkpoint), the fingerprint store owns WHAT content exists.
+
+State stays bounded by construction: the fingerprint store is ~32
+bytes/doc of md5 partitioned into n_buckets, the stream checkpoint
+holds file names only, and nothing is collected driver-side except the
+batch's bucket set (incremental_new_docs' one contractual collect).
+foreachBatch is at-least-once on failure; re-processing a batch is
+harmless here because re-admitted fingerprints are already in the store
+by then (the admission filter itself makes the sink idempotent — the
+same property the reference's ON CONFLICT IGNORE loop relied on,
+/root/reference/solardb.py:50-51).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.operators.dedup import (
+    _store_fingerprint,
+    incremental_new_docs,
+    near_dup_new_docs,
+    write_fingerprint_store,
+)
+from solarpaneldatawrangler_spark.operators.relational import dedup_by_key
+
+
+def admit_batch(
+    batch: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    near_dup_corpus: DataFrame | None = None,
+    jaccard_threshold: float = 0.5,
+    **minhash_kwargs,
+) -> DataFrame:
+    """One micro-batch through the full admission chain, cheapest gate
+    first (the curate_corpus ordering contract):
+
+    1. within-batch exact dedup — keep the min-id row per normalized
+       fingerprint (a batch carrying the same doc twice must admit it
+       once, which the store probe alone can't see);
+    2. store probe — drop rows whose fingerprint the corpus already
+       has (incremental_new_docs: bucket-pruned, O(batch) file reads);
+    3. optional MinHash near-dup gate against corpus signatures.
+
+    Pure function of (batch, store): callers decide what to do with
+    the admitted rows; streaming_admission writes them + appends their
+    fingerprints.
+    """
+    b = dedup_by_key(
+        batch.withColumn("_afp", _store_fingerprint(text_col)),
+        ["_afp"],
+        order_col=id_col,
+    ).drop("_afp")
+    fresh = incremental_new_docs(
+        b, store_path, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+    )
+    if near_dup_corpus is not None:
+        fresh = near_dup_new_docs(
+            fresh,
+            near_dup_corpus,
+            text_col=text_col,
+            id_col=id_col,
+            jaccard_threshold=jaccard_threshold,
+            **minhash_kwargs,
+        )
+    return fresh
+
+
+def streaming_admission(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    schema=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+    near_dup_corpus: DataFrame | None = None,
+    jaccard_threshold: float = 0.5,
+    **minhash_kwargs,
+) -> None:
+    """Run admission over everything pending in ``source_dir`` and stop
+    (Trigger.AvailableNow — re-running picks up only new files; swap the
+    trigger for a continuous ingest stream). Each micro-batch is
+    admitted via admit_batch, the survivors are appended to
+    ``accepted_dir`` as parquet, and their fingerprints are appended to
+    the store so LATER batches (and later runs) reject them. Run
+    compact_fingerprint_store periodically to keep probe cost at one
+    file per bucket (its docstring has the file-rot math).
+    """
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+
+    def handle(batch: DataFrame, batch_id: int) -> None:
+        fresh = admit_batch(
+            batch,
+            store_path,
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=n_buckets,
+            near_dup_corpus=near_dup_corpus,
+            jaccard_threshold=jaccard_threshold,
+            **minhash_kwargs,
+        )
+        # two actions on the admitted rows: guard the store append from
+        # recomputing admission AFTER the accepted write mutated nothing
+        # but the store append itself would (write → then fingerprint)
+        fresh = fresh.localCheckpoint()
+        fresh.write.mode("append").parquet(accepted_dir)
+        if fresh.limit(1).count():
+            write_fingerprint_store(
+                fresh,
+                store_path,
+                text_col=text_col,
+                id_col=id_col,
+                n_buckets=n_buckets,
+                mode="append",
+            )
+
+    (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(handle)
+        .start()
+        .awaitTermination()
+    )
