@@ -374,6 +374,97 @@ def main():
               n_shards=256, seed="s",
           ).filter(F.col("shard_pos") <= 10).count())
 
+    # exact-substring span removal: 2M docs, 10% carry the SAME
+    # boilerplate 8-gram (a 200k-occurrence hot gram) — validates the
+    # map-side-combinable gram count (no single-task funnel on the hot
+    # hash) and the ints-only starts gather
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    sdocs = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.when(
+                F.col("id") % 10 == 0,
+                F.lit("shared boiler plate gram tokens repeat here often "),
+            ).otherwise(F.lit("")),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(19)),
+                    lambda j: F.concat(
+                        F.lit("u"), (F.col("id") * 20 + j).cast("string")
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+    timed(
+        "span_dedup 2M docs / 200k-copy hot 8-gram",
+        lambda: remove_duplicate_spans(sdocs, k=8)
+        .filter(F.col("n_removed") > 0)
+        .count(),
+    )
+
+    # bigram LM: 5M docs over a ~1k-token vocab — the count tables stay
+    # vocab-bounded (map-side combine soaks the Zipf head), the corpus
+    # re-joins them by string key, text never shuffles
+    from solarpaneldatawrangler_spark.operators.curation import bigram_lm_score
+
+    ldocs = spark.range(5_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(14)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    F.pmod(F.col("id") * 7 + j * j, 997).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    timed(
+        "bigram_lm 5M docs / 997-token vocab",
+        lambda: bigram_lm_score(ldocs).filter(F.col("lm_n") > 0).count(),
+    )
+
+    # PQ: 1M 64-dim vectors encode map-only, then the 5-query ADC scan
+    # over codes — the compressed-domain path where the corpus never
+    # shuffles and raw embeddings are read exactly once (the encode)
+    from solarpaneldatawrangler_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    vecs = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id") * 64 + j), 2000) - 1000
+            ).cast("double")
+            / 1000.0,
+        ).alias("embedding"),
+    )
+    import numpy as np
+
+    sample = np.array(
+        [r["embedding"] for r in vecs.orderBy("vec_id").limit(4096).collect()],
+        dtype=np.float64,
+    )
+    books = train_pq_codebooks(sample, m=8, ks=16)
+    codes = pq_encode(vecs, books).localCheckpoint()
+    timed("pq_encode 1M x 64-dim vectors", lambda: codes.count())
+    timed(
+        "pq_adc_topk 1M codes x 5 queries",
+        lambda: pq_adc_topk(
+            codes, vecs.filter(F.col("vec_id") < 5), books, k=10
+        ).count(),
+    )
+
 
 if __name__ == "__main__":
     main()

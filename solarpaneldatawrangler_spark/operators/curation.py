@@ -266,8 +266,16 @@ def bigram_rows(
 ) -> DataFrame:
     """(id, w1, w2) adjacent-token bigram occurrences — one generator
     expression off the scan (transform over sequence + explode), no
-    per-row Python."""
-    toks = tokens(F.col(text_col))
+    per-row Python. Docs repartition on id with an EXPLICIT count
+    before the explode (the shingle_rows/winnowing lesson: AQE sizes
+    the exchange on pre-explode doc bytes and would run the tokenize+
+    explode stage on a couple of cores)."""
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = spark.sparkContext.defaultParallelism
+    toks = tokens(F.col("_txt"))
     pairs = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -278,9 +286,12 @@ def bigram_rows(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    return df.select(
-        F.col(id_col).alias("id"), F.explode(pairs).alias("_p")
-    ).select("id", "_p.w1", "_p.w2")
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .repartition(n_parts, F.col("id"))
+        .select("id", F.explode(pairs).alias("_p"))
+        .select("id", "_p.w1", "_p.w2")
+    )
 
 
 def bigram_lm_score(

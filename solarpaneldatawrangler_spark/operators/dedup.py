@@ -826,12 +826,21 @@ def duplicate_span_occurrences(
     id_col: str = "doc_id",
     k: int = 8,
     min_count: int = 2,
+    reproducible: bool = False,
 ) -> DataFrame:
     """(id, pos, h) occurrences of token k-grams whose corpus-wide
     occurrence count is >= min_count — the duplicated-substring
     evidence behind remove_duplicate_spans. pos is the 1-based token
-    index of the gram's first token; h is the 32-bit md5 gram hash
-    (functions.text.md5_long), reproducible in any engine.
+    index of the gram's first token.
+
+    ``reproducible``: h = the 32-bit md5 gram hash (functions.text
+    .md5_long), replayable in any engine — the oracle path. Default
+    False = full-width xxhash64: at corpus scale the 32-bit space
+    birthday-collides (measured: 40M grams -> ~140k docs falsely
+    flagged, scale_smoke's span case run with md5_long), which silently
+    REMOVES non-duplicated text; 64 bits keeps the expected collision
+    count below 1 until ~10^9-gram corpora, and a collision only
+    over-removes one k-token span.
 
     Counting is over OCCURRENCES (not distinct docs), so a gram
     repeated inside one document also qualifies — matching the
@@ -840,8 +849,17 @@ def duplicate_span_occurrences(
     Models Better", ExactSubstr).
 
     Plan shape (100 TB notes):
-    - grams are one generator expression off the scan (transform over
-      sequence, slice + array_join + md5): no per-row Python
+    - docs repartition on id BEFORE the token explode, with an EXPLICIT
+      partition count (the shingle_rows/winnowing lesson: AQE sizes the
+      exchange on pre-explode doc bytes and would serialize the hash
+      stage onto a couple of cores); the same exchange then satisfies
+      the gram window's partitioning — it moves, it doesn't multiply
+    - grams come from posexplode + a lead() window (the shingle_rows
+      form): whole-stage codegen end to end. The array-expression
+      alternative (transform over sequence + slice + array_join) runs
+      interpreted and copies O(k) tokens per gram — measured 96s vs
+      ~25s for 2M docs x ~20 grams on this op, the same pathology
+      shingle_rows documents
     - the count is groupBy(h).count() on a scalar BIGINT key —
       map-side combinable, so a boilerplate gram occurring 10^9 times
       partial-aggregates before the shuffle (same skew argument as
@@ -849,21 +867,35 @@ def duplicate_span_occurrences(
     - occurrences rejoin the >=min_count hashes on h: hash equi-join
       on the SAME key as the agg, so the exchange is reused
     """
-    toks = tokens(F.col(text_col))
-    n = F.size(toks)
-    gram_hashes = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda p: md5_long(
-                F.array_join(F.slice(toks, p, k), " ")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    occ = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(gram_hashes).alias("pos0", "h"),
-    ).select("id", (F.col("pos0") + 1).alias("pos"), "h")
+    spark = df.sparkSession
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n_parts = spark.sparkContext.defaultParallelism
+    hash_fn = md5_long if reproducible else F.xxhash64
+    tok_rows = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
+        .repartition(n_parts, F.col("id"))
+        .select(
+            "id", F.posexplode(tokens(F.col("_txt"))).alias("pos0", "t0")
+        )
+    )
+    w = Window.partitionBy("id").orderBy("pos0")
+    parts = [F.col("t0")] + [F.lead("t0", j).over(w) for j in range(1, k)]
+    occ = (
+        tok_rows.select(
+            "id",
+            (F.col("pos0") + 1).alias("pos"),
+            F.concat_ws(" ", *parts).alias("_gram"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("id", "pos", hash_fn(F.col("_gram")).alias("h"))
+        # occ feeds BOTH the gram count and the join back: checkpoint
+        # so tokenize+window+hash runs once, not twice (the q55
+        # checkpointed-shingles idiom; (id,pos,h) ints are ~24B/gram)
+        .localCheckpoint(eager=False)
+    )
     dup_h = occ.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ")).filter(
         F.col("n_occ") >= min_count
     )
@@ -876,6 +908,7 @@ def remove_duplicate_spans(
     id_col: str = "doc_id",
     k: int = 8,
     min_count: int = 2,
+    reproducible: bool = False,
 ) -> DataFrame:
     """Exact-substring deduplication, token-k-gram approximation of
     Lee et al. 2022's ExactSubstr (suffix-array) recipe: any token
@@ -901,7 +934,9 @@ def remove_duplicate_spans(
     (exists over the doc's own starts), never a window.
     """
     starts = (
-        duplicate_span_occurrences(df, text_col, id_col, k, min_count)
+        duplicate_span_occurrences(
+            df, text_col, id_col, k, min_count, reproducible=reproducible
+        )
         .groupBy("id")
         .agg(
             F.sort_array(F.collect_list("pos")).alias("_starts"),

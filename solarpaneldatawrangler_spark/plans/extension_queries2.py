@@ -309,7 +309,7 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp_hash").cast("bigint").alias("h"),
         F.col("fp_pos").cast("bigint").alias("p"),
     )
-    spans = remove_duplicate_spans(docs, k=8).select(
+    spans = remove_duplicate_spans(docs, k=8, reproducible=True).select(
         F.lit("span").alias("method"),
         F.col("doc_id").alias("id"),
         md5_long(F.col("clean_text")).alias("h"),

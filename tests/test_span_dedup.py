@@ -114,7 +114,7 @@ def test_span_removal_duckdb_oracle(spark, sf_dir):
             "text"
         ),
     )
-    got = remove_duplicate_spans(built, k=8)
+    got = remove_duplicate_spans(built, k=8, reproducible=True)
     compare(got, run_oracle(_SPAN_ORACLE, sf_dir), "span_dedup")
 
 
@@ -122,4 +122,10 @@ def test_span_removal_plan_shape(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     plan = remove_duplicate_spans(docs)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
-    assert "Window" not in plan  # coverage is array exprs, never a window
+    # the gram stage (tokenize + per-doc lead window + hash) is
+    # checkpointed and so runs ONCE: the final plan reads the shared
+    # checkpoint twice (count side + join-back side) instead of
+    # containing two Window subtrees; and no per-FINGERPRINT window
+    # exists anywhere (that would be the hot-gram skew trap)
+    assert plan.count("ExistingRDD") == 2
+    assert plan.count("Window") == 0
