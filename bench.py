@@ -289,6 +289,118 @@ def _ivf_io_stats(spark, sf_dir: str) -> dict[str, int]:
     }
 
 
+_IVFPQ_STORE: dict[str, str] = {}
+
+
+def _ivfpq_store_dir(spark, sf_dir: str) -> str:
+    """One-time write of the IVFPQ store: PQ codes partitioned by IVF
+    list_id, no raw embeddings — the layout where the pruning win and
+    the ~32-64x compression win MULTIPLY (ivfpq_io reports both against
+    the raw-embedding IVF store)."""
+    got = _IVFPQ_STORE.get(sf_dir)
+    if got is not None:
+        return got
+    import atexit
+    import shutil
+    import tempfile
+
+    from solarpaneldatawrangler_spark.operators.pq import (
+        pq_codebooks_for_dir,
+        write_ivfpq_store,
+    )
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        ivf_centroids_for_dir,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    d = tempfile.mkdtemp(prefix="spark_graft_ivfpq_store_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    write_ivfpq_store(
+        load_table(spark, sf_dir, "embeddings"),
+        d,
+        ivf_centroids_for_dir(sf_dir),
+        pq_codebooks_for_dir(sf_dir),
+    )
+    _IVFPQ_STORE[sf_dir] = d
+    return d
+
+
+def _ivfpq_topk_bench(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.pq import (
+        ivfpq_topk,
+        pq_codebooks_for_dir,
+    )
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        ivf_centroids_for_dir,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    store = spark.read.parquet(_ivfpq_store_dir(spark, sf_dir))
+    queries = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 5
+    )
+    return ivfpq_topk(
+        store,
+        queries,
+        ivf_centroids_for_dir(sf_dir),
+        pq_codebooks_for_dir(sf_dir),
+        k=10,
+        nprobe=4,
+    )
+
+
+def _ivfpq_io_stats(spark, sf_dir: str) -> dict[str, int]:
+    """Bytes the 5-query ADC search reads from the IVFPQ codes store vs
+    the raw-embedding IVF store's probed bytes (same probe mask) — the
+    measured compression x pruning product."""
+    import glob
+    import os as _os
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        ivf_centroids_for_dir,
+        probe_mask_for,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    store = _ivfpq_store_dir(spark, sf_dir)
+    raw = _ivf_store_dir(spark, sf_dir)
+    cents = np.array(ivf_centroids_for_dir(sf_dir), dtype=np.float64)
+    qrows = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 5)
+        .select("embedding")
+        .collect()
+    )
+    qmat = np.array([list(r[0]) for r in qrows], dtype=np.float64)
+    mask = probe_mask_for(qmat, cents, nprobe=4)
+    probed = sorted(np.nonzero(mask.any(axis=1))[0].tolist())
+
+    def nbytes(base, lists):
+        pats = (
+            [f"{base}/list_id=*/*"]
+            if lists is None
+            else [f"{base}/list_id={l}/*" for l in lists]
+        )
+        return sum(
+            _os.path.getsize(p)
+            for pat in pats
+            for p in glob.glob(pat)
+            if p.endswith(".parquet")
+        )
+
+    return {
+        "codes_bytes_total": nbytes(store, None),
+        "codes_bytes_probed": nbytes(store, probed),
+        "raw_bytes_probed": nbytes(raw, probed),
+    }
+
+
 def _decontaminate_bench(spark, sf_dir):
     """Benchmark decontamination THROUGHPUT probe: every 100th doc as
     the 'benchmark'. The synthetic documents are heavily templated
@@ -593,6 +705,7 @@ EXTRA = {
     "x_curation_gates": _curation_gates_bench,
     "x_shuffle_shards": _shuffle_shards_bench,
     "x_pq_adc": _pq_adc_bench,
+    "x_ivfpq_topk": _ivfpq_topk_bench,
     "x_span_dedup": _span_dedup_bench,
     "x_lm_score": _lm_score_bench,
 }
@@ -659,6 +772,10 @@ def main() -> None:
         _ivf_store_dir(spark, sf_dir)
     except Exception as ex:  # noqa: BLE001
         errors["ivf_store_setup"] = f"{type(ex).__name__}: {ex}"[:300]
+    try:
+        _ivfpq_store_dir(spark, sf_dir)
+    except Exception as ex:  # noqa: BLE001
+        errors["ivfpq_store_setup"] = f"{type(ex).__name__}: {ex}"[:300]
     try:
         _fp_store_dir(spark, sf_dir)
     except Exception as ex:  # noqa: BLE001
@@ -744,6 +861,12 @@ def main() -> None:
         print(f"# ivf_io: {ivf_io}", file=sys.stderr)
     except Exception as ex:  # noqa: BLE001
         errors["ivf_io_stats"] = f"{type(ex).__name__}: {ex}"[:300]
+    ivfpq_io: dict[str, int] | None = None
+    try:
+        ivfpq_io = _ivfpq_io_stats(spark, sf_dir)
+        print(f"# ivfpq_io: {ivfpq_io}", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        errors["ivfpq_io_stats"] = f"{type(ex).__name__}: {ex}"[:300]
 
     print(
         json.dumps(
@@ -763,6 +886,7 @@ def main() -> None:
                     else {}
                 ),
                 **({"ivf_io": ivf_io} if ivf_io else {}),
+                **({"ivfpq_io": ivfpq_io} if ivfpq_io else {}),
                 **({"errors": errors} if errors else {}),
                 **({"warm_reruns": warm_reruns} if warm_reruns else {}),
                 **({"load": loads} if loads else {}),

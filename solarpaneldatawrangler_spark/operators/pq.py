@@ -228,3 +228,166 @@ def pq_books_values_sql(codebooks: list[list[list[float]]]) -> str:
         for c, cent in enumerate(book)
         for j, w in enumerate(cent)
     )
+
+
+# --- IVF + PQ: partition pruning x compression (the FAISS IVFPQ layout) ------
+
+def ivfpq_assign_encode(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes, list_id) in ONE narrow mapInPandas pass: nearest IVF
+    list (argmax v.c - |c|^2/2, low-list ties — similarity.ivf_assign's
+    rule) and the m PQ codes, both BLAS. The raw embedding is read once
+    here and then never again: the IVFPQ store keeps only this row."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.array(centroids, dtype=np.float64)
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    src = df.select(F.col(id_col).alias("_i"), F.col(vec_col).alias("_v"))
+
+    def assign_encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            lists = np.argmax(
+                mat @ cents.T - 0.5 * (cents * cents).sum(axis=1)[None, :],
+                axis=1,
+            )
+            codes = np.empty((len(mat), m), dtype=np.int32)
+            for s, B in enumerate(books):
+                scores = mat[:, s * sub : (s + 1) * sub] @ B.T - 0.5 * (
+                    B * B
+                ).sum(axis=1)[None, :]
+                codes[:, s] = np.argmax(scores, axis=1)
+            yield pd.DataFrame(
+                {
+                    "_i": pdf["_i"],
+                    "codes": list(codes),
+                    "list_id": lists.astype(np.int32),
+                }
+            )
+
+    return src.mapInPandas(
+        assign_encode, "_i long, codes array<int>, list_id int"
+    ).select(F.col("_i").alias(id_col), "codes", "list_id")
+
+
+def write_ivfpq_store(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus as the IVFPQ index: codes partitioned by
+    list_id, NO raw embeddings. This is the 100 TB serving layout — the
+    two I/O savings multiply: probing nprobe/n_lists of the partitions
+    (pruning, the write_ivf_store win) of a table that is itself
+    ~32-64x smaller per row (compression, the pq_encode win). bench.py
+    measures the product as ivfpq_io."""
+    ivfpq_assign_encode(df, centroids, codebooks, id_col, vec_col).write.partitionBy(
+        "list_id"
+    ).mode(mode).parquet(path)
+
+
+def ivfpq_topk(
+    store: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rank_dp: int = 4,
+    local_margin: int = 32,
+) -> DataFrame:
+    """ADC top-k over an IVFPQ store: each query scans only its
+    ``nprobe`` nearest lists' code partitions. ``store`` must carry
+    (id_col, codes, list_id) — the write_ivfpq_store layout; the isin
+    filter on the probed-list union becomes partition pruning at the
+    scan (the ivf_topk mechanism), and scoring is pq_adc_topk's LUT
+    sum restricted to each query's own probed lists (probe_mask_for —
+    the SAME selection rule ivf_topk and the bench I/O accounting use).
+    Output schema matches pq_adc_topk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        probe_mask_for,
+    )
+
+    cents = np.array(centroids, dtype=np.float64)
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    if not qrows:
+        raise ValueError("queries is empty")
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    luts = np.stack(
+        [qmat[:, s * sub : (s + 1) * sub] @ books[s].T for s in range(m)],
+        axis=1,
+    )
+    probe_mask = probe_mask_for(qmat, cents, nprobe)
+    probed_union = [int(l) for l in np.nonzero(probe_mask.any(axis=1))[0]]
+
+    cands = store.select(
+        F.col(id_col).alias("_i"), "codes", "list_id"
+    ).filter(F.col("list_id").isin(probed_union))
+    keep = k + local_margin
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = np.vstack(
+                [np.asarray(c, dtype=np.int64) for c in pdf["codes"]]
+            )
+            nids = pdf["_i"].to_numpy()
+            lists = pdf["list_id"].to_numpy()
+            scores = np.zeros((len(cm), len(qids)), dtype=np.float64)
+            for s in range(m):
+                scores += luts[:, s, cm[:, s]].T
+            allowed = probe_mask[lists]  # (n, nq)
+            allowed &= nids[:, None] != qids[None, :]
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(qids)):
+                idx = np.nonzero(allowed[:, j])[0]
+                if not len(idx):
+                    continue
+                sel = _half_up(scores[idx, j], rank_dp)
+                take = idx[np.lexsort((nids[idx], -sel))[:keep]]
+                out_q.extend([int(qids[j])] * len(take))
+                out_n.extend(nids[take])
+                out_s.extend(scores[take, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "approx_ip": out_s}
+            )
+
+    survivors = cands.mapInPandas(
+        local_topk, "query_id long, neighbor_id long, approx_ip double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("approx_ip", rank_dp)), F.asc("neighbor_id")
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_ip", "rank")
+    )

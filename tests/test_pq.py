@@ -86,3 +86,82 @@ def test_pq_encode_is_map_only(spark, sf_dir, books):
         pq_encode(emb, books)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # codes ride along with the scan
+
+
+def test_ivfpq_store_search_and_pruning(spark, sf_dir, books, tmp_path):
+    """The IVFPQ store drops raw embeddings, the probed-list filter
+    prunes partitions at the scan, and the search equals an exact
+    driver-side numpy replay of the same semantics."""
+    from solarpaneldatawrangler_spark.operators.pq import (
+        ivfpq_topk,
+        write_ivfpq_store,
+    )
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        _half_up,
+        ivf_centroids_for_dir,
+        probe_mask_for,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    cents = ivf_centroids_for_dir(sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_store(emb, path, cents, books)
+    store = spark.read.parquet(path)
+    assert "embedding" not in store.columns  # codes-only layout
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = ivfpq_topk(store, queries, cents, books, k=10, nprobe=2).collect()
+
+    # partition pruning: the probed-list filter reads fewer files
+    ids, mat = _emb_matrix(sf_dir)
+    qmat = mat[np.isin(ids, range(5))]
+    mask = probe_mask_for(qmat, np.array(cents), nprobe=2)
+    probed = [int(l) for l in np.nonzero(mask.any(axis=1))[0]]
+    import glob
+
+    all_files = glob.glob(f"{path}/list_id=*/*.parquet")
+    probed_files = [
+        f
+        for l in probed
+        for f in glob.glob(f"{path}/list_id={l}/*.parquet")
+    ]
+    assert 0 < len(probed_files) < len(all_files), (
+        len(probed_files),
+        len(all_files),
+    )
+
+    # exact numpy replay: same assignment, codes, LUT sum, ordering
+    cents_np = np.array(cents, dtype=np.float64)
+    books_np = [np.array(b, dtype=np.float64) for b in books]
+    m, sub = len(books_np), books_np[0].shape[1]
+    lists = np.argmax(
+        mat @ cents_np.T - 0.5 * (cents_np * cents_np).sum(axis=1)[None, :],
+        axis=1,
+    )
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for s, B in enumerate(books_np):
+        codes[:, s] = np.argmax(
+            mat[:, s * sub : (s + 1) * sub] @ B.T
+            - 0.5 * (B * B).sum(axis=1)[None, :],
+            axis=1,
+        )
+    for qj, qid in enumerate(range(5)):
+        lut = np.stack(
+            [qmat[qj, s * sub : (s + 1) * sub] @ books_np[s].T for s in range(m)]
+        )
+        scores = np.zeros(len(mat))
+        for s in range(m):
+            scores += lut[s, codes[:, s]]
+        ok = mask[lists, qj] & (ids != qid)
+        idx = np.nonzero(ok)[0]
+        order = idx[np.lexsort((ids[idx], -_half_up(scores[idx], 4)))[:10]]
+        want = [(int(ids[i]), round(float(_half_up(scores[i], 4)), 4)) for i in order]
+        got_rows = sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+        )
+        have = [
+            (r["neighbor_id"], round(float(_half_up(r["approx_ip"], 4)), 4))
+            for r in got_rows
+        ]
+        assert have == want, f"query {qid}"
