@@ -3,9 +3,10 @@
 Composes the §2.12 extension operators into the standard
 training-data flow — [URL blocklist] → exact dedup → near-dup removal
 → [benchmark decontamination] → [paragraph-level dedup] →
-[repetition gate] → quality gate → [classifier gate] → language gate
-→ stratified or temperature downsample → [PII scrub] → [training
-shards] — as one lazy DataFrame chain
+[exact-substring span removal] → [repetition gate] → quality gate →
+[classifier gate] → [bigram-LM gate] → language gate → stratified or
+temperature downsample → [PII scrub] → [training shards] — as one
+lazy DataFrame chain
 (materialized once at the sink; every stage is the already-tested
 operator, so the pipeline adds composition, not new semantics).
 
@@ -48,6 +49,8 @@ class CurationReport:
     n_after_paragraph: int = -1
     n_after_urlgate: int = -1
     n_after_classifier: int = -1
+    n_after_spans: int = -1
+    n_after_lm: int = -1
 
 
 def drop_near_duplicates(
@@ -111,6 +114,9 @@ def curate_corpus(
     decontam_min_shared_frac: float | None = None,
     max_repetition: float | None = None,
     dedup_paragraphs: bool = False,
+    remove_spans: bool = False,
+    span_k: int = 8,
+    min_lm_score: float | None = None,
     temperature_alpha: float | None = None,
     temperature_frac: float = 0.5,
     blocked_hosts: list[str] | None = None,
@@ -152,7 +158,12 @@ def curate_corpus(
     so blocked docs never reach the dedup stages);
     ``min_classifier_score`` adds the hashed-linear (fastText-arch)
     classifier gate beside the quality gate (pass trained
-    ``classifier_weights`` for a real model); ``scrub_pii`` rewrites
+    ``classifier_weights`` for a real model); ``remove_spans`` inserts
+    exact-substring span removal after paragraph dedup (coarse
+    boilerplate first, then fine-grained repeated spans — both rewrite
+    text the later gates judge); ``min_lm_score`` adds the CCNet-style
+    bigram-LM mean-log-prob floor, trained on the post-dedup survivors
+    so junk doesn't dominate its own scoring model; ``scrub_pii`` rewrites
     the surviving text through the PII redaction chain LAST (scrub
     once, on released docs only); ``n_shards`` appends deterministic
     (shard, shard_pos) training-shard assignment as the final step.
@@ -251,6 +262,27 @@ def curate_corpus(
             clean = clean.localCheckpoint()
     n_para = clean.count() if (with_report and dedup_paragraphs) else -1
 
+    # 3c. exact-substring span removal (optional): cut duplicated token
+    # k-gram spans (Lee et al. ExactSubstr) out of every copy; docs
+    # whose every token was duplicated drop out. After paragraph dedup
+    # (coarse first), before the gates (they judge the cleaned text).
+    if remove_spans:
+        from solarpaneldatawrangler_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        respanned = (
+            remove_duplicate_spans(
+                clean, text_col=text_col, id_col=id_col, k=span_k
+            )
+            .filter(F.col("clean_text") != "")
+            .select(F.col(id_col), F.col("clean_text").alias(text_col))
+        )
+        clean = clean.drop(text_col).join(respanned, id_col)
+        if with_report:
+            clean = clean.localCheckpoint()
+    n_spans = clean.count() if (with_report and remove_spans) else -1
+
     # 4. repetition gate (optional, scan-stage expressions): drops
     # boilerplate-heavy / degenerate-generation docs by the Gopher
     # signals
@@ -295,6 +327,26 @@ def curate_corpus(
     n_clf = (
         qual.count() if (with_report and min_classifier_score is not None) else -1
     )
+
+    # 5c. LM perplexity-proxy gate (optional): mean bigram log-prob
+    # floor — the CCNet-style fluency cut. The LM trains on the docs
+    # that reached this stage (post-dedup, post-boilerplate), so the
+    # model isn't dominated by the very junk it's meant to score down.
+    if min_lm_score is not None:
+        from solarpaneldatawrangler_spark.operators.curation import (
+            bigram_lm_score,
+        )
+
+        lm = bigram_lm_score(qual, text_col=text_col, id_col=id_col)
+        qual = qual.join(
+            lm.filter(
+                (F.col("lm_n") > 0)
+                & (F.col("lm_sum_r") / F.col("lm_n") >= min_lm_score)
+            ).select(id_col),
+            id_col,
+            "left_semi",
+        )
+    n_lm = qual.count() if (with_report and min_lm_score is not None) else -1
 
     # 6. language gate
     lang = qual if language is None else qual.filter(F.col(lang_col) == language)
@@ -341,7 +393,8 @@ def curate_corpus(
             n_input, n_exact, n_near, n_qual, n_lang, n_out,
             n_after_decontam=n_decontam, n_after_repetition=n_norep,
             n_after_paragraph=n_para, n_after_urlgate=n_urlgate,
-            n_after_classifier=n_clf,
+            n_after_classifier=n_clf, n_after_spans=n_spans,
+            n_after_lm=n_lm,
         )
         if with_report
         else None

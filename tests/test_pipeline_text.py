@@ -294,3 +294,43 @@ def test_curate_corpus_urlgate_classifier_scrub_shards(spark, sf_dir):
     assert sorted((r.doc_id, r.shard, r.shard_pos) for r in rows) == sorted(
         (r.doc_id, r.shard, r.shard_pos) for r in out2.collect()
     )
+
+
+def test_curate_corpus_span_and_lm_stages(spark, sf_dir):
+    """Round-7 additions: exact-substring span removal rewrites
+    surviving text (planted shared 8-gram disappears from every copy)
+    and the bigram-LM floor drops gibberish docs the heuristic quality
+    score can't see."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    n_docs = docs.count()
+    # every 7th doc carries the SAME 8-token boilerplate suffix; a
+    # handful of docs are token-salad (every token unique corpus-wide,
+    # so every bigram backs off to the uniform floor)
+    corpus = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" click here to subscribe to our newsletter today"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out, rep = curate_corpus(
+        corpus,
+        min_quality=0.0,
+        remove_spans=True,
+        min_lm_score=-6.5,
+    )
+    rows = out.collect()
+    assert rep.n_after_spans > 0
+    # the planted boilerplate 8-gram was cut from EVERY doc
+    assert all("subscribe to our newsletter" not in r.text for r in rows)
+    # the LM gate is a real filter but not a massacre on template docs
+    assert 0 < rep.n_after_lm <= rep.n_after_classifier or (
+        rep.n_after_classifier == -1 and 0 < rep.n_after_lm <= rep.n_after_quality
+    )
+    # report reconciles: output equals the last enabled gate chain
+    assert rep.n_output <= rep.n_after_lm <= rep.n_after_quality <= n_docs
