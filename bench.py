@@ -81,6 +81,21 @@ def _minhash_pairs_headline(spark, sf_dir):
     )
 
 
+def _quality_headline(spark, sf_dir):
+    """Pinned q52 HEADLINE workload: the pure quality_score scan as
+    timed r1-r6, before the catalog entry grew merged classifier + PII
+    columns (x_curation_gates times that trio)."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.functions.text import quality_score
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+
+
 def _dedup_clusters_bench(spark, sf_dir):
     """Transitive duplicate clustering: the verified minhash pair graph
     -> connected_components_edges (pointer-jumping min-label) -> one
@@ -102,6 +117,7 @@ def _dedup_clusters_bench(spark, sf_dir):
 # pinned original operator
 HEADLINE_FNS = {
     "q50_exact_dedup": _exact_dedup_headline,
+    "q52_quality_score": _quality_headline,
     "q55_minhash_neardup": _minhash_pairs_headline,
 }
 
@@ -581,6 +597,44 @@ def _temperature_mix_bench(spark, sf_dir):
     return temperature_resample(docs, "source", alpha=0.5, target_frac=0.5)
 
 
+def _lsh_topk_pinned(spark, sf_dir):
+    """Pinned x_ann_lsh workload: the r1-r6 LSH bucket + rounded
+    re-rank pipeline, exactly what this extra always timed."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        lsh_bucketed_topk,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=1_000_000, dim=64
+    )
+    rounded = out.withColumn("cosine_sim_r", F.round("cosine_sim", 4))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim_r"), F.asc("neighbor_id")
+    )
+    return (
+        rounded.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "cosine_sim_r", "rank")
+    )
+
+
+def _winnow_pinned(spark, sf_dir):
+    """Pinned x_winnow_fingerprint workload: pure winnowing_fingerprints
+    as timed r1-r6 (x_span_dedup times q66's merged half)."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        winnowing_fingerprints,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return winnowing_fingerprints(docs, k=5, w=4, reproducible=True)
+
+
 def _pq_adc_bench(spark, sf_dir):
     """PQ compress-then-search: encode every embedding to 8 codebook
     indices (map-only BLAS) and run the 5-query ADC top-10 over the
@@ -676,16 +730,18 @@ def _shuffle_shards_bench(spark, sf_dir):
 
 
 EXTRA = {
-    "x_ann_lsh": lambda spark, sf_dir: CATALOG["q59_ann_lsh"].fn(spark, sf_dir),
+    # PINNED original workloads (not the merged catalog entries): q59
+    # grew 'pq' rows and q66 grew 'span' rows in r7 — timing the merged
+    # fns would break the extras' round-over-round comparable; the new
+    # halves are timed separately (x_pq_adc, x_span_dedup)
+    "x_ann_lsh": _lsh_topk_pinned,
     "x_ann_ivf": lambda spark, sf_dir: CATALOG["q67_ivf_ann"].fn(spark, sf_dir),
     "x_embedding_neardup_lsh": lambda spark, sf_dir: CATALOG[
         "q63_embedding_neardup"
     ].fn(spark, sf_dir),
     "x_minhash_bands8": _minhash_bands8,
     "x_cc_snake_1000": _cc_snake,
-    "x_winnow_fingerprint": lambda spark, sf_dir: CATALOG[
-        "q66_winnow_fingerprint"
-    ].fn(spark, sf_dir),
+    "x_winnow_fingerprint": _winnow_pinned,
     "x_winnow_fixed": _winnow_fixed,
     # the IVF I/O pair: same store, same query — with_index=True reads
     # only probed list_id partitions (partition pruning), False drops

@@ -330,11 +330,19 @@ def bigram_lm_score(
     groupBy(id). Text itself never shuffles — only (id, w1, w2) rows
     and the count tables move.
     """
-    rows = bigram_rows(df, text_col, id_col)
-    tr_rows = (
-        rows if train is None else bigram_rows(train, text_col, id_col)
-    )
-    tr_docs = df if train is None else train
+    # the training bigram stream feeds the context agg AND the bigram
+    # agg (and, when scoring the training corpus itself, the probe side
+    # too): checkpoint so tokenize+explode runs once, not 2-3 times
+    # (the checkpointed-shingles idiom)
+    if train is None:
+        rows = bigram_rows(df, text_col, id_col).localCheckpoint(eager=False)
+        tr_rows, tr_docs = rows, df
+    else:
+        rows = bigram_rows(df, text_col, id_col)
+        tr_rows = bigram_rows(train, text_col, id_col).localCheckpoint(
+            eager=False
+        )
+        tr_docs = train
     ctx = tr_rows.groupBy("w1").agg(F.count(F.lit(1)).alias("_c_ctx"))
     big = tr_rows.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c_big"))
     vocab = (
