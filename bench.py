@@ -677,6 +677,19 @@ def _lm_score_bench(spark, sf_dir):
     return bigram_lm_score(docs)
 
 
+def _bpe_encode_bench(spark, sf_dir):
+    """Learned-BPE distributed encode: map-only segmentation of every
+    doc with the dir-trained merge table (per-task word cache)."""
+    from solarpaneldatawrangler_spark.operators.bpe import (
+        bpe_encode,
+        bpe_merges_for_dir,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_encode(docs, bpe_merges_for_dir(sf_dir, n_merges=64))
+
+
 def _pack_bench(spark, sf_dir):
     """Greedy sequence packing over the documents table: token counting
     rides the scan, one (id, n_tokens) shuffle into 8 shards."""
@@ -764,6 +777,7 @@ EXTRA = {
     "x_ivfpq_topk": _ivfpq_topk_bench,
     "x_span_dedup": _span_dedup_bench,
     "x_lm_score": _lm_score_bench,
+    "x_bpe_encode": _bpe_encode_bench,
 }
 
 

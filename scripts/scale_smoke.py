@@ -466,5 +466,21 @@ def main():
     )
 
 
+    # learned BPE: train once on a bounded sample, encode 5M docs over
+    # a ~1k-word vocab — the per-task word cache collapses the Zipf
+    # head, so throughput is cache-hit-bound, not merge-loop-bound
+    from solarpaneldatawrangler_spark.operators.bpe import (
+        bpe_encode,
+        train_bpe_merges,
+    )
+
+    sample_rows = ldocs.orderBy("doc_id").limit(2048).collect()
+    merges = train_bpe_merges([r["text"] for r in sample_rows], n_merges=64)
+    timed(
+        "bpe_encode 5M docs / 64 merges",
+        lambda: bpe_encode(ldocs, merges).filter(F.col("n_bpe") > 0).count(),
+    )
+
+
 if __name__ == "__main__":
     main()

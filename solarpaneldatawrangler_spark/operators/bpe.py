@@ -1,0 +1,183 @@
+"""Learned byte-pair-encoding subword tokenizer (Sennrich, Haddow,
+Birch 2016, "Neural Machine Translation of Rare Words with Subword
+Units") — train on a bounded sample driver-side, apply distributed.
+
+The reference pipeline counts whitespace/regex tokens; a training-data
+engine also needs the REAL thing models train on: a learned subword
+vocabulary. Same deployment contract as the IVF/PQ quantizers: the
+merge table trains once on a bounded deterministic sample (tokenizer
+training corpora are samples by construction), ships as ~N small string
+pairs, and the distributed encode is a map-only stage over the scan.
+
+Merge-application semantics (shared EXACTLY by the trainer, the Spark
+encoder, and the SQL oracle): a word is the string
+``' ' + ' '.join(chars) + ' '``; each merge (a, b) is applied as the
+plain (non-regex) replacement ``' a b ' -> ' ab '`` REPEATED until the
+pattern no longer occurs, merges in learned order. The boundary spaces
+make cross-token false matches impossible ('ab c' cannot match pattern
+' b c '), and the repeat-until-fixpoint rule recovers the occurrences
+a single left-to-right replacement pass loses to consumed separator
+spaces. Plain string replacement exists identically in Python, Spark,
+and DuckDB, which is what makes the encode SQL-replayable (q51's
+merged bpe columns replay it with a recursive CTE over the merge
+index).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Iterable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _word_state(word: str) -> str:
+    return " " + " ".join(word) + " "
+
+
+def _apply_merge(s: str, pat: str, rep: str) -> str:
+    while pat in s:
+        s = s.replace(pat, rep)
+    return s
+
+
+def train_bpe_merges(
+    texts: Iterable[str], n_merges: int = 64
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from an in-memory sample.
+
+    Deterministic: word frequencies via the same lowercase-whitespace
+    tokenizer as functions.text.tokens; each round merges the
+    (count DESC, pair lexicographically ASC) best adjacent symbol pair;
+    application uses the shared fixpoint-replace rule, so training and
+    encoding can never disagree about segmentation. Stops early if no
+    pair occurs twice (nothing left worth merging)."""
+    freq: Counter[str] = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            freq[w] += 1
+    states = {w: _word_state(w) for w in freq}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter[tuple[str, str]] = Counter()
+        for w, s in states.items():
+            toks = s.split()
+            n = freq[w]
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best, cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        a, b = best
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        merges.append((a, b))
+        states = {
+            w: (_apply_merge(s, pat, rep) if pat in s else s)
+            for w, s in states.items()
+        }
+    return merges
+
+
+def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Encode one (lowercased) word with the learned merges — the
+    reference implementation of the shared semantics."""
+    s = _word_state(word)
+    for a, b in merges:
+        s = _apply_merge(s, f" {a} {b} ", f" {a}{b} ")
+    return s.split()
+
+
+_DIR_MERGES: dict[tuple, list[tuple[str, str]]] = {}
+
+
+def bpe_merges_for_dir(
+    sf_dir: str, n_merges: int = 64, sample_cap: int = 2048
+) -> list[tuple[str, str]]:
+    """Train merges straight off ``{sf_dir}/documents.parquet`` with
+    pyarrow (no Spark session) — the ivf_centroids_for_dir idiom, so the
+    DuckDB oracle embeds the IDENTICAL merge table. Sample = the first
+    ``sample_cap`` docs by doc_id. Memoized per (dir, params)."""
+    key = (sf_dir, n_merges, sample_cap)
+    got = _DIR_MERGES.get(key)
+    if got is None:
+        import numpy as np
+        import pyarrow.parquet as pq_
+
+        t = pq_.read_table(
+            f"{sf_dir.rstrip('/')}/documents.parquet",
+            columns=["doc_id", "text"],
+        )
+        order = np.argsort(t.column("doc_id").to_numpy(), kind="stable")[
+            :sample_cap
+        ]
+        texts = t.column("text").to_pylist()
+        got = _DIR_MERGES[key] = train_bpe_merges(
+            [texts[i] for i in order], n_merges
+        )
+    return got
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, bpe_text, n_bpe): each doc's learned-BPE segmentation.
+    ``bpe_text`` joins each word's subword tokens with ' ' and words
+    with ' | ' (so the full segmentation is pinned by one string);
+    ``n_bpe`` is the total subword-token count — the number a training
+    cost estimate actually needs.
+
+    Plan shape (100 TB): map-only — one mapInPandas stage fused with
+    the scan, no shuffle. The merge table rides the UDF closure (a few
+    KB). A per-TASK word cache (iterator closure, shared across that
+    task's Arrow batches) collapses the Zipf head: each distinct word
+    is encoded once per task, not once per occurrence."""
+    import pandas as pd
+
+    frozen = list(merges)
+    src = df.select(F.col(id_col).alias("_i"), F.col(text_col).alias("_t"))
+
+    def encode(batches):
+        cache: dict[str, str] = {}
+
+        def enc_word(w: str) -> str:
+            got = cache.get(w)
+            if got is None:
+                got = cache[w] = " ".join(encode_word(w, frozen))
+            return got
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            outs, counts = [], []
+            for t in pdf["_t"]:
+                words = (t or "").lower().split()
+                encoded = [enc_word(w) for w in words]
+                outs.append(" | ".join(encoded))
+                counts.append(sum(e.count(" ") + 1 for e in encoded) if encoded else 0)
+            yield pd.DataFrame(
+                {"_i": pdf["_i"], "bpe_text": outs, "n_bpe": counts}
+            )
+
+    return src.mapInPandas(
+        encode, "_i long, bpe_text string, n_bpe long"
+    ).select(F.col("_i").alias(id_col), "bpe_text", "n_bpe")
+
+
+def bpe_merges_values_sql(merges: list[tuple[str, str]]) -> str:
+    """The merge table as a SQL VALUES body (idx, pat, rep) for the
+    recursive-CTE replay: idx is 1-based learned order, pat/rep are the
+    literal fixpoint-replace strings."""
+    rows = []
+    for i, (a, b) in enumerate(merges):
+        pat = f" {a} {b} ".replace("'", "''")
+        rep = f" {a}{b} ".replace("'", "''")
+        rows.append(f"({i + 1}, '{pat}', '{rep}')")
+    return ",\n".join(rows)

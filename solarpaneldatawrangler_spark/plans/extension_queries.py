@@ -221,11 +221,54 @@ _CHUNK_CTES = f"""
 """
 
 
-@register(
-    "q51_token_stats",
-    oracle=f"""
-    WITH {_bm25_oracle_fragment(_BM25_TERMS, _BM25_K1, _BM25_B)},
-    {_CHUNK_CTES}
+def _q51_oracle_or_none() -> str | None:
+    """q51's oracle with the r7 learned-BPE columns: the merge table
+    (bpe_merges_for_dir at ORACLE_SF_DIR — the function the Spark query
+    also calls, the q67 trained-quantizer contract) replays as VALUES
+    and the distributed encode replays as a recursive CTE stepping
+    through the merges with the shared fixpoint-replace rule. Degrades
+    to rows-only if the testdata is absent at import time."""
+    try:
+        from solarpaneldatawrangler_spark.operators.bpe import (
+            bpe_merges_for_dir,
+            bpe_merges_values_sql,
+        )
+        from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
+
+        merges = bpe_merges_for_dir(ORACLE_SF_DIR, n_merges=_BPE_MERGES)
+        values = bpe_merges_values_sql(merges)
+        n = len(merges)
+    except Exception:
+        return None
+    return f"""
+    WITH RECURSIVE {_bm25_oracle_fragment(_BM25_TERMS, _BM25_K1, _BM25_B)},
+    {_CHUNK_CTES},
+    bm_merge(idx, pat, rep) AS (VALUES {values}),
+    bwords AS (
+        SELECT t.doc_id, CAST(u.i AS BIGINT) AS wpos,
+               ' ' || array_to_string(
+                   string_split_regex(t.toks[CAST(u.i AS INT)], ''), ' ')
+                 || ' ' AS s
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents) t,
+             LATERAL UNNEST(range(1, len(t.toks) + 1)) AS u(i)
+    ),
+    benc AS (
+        SELECT doc_id, wpos, s, 1 AS i FROM bwords
+        UNION ALL
+        SELECT e.doc_id, e.wpos,
+               CASE WHEN contains(e.s, m.pat)
+                    THEN replace(e.s, m.pat, m.rep) ELSE e.s END,
+               CASE WHEN contains(e.s, m.pat) THEN e.i ELSE e.i + 1 END
+        FROM benc e JOIN bm_merge m ON m.idx = e.i
+    ),
+    bfin AS (SELECT doc_id, wpos, trim(s) AS s FROM benc WHERE i = {n} + 1),
+    bagg AS (
+        SELECT doc_id,
+               md5(string_agg(s, ' | ' ORDER BY wpos)) AS bpe_fp,
+               CAST(SUM(len(string_split(s, ' '))) AS BIGINT)
+                   AS n_bpe_learned
+        FROM bfin GROUP BY doc_id
+    )
     SELECT d.doc_id,
            len({_SQL_TOKS}) AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
@@ -235,11 +278,22 @@ _CHUNK_CTES = f"""
            bm.bm25_r,
            COALESCE(ch.n_chunks, 0) AS n_chunks,
            COALESCE(ch.chunk_tok_sum, 0) AS chunk_tok_sum,
-           COALESCE(ch.chunks_fp, '') AS chunks_fp
+           COALESCE(ch.chunks_fp, '') AS chunks_fp,
+           COALESCE(ba.bpe_fp, md5('')) AS bpe_fp,
+           COALESCE(ba.n_bpe_learned, 0) AS n_bpe_learned
     FROM documents d
     JOIN bm USING (doc_id)
     LEFT JOIN chagg ch USING (doc_id)
-    """,
+    LEFT JOIN bagg ba USING (doc_id)
+    """
+
+
+_BPE_MERGES = 64
+
+
+@register(
+    "q51_token_stats",
+    oracle=_q51_oracle_or_none(),
     doc="Token counting for LLM-cost estimation as pure array expressions "
     "in the scan stage, zero corpus shuffle: whitespace tokens, GPT-2-"
     "pre-tokenizer-style BPE-ish segmentation (letter runs / digit runs "
@@ -252,9 +306,16 @@ _CHUNK_CTES = f"""
     "document chunking (operators/packing.chunk_documents, max_tokens="
     "40/overlap=8) aggregated per doc — n_chunks, chunk_tok_sum, and "
     "chunks_fp = md5 of the chunk texts joined in chunk order, which "
-    "pins every chunk's exact token content and boundaries. Hashed "
-    "surfaces: token stats + bm25_r (as before); chunking (n_chunks, "
-    "chunk_tok_sum, chunks_fp).",
+    "pins every chunk's exact token content and boundaries. ALSO "
+    "MERGED (r7): LEARNED BPE (operators/bpe — Sennrich et al. 2016): "
+    "merges train driver-side on a bounded deterministic sample "
+    "(bpe_merges_for_dir, the IVF/PQ trained-quantizer contract), the "
+    "map-only distributed encode segments every doc, and the oracle "
+    "replays the encode with a recursive CTE stepping the shared "
+    "fixpoint-replace rule through the merge VALUES. Hashed surfaces: "
+    "token stats + bm25_r; chunking (n_chunks, chunk_tok_sum, "
+    "chunks_fp); learned BPE (bpe_fp = md5 of the full segmentation, "
+    "n_bpe_learned).",
 )
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.packing import chunk_documents
@@ -293,16 +354,34 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunks_fp"),
         )
     )
-    return base.join(chagg, "doc_id", "left").select(
+    from solarpaneldatawrangler_spark.operators.bpe import (
+        bpe_encode,
+        bpe_merges_for_dir,
+    )
+
+    bpe_df = bpe_encode(
+        docs, bpe_merges_for_dir(sf_dir, n_merges=_BPE_MERGES)
+    ).select(
         "doc_id",
-        "n_tokens",
-        "n_bpe_tokens",
-        "n_chars_actual",
-        "mean_word_len",
-        "bm25_r",
-        F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
-        F.coalesce("chunk_tok_sum", F.lit(0)).alias("chunk_tok_sum"),
-        F.coalesce("chunks_fp", F.lit("")).alias("chunks_fp"),
+        F.md5("bpe_text").alias("bpe_fp"),
+        F.col("n_bpe").alias("n_bpe_learned"),
+    )
+    return (
+        base.join(chagg, "doc_id", "left")
+        .join(bpe_df, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_bpe_tokens",
+            "n_chars_actual",
+            "mean_word_len",
+            "bm25_r",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("chunk_tok_sum", F.lit(0)).alias("chunk_tok_sum"),
+            F.coalesce("chunks_fp", F.lit("")).alias("chunks_fp"),
+            "bpe_fp",
+            "n_bpe_learned",
+        )
     )
 
 

@@ -1,0 +1,85 @@
+"""Learned BPE (operators/bpe): hand-trained merges, greedy-left
+segmentation semantics, concatenation roundtrip, and the DuckDB
+recursive-CTE replay of the distributed encode."""
+
+from __future__ import annotations
+
+from solarpaneldatawrangler_spark.operators.bpe import (
+    bpe_encode,
+    bpe_merges_for_dir,
+    bpe_merges_values_sql,
+    encode_word,
+    train_bpe_merges,
+)
+from solarpaneldatawrangler_spark.sources.star import load_table
+from tests.oracle_harness import compare, run_oracle
+
+_SQL_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+)
+
+
+def _bpe_oracle(merges) -> str:
+    values = bpe_merges_values_sql(merges)
+    n = len(merges)
+    return rf"""
+WITH RECURSIVE
+bm(idx, pat, rep) AS (VALUES {values}),
+btoks AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+bwords AS (
+    SELECT t.doc_id, CAST(u.i AS BIGINT) AS wpos,
+           ' ' || array_to_string(
+               string_split_regex(t.toks[CAST(u.i AS INT)], ''), ' ')
+             || ' ' AS s
+    FROM btoks t, LATERAL UNNEST(range(1, len(t.toks) + 1)) AS u(i)
+),
+enc AS (
+    SELECT doc_id, wpos, s, 1 AS i FROM bwords
+    UNION ALL
+    SELECT e.doc_id, e.wpos,
+           CASE WHEN contains(e.s, m.pat)
+                THEN replace(e.s, m.pat, m.rep) ELSE e.s END,
+           CASE WHEN contains(e.s, m.pat) THEN e.i ELSE e.i + 1 END
+    FROM enc e JOIN bm m ON m.idx = e.i
+),
+fin AS (SELECT doc_id, wpos, trim(s) AS s FROM enc WHERE i = {n} + 1),
+agg AS (
+    SELECT doc_id,
+           string_agg(s, ' | ' ORDER BY wpos) AS bpe_text,
+           CAST(SUM(len(string_split(s, ' '))) AS BIGINT) AS n_bpe
+    FROM fin GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.bpe_text, '') AS bpe_text,
+       COALESCE(a.n_bpe, 0) AS n_bpe
+FROM btoks t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def test_train_bpe_hand_case():
+    merges = train_bpe_merges(["aa aa ab"], n_merges=8)
+    assert merges == [("a", "a")]  # (a,b) occurs once: below min count
+    assert encode_word("aaa", merges) == ["aa", "a"]  # greedy-left
+    assert encode_word("ab", merges) == ["a", "b"]
+
+
+def test_encode_fixpoint_recovers_consumed_separators():
+    # ' a b a b ' needs the repeat-until-fixpoint rule: one replacement
+    # pass would leave the second pair unmerged
+    merges = [("a", "b")]
+    assert encode_word("abab", merges) == ["ab", "ab"]
+
+
+def test_roundtrip_and_ordering(sf_dir):
+    merges = bpe_merges_for_dir(sf_dir, n_merges=64)
+    assert 0 < len(merges) <= 64
+    for w in ("the", "solar", "panels", "überstraße", "a", "xyzzy"):
+        toks = encode_word(w, merges)
+        assert "".join(toks) == w  # no characters created or lost
+
+
+def test_bpe_encode_duckdb_recursive_replay(spark, sf_dir):
+    merges = bpe_merges_for_dir(sf_dir, n_merges=64)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = bpe_encode(docs, merges)
+    compare(got, run_oracle(_bpe_oracle(merges), sf_dir), "bpe_encode")
