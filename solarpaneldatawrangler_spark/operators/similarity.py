@@ -925,3 +925,99 @@ def semantic_dedup(
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return vectors.join(drops, id_col, "left_anti")
+
+
+# --- distributed k-means (full-corpus quantizer training) --------------------
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: list[list[float]] | None = None,
+    round_dp: int = 6,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means over the WHOLE corpus — the scale
+    path when a bounded sample (train_ivf_centroids) under-represents
+    the distribution. Same contract: init = the k lowest-id vectors
+    (one bounded ordered collect), fixed iteration count, empty
+    clusters keep their previous centroid, argmin ties to the lowest
+    cluster id, result rounded to ``round_dp``.
+
+    Plan shape (100 TB, per iteration): ONE narrow mapInPandas pass
+    emits per-Arrow-batch PARTIAL sums — (cluster, count, sum-vector)
+    rows, at most k per batch — so the corpus never shuffles and the
+    shuffle that does happen moves O(batches x k) tiny rows into a
+    k-group final agg (posexplode to (cluster, dim) cells, combinable
+    SUM). The new centroids (k x dim doubles) come back to the driver
+    between iterations — centroids ARE driver state, the same loop
+    structure as connected_components' convergence scalar. Total:
+    ``iters`` passes over the data, zero corpus shuffles.
+
+    Note: partial-sum accumulation order varies with partitioning, so
+    double sums can differ in final ulps run-to-run (the round_dp
+    rounding absorbs this in practice, but exact cross-engine replay is
+    the sample-trained path's job — this is the production trainer).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if init is None:
+        rows = (
+            df.select(F.col(vec_col).alias("_v"))
+            .orderBy(F.col(id_col))
+            .limit(k)
+            .collect()
+        )
+        if len(rows) < k:
+            raise ValueError(f"need >= {k} vectors, got {len(rows)}")
+        cents = np.array([list(r["_v"]) for r in rows], dtype=np.float64)
+    else:
+        cents = np.array(init, dtype=np.float64)
+        k = cents.shape[0]
+    dim = cents.shape[1]
+    src = df.select(F.col(vec_col).alias("_v"))
+
+    for _ in range(iters):
+        c_now = cents.copy()
+
+        def partials(batches, _c=c_now):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+                )
+                assign = np.argmin(
+                    (mat * mat).sum(axis=1)[:, None]
+                    - 2.0 * (mat @ _c.T)
+                    + (_c * _c).sum(axis=1)[None, :],
+                    axis=1,
+                )
+                out_l, out_n, out_s = [], [], []
+                for l in np.unique(assign):
+                    members = mat[assign == l]
+                    out_l.append(int(l))
+                    out_n.append(len(members))
+                    out_s.append(members.sum(axis=0).tolist())
+                yield pd.DataFrame(
+                    {"l": out_l, "n": out_n, "s": out_s}
+                )
+
+        agg = (
+            src.mapInPandas(partials, "l int, n long, s array<double>")
+            .select("l", "n", F.posexplode("s").alias("d", "v"))
+            .groupBy("l", "d")
+            .agg(F.sum("v").alias("sv"), F.sum("n").alias("sn"))
+            .collect()
+        )
+        counts = np.zeros(k, dtype=np.float64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for r in agg:
+            sums[r["l"], r["d"]] = r["sv"]
+            if r["d"] == 0:  # sn repeats per dim; read it once
+                counts[r["l"]] = r["sn"]
+        nonempty = counts > 0
+        cents[nonempty] = sums[nonempty] / counts[nonempty, None]
+    return [[round(float(x), round_dp) for x in c] for c in cents]

@@ -371,3 +371,60 @@ def test_winnowing_rejects_oversized_doc(spark):
         winnowing_fingerprints(big).collect()
     ok = spark.createDataFrame([(2, "normal sized document text")], "doc_id long, text string")
     assert winnowing_fingerprints(ok).count() > 0
+
+
+def test_distributed_kmeans_matches_driver_lloyd(spark, sf_dir):
+    """kmeans_fit (distributed partial-sum Lloyd's) must agree with the
+    driver-side _lloyd reference on the same data, same init, same
+    iteration count — identical assignment rules, so centroids match to
+    float-summation noise."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        _lloyd,
+        kmeans_fit,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    t = pq_.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_numpy())
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    mat = mat[np.argsort(ids, kind="stable")]
+
+    want = np.array(_lloyd(mat, 8, 3, round_dp=6))
+    got = np.array(
+        kmeans_fit(
+            load_table(spark, sf_dir, "embeddings"), k=8, iters=3, round_dp=6
+        )
+    )
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 1e-5, np.abs(got - want).max()
+
+
+def test_distributed_kmeans_recovers_planted_blobs(spark):
+    """Three well-separated blobs: the fitted centroids land on the
+    blob centers and every point's nearest centroid is its blob's."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    centers = np.array([[0.0] * 4, [10.0] * 4, [-10.0, 10.0, -10.0, 10.0]])
+    vecs = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(4)),
+            lambda j: (
+                F.element_at(
+                    F.array(*[F.lit(float(c)) for c in centers.flatten()]),
+                    ((F.col("id") % 3) * 4 + j).cast("int"),
+                )
+                + (F.pmod(F.xxhash64(F.col("id") * 4 + j), 100) - 50) / 500.0
+            ),
+        ).alias("embedding"),
+    )
+    from solarpaneldatawrangler_spark.operators.similarity import kmeans_fit
+
+    cents = np.array(kmeans_fit(vecs, k=3, iters=5))
+    # each true center has a fitted centroid within the jitter radius
+    for c in centers:
+        assert np.linalg.norm(cents - c, axis=1).min() < 0.2
