@@ -373,3 +373,82 @@ def bigram_lm_score(
             F.coalesce("lm_n", F.lit(0)).alias("lm_n"),
         )
     )
+
+
+# --- corpus data card --------------------------------------------------------
+
+def corpus_data_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Per-stratum corpus statistics — the "data card" a released
+    training set ships with (Gebru et al., "Datasheets for Datasets"):
+    one row per stratum plus an '<all>' rollup, each carrying
+
+      (key, median_tokens_r, p90_tokens_r, n_docs, mean_quality_r,
+       dup_frac_r)
+
+    where dup_frac_r is the fraction of the stratum's docs whose exact
+    content fingerprint occurs more than once CORPUS-wide (the headline
+    number of every dedup paper), mean_quality_r is the exact-decimal
+    mean of the 6dp-rounded heuristic quality score, and the token
+    percentiles use exact linear interpolation (the q46 cross-engine
+    contract). Every value is engine-exact, so the whole card is
+    SQL-replayable (q46's merged 'card' rows).
+
+    Plan shape (100 TB): token counts and quality are scan-stage
+    expressions; the only corpus shuffle is the fingerprint groupBy
+    (map-side combinable) + its join back; the rollup agg moves one row
+    per doc of 4 scalars. Exact percentiles hold the stratum's values
+    in memory per group at the agg — for corpora where a stratum
+    exceeds executor memory, swap percentile for percentile_approx and
+    drop the oracle claim (documented trade, q46's doc).
+    """
+    from solarpaneldatawrangler_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        tokens,
+    )
+
+    fp = fingerprint(F.col(text_col))
+    base = docs.select(
+        F.col(stratum_col).alias("_s"),
+        F.size(tokens(F.col(text_col))).alias("_nt"),
+        F.round(quality_score(F.col(text_col)), 6).alias("_q"),
+        fp.alias("_fp"),
+    )
+    copies = base.groupBy("_fp").agg(F.count(F.lit(1)).alias("_nc"))
+    joined = base.join(copies, "_fp")
+    return (
+        joined.rollup("_s")
+        .agg(
+            F.round(F.expr("percentile(_nt, 0.5)"), 4).alias(
+                "median_tokens_r"
+            ),
+            F.round(F.expr("percentile(_nt, 0.9)"), 4).alias("p90_tokens_r"),
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.round(
+                F.sum(F.col("_q").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_quality_r"),
+            F.round(
+                F.sum((F.col("_nc") > 1).cast("int")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("dup_frac_r"),
+            F.grouping("_s").alias("_g"),
+        )
+        .select(
+            F.when(F.col("_g") == 1, F.lit("<all>"))
+            .otherwise(F.col("_s"))
+            .alias("key"),
+            "median_tokens_r",
+            "p90_tokens_r",
+            "n_docs",
+            "mean_quality_r",
+            "dup_frac_r",
+        )
+    )

@@ -114,29 +114,102 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact percentiles -------------------------------------------------------
 
+def _q46_oracle() -> str:
+    from solarpaneldatawrangler_spark.plans.extension_queries import (
+        _SQL_TOKS,
+        _SW_LIST,
+    )
+
+    return f"""
+    WITH dq AS (
+        SELECT lang,
+               len({_SQL_TOKS}) AS nt,
+               ROUND(
+                   CAST(len(list_filter({_SQL_TOKS}, t -> list_contains({_SW_LIST}, t))) AS DOUBLE)
+                     / GREATEST(len({_SQL_TOKS}), 1) * 0.5
+                   + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                       / GREATEST(length(text), 1)) * 0.3
+                   + (CASE WHEN
+                        CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum') AS DOUBLE)
+                          / GREATEST(len({_SQL_TOKS}), 1) BETWEEN 2.0 AND 12.0
+                      THEN 1.0 ELSE 0.0 END) * 0.2,
+                   6) AS q,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ),
+    fpc AS (SELECT fp, COUNT(*) AS nc FROM dq GROUP BY fp),
+    card AS (
+        SELECT CASE WHEN GROUPING(d.lang) = 1 THEN '<all>' ELSE d.lang END
+                   AS key,
+               ROUND(quantile_cont(d.nt, 0.5), 4) AS median_r,
+               ROUND(quantile_cont(d.nt, 0.9), 4) AS p90_r,
+               CAST(COUNT(*) AS DOUBLE) AS m3,
+               ROUND(CAST(SUM(CAST(d.q AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS m4,
+               ROUND(CAST(SUM(CASE WHEN c.nc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS m5
+        FROM dq d JOIN fpc c USING (fp)
+        GROUP BY ROLLUP(d.lang)
+    )
+    SELECT 'price' AS tag, l_returnflag AS key,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_r,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_r,
+           MIN(l_extendedprice) AS m3,
+           MAX(l_extendedprice) AS m4,
+           CAST(NULL AS DOUBLE) AS m5
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'card' AS tag, key, median_r, p90_r, m3, m4, m5 FROM card
+    """
+
+
 @register(
     "q46_percentiles",
-    oracle="""
-    SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
-           MIN(l_extendedprice) AS min_price,
-           MAX(l_extendedprice) AS max_price
-    FROM lineitem GROUP BY l_returnflag
-    """,
+    oracle=_q46_oracle(),
     doc="Exact interpolated percentiles (median/p90) per group — both "
     "engines implement the same p*(n-1) linear interpolation; rounded to "
     "4dp to absorb last-ulp interpolation differences. The approximate "
-    "twin at scale is percentile_approx (not oracle-comparable).",
+    "twin at scale is percentile_approx (not oracle-comparable). MERGED "
+    "(r7): the corpus DATA CARD (operators/curation.corpus_data_card — "
+    "Datasheets-for-Datasets per-stratum stats): 'card'-tagged rows "
+    "carry per-lang + '<all>' rollup token percentiles, doc counts, "
+    "exact-decimal mean quality, and the corpus-wide exact-duplicate "
+    "fraction. Hashed surfaces: price percentiles ('price' rows); data "
+    "card ('card' rows — pins tokenization, quality formula, "
+    "fingerprint dedup counting, rollup, and every rounding contract).",
 )
 def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
+    from solarpaneldatawrangler_spark.operators.curation import (
+        corpus_data_card,
     )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    price = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_r"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_r"),
+        F.min("l_extendedprice").alias("m3"),
+        F.max("l_extendedprice").alias("m4"),
+    ).select(
+        F.lit("price").alias("tag"),
+        F.col("l_returnflag").alias("key"),
+        "median_r",
+        "p90_r",
+        "m3",
+        "m4",
+        F.lit(None).cast("double").alias("m5"),
+    )
+    card = corpus_data_card(
+        load_table(spark, sf_dir, "documents"), stratum_col="lang"
+    ).select(
+        F.lit("card").alias("tag"),
+        "key",
+        F.col("median_tokens_r").alias("median_r"),
+        F.col("p90_tokens_r").alias("p90_r"),
+        F.col("n_docs").alias("m3"),
+        F.col("mean_quality_r").alias("m4"),
+        F.col("dup_frac_r").alias("m5"),
+    )
+    return price.unionByName(card)
 
 
 # --- U3/S13: ON-CONFLICT-IGNORE upsert (solardb.py:83-97) -------------------

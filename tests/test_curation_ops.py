@@ -328,3 +328,29 @@ def test_pack_sequences_null_text_and_null_id(spark):
     )
     with pytest.raises(Exception, match="null doc_id"):
         pack_sequences(bad, max_tokens=10).collect()
+
+
+def test_corpus_data_card_semantics(spark):
+    from solarpaneldatawrangler_spark.operators.curation import (
+        corpus_data_card,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat today", "en"),
+        (2, "the cat sat on the mat today", "en"),   # exact dup of 1
+        (3, "unique english text here now", "en"),
+        (4, "el gato esta aqui hoy mismo", "es"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    card = {r["key"]: r for r in corpus_data_card(docs).collect()}
+    assert set(card) == {"en", "es", "<all>"}
+    assert card["en"]["n_docs"] == 3.0
+    assert card["es"]["n_docs"] == 1.0
+    assert card["<all>"]["n_docs"] == 4.0
+    # docs 1+2 are the duplicated pair: 2/3 of en, 0 of es, 2/4 overall
+    assert abs(card["en"]["dup_frac_r"] - round(2 / 3, 6)) < 1e-9
+    assert card["es"]["dup_frac_r"] == 0.0
+    assert card["<all>"]["dup_frac_r"] == 0.5
+    # all docs are 6-7 tokens: median within range, quality in [0, 1]
+    assert 5 <= card["<all>"]["median_tokens_r"] <= 8
+    assert 0.0 <= card["<all>"]["mean_quality_r"] <= 1.0
