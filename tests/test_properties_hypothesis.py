@@ -133,3 +133,36 @@ def test_winnowing_matches_reference_on_arbitrary_ascii(spark, texts):
         got.setdefault(r.id, set()).add((r.fp_pos, r.fp_hash))
     for i, text in enumerate(texts):
         assert got.get(i, set()) == ref(text), (i, text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    n_merges=st.integers(min_value=0, max_value=12),
+)
+def test_bpe_train_encode_invariants(texts, n_merges):
+    """Learned-BPE invariants on arbitrary small corpora: encoding any
+    trained-on or unseen word concatenates back to the word (no chars
+    created or lost), token count never exceeds char count, and the
+    trainer is deterministic."""
+    from solarpaneldatawrangler_spark.operators.bpe import (
+        encode_word,
+        train_bpe_merges,
+    )
+
+    merges = train_bpe_merges(texts, n_merges=n_merges)
+    assert merges == train_bpe_merges(texts, n_merges=n_merges)
+    assert len(merges) <= n_merges
+    words = {w for t in texts for w in t.lower().split()} | {"abcd", "dcba"}
+    for w in words:
+        toks = encode_word(w, merges)
+        assert "".join(toks) == w
+        assert 1 <= len(toks) <= len(w)
