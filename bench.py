@@ -690,6 +690,17 @@ def _bpe_encode_bench(spark, sf_dir):
     return bpe_encode(docs, bpe_merges_for_dir(sf_dir, n_merges=64))
 
 
+def _data_card_bench(spark, sf_dir):
+    """Corpus data card: scan-stage stats + one combinable fingerprint
+    shuffle + the rollup agg (q46's merged 'card' half)."""
+    from solarpaneldatawrangler_spark.operators.curation import (
+        corpus_data_card,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    return corpus_data_card(load_table(spark, sf_dir, "documents"))
+
+
 def _pack_bench(spark, sf_dir):
     """Greedy sequence packing over the documents table: token counting
     rides the scan, one (id, n_tokens) shuffle into 8 shards."""
@@ -778,6 +789,7 @@ EXTRA = {
     "x_span_dedup": _span_dedup_bench,
     "x_lm_score": _lm_score_bench,
     "x_bpe_encode": _bpe_encode_bench,
+    "x_data_card": _data_card_bench,
 }
 
 
