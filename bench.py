@@ -552,6 +552,43 @@ def _paragraph_dedup_bench(spark, sf_dir):
     return paragraph_dedup(built)
 
 
+def _boilerplate_para_bench(spark, sf_dir):
+    """Boilerplate paragraph removal over the same derived two-paragraph
+    corpus as x_paragraph_dedup: two-level (fp,id)->(fp) document-
+    frequency agg, anti-join, reassembly. min_df=2 so the pervasive
+    pairing duplicates actually trip the threshold."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        remove_boilerplate_paragraphs,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    b = docs.select(
+        (F.col("doc_id") - 7).alias("doc_id"), F.col("text").alias("_t2")
+    )
+    built = docs.join(b, "doc_id", "left").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit("\n\n"), F.coalesce("_t2", F.lit(""))
+        ).alias("text"),
+    )
+    return remove_boilerplate_paragraphs(built, min_df=2)
+
+
+def _tfidf_keywords_bench(spark, sf_dir):
+    """Per-doc top-3 tf-idf keywords over the documents table: the
+    inverted-index shape (explode -> tf/df aggs -> 1-row N broadcast ->
+    windowed top-k with WindowGroupLimit pushdown)."""
+    from solarpaneldatawrangler_spark.functions.text import EN_STOPWORDS
+    from solarpaneldatawrangler_spark.operators.ranking import tfidf_keywords
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(docs, k=3, stopwords=EN_STOPWORDS)
+
+
 def _cross_dedup_bench(spark, sf_dir):
     """Cross-corpus near-dup admission: a 10%-sized batch — half
     near-twins of CORPUS docs (re-keyed, ' zz' appended: these must
@@ -777,6 +814,8 @@ EXTRA = {
     "x_semantic_dedup": _semdedup_bench,
     "x_bm25": _bm25_bench,
     "x_paragraph_dedup": _paragraph_dedup_bench,
+    "x_boilerplate_para": _boilerplate_para_bench,
+    "x_tfidf_keywords": _tfidf_keywords_bench,
     "x_temperature_mix": _temperature_mix_bench,
     "x_incremental_dedup": _incremental_dedup_bench,
     "x_chunk_documents": _chunk_documents_bench,

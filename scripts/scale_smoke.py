@@ -244,6 +244,58 @@ def main():
     timed("paragraph_dedup hot-fp 10M docs x 1 boilerplate para",
           lambda: paragraph_dedup(hot).filter(F.col("n_kept") > 0).count())
 
+    # boilerplate REMOVAL on the same hot corpus (r7b): the 10M-copy
+    # paragraph must partial-aggregate at BOTH levels — (fp,id) dedupes
+    # within-doc, (fp) counts docs — and the anti-join then strips every
+    # copy; same no-funnel contract as paragraph_dedup's keeper agg
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        remove_boilerplate_paragraphs,
+    )
+
+    timed("remove_boilerplate_paragraphs 10M docs x 10M-copy para",
+          lambda: remove_boilerplate_paragraphs(hot, min_df=3)
+          .filter(F.col("n_kept") > 0).count())
+
+    # tf-idf keywords at 2M docs x 30 Zipf-ish tokens (r7b): the df
+    # join's probe side piles up on hot terms ('the'-scale buckets) —
+    # AQE's skew split plus the map-side tf combine must keep the
+    # inverted-index shape flat; WindowGroupLimit bounds the top-k
+    # shuffle to ~k rows per (task, doc)
+    from solarpaneldatawrangler_spark.operators.ranking import tfidf_keywords
+
+    zipf_docs = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                # j*j skews low term-ids hot (a crude Zipf head)
+                lambda j: F.concat(
+                    F.lit("t"),
+                    F.pmod(F.col("id") * 31 + j * j, 997).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    timed("tfidf_keywords 2M docs x 30 tokens (hot-term skew)",
+          lambda: tfidf_keywords(zipf_docs, k=3).count())
+
+    # markup strip at 10M docs: pure codegen chain, must stay a single
+    # map stage (the whole point — zero shuffle at any scale)
+    from solarpaneldatawrangler_spark.functions.text import strip_markup
+
+    marked = spark.range(10_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("<div><p>body text number "),
+            F.col("id").cast("string"),
+            F.lit(" &amp; more</p><script>var x=1;</script></div>"),
+        ).alias("text"),
+    )
+    timed("strip_markup 10M docs (map-only)",
+          lambda: marked.select(strip_markup(F.col("text")).alias("s"))
+          .filter(F.length("s") > 0).count())
+
     # cross-corpus admission under a BOILERPLATE FLOOD (r7, VERDICT item
     # 3): 100k DISTINCT-but-near-identical corpus docs (a 16-word
     # template + one unique token each — what survives exact dedup when

@@ -234,6 +234,97 @@ def pii_count(
     return total
 
 
+# HTML/markup stripping: the first gate of any web-corpus pipeline
+# (CCNet/RefinedWeb/FineWeb all start from extracted-then-cleaned HTML).
+# Every pattern is RE2-safe (no lookarounds, no backreferences) so the
+# exact same pattern strings run as Java regex in Spark and in DuckDB's
+# RE2 — the stripped text itself is oracle-checkable. Ordered chain:
+# script/style blocks (their CONTENT is code, not prose), comments,
+# then tags; tags are replaced with a space (not "") so "a</p><p>b"
+# cannot weld into "ab".
+MARKUP_BLOCK_RES: list[str] = [
+    r"(?is)<script[^>]*>.*?</script>",
+    r"(?is)<style[^>]*>.*?</style>",
+    r"(?s)<!--.*?-->",
+]
+MARKUP_TAG_RE = r"</?[A-Za-z][^>]*>"
+
+# closing block-level tags (and <br>) become PARAGRAPH BREAKS, not
+# spaces: downstream paragraph operators (paragraph_dedup,
+# remove_boilerplate_paragraphs) split on blank lines, and a stripper
+# that welds every block into one line would erase the structure they
+# key on
+MARKUP_BLOCK_BREAK_RE = (
+    r"(?i)</(p|div|h[1-6]|li|ul|ol|table|tr|blockquote)>|<br */?>"
+)
+
+# single-pass entity unescape, &amp; deliberately LAST: "&amp;lt;"
+# decodes to the literal text "&lt;" (one level, like html.unescape's
+# single pass), never double-decodes into "<"
+MARKUP_ENTITIES: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def strip_markup(text: Column) -> Column:
+    """Strip HTML/XML markup down to its visible text: drop
+    script/style/comment blocks, turn closing block tags into paragraph
+    breaks, replace remaining tags with spaces, unescape the common
+    entities (one pass, ``&amp;`` last), then normalize whitespace
+    PARAGRAPH-PRESERVINGLY — horizontal runs collapse to one space,
+    newline runs cap at two (a blank line), edges trim. The output
+    feeds paragraph_dedup / remove_boilerplate_paragraphs directly.
+
+    Pure regexp_replace/replace chain — codegen, runs inside the scan,
+    zero shuffle at any scale. A regex-level cleaner by design (no DOM,
+    no malformed-nesting recovery): the deterministic, cross-engine-
+    replayable 95% case, not a jusText/trafilatura replacement."""
+    out = text
+    for pat in MARKUP_BLOCK_RES:
+        out = F.regexp_replace(out, pat, " ")
+    out = F.regexp_replace(out, MARKUP_BLOCK_BREAK_RE, "\n\n")
+    out = F.regexp_replace(out, MARKUP_TAG_RE, " ")
+    for ent, rep in MARKUP_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"[^\S\n]+", " ")  # horizontal ws -> one space
+    out = F.regexp_replace(out, r" ?\n ?", "\n")  # no spaces hugging newlines
+    out = F.regexp_replace(out, r"\n{3,}", "\n\n")  # cap blank runs at one
+    return F.regexp_replace(out, r"^\s+|\s+$", "")  # trim incl. newlines
+
+
+def markup_tag_count(text: Column) -> Column:
+    """Number of HTML tags (open or close) — the cheap 'is this page
+    markup-heavy' signal used to route documents to the stripper."""
+    return F.size(F.regexp_extract_all(text, F.lit(MARKUP_TAG_RE), F.lit(0)))
+
+
+def strip_markup_sql(col_expr: str = "text") -> str:
+    """DuckDB replay of strip_markup, built from the SAME pattern
+    constants (oracle drift breaks here, not silently): nested
+    regexp_replace('g') + replace chain + the paragraph-preserving
+    whitespace normalization (newlines spelled chr(10))."""
+    expr = col_expr
+    for pat in MARKUP_BLOCK_RES:
+        expr = f"regexp_replace({expr}, '{pat}', ' ', 'g')"
+    expr = (
+        f"regexp_replace({expr}, '{MARKUP_BLOCK_BREAK_RE}', "
+        "chr(10) || chr(10), 'g')"
+    )
+    expr = f"regexp_replace({expr}, '{MARKUP_TAG_RE}', ' ', 'g')"
+    for ent, rep in MARKUP_ENTITIES:
+        r = rep.replace("'", "''")
+        expr = f"replace({expr}, '{ent}', '{r}')"
+    expr = f"regexp_replace({expr}, '[^\\S\\n]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, ' ?\\n ?', chr(10), 'g')"
+    expr = f"regexp_replace({expr}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
+    return f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the whitespace-normalized
     lowercased text. Stable across engines (md5 is standard), so it

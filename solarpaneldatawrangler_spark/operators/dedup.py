@@ -470,6 +470,32 @@ def winnowing_fingerprints(
     )
 
 
+def _split_paragraphs(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared paragraph splitter for paragraph_dedup and
+    remove_boilerplate_paragraphs: split on blank lines, drop
+    whitespace-only paragraphs, fingerprint the whitespace-normalized
+    lowercased form. One posexplode off the scan; everything else is
+    codegen on the exploded rows. Both operators MUST share this exact
+    normalization so their kept/dropped counts compose."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(F.col(text_col), r"\n\s*\n")).alias(
+                "pos", "para"
+            ),
+        )
+        .withColumn(
+            "_norm",
+            F.regexp_replace(F.trim(F.lower(F.col("para"))), r"\s+", " "),
+        )
+        .filter(F.col("_norm") != "")
+        .withColumn("fp", F.md5(F.col("_norm")))
+        .drop("_norm")
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -505,21 +531,7 @@ def paragraph_dedup(
     Three shuffles total (keeper agg, keeper join, reassembly), each on
     a scalar key; text moves through exactly one of them (the join).
     """
-    paras = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), r"\n\s*\n")).alias(
-                "pos", "para"
-            ),
-        )
-        .withColumn(
-            "_norm",
-            F.regexp_replace(F.trim(F.lower(F.col("para"))), r"\s+", " "),
-        )
-        .filter(F.col("_norm") != "")
-        .withColumn("fp", F.md5(F.col("_norm")))
-        .drop("_norm")
-    )
+    paras = _split_paragraphs(df, text_col, id_col)
     keepers = paras.groupBy("fp").agg(
         F.min(F.struct("id", "pos")).alias("_keep")
     )
@@ -531,6 +543,72 @@ def paragraph_dedup(
         )
         .select("id", "pos", "para")
     )
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text"),
+    )
+    totals = paras.groupBy("id").agg(F.count(F.lit(1)).alias("_n_paras"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce("_n_paras", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_dropped"),
+        )
+    )
+
+
+def remove_boilerplate_paragraphs(
+    df: DataFrame,
+    min_df: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove EVERY occurrence of paragraphs that appear in >= ``min_df``
+    distinct documents — the boilerplate killer (cookie banners, nav
+    bars, license blocks). Complements paragraph_dedup, which keeps the
+    FIRST copy: boilerplate isn't content anywhere, so no copy survives.
+    (Dolma and RefinedWeb apply both: dedup exact repeats, delete
+    high-document-frequency paragraphs outright.)
+
+    Returns (id_col, text, n_kept, n_dropped) with the same rebuild
+    contract as paragraph_dedup (same splitter/normalizer, surviving
+    paragraphs rejoined with a blank line, every input doc gets a row).
+
+    Plan shape (100 TB notes):
+    - paragraph df = two-level agg: groupBy(fp, id).count (map-side
+      dedupes within-doc repeats) then groupBy(fp).count — a paragraph
+      pasted into 10^9 docs reaches the second shuffle as one row per
+      (fp, id), and the count itself is a long, not the copies
+    - boilerplate set = filter n_docs >= min_df, joined back LEFT_ANTI
+      on fp (hash anti-join; the build side is only the boilerplate
+      fps, typically tiny)
+    - reassembly = the same groupBy(id) array_sort rebuild
+    Three scalar-key shuffles; text crosses only the reassembly one.
+    """
+    if min_df < 2:
+        raise ValueError("remove_boilerplate_paragraphs: min_df must be >= 2")
+    paras = _split_paragraphs(df, text_col, id_col)
+    bp = (
+        paras.groupBy("fp", "id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n_docs"))
+        .filter(F.col("_n_docs") >= min_df)
+        .select("fp")
+    )
+    kept = paras.join(bp, "fp", "left_anti").select("id", "pos", "para")
     rebuilt = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.concat_ws(

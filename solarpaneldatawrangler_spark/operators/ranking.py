@@ -153,6 +153,91 @@ def bm25_topk(
     )
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stopwords: list[str] | None = None,
+    round_dp: int = 6,
+    materialize_tf: bool = False,
+) -> DataFrame:
+    """Per-document top-k keywords by tf-idf — the classic corpus-wide
+    keyword extractor (topic tagging, slice discovery, index terms).
+
+    Score = tf * ln((N + 1) / (df + 1)), rounded to ``round_dp`` BEFORE
+    ranking so every engine ranks identical doubles; ties break on the
+    term string ascending. Returns one row per document that has at
+    least one (non-stopword) token: (id, kw, kw_score_r) with ``kw``
+    the top-k terms joined by '|' in rank order and ``kw_score_r`` the
+    winning score. ``stopwords`` drops the given terms before counting
+    (keyword extraction is pointless over 'the'/'and').
+
+    Unlike bm25_scores (fixed human-sized query -> corpus never moves),
+    the vocabulary IS the variable here, so this is the inverted-index
+    shape: explode to (doc, term), aggregate. 100 TB plan:
+    - tf: groupBy(id, term) on the exploded rows — map-side combinable,
+      so a hot term collapses per map task before the shuffle
+    - df: groupBy(term) over the already-distinct (id, term) rows —
+      ditto; 'the'-scale terms arrive as one partial row per task
+    - score join tf x df on term (scalar-key hash join; AQE handles
+      the residual probe-side skew of stop-term buckets)
+    - top-k: window row_number partitioned by id, then groupBy(id) —
+      the groupBy reuses the window's hash partitioning (one shuffle),
+      and Spark pushes a partial WindowGroupLimit (per-partition top-k)
+      BELOW it, so at most ~k rows per (task, doc) cross the wire —
+      both plan-asserted in tests
+    Three scalar-key shuffles; the text column itself never moves (only
+    tokens do). ``materialize_tf=True`` lazily checkpoints the tf
+    relation: df/N/score all branch off tf, and without materialization
+    Catalyst re-executes the explode+agg subtree once per branch (fine
+    at small SF, 3x the scan cost at 100 TB — same tradeoff as the
+    checkpointed MinHash shingles, dedup.py).
+    """
+    if k < 1:
+        raise ValueError("tfidf_keywords: k must be >= 1")
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("term"),
+    )
+    if stopwords:
+        toks = toks.filter(~F.col("term").isin([s.lower() for s in stopwords]))
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    if materialize_tf:
+        tf = tf.localCheckpoint(eager=False)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    n = tf.agg(F.count_distinct("id").alias("_n"))
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "id",
+            "term",
+            F.round(
+                F.col("_tf")
+                * F.log((F.col("_n") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0))),
+                round_dp,
+            ).alias("_score"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy(F.desc("_score"), F.asc("term"))
+    ranked = scored.select(
+        "id", "term", "_score", F.row_number().over(w).alias("_rk")
+    ).filter(F.col("_rk") <= k)
+    return ranked.groupBy("id").agg(
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_rk", "term"))),
+                lambda s: s["term"],
+            ),
+        ).alias("kw"),
+        F.max(F.when(F.col("_rk") == 1, F.col("_score"))).alias("kw_score_r"),
+    ).select(F.col("id").alias(id_col), "kw", "kw_score_r")
+
+
 def idf_weights(n_docs: int, dfs: dict[str, int]) -> dict[str, float]:
     """Driver-side helper mirroring the in-plan idf — for logging which
     query terms actually discriminate (df ~ N means idf ~ ln(1+~0.5/N))."""

@@ -67,6 +67,7 @@ def temperature_resample(
     target_frac: float = 0.5,
     id_col: str = "doc_id",
     reproducible: bool = True,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Temperature-based mixture resampling: downsample each stratum
     (domain, source, language) so group allocations follow n_g^alpha
@@ -94,13 +95,24 @@ def temperature_resample(
     expression-only in the scan stage. Returns the kept rows of ``df``
     unchanged (schema-stable); temperature_rates exposes the
     per-stratum (count, rate) table for logging and oracle replay.
+
+    ``weight_col`` switches the allocation from document counts to a
+    weight MASS (the practical training-mixture case: budgets are in
+    tokens, not documents — pass the per-doc token count). With a
+    weight column, _n becomes sum(weight) per stratum, target_frac is
+    the fraction of TOTAL weight to keep, and rate_g allocates weight
+    mass proportional to w_g^alpha. Membership stays the per-document
+    hash-bucket rule (whole documents are kept or dropped — a token
+    budget can't keep half a document), so a stratum's realized token
+    mass matches rate_g * w_g in expectation, exactly in the limit of
+    many docs; the rate table itself is still engine-exact.
     """
     if not 0.0 < target_frac <= 1.0:
         raise ValueError("target_frac must be in (0, 1]")
     if alpha <= 0.0:
         raise ValueError("alpha must be > 0 (0 would divide by zero "
                          "counts; use explicit rates for uniform picks)")
-    rates = temperature_rates(df, stratum_col, alpha, target_frac)
+    rates = temperature_rates(df, stratum_col, alpha, target_frac, weight_col)
     bucket = hash_bucket(F.col(id_col), reproducible)
     return (
         df.join(F.broadcast(rates), stratum_col)
@@ -131,11 +143,17 @@ def temperature_rate_table(
     for _, n in items:
         total += int(n)
         z += float(n) ** alpha
+    # n == 0 can only happen under weighted masses (a stratum whose docs
+    # all weigh zero): it contributes nothing to the budget either way;
+    # rate 0.0 (and no Z term, since 0^alpha == 0) keeps the formula
+    # total and makes the choice explicit/replayable
     return [
         (
             s,
             int(n),
-            round(
+            0.0
+            if int(n) <= 0
+            else round(
                 min(
                     1.0,
                     target_frac * float(total) * (float(n) ** alpha) / z / float(n),
@@ -152,20 +170,25 @@ def temperature_rates(
     stratum_col: str,
     alpha: float = 0.5,
     target_frac: float = 0.5,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Per-stratum keep rates for temperature_resample: (stratum, _n,
-    _rate). The per-stratum counts are collected (the one contractual
-    driver collect — bounded by the stratum cardinality, which is
-    human-scale by construction: sources, languages, quality bands) and
-    the rates computed driver-side by temperature_rate_table, so the
-    normalizer Z is a deterministic sorted-order float sum and the rate
-    doubles are engine- and layout-independent. A SQL oracle replays
-    them as literals (VALUES), not as a re-derivation."""
+    _rate). The per-stratum counts (or integer weight sums when
+    ``weight_col`` is given — token budgets) are collected (the one
+    contractual driver collect — bounded by the stratum cardinality,
+    which is human-scale by construction: sources, languages, quality
+    bands) and the rates computed driver-side by temperature_rate_table,
+    so the normalizer Z is a deterministic sorted-order float sum and
+    the rate doubles are engine- and layout-independent. A SQL oracle
+    replays them as literals (VALUES), not as a re-derivation."""
+    mass = (
+        F.count(F.lit(1))
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long"))
+    )
     counts = [
         (r[0], r[1])
-        for r in df.groupBy(stratum_col)
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .collect()
+        for r in df.groupBy(stratum_col).agg(mass.alias("_n")).collect()
     ]
     rows = temperature_rate_table(counts, alpha, target_frac)
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType

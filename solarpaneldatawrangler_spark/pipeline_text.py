@@ -51,6 +51,7 @@ class CurationReport:
     n_after_classifier: int = -1
     n_after_spans: int = -1
     n_after_lm: int = -1
+    n_after_boilerplate: int = -1
 
 
 def drop_near_duplicates(
@@ -113,12 +114,15 @@ def curate_corpus(
     decontam_min_shared: int = 5,
     decontam_min_shared_frac: float | None = None,
     max_repetition: float | None = None,
+    strip_html: bool = False,
     dedup_paragraphs: bool = False,
+    boilerplate_min_df: int | None = None,
     remove_spans: bool = False,
     span_k: int = 8,
     min_lm_score: float | None = None,
     temperature_alpha: float | None = None,
     temperature_frac: float = 0.5,
+    temperature_weight_col: str | None = None,
     blocked_hosts: list[str] | None = None,
     min_classifier_score: float | None = None,
     classifier_weights: list[float] | None = None,
@@ -167,6 +171,16 @@ def curate_corpus(
     the surviving text through the PII redaction chain LAST (scrub
     once, on released docs only); ``n_shards`` appends deterministic
     (shard, shard_pos) training-shard assignment as the final step.
+
+    Round-7b gates: ``strip_html`` rewrites the text through
+    functions.text.strip_markup right after the URL gate (the gate needs
+    the raw hrefs; everything downstream — fingerprints, tokens, quality
+    — should judge visible text, not tag soup); ``boilerplate_min_df``
+    inserts remove_boilerplate_paragraphs after paragraph dedup (dedup
+    keeps the FIRST copy of repeated paragraphs; the boilerplate pass
+    then deletes every copy of >= min_df-doc paragraphs outright);
+    ``temperature_weight_col`` switches the temperature mixture from a
+    document budget to a weight (token) budget.
     """
     if temperature_alpha is not None and sample_rates:
         raise ValueError(
@@ -189,6 +203,14 @@ def curate_corpus(
             .drop("n_urls", "url_host", "url_blocked")
         )
     n_urlgate = docs.count() if (with_report and blocked_hosts) else -1
+
+    # 0b. markup strip (optional, scan-stage rewrite): AFTER the URL
+    # gate (it reads raw hrefs), BEFORE any fingerprinting — dedup and
+    # the quality gates must judge visible text, not tag soup
+    if strip_html:
+        from solarpaneldatawrangler_spark.functions.text import strip_markup
+
+        docs = docs.withColumn(text_col, strip_markup(F.col(text_col)))
 
     # 1. exact dedup: keep the min-id representative per fingerprint.
     # NO broadcast hint: the keep-set is one id per distinct document,
@@ -261,6 +283,28 @@ def curate_corpus(
             # downstream stage counts to one execution of them
             clean = clean.localCheckpoint()
     n_para = clean.count() if (with_report and dedup_paragraphs) else -1
+
+    # 3b2. boilerplate paragraph removal (optional): after paragraph
+    # dedup kept the first copy of each repeat, delete EVERY copy of
+    # paragraphs present in >= min_df distinct docs; docs reduced to
+    # nothing drop out
+    if boilerplate_min_df is not None:
+        from solarpaneldatawrangler_spark.operators.dedup import (
+            remove_boilerplate_paragraphs,
+        )
+
+        debp = (
+            remove_boilerplate_paragraphs(
+                clean, min_df=boilerplate_min_df,
+                text_col=text_col, id_col=id_col,
+            )
+            .filter(F.col("n_kept") > 0)
+            .select(F.col(id_col), F.col("text").alias(text_col))
+        )
+        clean = clean.drop(text_col).join(debp, id_col)
+        if with_report:
+            clean = clean.localCheckpoint()
+    n_bp = clean.count() if (with_report and boilerplate_min_df is not None) else -1
 
     # 3c. exact-substring span removal (optional): cut duplicated token
     # k-gram spans (Lee et al. ExactSubstr) out of every copy; docs
@@ -362,6 +406,7 @@ def curate_corpus(
         out = temperature_resample(
             lang, stratum_col, alpha=temperature_alpha,
             target_frac=temperature_frac, id_col=id_col,
+            weight_col=temperature_weight_col,
         )
     elif sample_rates:
         out = stratified_hash_sample(
@@ -394,7 +439,7 @@ def curate_corpus(
             n_after_decontam=n_decontam, n_after_repetition=n_norep,
             n_after_paragraph=n_para, n_after_urlgate=n_urlgate,
             n_after_classifier=n_clf, n_after_spans=n_spans,
-            n_after_lm=n_lm,
+            n_after_lm=n_lm, n_after_boilerplate=n_bp,
         )
         if with_report
         else None

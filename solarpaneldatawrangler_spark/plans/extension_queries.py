@@ -94,6 +94,28 @@ _PARA_CTES = r"""
     "q50_exact_dedup",
     oracle=f"""
     WITH {_PARA_CTES},
+    bpdocs AS (SELECT fp, doc_id FROM paras GROUP BY fp, doc_id),
+    bpset AS (SELECT fp FROM bpdocs GROUP BY fp HAVING COUNT(*) >= 3),
+    bpkept AS (
+        SELECT p.doc_id, p.pos, p.para
+        FROM paras p LEFT JOIN bpset s USING (fp)
+        WHERE s.fp IS NULL
+    ),
+    bprebuilt AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+        FROM bpkept GROUP BY doc_id
+    ),
+    bp AS (
+        SELECT d.doc_id AS keep_id,
+               md5(COALESCE(r.text, '')) AS bp_fp,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS bp_kept,
+               CAST(COALESCE(t.n_paras, 0) - COALESCE(r.n_kept, 0) AS BIGINT)
+                   AS bp_dropped
+        FROM built d
+        LEFT JOIN ptotals t USING (doc_id)
+        LEFT JOIN bprebuilt r USING (doc_id)
+    ),
     ex AS (
         SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
                MIN(doc_id) AS keep_id,
@@ -102,8 +124,9 @@ _PARA_CTES = r"""
         GROUP BY 1
     )
     SELECT ex.fingerprint, ex.keep_id, ex.n_copies,
-           p.para_fp, p.para_kept, p.para_dropped
-    FROM ex JOIN para p USING (keep_id)
+           p.para_fp, p.para_kept, p.para_dropped,
+           bp.bp_fp, bp.bp_kept, bp.bp_dropped
+    FROM ex JOIN para p USING (keep_id) JOIN bp USING (keep_id)
     """,
     doc="Exact dedup (md5 fingerprint of normalized text, deterministic "
     "min-id representative; one shuffle on a 32-byte key, map-side "
@@ -113,13 +136,23 @@ _PARA_CTES = r"""
     "md5 of its rebuilt text (pins reassembly order + separator), kept "
     "and dropped paragraph counts. The keeper selection is a map-side-"
     "combinable groupBy(fp).min(struct) — never a window over the hot "
-    "fingerprint. Hashed surfaces: exact (fingerprint, keep_id, "
-    "n_copies); paragraph (para_fp, para_kept, para_dropped). Bench "
-    "keeps timing the pure exact_dedup half (headline pin) and "
-    "x_paragraph_dedup the paragraph half.",
+    "fingerprint. MERGED (r7b) with boilerplate paragraph removal over "
+    "the same derived corpus (operators/dedup.remove_boilerplate_"
+    "paragraphs, min_df=3): unlike dedup's keep-first, paragraphs in "
+    ">= 3 distinct docs are removed EVERYWHERE; bp_fp pins the rebuilt "
+    "text, bp_kept/bp_dropped the counts (the document-frequency agg is "
+    "two-level groupBy — (fp,id) then (fp) — map-side combinable, no "
+    "Window). Hashed surfaces: exact (fingerprint, keep_id, n_copies); "
+    "paragraph (para_fp, para_kept, para_dropped); boilerplate (bp_fp, "
+    "bp_kept, bp_dropped). Bench keeps timing the pure exact_dedup half "
+    "(headline pin), x_paragraph_dedup the paragraph half, and "
+    "x_boilerplate_para the removal half.",
 )
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from solarpaneldatawrangler_spark.operators.dedup import paragraph_dedup
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        paragraph_dedup,
+        remove_boilerplate_paragraphs,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     ex = exact_dedup(docs)
@@ -142,7 +175,13 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").alias("para_kept"),
         F.col("n_dropped").alias("para_dropped"),
     )
-    return ex.join(para, "keep_id")
+    bp = remove_boilerplate_paragraphs(built, min_df=3).select(
+        F.col("doc_id").alias("keep_id"),
+        F.md5("text").alias("bp_fp"),
+        F.col("n_kept").alias("bp_kept"),
+        F.col("n_dropped").alias("bp_dropped"),
+    )
+    return ex.join(para, "keep_id").join(bp, "keep_id")
 
 
 # --- token counting + BM25 probe --------------------------------------------
@@ -412,9 +451,23 @@ _URL_BLOCKLIST = ["example1.com", "blog2.example0.com", "www3.blog4.example2.com
 _URL_BL_SQL = ", ".join(f"'{b}'" for b in _URL_BLOCKLIST)
 
 
-@register(
-    "q52_quality_score",
-    oracle=f"""
+# markup-wrapped derived text for the merged q52 strip columns (the
+# driver documents carry no HTML, so both engines wrap the text in the
+# same deterministic tag/script/entity/comment scaffolding and hash
+# what strip_markup recovers)
+_MARKUP_TEXT_SQL = (
+    "'<div class=\"c\"><p>' || text || '</p><script>var i=' || doc_id"
+    " || ';</script>&amp; <!-- x --></div>'"
+)
+
+
+def _q52_oracle() -> str:
+    from solarpaneldatawrangler_spark.functions.text import (
+        MARKUP_TAG_RE,
+        strip_markup_sql,
+    )
+
+    return f"""
     WITH feats AS (
         SELECT doc_id,
             CAST(len(list_filter({_SQL_TOKS}, t -> list_contains({_SW_LIST}, t))) AS DOUBLE)
@@ -424,10 +477,33 @@ _URL_BL_SQL = ", ".join(f"'{b}'" for b in _URL_BLOCKLIST)
             CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum') AS DOUBLE)
               / GREATEST(len({_SQL_TOKS}), 1) AS mwl,
             {hashed_linear_score_sql("text")} AS clf,
-            {_PII_TEXT_SQL} AS ptext
+            {_PII_TEXT_SQL} AS ptext,
+            {_MARKUP_TEXT_SQL} AS mtext
         FROM documents
+    ),
+    kwtoks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    kwft AS (SELECT doc_id, term FROM kwtoks
+             WHERE NOT list_contains({_SW_LIST}, term)),
+    kwtf AS (SELECT doc_id, term, COUNT(*) AS tf FROM kwft GROUP BY 1, 2),
+    kwdf AS (SELECT term, COUNT(*) AS df FROM kwtf GROUP BY 1),
+    kwn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM kwtf),
+    kwsc AS (
+        SELECT kwtf.doc_id, kwtf.term,
+               ROUND(kwtf.tf * ln((kwn.n + 1.0) / (kwdf.df + 1.0)), 6) AS s
+        FROM kwtf JOIN kwdf USING (term), kwn
+    ),
+    kwrk AS (
+        SELECT doc_id, term, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, term ASC) AS rk
+        FROM kwsc
+    ),
+    kwagg AS (
+        SELECT doc_id, string_agg(term, '|' ORDER BY rk) AS kw,
+               MAX(CASE WHEN rk = 1 THEN s END) AS kw_score_r
+        FROM kwrk WHERE rk <= 3 GROUP BY doc_id
     )
-    SELECT doc_id,
+    SELECT f.doc_id,
            ROUND(sw * 0.5 + (1.0 - pr) * 0.3
                  + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
                  6) AS quality,
@@ -436,30 +512,51 @@ _URL_BL_SQL = ", ".join(f"'{b}'" for b in _URL_BLOCKLIST)
                 + len(regexp_extract_all(ptext, '{_PII_IP_RE2}')) AS BIGINT)
              AS pii_n,
            md5(regexp_replace(regexp_replace(ptext, '{_PII_EMAIL_RE2}',
-                   '<EMAIL>', 'g'), '{_PII_IP_RE2}', '<IP>', 'g')) AS red_fp
-    FROM feats
-    """,
+                   '<EMAIL>', 'g'), '{_PII_IP_RE2}', '<IP>', 'g')) AS red_fp,
+           CAST(len(regexp_extract_all(mtext, '{MARKUP_TAG_RE}')) AS BIGINT)
+             AS tag_n,
+           md5({strip_markup_sql("mtext")}) AS strip_fp,
+           COALESCE(k.kw, '') AS kw,
+           COALESCE(k.kw_score_r, 0.0) AS kw_score_r
+    FROM feats f LEFT JOIN kwagg k USING (doc_id)
+    """
+
+
+@register(
+    "q52_quality_score",
+    oracle=_q52_oracle(),
     doc="Gopher/C4-style quality score: stopword ratio + punctuation ratio "
     "+ word-length gate, combined deterministically. Expression-only. "
-    "MERGED (r7) with two more scan-side curation gates on the same rows: "
+    "MERGED (r7) with more curation gates on the same rows: "
     "clf_r = operators.curation.hashed_linear_score (the fastText "
     "hashed-bag-of-words linear architecture, pseudo-weights in exact "
-    "binary fractions so the fold is order-independent and engine-exact) "
-    "and a PII scrub audit over a PII-injected derived text — pii_n match "
+    "binary fractions so the fold is order-independent and engine-exact); "
+    "a PII scrub audit over a PII-injected derived text — pii_n match "
     "count plus red_fp = md5 of the redacted text (pins every redaction "
-    "span; functions.text.redact_pii with the RE2-safe pattern set). "
-    "Hashed surfaces: quality (quality_score), clf_r (hashed_linear_score), "
-    "pii_n + red_fp (redact_pii/pii_count).",
+    "span; functions.text.redact_pii with the RE2-safe pattern set); "
+    "a markup-strip audit over a markup-wrapped derived text — tag_n + "
+    "strip_fp = md5(functions.text.strip_markup(mtext)), pinning block "
+    "removal, tag spacing, and single-pass entity decode; and per-doc "
+    "tf-idf keywords — kw (top-3 '|'-joined) + kw_score_r from "
+    "operators.ranking.tfidf_keywords (score rounded to 6dp BEFORE "
+    "ranking, term-asc tiebreak, so both engines rank identical "
+    "doubles). Hashed surfaces: quality (quality_score), clf_r "
+    "(hashed_linear_score), pii_n + red_fp (redact_pii/pii_count), "
+    "tag_n + strip_fp (strip_markup/markup_tag_count), kw + kw_score_r "
+    "(tfidf_keywords).",
 )
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.functions.text import (
         PII_PATTERNS_RE2,
+        markup_tag_count,
         pii_count,
         redact_pii,
+        strip_markup,
     )
     from solarpaneldatawrangler_spark.operators.curation import (
         hashed_linear_score,
     )
+    from solarpaneldatawrangler_spark.operators.ranking import tfidf_keywords
 
     docs = load_table(spark, sf_dir, "documents")
     ptext = F.concat(
@@ -469,12 +566,33 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(".net from 10."), (F.col("doc_id") % 200).cast("string"),
         F.lit(".3."), (F.col("doc_id") % 250).cast("string"),
     )
-    return docs.select(
+    mtext = F.concat(
+        F.lit('<div class="c"><p>'),
+        F.col("text"),
+        F.lit("</p><script>var i="),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script>&amp; <!-- x --></div>"),
+    )
+    base = docs.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
         F.round(hashed_linear_score(F.col("text")), 6).alias("clf_r"),
         pii_count(ptext, patterns=PII_PATTERNS_RE2).cast("long").alias("pii_n"),
         F.md5(redact_pii(ptext, patterns=PII_PATTERNS_RE2)).alias("red_fp"),
+        markup_tag_count(mtext).cast("long").alias("tag_n"),
+        F.md5(strip_markup(mtext)).alias("strip_fp"),
+    )
+    kw = tfidf_keywords(docs, k=3, stopwords=EN_STOPWORDS)
+    return base.join(kw, "doc_id", "left").select(
+        "doc_id",
+        "quality",
+        "clf_r",
+        "pii_n",
+        "red_fp",
+        "tag_n",
+        "strip_fp",
+        F.coalesce("kw", F.lit("")).alias("kw"),
+        F.coalesce("kw_score_r", F.lit(0.0)).alias("kw_score_r"),
     )
 
 
@@ -486,14 +604,16 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEMP_ALPHA, _TEMP_FRAC = 0.5, 0.5
 
 
-def _lang_rates_values_or_none() -> str | None:
+def _lang_rates_values_or_none(mass_sql: str = "COUNT(*)") -> str | None:
     """The per-lang temperature rate table as a SQL VALUES body —
     computed at import time from ORACLE_SF_DIR's documents with the
     SAME pure-Python temperature_rate_table the Spark operator uses, so
     both engines compare literal-identical doubles (the q67 trained-
     centroid idiom: data-dependent constants replayed as VALUES; only
-    meaningful when the gate runs at ORACLE_SF_DIR). None if the
-    testdata is absent in this environment (degrade to rows-only)."""
+    meaningful when the gate runs at ORACLE_SF_DIR). ``mass_sql``
+    selects the stratum mass: COUNT(*) for document-count rates, a
+    token-sum expression for the weighted (token-budget) rates. None if
+    the testdata is absent in this environment (degrade to rows-only)."""
     try:
         import duckdb
 
@@ -505,7 +625,7 @@ def _lang_rates_values_or_none() -> str | None:
         counts = (
             duckdb.connect()
             .execute(
-                "SELECT lang, COUNT(*) FROM read_parquet("
+                f"SELECT lang, {mass_sql} FROM read_parquet("
                 f"'{ORACLE_SF_DIR}/documents.parquet') GROUP BY lang"
             )
             .fetchall()
@@ -520,10 +640,12 @@ def _lang_rates_values_or_none() -> str | None:
 
 def _q53_oracle_or_none() -> str | None:
     values = _lang_rates_values_or_none()
-    if values is None:
+    wvalues = _lang_rates_values_or_none(f"SUM(len({_SQL_TOKS}))")
+    if values is None or wvalues is None:
         return None
     return f"""
     WITH trates(lang, lang_n, lang_rate) AS (VALUES {values}),
+    twrates(lang, lang_wn, lang_wrate) AS (VALUES {wvalues}),
     scores AS (
         SELECT doc_id, lang,
             len(list_filter({_SQL_TOKS}, t -> list_contains(['the','and','of','to','a'], t))) AS s_en,
@@ -565,10 +687,15 @@ def _q53_oracle_or_none() -> str | None:
            t.lang_rate,
            (('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
               / 4294967296.0) < t.lang_rate AS kept,
+           CAST(w.lang_wn AS BIGINT) AS lang_wn,
+           w.lang_wrate,
+           (('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+              / 4294967296.0) < w.lang_wrate AS wkept,
            COALESCE(l.lm_sum_r, 0.0) AS lm_sum_r,
            COALESCE(l.lm_n, 0) AS lm_n
     FROM scores s
     JOIN trates t USING (lang)
+    JOIN twrates w USING (lang)
     LEFT JOIN blm l ON l.doc_id = s.doc_id
     """
 
@@ -589,8 +716,13 @@ def _q53_oracle_or_none() -> str | None:
     "bigram_lm_score — the CCNet KenLM-perplexity quality signal as a "
     "Spark-native add-one bigram LM): lm_sum_r = exact decimal sum of "
     "6dp-rounded per-position ln P(w|prev), lm_n = bigram positions. "
+    "ALSO MERGED (r7b): the token-weighted rate table (weight_col="
+    "token_count — the TOKEN-budget mixture a training pipeline "
+    "actually runs; same α/frac, mass = per-lang token sums, replayed "
+    "as a second VALUES table) with its own membership verdict. "
     "Hashed surfaces: lang-ID (doc_id, lang, pred_lang); temperature "
-    "(lang_n, lang_rate, kept); LM (lm_sum_r, lm_n — pins tokenizer, "
+    "(lang_n, lang_rate, kept); weighted temperature (lang_wn, "
+    "lang_wrate, wkept); LM (lm_sum_r, lm_n — pins tokenizer, "
     "count tables, vocab size, smoothing, and the summation contract).",
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -611,9 +743,26 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("de"))
     )
     rates = temperature_rates(docs, "lang", _TEMP_ALPHA, _TEMP_FRAC)
+    # token-weighted variant (r7 merge): same α and frac, mass = token
+    # count — the rate table the operator would use under a TOKEN
+    # budget; membership stays the per-doc hash rule
+    from solarpaneldatawrangler_spark.functions.text import token_count
+
+    wrates = temperature_rates(
+        docs.withColumn("_ntok", token_count(t)),
+        "lang",
+        _TEMP_ALPHA,
+        _TEMP_FRAC,
+        weight_col="_ntok",
+    ).select(
+        "lang",
+        F.col("_n").alias("_wn"),
+        F.col("_rate").alias("_wrate"),
+    )
     lm = bigram_lm_score(docs)
     return (
         docs.join(F.broadcast(rates), "lang")
+        .join(F.broadcast(wrates), "lang")
         .join(lm, "doc_id")
         .select(
             "doc_id",
@@ -622,6 +771,9 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_n").alias("lang_n"),
             F.col("_rate").alias("lang_rate"),
             (hash_bucket(F.col("doc_id")) < F.col("_rate")).alias("kept"),
+            F.col("_wn").alias("lang_wn"),
+            F.col("_wrate").alias("lang_wrate"),
+            (hash_bucket(F.col("doc_id")) < F.col("_wrate")).alias("wkept"),
             "lm_sum_r",
             "lm_n",
         )

@@ -70,11 +70,13 @@ def test_partial_aggregation_before_shuffle(spark, sf_dir):
 # 1-row corpus-stats broadcast of bm25_scores (ranking.py) — a
 # keyless join of a single aggregate row, i.e. free by construction.
 # q53's BNL is the same 1-row idiom: bigram_lm_score's vocab-size
-# aggregate (curation.py) crossJoin-broadcasts a single row.
+# aggregate (curation.py) crossJoin-broadcasts a single row. q52's BNL
+# (r7) is tfidf_keywords' 1-row corpus-size aggregate (ranking.py).
 _BNL_ALLOWED = {
     "q38_spatial_contains",
     "q41_multipolygon",
     "q51_token_stats",
+    "q52_quality_score",
     "q53_lang_id",
 }
 

@@ -334,3 +334,58 @@ def test_curate_corpus_span_and_lm_stages(spark, sf_dir):
     )
     # report reconciles: output equals the last enabled gate chain
     assert rep.n_output <= rep.n_after_lm <= rep.n_after_quality <= n_docs
+
+
+def test_curate_corpus_markup_boilerplate_weighted_stages(spark, sf_dir):
+    """Round-7b gates: strip_html rewrites tag soup before dedup;
+    boilerplate_min_df deletes EVERY copy of a pervasive paragraph
+    (unlike dedup_paragraphs' keep-first); temperature_weight_col
+    budgets the mixture by tokens and stays deterministic."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    banner = "accept all cookies to continue reading this site"
+    corpus = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("<div><p>"),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit(banner + "\n\n")
+            ).otherwise(F.lit("")),
+            F.col("text"),
+            F.lit("</p>&amp;</div>"),
+        ),
+    ).withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")))
+    out, rep = curate_corpus(
+        corpus,
+        min_quality=0.0,
+        strip_html=True,
+        boilerplate_min_df=3,
+        temperature_alpha=0.5,
+        temperature_frac=0.5,
+        temperature_weight_col="n_tokens",
+    )
+    rows = out.collect()
+    assert rep.n_after_boilerplate > 0
+    assert rep.n_output == len(rows)
+    # markup is gone from every survivor; the released text is visible
+    # text plus the single-pass-decoded entity
+    assert all("<div>" not in r.text and "</p>" not in r.text for r in rows)
+    # the banner was in ~125 docs >= min_df: every copy removed
+    assert not any(banner in r.text for r in rows)
+    # banner carriers survived with their own content
+    assert any(r.doc_id % 4 == 0 for r in rows)
+    # weighted mixture is deterministic across reruns
+    out2, _ = curate_corpus(
+        corpus,
+        min_quality=0.0,
+        strip_html=True,
+        boilerplate_min_df=3,
+        temperature_alpha=0.5,
+        temperature_frac=0.5,
+        temperature_weight_col="n_tokens",
+        with_report=False,
+    )
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in out2.collect()
+    )
