@@ -529,27 +529,35 @@ def _cc_snake_fresh_seconds() -> float:
     )
 
 
-def _paragraph_dedup_bench(spark, sf_dir):
-    """Corpus-level paragraph dedup over a derived two-paragraph corpus
-    (doc i paired with doc i+7 — the driver docs are single-line, so
-    pairing manufactures real cross-doc paragraph duplication): explode
-    -> map-side-combined keeper agg -> equi-join -> reassembly."""
+def _derived_two_para_corpus(spark, sf_dir):
+    """The derived two-paragraph corpus (doc i paired with doc i+7 —
+    the driver docs are single-line, so pairing manufactures real
+    cross-doc paragraph duplication) that q50's merged halves and both
+    paragraph benches run over. ONE definition so the benches can claim
+    'same corpus' without copy-drift."""
     from pyspark.sql import functions as F
 
-    from solarpaneldatawrangler_spark.operators.dedup import paragraph_dedup
     from solarpaneldatawrangler_spark.sources.star import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     b = docs.select(
         (F.col("doc_id") - 7).alias("doc_id"), F.col("text").alias("_t2")
     )
-    built = docs.join(b, "doc_id", "left").select(
+    return docs.join(b, "doc_id", "left").select(
         "doc_id",
         F.concat(
             F.col("text"), F.lit("\n\n"), F.coalesce("_t2", F.lit(""))
         ).alias("text"),
     )
-    return paragraph_dedup(built)
+
+
+def _paragraph_dedup_bench(spark, sf_dir):
+    """Corpus-level paragraph dedup over the derived two-paragraph
+    corpus: explode -> map-side-combined keeper agg -> equi-join ->
+    reassembly."""
+    from solarpaneldatawrangler_spark.operators.dedup import paragraph_dedup
+
+    return paragraph_dedup(_derived_two_para_corpus(spark, sf_dir))
 
 
 def _boilerplate_para_bench(spark, sf_dir):
@@ -557,24 +565,13 @@ def _boilerplate_para_bench(spark, sf_dir):
     corpus as x_paragraph_dedup: two-level (fp,id)->(fp) document-
     frequency agg, anti-join, reassembly. min_df=2 so the pervasive
     pairing duplicates actually trip the threshold."""
-    from pyspark.sql import functions as F
-
     from solarpaneldatawrangler_spark.operators.dedup import (
         remove_boilerplate_paragraphs,
     )
-    from solarpaneldatawrangler_spark.sources.star import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    b = docs.select(
-        (F.col("doc_id") - 7).alias("doc_id"), F.col("text").alias("_t2")
+    return remove_boilerplate_paragraphs(
+        _derived_two_para_corpus(spark, sf_dir), min_df=2
     )
-    built = docs.join(b, "doc_id", "left").select(
-        "doc_id",
-        F.concat(
-            F.col("text"), F.lit("\n\n"), F.coalesce("_t2", F.lit(""))
-        ).alias("text"),
-    )
-    return remove_boilerplate_paragraphs(built, min_df=2)
 
 
 def _tfidf_keywords_bench(spark, sf_dir):

@@ -258,6 +258,14 @@ MARKUP_BLOCK_BREAK_RE = (
     r"(?i)</(p|div|h[1-6]|li|ul|ol|table|tr|blockquote)>|<br */?>"
 )
 
+# whitespace classes spelled EXPLICITLY rather than via \s/\S: Java's
+# \s includes vertical tab (\x0B), RE2's does not, so `[^\S\n]` or a
+# `\s`-based trim would silently disagree between Spark and the DuckDB
+# oracle on real-world web text. The explicit lists below mean the
+# same characters in both engines.
+MARKUP_HWS_RE = r"[ \t\f\r\x0B]+"  # horizontal whitespace runs
+MARKUP_TRIM_RE = r"^[ \t\n\f\r\x0B]+|[ \t\n\f\r\x0B]+$"  # edge trim
+
 # single-pass entity unescape, &amp; deliberately LAST: "&amp;lt;"
 # decodes to the literal text "&lt;" (one level, like html.unescape's
 # single pass), never double-decodes into "<"
@@ -291,10 +299,10 @@ def strip_markup(text: Column) -> Column:
     out = F.regexp_replace(out, MARKUP_TAG_RE, " ")
     for ent, rep in MARKUP_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
-    out = F.regexp_replace(out, r"[^\S\n]+", " ")  # horizontal ws -> one space
+    out = F.regexp_replace(out, MARKUP_HWS_RE, " ")  # horizontal ws -> space
     out = F.regexp_replace(out, r" ?\n ?", "\n")  # no spaces hugging newlines
     out = F.regexp_replace(out, r"\n{3,}", "\n\n")  # cap blank runs at one
-    return F.regexp_replace(out, r"^\s+|\s+$", "")  # trim incl. newlines
+    return F.regexp_replace(out, MARKUP_TRIM_RE, "")  # trim incl. newlines
 
 
 def markup_tag_count(text: Column) -> Column:
@@ -319,10 +327,10 @@ def strip_markup_sql(col_expr: str = "text") -> str:
     for ent, rep in MARKUP_ENTITIES:
         r = rep.replace("'", "''")
         expr = f"replace({expr}, '{ent}', '{r}')"
-    expr = f"regexp_replace({expr}, '[^\\S\\n]+', ' ', 'g')"
+    expr = f"regexp_replace({expr}, '{MARKUP_HWS_RE}', ' ', 'g')"
     expr = f"regexp_replace({expr}, ' ?\\n ?', chr(10), 'g')"
     expr = f"regexp_replace({expr}, '\\n{{3,}}', chr(10) || chr(10), 'g')"
-    return f"regexp_replace({expr}, '^\\s+|\\s+$', '', 'g')"
+    return f"regexp_replace({expr}, '{MARKUP_TRIM_RE}', '', 'g')"
 
 
 def fingerprint(text: Column) -> Column:

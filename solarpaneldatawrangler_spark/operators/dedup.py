@@ -601,8 +601,8 @@ def remove_boilerplate_paragraphs(
         raise ValueError("remove_boilerplate_paragraphs: min_df must be >= 2")
     paras = _split_paragraphs(df, text_col, id_col)
     bp = (
-        paras.groupBy("fp", "id")
-        .agg(F.count(F.lit(1)).alias("_c"))
+        paras.select("fp", "id")
+        .distinct()  # map-side-combinable (fp, id) dedupe
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("_n_docs"))
         .filter(F.col("_n_docs") >= min_df)

@@ -137,11 +137,26 @@ def temperature_rate_table(
     would then flip membership for every row it governs. With the rates
     fixed driver-side, every engine filters against the identical
     doubles."""
-    items = sorted(counts, key=lambda kv: (kv[0] is None, kv[0]))
+    # weighted masses can surface degenerate strata that doc counts
+    # never could: a NULL sum (all weights null) or a negative sum (a
+    # buggy weight column). NULL normalizes to 0 — "this stratum has no
+    # mass" — and contributes nothing; a negative mass is a caller bug
+    # and fails loudly here instead of as a complex-power TypeError
+    # three lines later.
+    items = [
+        (s, 0 if n is None else int(n))
+        for s, n in sorted(counts, key=lambda kv: (kv[0] is None, kv[0]))
+    ]
+    bad = [s for s, n in items if n < 0]
+    if bad:
+        raise ValueError(
+            f"temperature_rate_table: negative mass for strata {bad} — "
+            "weight_col must be a non-negative count"
+        )
     total = 0
     z = 0.0
     for _, n in items:
-        total += int(n)
+        total += n
         z += float(n) ** alpha
     # n == 0 can only happen under weighted masses (a stratum whose docs
     # all weigh zero): it contributes nothing to the budget either way;

@@ -176,9 +176,12 @@ def curate_corpus(
     functions.text.strip_markup right after the URL gate (the gate needs
     the raw hrefs; everything downstream — fingerprints, tokens, quality
     — should judge visible text, not tag soup); ``boilerplate_min_df``
-    inserts remove_boilerplate_paragraphs after paragraph dedup (dedup
-    keeps the FIRST copy of repeated paragraphs; the boilerplate pass
-    then deletes every copy of >= min_df-doc paragraphs outright);
+    inserts remove_boilerplate_paragraphs BEFORE paragraph dedup —
+    document frequency must be measured on the raw corpus, because once
+    dedup keeps a single copy per fingerprint every paragraph's df is 1
+    and the threshold could never fire; so the boilerplate pass deletes
+    every copy of >= min_df-doc paragraphs first, then dedup keeps the
+    first copy of the remaining genuine repeats;
     ``temperature_weight_col`` switches the temperature mixture from a
     document budget to a weight (token) budget.
     """
@@ -265,6 +268,31 @@ def curate_corpus(
         clean = near
     n_decontam = clean.count() if (with_report and benchmark is not None) else -1
 
+    # 3b0. boilerplate paragraph removal (optional): delete EVERY copy
+    # of paragraphs present in >= min_df distinct docs; docs reduced to
+    # nothing drop out. MUST run BEFORE paragraph dedup: document
+    # frequency has to be measured on the raw corpus — after dedup
+    # keeps one copy per fingerprint, every paragraph's df is exactly 1
+    # and no threshold could ever fire (the stage would be a silent
+    # no-op).
+    if boilerplate_min_df is not None:
+        from solarpaneldatawrangler_spark.operators.dedup import (
+            remove_boilerplate_paragraphs,
+        )
+
+        debp = (
+            remove_boilerplate_paragraphs(
+                clean, min_df=boilerplate_min_df,
+                text_col=text_col, id_col=id_col,
+            )
+            .filter(F.col("n_kept") > 0)
+            .select(F.col(id_col), F.col("text").alias(text_col))
+        )
+        clean = clean.drop(text_col).join(debp, id_col)
+        if with_report:
+            clean = clean.localCheckpoint()
+    n_bp = clean.count() if (with_report and boilerplate_min_df is not None) else -1
+
     # 3b. paragraph-level dedup (optional): rewrite each surviving doc
     # with corpus-wide duplicate paragraphs removed; docs left with no
     # paragraphs drop out. Runs before the repetition/quality gates so
@@ -283,28 +311,6 @@ def curate_corpus(
             # downstream stage counts to one execution of them
             clean = clean.localCheckpoint()
     n_para = clean.count() if (with_report and dedup_paragraphs) else -1
-
-    # 3b2. boilerplate paragraph removal (optional): after paragraph
-    # dedup kept the first copy of each repeat, delete EVERY copy of
-    # paragraphs present in >= min_df distinct docs; docs reduced to
-    # nothing drop out
-    if boilerplate_min_df is not None:
-        from solarpaneldatawrangler_spark.operators.dedup import (
-            remove_boilerplate_paragraphs,
-        )
-
-        debp = (
-            remove_boilerplate_paragraphs(
-                clean, min_df=boilerplate_min_df,
-                text_col=text_col, id_col=id_col,
-            )
-            .filter(F.col("n_kept") > 0)
-            .select(F.col(id_col), F.col("text").alias(text_col))
-        )
-        clean = clean.drop(text_col).join(debp, id_col)
-        if with_report:
-            clean = clean.localCheckpoint()
-    n_bp = clean.count() if (with_report and boilerplate_min_df is not None) else -1
 
     # 3c. exact-substring span removal (optional): cut duplicated token
     # k-gram spans (Lee et al. ExactSubstr) out of every copy; docs

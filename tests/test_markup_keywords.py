@@ -69,10 +69,12 @@ def test_strip_markup_matches_duckdb(spark, sf_dir):
     """Cross-engine on real corpus text wrapped in deterministic markup
     (same derived-text idiom as q52's PII probe)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # \x0b (vertical tab): Java \s matches it, RE2's does not — the
+    # explicit MARKUP_HWS_RE class must make both engines collapse it
     mtext = F.concat(
         F.lit('<div class="c"><p>'),
         F.col("text"),
-        F.lit("</p><script>var i="),
+        F.lit("</p>\x0bvt<script>var i="),
         F.col("doc_id").cast("string"),
         F.lit(";</script>&amp; <!-- x --></div>"),
     )
@@ -87,7 +89,8 @@ def test_strip_markup_matches_duckdb(spark, sf_dir):
         .reset_index(drop=True)
     )
     mexpr = (
-        f"""'<div class="c"><p>' || text || '</p><script>var i=' """
+        f"""'<div class="c"><p>' || text || '</p>' || chr(11) || """
+        f"'vt<script>var i=' "
         f"|| CAST(doc_id AS VARCHAR) || ';</script>&amp; <!-- x --></div>'"
     )
     want = (
@@ -381,3 +384,14 @@ def test_weighted_temperature_zero_weight_stratum():
         ("a", 0, 0.0),
         ("b", 0, 0.0),
     ]
+
+
+def test_weighted_temperature_null_and_negative_mass():
+    """NULL mass (all weights null in a stratum) normalizes to 0 and
+    contributes nothing; negative mass (buggy weight column) fails
+    loudly instead of as a complex-power TypeError."""
+    tbl = temperature_rate_table([("nullish", None), ("full", 100)], 0.5, 0.5)
+    assert dict((s, r) for s, _, r in tbl)["nullish"] == 0.0
+    assert dict((s, n) for s, n, _ in tbl)["nullish"] == 0
+    with pytest.raises(ValueError, match="negative mass"):
+        temperature_rate_table([("bad", -5), ("full", 100)], 0.5, 0.5)

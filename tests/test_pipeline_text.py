@@ -356,11 +356,15 @@ def test_curate_corpus_markup_boilerplate_weighted_stages(spark, sf_dir):
             F.lit("</p>&amp;</div>"),
         ),
     ).withColumn("n_tokens", F.size(F.split(F.trim("text"), r"\s+")))
+    # dedup_paragraphs=True ALONGSIDE boilerplate_min_df pins the stage
+    # ORDER: boilerplate df must be measured before dedup collapses
+    # every fingerprint to one copy (df=1 everywhere -> silent no-op)
     out, rep = curate_corpus(
         corpus,
         min_quality=0.0,
         strip_html=True,
         boilerplate_min_df=3,
+        dedup_paragraphs=True,
         temperature_alpha=0.5,
         temperature_frac=0.5,
         temperature_weight_col="n_tokens",
@@ -381,6 +385,7 @@ def test_curate_corpus_markup_boilerplate_weighted_stages(spark, sf_dir):
         min_quality=0.0,
         strip_html=True,
         boilerplate_min_df=3,
+        dedup_paragraphs=True,
         temperature_alpha=0.5,
         temperature_frac=0.5,
         temperature_weight_col="n_tokens",
