@@ -108,6 +108,92 @@ def quality_score(text: Column) -> Column:
     return F.round(score, 6)
 
 
+# the Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+# Language Models: ... Gopher", Appendix A) — the standard published
+# heuristic gate battery for web text, re-expressed as pure Catalyst
+# expressions. Thresholds are the paper's.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_BULLETS = ["•", "‣", "- ", "* "]
+
+
+def gopher_flags(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> Column:
+    """Struct of the seven Gopher rules, one boolean each (True = rule
+    satisfied): word-count bounds, mean word length in [3, 10],
+    symbol-to-word ratio (# and ellipsis) <= 0.1, <= 90% of lines
+    bullet-led, <= 30% of lines ellipsis-ended, >= 80% of words contain
+    a letter, >= 2 distinct Gopher stop words present.
+
+    All expression-only (runs inside the scan, zero shuffle, zero
+    Python at any scale); every rule is list/regexp arithmetic both
+    Java regex and RE2 agree on, so the battery is DuckDB-replayable
+    (tests oracle it). Word = lowercase whitespace token (the corpus
+    tokenizer contract); bullets are a prefix match on the trimmed
+    non-empty lines; ellipsis is '...' or the Unicode character."""
+    toks = tokens(text)
+    n = F.size(toks)
+    nz = F.greatest(n, F.lit(1)).cast("double")
+    mwl = mean_word_length(text)
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = F.size(
+        F.regexp_extract_all(text, F.lit(r"\.\.\.|…"), F.lit(0))
+    )
+    lines = nonempty_lines(text)
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    is_bullet = lambda l: (  # noqa: E731
+        F.startswith(l, F.lit(GOPHER_BULLETS[0]))
+        | F.startswith(l, F.lit(GOPHER_BULLETS[1]))
+        | F.startswith(l, F.lit(GOPHER_BULLETS[2]))
+        | F.startswith(l, F.lit(GOPHER_BULLETS[3]))
+    )
+    bullet_frac = F.size(F.filter(lines, is_bullet)).cast("double") / nl
+    ell_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.endswith(l, F.lit("...")) | F.endswith(l, F.lit("…")),
+            )
+        ).cast("double")
+        / nl
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("double") / nz
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    )
+    return F.struct(
+        ((n >= min_words) & (n <= max_words)).alias("words_ok"),
+        ((mwl >= 3.0) & (mwl <= 10.0)).alias("mwl_ok"),
+        (((n_hash + n_ellipsis).cast("double") / nz) <= 0.1).alias("symbol_ok"),
+        (bullet_frac <= 0.9).alias("bullet_ok"),
+        (ell_frac <= 0.3).alias("ellipsis_ok"),
+        (alpha_frac >= 0.8).alias("alpha_ok"),
+        (stop_hits >= 2).alias("stopword_ok"),
+    )
+
+
+def gopher_pass(
+    text: Column, min_words: int = 50, max_words: int = 100_000
+) -> Column:
+    """True iff the document satisfies every Gopher rule — the combined
+    gate curate_corpus applies under ``gopher_gate=True``."""
+    f = gopher_flags(text, min_words, max_words)
+    out = F.lit(True)
+    for rule in (
+        "words_ok", "mwl_ok", "symbol_ok", "bullet_ok",
+        "ellipsis_ok", "alpha_ok", "stopword_ok",
+    ):
+        out = out & f[rule]
+    return out
+
+
 def lang_marker_score(text: Column, lang: str) -> Column:
     """Count of marker-word occurrences for a language (token matches)."""
     toks = tokens(text)

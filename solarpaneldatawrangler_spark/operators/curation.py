@@ -259,6 +259,124 @@ def write_training_shards(
     )
 
 
+def write_corpus_jsonl(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    n_shards: int = 64,
+    seed: str = "0",
+) -> dict:
+    """Release the curated corpus as sharded JSONL (the lingua franca
+    training-data interchange format) plus an audit ``_manifest.json``
+    (underscore-prefixed so Spark readers ignore it, like _SUCCESS):
+    per-shard document count and an ORDER-INDEPENDENT content hash
+    (sum of each row's md5_long over its canonical JSON), so a consumer
+    can verify a transferred shard without re-sorting it, and the
+    producer can re-run verify_corpus_jsonl after any copy.
+
+    Layout mirrors write_training_shards: shard assignment/order from
+    shuffle_shards (md5 permutation — reproducible on any engine), one
+    JSON-lines directory per shard via partitionBy, rows in shard_pos
+    order. The hash sums decimals (not bigints) so a 10^12-doc shard
+    cannot overflow under ANSI arithmetic. The manifest itself is
+    written driver-side to the local filesystem — for object stores,
+    ship it with the same uploader as the shards.
+    """
+    import json as _json
+    import os as _os
+
+    out = shuffle_shards(df, id_col, n_shards, seed)
+    cols = [c for c in out.columns]
+    row_json = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "shard_pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(path)
+    )
+    stats = (
+        out.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(md5_long(row_json).cast("decimal(38,0)"))
+            .cast("string")
+            .alias("content_hash"),
+        )
+        .collect()
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "seed": str(seed),
+        "columns": cols,
+        "total_docs": int(sum(r["n_docs"] for r in stats)),
+        "shards": {
+            str(r["shard"]): {
+                "n_docs": int(r["n_docs"]),
+                "content_hash": r["content_hash"],
+            }
+            for r in stats
+        },
+    }
+    with open(_os.path.join(path, "_manifest.json"), "w") as f:
+        _json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def verify_corpus_jsonl(spark, path: str) -> bool:
+    """Re-derive the manifest from the shards on disk and compare —
+    the consumer-side integrity check. Raises ValueError naming the
+    first diverging shard; True when everything matches. The recompute
+    is one scan + one combinable agg (order-independent hash, so shard
+    files can arrive in any order/concatenation)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_manifest.json")) as f:
+        manifest = _json.load(f)
+    if not manifest["shards"]:
+        # empty release (every doc gated out upstream): nothing to
+        # hash — valid iff the directory holds no data files either
+        # (read.json on a data-less dir cannot infer a schema and
+        # would throw, so don't ask it to)
+        data = [
+            p
+            for p in _os.listdir(path)
+            if not p.startswith(("_", "."))
+        ]
+        if data:
+            raise ValueError(
+                f"manifest says empty corpus but found data: {sorted(data)}"
+            )
+        return True
+    df = spark.read.json(path)
+    cols = manifest["columns"]
+    row_json = F.to_json(F.struct(*[F.col(c) for c in cols]))
+    got = {
+        str(r["shard"]): (int(r["n_docs"]), r["content_hash"])
+        for r in df.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(md5_long(row_json).cast("decimal(38,0)"))
+            .cast("string")
+            .alias("content_hash"),
+        )
+        .collect()
+    }
+    for shard, want in sorted(manifest["shards"].items()):
+        if shard not in got:
+            raise ValueError(f"shard {shard} missing on disk")
+        if got[shard] != (want["n_docs"], want["content_hash"]):
+            raise ValueError(
+                f"shard {shard} diverges: disk {got[shard]} vs manifest "
+                f"({want['n_docs']}, {want['content_hash']})"
+            )
+    extra = set(got) - set(manifest["shards"])
+    if extra:
+        raise ValueError(f"unexpected shards on disk: {sorted(extra)}")
+    return True
+
+
 # --- n-gram language-model quality score (CCNet-style perplexity proxy) ------
 
 def bigram_rows(
@@ -382,6 +500,8 @@ def corpus_data_card(
     text_col: str = "text",
     id_col: str = "doc_id",
     stratum_col: str = "lang",
+    approx: bool = False,
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Per-stratum corpus statistics — the "data card" a released
     training set ships with (Gebru et al., "Datasheets for Datasets"):
@@ -405,6 +525,18 @@ def corpus_data_card(
     in memory per group at the agg — for corpora where a stratum
     exceeds executor memory, swap percentile for percentile_approx and
     drop the oracle claim (documented trade, q46's doc).
+
+    ``approx=True`` IS that documented trade, made callable: token
+    percentiles switch to percentile_approx (Greenwald-Khanna sketch,
+    bounded memory per group regardless of stratum size; rank error
+    <= 1/approx_accuracy) — the card a 100 TB deployment actually
+    computes. The dup fraction stays EXACT in both modes: its
+    fingerprint groupBy is a map-side-combined count, never a
+    per-group value buffer, so it has no memory cliff to trade away
+    (approx_count_distinct could only approximate a number this card
+    doesn't report). Approx cards are engine-specific (the sketch is
+    not SQL-replayable); the exact mode remains the q46 oracle surface,
+    and the test pins approx-vs-exact agreement on small data.
     """
     from solarpaneldatawrangler_spark.functions.text import (
         fingerprint,
@@ -421,13 +553,17 @@ def corpus_data_card(
     )
     copies = base.groupBy("_fp").agg(F.count(F.lit(1)).alias("_nc"))
     joined = base.join(copies, "_fp")
+    if approx:
+        p50 = F.percentile_approx("_nt", 0.5, F.lit(approx_accuracy))
+        p90 = F.percentile_approx("_nt", 0.9, F.lit(approx_accuracy))
+    else:
+        p50 = F.expr("percentile(_nt, 0.5)")
+        p90 = F.expr("percentile(_nt, 0.9)")
     return (
         joined.rollup("_s")
         .agg(
-            F.round(F.expr("percentile(_nt, 0.5)"), 4).alias(
-                "median_tokens_r"
-            ),
-            F.round(F.expr("percentile(_nt, 0.9)"), 4).alias("p90_tokens_r"),
+            F.round(p50.cast("double"), 4).alias("median_tokens_r"),
+            F.round(p90.cast("double"), 4).alias("p90_tokens_r"),
             F.count(F.lit(1)).cast("double").alias("n_docs"),
             F.round(
                 F.sum(F.col("_q").cast("decimal(18,6)")).cast("double")

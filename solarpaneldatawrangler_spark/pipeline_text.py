@@ -52,6 +52,7 @@ class CurationReport:
     n_after_spans: int = -1
     n_after_lm: int = -1
     n_after_boilerplate: int = -1
+    n_after_gopher: int = -1
 
 
 def drop_near_duplicates(
@@ -114,6 +115,9 @@ def curate_corpus(
     decontam_min_shared: int = 5,
     decontam_min_shared_frac: float | None = None,
     max_repetition: float | None = None,
+    gopher_gate: bool = False,
+    gopher_min_words: int = 50,
+    gopher_max_words: int = 100_000,
     strip_html: bool = False,
     dedup_paragraphs: bool = False,
     boilerplate_min_df: int | None = None,
@@ -183,7 +187,9 @@ def curate_corpus(
     every copy of >= min_df-doc paragraphs first, then dedup keeps the
     first copy of the remaining genuine repeats;
     ``temperature_weight_col`` switches the temperature mixture from a
-    document budget to a weight (token) budget.
+    document budget to a weight (token) budget; ``gopher_gate`` applies
+    the published seven-rule Gopher heuristic battery (functions.text
+    .gopher_pass) beside the repetition gate.
     """
     if temperature_alpha is not None and sample_rates:
         raise ValueError(
@@ -352,6 +358,18 @@ def curate_corpus(
         norep.count() if (with_report and max_repetition is not None) else -1
     )
 
+    # 4b. Gopher rule battery (optional, scan-stage): the published
+    # seven-rule heuristic gate (word-count bounds, mean word length,
+    # symbol/bullet/ellipsis ratios, alpha-word fraction, stop-word
+    # presence) — functions.text.gopher_pass
+    if gopher_gate:
+        from solarpaneldatawrangler_spark.functions.text import gopher_pass
+
+        norep = norep.filter(
+            gopher_pass(F.col(text_col), gopher_min_words, gopher_max_words)
+        )
+    n_gopher = norep.count() if (with_report and gopher_gate) else -1
+
     # 5. quality gate (scan-stage expression)
     qual = norep.filter(quality_score(F.col(text_col)) >= min_quality)
     n_qual = qual.count() if with_report else -1
@@ -446,6 +464,7 @@ def curate_corpus(
             n_after_paragraph=n_para, n_after_urlgate=n_urlgate,
             n_after_classifier=n_clf, n_after_spans=n_spans,
             n_after_lm=n_lm, n_after_boilerplate=n_bp,
+            n_after_gopher=n_gopher,
         )
         if with_report
         else None

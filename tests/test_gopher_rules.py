@@ -1,0 +1,159 @@
+"""The Gopher quality-filter rule battery (Rae et al. 2021 Appendix A):
+hand cases pinning each rule's trigger, a DuckDB replay of the whole
+seven-flag struct over the real corpus, and the curate_corpus gate."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.functions.text import (
+    GOPHER_STOPWORDS,
+    gopher_flags,
+    gopher_pass,
+)
+
+_SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+_SQL_LINES = (
+    "list_filter(list_transform(string_split_regex(text, '\\n'), "
+    "l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), l -> len(l) > 0)"
+)
+_SW_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+
+
+def gopher_flags_sql(min_words: int = 50, max_words: int = 100_000) -> str:
+    """DuckDB replay of every gopher_flags rule (same tokenizer, same
+    thresholds) as a list of aliased boolean columns."""
+    return f"""
+        len({_SQL_TOKS}) BETWEEN {min_words} AND {max_words} AS words_ok,
+        (CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum')
+              AS DOUBLE) / GREATEST(len({_SQL_TOKS}), 1))
+            BETWEEN 3.0 AND 10.0 AS mwl_ok,
+        CAST(length(text) - length(replace(text, '#', ''))
+             + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)
+            / GREATEST(len({_SQL_TOKS}), 1) <= 0.1 AS symbol_ok,
+        CAST(len(list_filter({_SQL_LINES},
+                 l -> starts_with(l, '•') OR starts_with(l, '‣')
+                   OR starts_with(l, '- ') OR starts_with(l, '* ')))
+             AS DOUBLE) / GREATEST(len({_SQL_LINES}), 1) <= 0.9 AS bullet_ok,
+        CAST(len(list_filter({_SQL_LINES},
+                 l -> ends_with(l, '...') OR ends_with(l, '…')))
+             AS DOUBLE) / GREATEST(len({_SQL_LINES}), 1) <= 0.3 AS ellipsis_ok,
+        CAST(len(list_filter({_SQL_TOKS}, t -> regexp_matches(t, '[a-z]')))
+             AS DOUBLE) / GREATEST(len({_SQL_TOKS}), 1) >= 0.8 AS alpha_ok,
+        len(list_intersect(list_distinct({_SQL_TOKS}), {_SW_SQL})) >= 2
+            AS stopword_ok
+    """
+
+
+_RULES = [
+    "words_ok", "mwl_ok", "symbol_ok", "bullet_ok",
+    "ellipsis_ok", "alpha_ok", "stopword_ok",
+]
+
+
+def test_gopher_flags_match_duckdb(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = (
+        docs.select("doc_id", gopher_flags(F.col("text")).alias("g"))
+        .select("doc_id", *[F.col(f"g.{r}").alias(r) for r in _RULES])
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, {gopher_flags_sql()} FROM "
+            f"read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        )
+        .fetchdf()
+    )
+    for r in _RULES:
+        assert got[r].tolist() == want[r].tolist(), f"rule {r} diverges"
+
+
+def test_gopher_rules_hand_cases(spark):
+    """One document per rule, failing exactly that rule (all others
+    satisfied), plus a clean passing document."""
+    base = (
+        "the quick brown fox jumps to think about life and liberty that "
+        "we have found with plenty of honest ordinary simple words here "
+        "making sense every single day through winter spring summer fall "
+        "while people gather reading stories told softly under warm "
+        "evening light beside rivers flowing gently toward distant seas"
+    )  # 50 words, all rules pass
+    rows = [
+        (0, base),
+        (1, "the be to of and that have with short text"),  # < 50 words
+        (2, " ".join(["the", "of", "and"] + ["a" * 40] * 50)),  # mwl > 10
+        (3, base + " " + "#" * 40),  # symbol ratio (hash) — but adds a token
+        (4, "\n".join("- " + w for w in base.split())),  # all lines bullets
+        (5, "\n".join(w + "..." for w in base.split())),  # all lines ellipsis
+        (6, base + " " + " ".join(str(i) for i in range(60))),  # numeric flood
+        (7, base.replace("the", "xx").replace("to", "yy")
+            .replace("and", "zz").replace("that", "qq")
+            .replace("have", "rr").replace("with", "ss")
+            .replace("of", "tt")),  # no Gopher stop words
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: {k: r.g[k] for k in _RULES}
+        for r in df.select(
+            "doc_id", gopher_flags(F.col("text")).alias("g")
+        ).collect()
+    }
+    assert all(got[0].values()), got[0]
+    assert not got[1]["words_ok"]
+    assert not got[2]["mwl_ok"]
+    assert not got[3]["symbol_ok"]
+    assert not got[4]["bullet_ok"]
+    assert not got[5]["ellipsis_ok"]
+    assert not got[6]["alpha_ok"]
+    assert not got[7]["stopword_ok"]
+    # the pass gate is the conjunction
+    passes = {
+        r.doc_id: r.p
+        for r in df.select(
+            "doc_id", gopher_pass(F.col("text")).alias("p")
+        ).collect()
+    }
+    assert passes[0] is True
+    assert all(passes[i] is False for i in (1, 3, 4, 5, 6, 7))
+
+
+def test_gopher_empty_doc_fails_not_crashes(spark):
+    df = spark.createDataFrame([(1, ""), (2, None)], "doc_id int, text string")
+    rows = {r.doc_id: r.p for r in df.select(
+        "doc_id", gopher_pass(F.col("text")).alias("p")).collect()}
+    assert rows[1] is False
+    assert rows[2] is None  # null text propagates null, filter drops it
+
+
+def test_curate_corpus_gopher_gate(spark, sf_dir):
+    from solarpaneldatawrangler_spark.pipeline_text import curate_corpus
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    junk = spark.createDataFrame(
+        [(9_000_100, "### ### ###", "en", "src1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    out, rep = curate_corpus(
+        docs.unionByName(junk),
+        min_quality=0.0,
+        jaccard_threshold=0.99,
+        gopher_gate=True,
+        gopher_min_words=5,  # the synthetic docs are short-ish
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert 9_000_100 not in ids
+    assert rep.n_after_gopher >= 0
+    assert rep.n_after_gopher >= rep.n_after_quality >= rep.n_output
+    # default-off reports -1
+    _, rep_off = curate_corpus(
+        docs, min_quality=0.0, jaccard_threshold=0.99
+    )
+    assert rep_off.n_after_gopher == -1
