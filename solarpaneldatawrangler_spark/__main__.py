@@ -115,6 +115,23 @@ def cmd_curate_demo(args) -> int:
         f"language={rep.n_after_language} output={rep.n_output}"
     )
     out.select("doc_id", "lang", "source").show(10)
+    if args.release:
+        from solarpaneldatawrangler_spark.operators.curation import (
+            verify_corpus_jsonl,
+            write_corpus_jsonl,
+        )
+
+        manifest = write_corpus_jsonl(
+            out.select("doc_id", "text", "lang", "source"),
+            args.release,
+            n_shards=args.release_shards,
+        )
+        ok = verify_corpus_jsonl(spark, args.release)
+        print(
+            f"released {manifest['total_docs']} docs in "
+            f"{manifest['n_shards']} JSONL shards to {args.release} "
+            f"(manifest verified: {ok})"
+        )
     return 0
 
 
@@ -143,6 +160,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--min-quality", type=float, default=0.2)
     c.add_argument("--language", default="en")
     c.add_argument("--jaccard", type=float, default=0.8)
+    c.add_argument("--release", default=None,
+                   help="also write the survivors as sharded JSONL + manifest here")
+    c.add_argument("--release-shards", type=int, default=8)
 
     args = p.parse_args(argv)
     return {
