@@ -105,9 +105,14 @@ def url_blocklist_filter(
 
     The scale path for a DataFrame-shaped blocklist: explode the
     (bounded) suffix chain of each distinct cited host, broadcast
-    equi-join against the blocklist, and anti-join the blocked ids
-    back. The corpus itself never shuffles; only (id, suffix) pairs
-    move. ``blocked_hosts_df`` must have a ``host`` column.
+    equi-join against the blocklist (the BLOCKLIST side is the
+    human-sized one), and anti-join the blocked ids back. The blocked-id
+    set grows with the corpus — one id per document citing a blocked
+    host, easily 10^7+ on a spammy crawl — so its anti-join carries NO
+    broadcast hint: AQE broadcasts it when it happens to be small and
+    falls back to a hash anti-join when it isn't, instead of a forced
+    driver collect that OOMs exactly on the corpora this gate matters
+    for. ``blocked_hosts_df`` must have a ``host`` column.
     """
     pairs = docs.select(
         F.col(id_col), F.explode(extract_hosts(F.col(text_col))).alias("_h")
@@ -120,7 +125,7 @@ def url_blocklist_filter(
         .select(id_col)
         .distinct()
     )
-    return docs.join(F.broadcast(blocked_ids), id_col, "left_anti")
+    return docs.join(blocked_ids, id_col, "left_anti")
 
 
 # --- hashed-linear quality classifier (fastText architecture) --------------
@@ -147,23 +152,39 @@ def hashed_linear_score(
 
     The architecture is exactly fastText's (Joulin et al. 2016,
     "Bag of Tricks"): hash each token into one of ``n_buckets``
-    buckets, average the bucket weights, add a bias. Pass trained
-    ``weights`` (len == n_buckets) for a real model — they compile to
-    an `element_at` on an array literal, broadcast once. With no
-    weights, a deterministic closed-form pseudo-weight stands in (for
-    oracle replay and plumbing tests; NOT a trained model).
+    buckets, average the bucket weights, add a bias. With no weights, a
+    deterministic closed-form pseudo-weight stands in (for oracle
+    replay and plumbing tests; NOT a trained model).
 
-    Runs entirely inside the scan (F.aggregate over the token array):
-    zero shuffle, zero Python. Bucket = md5_long(token) % n_buckets,
-    so any engine reproduces it (DuckDB:
-    ('0x'||substr(md5(t),1,8))::BIGINT % n_buckets).
+    Trained ``weights`` (len == n_buckets) take one of two plans by
+    size — both score identically (each folds the token weights
+    left-to-right in IEEE doubles):
+    - small models (<= 1024 buckets): an `element_at` on an array
+      literal, pure codegen inside the scan. NOT viable at fastText
+      scale — a 2^18-literal array is O(n_buckets) PLAN size; measured
+      ~2 minutes of analyzer time and a 3.5 MiB task binary.
+    - larger models: an Arrow-batched pandas UDF closing over ONE
+      NumPy weight table (shipped per executor once, not per plan
+      node). Still map-only, zero shuffle; Python is the documented
+      slow path, but per-token md5 here costs the same as fastText's
+      own tokenizer loop.
+
+    The pseudo-weight path runs entirely inside the scan (F.aggregate
+    over the token array): zero shuffle, zero Python. Bucket =
+    md5_long(token) % n_buckets in every path, so any engine
+    reproduces it (DuckDB: ('0x'||substr(md5(t),1,8))::BIGINT %
+    n_buckets).
     """
+    if weights is not None and len(weights) != n_buckets:
+        raise ValueError(
+            f"weights has {len(weights)} entries, expected n_buckets={n_buckets}"
+        )
+    if weights is not None and n_buckets > 1024:
+        return _hashed_linear_pandas(
+            text, [float(w) for w in weights], n_buckets, bias, sigmoid
+        )
     toks = tokens(F.coalesce(text, F.lit("")))
     if weights is not None:
-        if len(weights) != n_buckets:
-            raise ValueError(
-                f"weights has {len(weights)} entries, expected n_buckets={n_buckets}"
-            )
         arr = F.array(*[F.lit(float(w)) for w in weights])
         def w_of(t: Column) -> Column:
             return F.element_at(arr, (md5_long(t) % n_buckets + 1).cast("int"))
@@ -176,6 +197,47 @@ def hashed_linear_score(
     if sigmoid:
         return F.lit(1.0) / (F.lit(1.0) + F.exp(-raw))
     return raw
+
+
+def _hashed_linear_pandas(
+    text: Column,
+    weights: list[float],
+    n_buckets: int,
+    bias: float,
+    sigmoid: bool,
+) -> Column:
+    """fastText-scale scoring: Arrow-batched UDF over a NumPy weight
+    table. Same tokenizer (lowercase whitespace split), same md5
+    bucket, same left-to-right fold as the expression path — the two
+    paths are value-identical, only the weight-shipping differs."""
+    import hashlib
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w = np.asarray(weights, dtype=np.float64)
+
+    # NOTE: hints are spelled via pd.Series objects, not strings —
+    # under `from __future__ import annotations` with pandas imported
+    # locally, string annotations can't be resolved by the eval-type
+    # inference and pandas_udf rejects the signature
+    @pandas_udf("double")
+    def _score(texts):
+        # type: (pd.Series) -> pd.Series
+        out = []
+        for t in texts:
+            toks = [x for x in (t or "").lower().split() if x]
+            total = 0.0
+            for tok in toks:
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
+                total += float(w[b])
+            raw = total / max(len(toks), 1) + bias
+            out.append(1.0 / (1.0 + math.exp(-raw)) if sigmoid else raw)
+        return pd.Series(out, dtype="float64")
+
+    return _score(text)
 
 
 def hashed_linear_score_sql(
@@ -285,7 +347,42 @@ def write_corpus_jsonl(
     import json as _json
     import os as _os
 
-    out = shuffle_shards(df, id_col, n_shards, seed)
+    # the content hash must survive a JSON round-trip: the verify side
+    # re-reads the shards and re-renders each row, so column types whose
+    # rendering changes under schema re-inference would flag every
+    # shard of a pristine copy as corrupt. Decimals re-infer as double
+    # ('1.50' -> '1.5'), timestamps/dates as strings, binary isn't
+    # JSON-stable at all — reject them up front with a usable message.
+    from pyspark.sql.types import (
+        BinaryType,
+        DateType,
+        DecimalType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(
+            f.dataType,
+            (DecimalType, TimestampType, TimestampNTZType, DateType, BinaryType),
+        )
+    ]
+    if bad:
+        raise ValueError(
+            f"write_corpus_jsonl: columns {bad} have types that do not "
+            "round-trip through JSON schema inference (decimal/timestamp/"
+            "date/binary) — cast them to string or double first"
+        )
+    # two actions consume `out` (the shard write, then the manifest
+    # agg): a lazy checkpoint runs the upstream plan — often the whole
+    # curation chain — ONCE, and guarantees the manifest is computed
+    # from the very rows that went to disk even if an upstream stage
+    # were nondeterministic (the q55 checkpointed-shingles idiom)
+    out = shuffle_shards(df, id_col, n_shards, seed).localCheckpoint(
+        eager=False
+    )
     cols = [c for c in out.columns]
     row_json = F.to_json(F.struct(*[F.col(c) for c in cols]))
     (
@@ -351,6 +448,12 @@ def verify_corpus_jsonl(spark, path: str) -> bool:
         return True
     df = spark.read.json(path)
     cols = manifest["columns"]
+    # a column that is null in EVERY row is dropped by JSON schema
+    # inference; to_json omits null fields on both sides, so restoring
+    # it as a null literal reproduces the write-side rendering exactly
+    for c in cols:
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("string"))
     row_json = F.to_json(F.struct(*[F.col(c) for c in cols]))
     got = {
         str(r["shard"]): (int(r["n_docs"]), r["content_hash"])

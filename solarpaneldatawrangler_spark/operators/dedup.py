@@ -470,6 +470,16 @@ def winnowing_fingerprints(
     )
 
 
+# paragraph-splitter regexes with EXPLICIT whitespace classes: Java's
+# \s includes vertical tab (\x0B), RE2's does not, so a \s-based split
+# or normalization silently diverges between Spark and the DuckDB
+# oracle on \x0B-bearing web text (the strip_markup MARKUP_HWS_RE
+# lesson, applied to the paragraph contract). Both engines read these
+# exact strings identically; the q50 oracle interpolates them.
+PARA_SEP_RE = r"\n[ \t\n\f\r\x0B]*\n"
+PARA_WS_RE = r"[ \t\n\f\r\x0B]+"
+
+
 def _split_paragraphs(
     df: DataFrame, text_col: str, id_col: str
 ) -> DataFrame:
@@ -482,13 +492,13 @@ def _split_paragraphs(
     return (
         df.select(
             F.col(id_col).alias("id"),
-            F.posexplode(F.split(F.col(text_col), r"\n\s*\n")).alias(
+            F.posexplode(F.split(F.col(text_col), PARA_SEP_RE)).alias(
                 "pos", "para"
             ),
         )
         .withColumn(
             "_norm",
-            F.regexp_replace(F.trim(F.lower(F.col("para"))), r"\s+", " "),
+            F.regexp_replace(F.trim(F.lower(F.col("para"))), PARA_WS_RE, " "),
         )
         .filter(F.col("_norm") != "")
         .withColumn("fp", F.md5(F.col("_norm")))
@@ -500,6 +510,7 @@ def paragraph_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Corpus-level paragraph deduplication (the Dolma/RefinedWeb
     recipe): split every document on blank lines, drop every paragraph
@@ -530,8 +541,16 @@ def paragraph_dedup(
       array_sort + concat_ws, the A4 group-collect idiom
     Three shuffles total (keeper agg, keeper join, reassembly), each on
     a scalar key; text moves through exactly one of them (the join).
+    ``materialize=True`` lazily checkpoints the exploded paragraphs:
+    keepers/survivors/totals all branch off them, and without
+    materialization Catalyst re-executes the posexplode+normalize
+    subtree (and everything upstream) once per branch — free at small
+    SF, 3x the input scan at 100 TB (the tfidf_keywords
+    materialize_tf tradeoff, surfaced in the signature).
     """
     paras = _split_paragraphs(df, text_col, id_col)
+    if materialize:
+        paras = paras.localCheckpoint(eager=False)
     keepers = paras.groupBy("fp").agg(
         F.min(F.struct("id", "pos")).alias("_keep")
     )
@@ -574,6 +593,7 @@ def remove_boilerplate_paragraphs(
     min_df: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Remove EVERY occurrence of paragraphs that appear in >= ``min_df``
     distinct documents — the boilerplate killer (cookie banners, nav
@@ -596,10 +616,15 @@ def remove_boilerplate_paragraphs(
       fps, typically tiny)
     - reassembly = the same groupBy(id) array_sort rebuild
     Three scalar-key shuffles; text crosses only the reassembly one.
+    ``materialize=True`` lazily checkpoints the exploded paragraphs
+    (df-count agg, anti-join probe, and totals all branch off them —
+    the same 3x-rescan tradeoff as paragraph_dedup's flag).
     """
     if min_df < 2:
         raise ValueError("remove_boilerplate_paragraphs: min_df must be >= 2")
     paras = _split_paragraphs(df, text_col, id_col)
+    if materialize:
+        paras = paras.localCheckpoint(eager=False)
     bp = (
         paras.select("fp", "id")
         .distinct()  # map-side-combinable (fp, id) dedupe
@@ -708,7 +733,16 @@ def incremental_new_docs(
     (functions.text.fingerprint), the q50 contract, with null text
     normalized to "" first (_store_fingerprint) so repeated null docs
     cannot bypass the admission filter via NULL join keys.
+
+    A store that does not exist yet (first-ever ingest: the store is
+    only CREATED by write_fingerprint_store after the first admitted
+    batch) means an empty corpus — every row is new. Only the
+    missing-path analysis error is treated that way; a corrupt or
+    unreadable store still raises (the streaming drift-guard lesson:
+    never let a broad catch swallow the check itself).
     """
+    from pyspark.errors.exceptions.captured import AnalysisException
+
     spark = batch.sparkSession
     b = batch.withColumn("_fp", _store_fingerprint(text_col))
     buckets = [
@@ -717,10 +751,14 @@ def incremental_new_docs(
         .distinct()
         .collect()
     ]
-    store = (
-        spark.read.parquet(store_path)
-        .filter(F.col("bucket").isin(buckets))
-        .select(F.col("fingerprint").alias("_fp"))
+    try:
+        store_df = spark.read.parquet(store_path)
+    except AnalysisException as ex:
+        if ex.getCondition() == "PATH_NOT_FOUND":
+            return b.drop("_fp")
+        raise
+    store = store_df.filter(F.col("bucket").isin(buckets)).select(
+        F.col("fingerprint").alias("_fp")
     )
     return b.join(store, "_fp", "left_anti").drop("_fp")
 

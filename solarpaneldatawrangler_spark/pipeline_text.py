@@ -169,9 +169,15 @@ def curate_corpus(
     ``classifier_weights`` for a real model); ``remove_spans`` inserts
     exact-substring span removal after paragraph dedup (coarse
     boilerplate first, then fine-grained repeated spans — both rewrite
-    text the later gates judge); ``min_lm_score`` adds the CCNet-style
+    text the later gates judge; NOTE remove_spans CANONICALIZES every
+    surviving doc — remove_duplicate_spans reconstructs text as
+    lowercased tokens joined by single spaces, so case and line
+    structure are gone from the released text even for span-free
+    docs); ``min_lm_score`` adds the CCNet-style
     bigram-LM mean-log-prob floor, trained on the post-dedup survivors
-    so junk doesn't dominate its own scoring model; ``scrub_pii`` rewrites
+    so junk doesn't dominate its own scoring model (docs with fewer
+    than two tokens carry no bigram evidence and PASS the floor — the
+    word-count gates are the tool for dropping tiny docs); ``scrub_pii`` rewrites
     the surviving text through the PII redaction chain LAST (scrub
     once, on released docs only); ``n_shards`` appends deterministic
     (shard, shard_pos) training-shard assignment as the final step.
@@ -289,7 +295,7 @@ def curate_corpus(
         debp = (
             remove_boilerplate_paragraphs(
                 clean, min_df=boilerplate_min_df,
-                text_col=text_col, id_col=id_col,
+                text_col=text_col, id_col=id_col, materialize=True,
             )
             .filter(F.col("n_kept") > 0)
             .select(F.col(id_col), F.col("text").alias(text_col))
@@ -307,7 +313,8 @@ def curate_corpus(
         from solarpaneldatawrangler_spark.operators.dedup import paragraph_dedup
 
         kept_text = (
-            paragraph_dedup(clean, text_col=text_col, id_col=id_col)
+            paragraph_dedup(clean, text_col=text_col, id_col=id_col,
+                            materialize=True)
             .filter(F.col("n_kept") > 0)
             .select(F.col(id_col), F.col("text").alias(text_col))
         )
@@ -406,10 +413,14 @@ def curate_corpus(
         )
 
         lm = bigram_lm_score(qual, text_col=text_col, id_col=id_col)
+        # lm_n == 0 (a sub-2-token doc) is ABSENCE of evidence, not a
+        # low score: a floor must not drop what it cannot measure, so
+        # those docs pass (the word-count gates are the right tool for
+        # dropping tiny docs)
         qual = qual.join(
             lm.filter(
-                (F.col("lm_n") > 0)
-                & (F.col("lm_sum_r") / F.col("lm_n") >= min_lm_score)
+                (F.col("lm_n") == 0)
+                | (F.col("lm_sum_r") / F.col("lm_n") >= min_lm_score)
             ).select(id_col),
             id_col,
             "left_semi",

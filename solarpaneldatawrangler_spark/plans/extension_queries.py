@@ -44,7 +44,15 @@ _SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 
 # (doc i = text_i + blank line + text_{i+7}: every source text occurs as
 # a paragraph in two docs — real cross-doc duplication). Same derivation
 # as tests/test_paragraph_mixture.py and bench's x_paragraph_dedup.
-_PARA_CTES = r"""
+# the paragraph split/normalize regexes interpolate from dedup.py's
+# explicit-whitespace constants (Java \s vs RE2 \s diverge on \x0B) —
+# the oracle replays the EXACT strings the Spark splitter compiles
+from solarpaneldatawrangler_spark.operators.dedup import (  # noqa: E402
+    PARA_SEP_RE,
+    PARA_WS_RE,
+)
+
+_PARA_CTES = f"""
     built AS (
         SELECT a.doc_id,
                a.text || chr(10) || chr(10) || COALESCE(b.text, '') AS text
@@ -55,14 +63,14 @@ _PARA_CTES = r"""
                generate_subscripts(l, 1) - 1 AS pos,
                unnest(l) AS para
         FROM (SELECT doc_id,
-                     string_split_regex(text, '\n\s*\n') AS l
+                     string_split_regex(text, '{PARA_SEP_RE}') AS l
               FROM built)
     ),
     paras AS (
         SELECT doc_id, pos, para,
-               md5(regexp_replace(trim(lower(para)), '\s+', ' ', 'g')) AS fp
+               md5(regexp_replace(trim(lower(para)), '{PARA_WS_RE}', ' ', 'g')) AS fp
         FROM paras0
-        WHERE regexp_replace(trim(lower(para)), '\s+', ' ', 'g') <> ''
+        WHERE regexp_replace(trim(lower(para)), '{PARA_WS_RE}', ' ', 'g') <> ''
     ),
     pranked AS (
         SELECT doc_id, pos, para,

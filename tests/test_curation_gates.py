@@ -245,3 +245,47 @@ def test_write_training_shards_layout(spark, sf_dir, tmp_path):
     one = back.filter(F.col("shard") == 2)
     scan = one._jdf.queryExecution().executedPlan().toString()
     assert one.count() > 0 and "PartitionFilters: [isnotnull(shard" in scan
+
+
+def test_hashed_linear_large_model_pandas_path(spark):
+    """Trained weights past the literal-array threshold route through
+    the Arrow-batched NumPy path and score identically to the Python
+    reference (same fold order). The plan must stay map-only."""
+    nb = 1 << 12  # > 1024 -> pandas path, small enough to build fast
+    import random
+
+    rng = random.Random(7)
+    weights = [rng.choice([-0.5, -0.25, 0.0, 0.25, 0.5]) for _ in range(nb)]
+    rows = [(0, "alpha beta gamma beta"), (1, "delta"), (2, ""), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id",
+            hashed_linear_score(
+                F.col("text"), weights=weights, n_buckets=nb, bias=0.1,
+                sigmoid=True,
+            ).alias("s"),
+        ).collect()
+    }
+    import math
+
+    def bucket(t: str) -> int:
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % nb
+
+    for doc_id, text in rows:
+        toks = [t for t in (text or "").lower().split() if t]
+        raw = sum(weights[bucket(t)] for t in toks) / max(len(toks), 1) + 0.1
+        want = 1.0 / (1.0 + math.exp(-raw))
+        assert got[doc_id] == pytest.approx(want, rel=1e-12), doc_id
+    plan = (
+        docs.select(
+            hashed_linear_score(
+                F.col("text"), weights=weights, n_buckets=nb
+            ).alias("s")
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan

@@ -444,3 +444,34 @@ def test_write_corpus_jsonl_empty_corpus(spark, tmp_path):
     m = write_corpus_jsonl(empty, out, n_shards=4)
     assert m["total_docs"] == 0 and m["shards"] == {}
     assert verify_corpus_jsonl(spark, out) is True
+
+
+def test_write_corpus_jsonl_rejects_unstable_types(spark, tmp_path):
+    """Decimal/timestamp columns don't JSON-round-trip stably (the
+    verify hash would flag pristine copies) — reject at write."""
+    from solarpaneldatawrangler_spark.operators.curation import (
+        write_corpus_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x")], "doc_id long, text string"
+    ).withColumn("price", F.lit("1.50").cast("decimal(10,2)"))
+    with pytest.raises(ValueError, match="price"):
+        write_corpus_jsonl(df, str(tmp_path / "rel"), n_shards=2)
+
+
+def test_verify_corpus_jsonl_all_null_column(spark, tmp_path):
+    """A column null in every row is dropped by JSON schema inference;
+    verify must restore it instead of failing on a missing column."""
+    from solarpaneldatawrangler_spark.operators.curation import (
+        verify_corpus_jsonl,
+        write_corpus_jsonl,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "b", None)],
+        "doc_id long, text string, note string",
+    )
+    out = str(tmp_path / "rel_nulls")
+    write_corpus_jsonl(df, out, n_shards=2)
+    assert verify_corpus_jsonl(spark, out) is True

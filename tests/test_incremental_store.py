@@ -272,3 +272,35 @@ def test_compaction_bounds_probe_cost_after_appends(spark, tmp_path):
     assert after == before == [1000]
     # distinct survived: total fingerprints == 1 seed + 20*5 batch docs
     assert spark.read.parquet(store).count() == 101
+
+
+def test_missing_store_bootstrap_admits_everything(spark, tmp_path):
+    """First-ever ingest: the fingerprint store doesn't exist yet (it's
+    only created AFTER the first admitted batch) — a missing path means
+    an empty corpus, every row is new. A corrupt store still raises."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        incremental_new_docs,
+        write_fingerprint_store,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "first ever document"), (2, "second one")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "never_written_store")
+    fresh = incremental_new_docs(batch, store)
+    assert {r.doc_id for r in fresh.collect()} == {1, 2}
+    # the normal bootstrap sequence then works end-to-end
+    write_fingerprint_store(fresh, store)
+    again = incremental_new_docs(batch, store)
+    assert again.count() == 0
+    # a path that exists but holds garbage is NOT an empty corpus
+    bad = tmp_path / "corrupt_store"
+    bad.mkdir()
+    (bad / "part-000.parquet").write_text("this is not parquet")
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with _pytest.raises(Exception) as ei:
+        incremental_new_docs(batch, str(bad)).count()
+    assert not isinstance(ei.value, AssertionError)

@@ -394,3 +394,19 @@ def test_curate_corpus_markup_boilerplate_weighted_stages(spark, sf_dir):
     assert sorted(r.doc_id for r in rows) == sorted(
         r.doc_id for r in out2.collect()
     )
+
+
+def test_lm_floor_passes_docs_without_bigram_evidence(spark):
+    """A one-token doc has lm_n == 0 — no bigram evidence. The LM floor
+    must pass it (absence of evidence is not a low score); word-count
+    gates are the tool for dropping tiny docs."""
+    rows = [(1, "single"), (2, "a perfectly ordinary sentence with words")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out, _ = curate_corpus(
+        docs,
+        min_quality=0.0,
+        jaccard_threshold=0.99,
+        min_lm_score=-50.0,  # effectively no-op floor
+        with_report=False,
+    )
+    assert {r.doc_id for r in out.collect()} == {1, 2}
