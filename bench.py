@@ -611,6 +611,56 @@ def _cross_dedup_bench(spark, sf_dir):
     return near_dup_new_docs(twins.unionByName(novel), corpus, jaccard_threshold=0.5)
 
 
+_SIG_STORE_CACHE: dict[str, str] = {}
+
+
+def _sig_store_dir(spark, sf_dir: str) -> str:
+    """Build the persistent MinHash signature store once per process
+    (the corpus side of x_cross_dedup_store — deployment would have it
+    on disk already, so its build cost stays out of the probe timing)."""
+    if sf_dir in _SIG_STORE_CACHE:
+        return _SIG_STORE_CACHE[sf_dir]
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.dedup import write_minhash_store
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    d = tempfile.mkdtemp(prefix="sig_store_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_minhash_store(
+        docs.filter(F.col("doc_id") % 10 != 0), d, num_hashes=16, bands=4
+    )
+    _SIG_STORE_CACHE[sf_dir] = d
+    return d
+
+
+def _cross_dedup_store_bench(spark, sf_dir):
+    """The durable twin of x_cross_dedup: the same batch shape probed
+    against the persisted signature store — corpus text never re-read,
+    estimator verify instead of exact Jaccard."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        minhash_cross_dup_pairs_store,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    store = _sig_store_dir(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 20 == 1).select(
+        (F.col("doc_id") + 7_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"),
+    )
+    novel = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 8_000_000).alias("doc_id"), "text"
+    )
+    return minhash_cross_dup_pairs_store(
+        twins.unionByName(novel), store, sim_threshold=0.5
+    )
+
+
 def _chunk_documents_bench(spark, sf_dir):
     """Sliding-window chunking of the documents table: tokenize, window
     starts, one posexplode — map-only, zero shuffle."""
@@ -817,6 +867,7 @@ EXTRA = {
     "x_incremental_dedup": _incremental_dedup_bench,
     "x_chunk_documents": _chunk_documents_bench,
     "x_cross_dedup": _cross_dedup_bench,
+    "x_cross_dedup_store": _cross_dedup_store_bench,
     "x_dedup_clusters": _dedup_clusters_bench,
     "x_curation_gates": _curation_gates_bench,
     "x_shuffle_shards": _shuffle_shards_bench,
@@ -898,6 +949,10 @@ def main() -> None:
         _fp_store_dir(spark, sf_dir)
     except Exception as ex:  # noqa: BLE001
         errors["fp_store_setup"] = f"{type(ex).__name__}: {ex}"[:300]
+    try:
+        _sig_store_dir(spark, sf_dir)
+    except Exception as ex:  # noqa: BLE001
+        errors["sig_store_setup"] = f"{type(ex).__name__}: {ex}"[:300]
 
     extra_timings: dict[str, float] = {}
     extra_total = 0.0

@@ -202,7 +202,7 @@ def minhash_near_dup_pairs(
     # lineage re-executes ~6x (measured 57s -> ~10s at sf0.1); the
     # checkpoint lives inside _banded_keys (shared with the cross-corpus
     # path)
-    banded, sh = _banded_keys(
+    banded, sh, _ = _banded_keys(
         df, text_col, id_col, num_hashes, bands, shingle_k, reproducible
     )
 
@@ -806,13 +806,14 @@ def _banded_keys(
     bands: int,
     shingle_k: int,
     reproducible: bool,
-) -> tuple[DataFrame, DataFrame]:
-    """(banded, shingles) for one corpus: banded = (id, band, band_sig)
-    LSH bucket rows, shingles = (id, shingles) arrays for the exact
-    verify — the shared front half of the self-join and cross-join
-    near-dup paths. The shingle relation is checkpointed: it feeds the
-    signature AND the verify join, and its tokenize+window lineage must
-    execute once."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(banded, shingles, sig) for one corpus: banded = (id, band,
+    band_sig) LSH bucket rows, shingles = (id, shingles) arrays for the
+    exact verify, sig = (id, m0..m{n-1}) the full signature (the
+    store-persistable form) — the shared front half of the self-join,
+    cross-join, and signature-store near-dup paths. The shingle
+    relation is checkpointed: it feeds the signature AND the verify
+    join, and its tokenize+window lineage must execute once."""
     rows_per_band = num_hashes // bands
     shx = shingle_rows(df, text_col, id_col, shingle_k).localCheckpoint()
     sh = shx.groupBy("id").agg(F.collect_list("t").alias("shingles"))
@@ -838,7 +839,7 @@ def _banded_keys(
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.band_sig")
-    return banded, sh
+    return banded, sh, sig
 
 
 def minhash_cross_dup_pairs(
@@ -873,10 +874,10 @@ def minhash_cross_dup_pairs(
     bounded-recall degradation under boilerplate floods, same contract
     as minhash_near_dup_pairs.
     """
-    b_banded, b_sh = _banded_keys(
+    b_banded, b_sh, _ = _banded_keys(
         batch, text_col, id_col, num_hashes, bands, shingle_k, reproducible
     )
-    c_banded, c_sh = _banded_keys(
+    c_banded, c_sh, _ = _banded_keys(
         corpus, text_col, id_col, num_hashes, bands, shingle_k, reproducible
     )
     if max_bucket is not None:
@@ -927,6 +928,185 @@ def near_dup_new_docs(
         minhash_cross_dup_pairs(
             batch, corpus, text_col, id_col,
             jaccard_threshold=jaccard_threshold, **minhash_kwargs,
+        )
+        .select(F.col("batch_id").alias(id_col))
+        .distinct()
+    )
+    return batch.join(flagged, id_col, "left_anti")
+
+
+# --- persistent MinHash signature store (near-dup admission at scale) --------
+
+def _minhash_store_meta(
+    num_hashes: int, bands: int, shingle_k: int, reproducible: bool
+) -> dict:
+    return {
+        "num_hashes": int(num_hashes),
+        "bands": int(bands),
+        "shingle_k": int(shingle_k),
+        "reproducible": bool(reproducible),
+    }
+
+
+def write_minhash_store(
+    docs: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 3,
+    reproducible: bool = False,
+) -> None:
+    """Persist the corpus's near-dup probe state: (id, band, band_sig,
+    sig array<long>) partitioned by band, plus a ``_meta.json`` pinning
+    the hash-family parameters. The durable twin of the exact
+    fingerprint store — together they make ingest admission O(batch):
+    the corpus TEXT is never re-read, never re-shingled.
+
+    ~bands x (8*num_hashes + key) bytes/doc (the full signature rides
+    every band row for locality — one store read serves both the
+    bucket join and the verify). mode='append' adds an accepted
+    batch's rows (the write_fingerprint_store idiom; parameters must
+    match the existing meta — a silent mismatch would admit
+    everything, so probes validate it).
+    """
+    import json as _json
+    import os as _os
+
+    meta = _minhash_store_meta(num_hashes, bands, shingle_k, reproducible)
+    meta_path = _os.path.join(path, "_meta.json")
+    if mode == "append" and _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            have = _json.load(f)
+        if have != meta:
+            raise ValueError(
+                f"minhash store {path} was built with {have}, "
+                f"append called with {meta} — probes would silently "
+                "miss every collision"
+            )
+    banded, _, sig = _banded_keys(
+        docs, text_col, id_col, num_hashes, bands, shingle_k, reproducible
+    )
+    rows = banded.join(
+        sig.select(
+            "id", F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig")
+        ),
+        "id",
+    )
+    rows.write.mode(mode).partitionBy("band").parquet(path)
+    _os.makedirs(path, exist_ok=True)
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f, sort_keys=True)
+
+
+def minhash_cross_dup_pairs_store(
+    batch: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sim_threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs between ``batch`` and a persisted signature store:
+    (batch_id, corpus_id, est_jaccard). The store-backed twin of
+    minhash_cross_dup_pairs — hash-family parameters come FROM the
+    store's meta, so batch and corpus are banded identically by
+    construction.
+
+    The verify stage differs by necessity: the store holds signatures,
+    not shingle sets, so candidates are scored with the MinHash
+    ESTIMATOR (fraction of agreeing components — unbiased, sd ~
+    sqrt(j(1-j)/num_hashes); build the store with more hashes for a
+    tighter gate). Exact-Jaccard confirmation would require the corpus
+    text this store exists to avoid re-reading.
+
+    Plan: batch bands/signature computed once (checkpointed shingles),
+    store read = banded rows only, equi-join on the scalar (band,
+    band_sig) key, estimator as a zip_with expression. ``max_bucket``
+    caps CORPUS-side buckets (the boilerplate-flood guard, same
+    bounded-recall contract as the in-memory path).
+    """
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(store_path, "_meta.json")) as f:
+        meta = _json.load(f)
+    spark = batch.sparkSession
+    b_banded, _, b_sig = _banded_keys(
+        batch,
+        text_col,
+        id_col,
+        meta["num_hashes"],
+        meta["bands"],
+        meta["shingle_k"],
+        meta["reproducible"],
+    )
+    store = spark.read.parquet(store_path)
+    c_banded = store.select("id", "band", "band_sig")
+    if max_bucket is not None:
+        from solarpaneldatawrangler_spark.operators.similarity import _cap_buckets
+
+        c_banded = _cap_buckets(c_banded, ["band", "band_sig"], max_bucket)
+    pairs = (
+        b_banded.alias("l")
+        .join(
+            c_banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig")),
+        )
+        .select(
+            F.col("l.id").alias("batch_id"), F.col("r.id").alias("corpus_id")
+        )
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    n = meta["num_hashes"]
+    bsig = b_sig.select(
+        F.col("id").alias("batch_id"),
+        F.array(*[f"m{i}" for i in range(n)]).alias("sig_a"),
+    )
+    csig = store.select(
+        F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b")
+    ).dropDuplicates(["corpus_id"])
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
+                lambda x: x,
+            )
+        ).cast("double")
+        / F.lit(float(n))
+    )
+    return (
+        pairs.join(bsig, "batch_id")
+        .join(csig, "corpus_id")
+        .withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= sim_threshold)
+        .select("batch_id", "corpus_id", "est_jaccard")
+    )
+
+
+def near_dup_new_docs_store(
+    batch: DataFrame,
+    store_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sim_threshold: float = 0.5,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Rows of ``batch`` with no near-duplicate in the signature store —
+    near_dup_new_docs against durable state instead of a corpus frame.
+    A missing store (first-ever ingest, before anything was admitted)
+    is an empty corpus: everything is new (the incremental_new_docs
+    bootstrap contract)."""
+    import os as _os
+
+    if not _os.path.exists(_os.path.join(store_path, "_meta.json")):
+        return batch
+    flagged = (
+        minhash_cross_dup_pairs_store(
+            batch, store_path, text_col, id_col, sim_threshold, max_bucket
         )
         .select(F.col("batch_id").alias(id_col))
         .distinct()

@@ -30,7 +30,9 @@ from solarpaneldatawrangler_spark.operators.dedup import (
     _store_fingerprint,
     incremental_new_docs,
     near_dup_new_docs,
+    near_dup_new_docs_store,
     write_fingerprint_store,
+    write_minhash_store,
 )
 from solarpaneldatawrangler_spark.operators.relational import dedup_by_key
 
@@ -43,6 +45,7 @@ def admit_batch(
     n_buckets: int = 64,
     near_dup_corpus: DataFrame | None = None,
     jaccard_threshold: float = 0.5,
+    signature_store: str | None = None,
     **minhash_kwargs,
 ) -> DataFrame:
     """One micro-batch through the full admission chain, cheapest gate
@@ -53,12 +56,21 @@ def admit_batch(
        once, which the store probe alone can't see);
     2. store probe — drop rows whose fingerprint the corpus already
        has (incremental_new_docs: bucket-pruned, O(batch) file reads);
-    3. optional MinHash near-dup gate against corpus signatures.
+    3. optional MinHash near-dup gate: against a corpus FRAME
+       (``near_dup_corpus`` — exact-Jaccard verify, re-shingles the
+       corpus each call) or against a persisted SIGNATURE STORE
+       (``signature_store`` — near_dup_new_docs_store, estimator
+       verify, the corpus text is never re-read; the scale path).
 
     Pure function of (batch, store): callers decide what to do with
     the admitted rows; streaming_admission writes them + appends their
-    fingerprints.
+    fingerprints (and signatures, when a signature store is in play).
     """
+    if near_dup_corpus is not None and signature_store is not None:
+        raise ValueError(
+            "pass either near_dup_corpus (frame, exact verify) or "
+            "signature_store (durable, estimator verify), not both"
+        )
     b = dedup_by_key(
         batch.withColumn("_afp", _store_fingerprint(text_col)),
         ["_afp"],
@@ -76,6 +88,15 @@ def admit_batch(
             jaccard_threshold=jaccard_threshold,
             **minhash_kwargs,
         )
+    elif signature_store is not None:
+        fresh = near_dup_new_docs_store(
+            fresh,
+            signature_store,
+            text_col=text_col,
+            id_col=id_col,
+            sim_threshold=jaccard_threshold,
+            max_bucket=minhash_kwargs.get("max_bucket"),
+        )
     return fresh
 
 
@@ -91,6 +112,7 @@ def streaming_admission(
     n_buckets: int = 64,
     near_dup_corpus: DataFrame | None = None,
     jaccard_threshold: float = 0.5,
+    signature_store: str | None = None,
     **minhash_kwargs,
 ) -> None:
     """Run admission over everything pending in ``source_dir`` and stop
@@ -101,6 +123,14 @@ def streaming_admission(
     the store so LATER batches (and later runs) reject them. Run
     compact_fingerprint_store periodically to keep probe cost at one
     file per bucket (its docstring has the file-rot math).
+
+    ``signature_store`` enables the DURABLE near-dup gate: batches are
+    probed against the persisted banded signatures
+    (near_dup_new_docs_store) and each admitted batch's signatures are
+    appended, so later batches reject near-twins of earlier admissions
+    without the corpus text ever being re-read — the full O(batch)
+    admission pair (exact fingerprints + MinHash signatures) as durable
+    state. An absent store bootstraps on the first admitted batch.
     """
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
@@ -114,6 +144,7 @@ def streaming_admission(
             n_buckets=n_buckets,
             near_dup_corpus=near_dup_corpus,
             jaccard_threshold=jaccard_threshold,
+            signature_store=signature_store,
             **minhash_kwargs,
         )
         # two actions on the admitted rows: guard the store append from
@@ -130,6 +161,29 @@ def streaming_admission(
                 n_buckets=n_buckets,
                 mode="append",
             )
+            if signature_store is not None:
+                import os as _os
+
+                mode = (
+                    "append"
+                    if _os.path.exists(
+                        _os.path.join(signature_store, "_meta.json")
+                    )
+                    else "overwrite"
+                )
+                sig_kwargs = {
+                    k: v
+                    for k, v in minhash_kwargs.items()
+                    if k in ("num_hashes", "bands", "shingle_k", "reproducible")
+                }
+                write_minhash_store(
+                    fresh,
+                    signature_store,
+                    mode=mode,
+                    text_col=text_col,
+                    id_col=id_col,
+                    **sig_kwargs,
+                )
 
     (
         spark.readStream.schema(schema)

@@ -304,3 +304,75 @@ def test_missing_store_bootstrap_admits_everything(spark, tmp_path):
     with _pytest.raises(Exception) as ei:
         incremental_new_docs(batch, str(bad)).count()
     assert not isinstance(ei.value, AssertionError)
+
+
+def test_minhash_store_roundtrip_and_admission(spark, sf_dir, tmp_path):
+    """The durable near-dup half: write the corpus's banded signatures
+    once, then admit a batch against the STORE — planted twins are
+    rejected (estimator ~1.0 for identical text), novel docs pass, and
+    the corpus text is never re-read by the probe."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        minhash_cross_dup_pairs_store,
+        near_dup_new_docs_store,
+        write_minhash_store,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    store = str(tmp_path / "sig_store")
+    write_minhash_store(docs, store, num_hashes=16, bands=4)
+
+    twins = docs.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    novel = spark.createDataFrame(
+        [(9_000_000 + i, f"utterly novel content number {i} " * 5)
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    batch = twins.unionByName(novel)
+    pairs = minhash_cross_dup_pairs_store(batch, store, sim_threshold=0.9)
+    hit_ids = {r.batch_id for r in pairs.collect()}
+    n_twins = twins.count()
+    assert {r.doc_id for r in twins.collect()} <= hit_ids
+    assert all(r.est_jaccard == 1.0 for r in pairs.collect()
+               if r.batch_id - 5_000_000 == r.corpus_id)
+    admitted = {r.doc_id for r in near_dup_new_docs_store(
+        batch, store, sim_threshold=0.9).collect()}
+    assert not (admitted & {r.doc_id for r in twins.collect()})
+    assert {9_000_000 + i for i in range(10)} <= admitted
+    assert len(admitted) >= 10 and n_twins > 0
+
+
+def test_minhash_store_append_param_mismatch_raises(spark, tmp_path):
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        write_minhash_store,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some document text here for signatures")],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "sig_mismatch")
+    write_minhash_store(docs, store, num_hashes=16, bands=4)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="silently miss"):
+        write_minhash_store(docs, store, mode="append", num_hashes=8, bands=4)
+
+
+def test_minhash_store_missing_bootstraps(spark, tmp_path):
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        near_dup_new_docs_store,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "first ingest ever")], "doc_id long, text string"
+    )
+    out = near_dup_new_docs_store(batch, str(tmp_path / "no_store"))
+    assert out.count() == 1

@@ -108,3 +108,41 @@ def test_streaming_admission_two_runs(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(accepted).collect()
     ) == [1, 5]
+
+
+def test_streaming_admission_durable_signature_store(spark, tmp_path):
+    """The durable near-dup gate: run 1 bootstraps the signature store
+    from its admitted batch; run 2 rejects a NEAR-twin (suffix tweak —
+    invisible to the exact fingerprint store) of run-1 content, while
+    genuinely new content passes. Both stores carry state across runs."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    sig_store = str(tmp_path / "sig_store")
+    accepted = str(tmp_path / "accepted")
+    chk = str(tmp_path / "chk")
+
+    base = "the solar panel array converts sunlight into power " * 4
+    _docs(spark, [(1, base)]).coalesce(1).write.parquet(str(src / "b1"))
+    streaming_admission(
+        spark, str(src / "*"), store, accepted, chk,
+        signature_store=sig_store, jaccard_threshold=0.6,
+        num_hashes=16, bands=16,
+    )
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(accepted).collect()
+    ) == [1]
+
+    # run 2: a near-twin (new fingerprint!) + a novel doc
+    _docs(
+        spark,
+        [(2, base + "extra"), (3, "completely different topic entirely " * 4)],
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    streaming_admission(
+        spark, str(src / "*"), store, accepted, chk,
+        signature_store=sig_store, jaccard_threshold=0.6,
+        num_hashes=16, bands=16,
+    )
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(accepted).collect()
+    ) == [1, 3]
