@@ -1087,6 +1087,33 @@ def minhash_cross_dup_pairs_store(
     )
 
 
+def compact_minhash_store(spark, path: str) -> None:
+    """Rewrite the signature store to ONE file per band partition with
+    one row per (id, band) — the compact_fingerprint_store maintenance
+    pass for the near-dup half (mode='append' writes a file per band
+    per accepted batch; same file-count-rot math). Bands come from the
+    store's own meta; the localCheckpoint materializes before the
+    self-overwrite truncates the directory being read."""
+    import json as _json
+    import os as _os
+
+    meta_path = _os.path.join(path, "_meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    df = (
+        spark.read.parquet(path)
+        .dropDuplicates(["id", "band"])
+        .repartition(int(meta["bands"]), F.col("band"))
+        .localCheckpoint()
+    )
+    df.write.partitionBy("band").mode("overwrite").parquet(path)
+    # the overwrite truncates the directory INCLUDING _meta.json; a
+    # store without meta reads as absent (bootstrap = admit everything),
+    # so the meta must be restored as part of the same maintenance pass
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f, sort_keys=True)
+
+
 def near_dup_new_docs_store(
     batch: DataFrame,
     store_path: str,

@@ -376,3 +376,43 @@ def test_minhash_store_missing_bootstraps(spark, tmp_path):
     )
     out = near_dup_new_docs_store(batch, str(tmp_path / "no_store"))
     assert out.count() == 1
+
+
+def test_minhash_store_compaction_preserves_verdicts(spark, tmp_path):
+    """After N appends the signature store compacts to one file per
+    band with identical probe verdicts."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        compact_minhash_store,
+        near_dup_new_docs_store,
+        write_minhash_store,
+    )
+
+    store = str(tmp_path / "sig_compact")
+    mk = lambda i: (i, f"document number {i} about solar arrays " * 3)  # noqa: E731
+    write_minhash_store(
+        spark.createDataFrame([mk(0)], "doc_id long, text string"),
+        store, num_hashes=16, bands=4,
+    )
+    for i in range(1, 6):
+        write_minhash_store(
+            spark.createDataFrame([mk(i)], "doc_id long, text string"),
+            store, mode="append", num_hashes=16, bands=4,
+        )
+    batch = spark.createDataFrame(
+        [mk(3), (100, "novel content never stored anywhere " * 3)],
+        "doc_id long, text string",
+    ).withColumn("doc_id", F.col("doc_id") + 1000)
+    before = {r.doc_id for r in near_dup_new_docs_store(
+        batch, store, sim_threshold=0.9).collect()}
+    n_files_before = len(glob.glob(os.path.join(store, "band=*", "*.parquet")))
+    compact_minhash_store(spark, store)
+    n_files_after = len(glob.glob(os.path.join(store, "band=*", "*.parquet")))
+    after = {r.doc_id for r in near_dup_new_docs_store(
+        batch, store, sim_threshold=0.9).collect()}
+    assert before == after == {1100}  # twin of stored doc 3 rejected
+    assert n_files_after <= 4 < n_files_before
