@@ -166,3 +166,58 @@ def test_bpe_train_encode_invariants(texts, n_merges):
         toks = encode_word(w, merges)
         assert "".join(toks) == w
         assert 1 <= len(toks) <= len(w)
+
+
+_MARKUPISH = st.lists(
+    st.sampled_from(
+        list("abc <>/!-&;#\n\t\x0b\r")
+        + ["<p>", "</p>", "<div>", "</div>", "<script>", "</script>",
+           "<!--", "-->", "&amp;", "&lt;", "&nbsp;", "<br/>"]
+    ),
+    min_size=0,
+    max_size=60,
+).map("".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(texts=st.lists(_MARKUPISH, min_size=1, max_size=12))
+def test_strip_markup_invariants_on_arbitrary_soup(spark, texts):
+    """Whatever tag soup comes in, the stripped text satisfies the
+    output contract: no intact script/style/comment blocks, no
+    whitespace beyond single spaces and blank-line separators, no
+    horizontal whitespace other than ' ', trimmed edges, and the
+    DuckDB replay (shared pattern constants) agrees byte-for-byte."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.functions.text import (
+        strip_markup,
+        strip_markup_sql,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    )
+    got = {
+        r.i: r.s
+        for r in df.select("i", strip_markup(F.col("text")).alias("s")).collect()
+    }
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(
+        {"i": range(len(texts)), "text": texts}))
+    want = dict(con.execute(
+        f"SELECT i, {strip_markup_sql('text')} FROM t").fetchall())
+    for i, t in enumerate(texts):
+        s = got[i]
+        assert s == want[i], (t, s, want[i])
+        # script/comment blocks with intact delimiters are gone
+        assert "<script>" not in s or "</script>" not in s
+        assert "<!--" not in s or "-->" not in s
+        # whitespace contract
+        assert "  " not in s
+        assert "\n\n\n" not in s
+        assert " \n" not in s and "\n " not in s
+        for ch in "\t\x0b\r":
+            assert ch not in s
+        assert s == s.strip()
