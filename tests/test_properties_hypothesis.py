@@ -208,12 +208,18 @@ def test_strip_markup_invariants_on_arbitrary_soup(spark, texts):
         {"i": range(len(texts)), "text": texts}))
     want = dict(con.execute(
         f"SELECT i, {strip_markup_sql('text')} FROM t").fetchall())
+    import re
+
+    from solarpaneldatawrangler_spark.functions.text import MARKUP_BLOCK_RES
+
     for i, t in enumerate(texts):
         s = got[i]
         assert s == want[i], (t, s, want[i])
-        # script/comment blocks with intact delimiters are gone
-        assert "<script>" not in s or "</script>" not in s
-        assert "<!--" not in s or "-->" not in s
+        # no surviving substring matches a block pattern (the operator's
+        # regex-level contract: complete script/style/comment BLOCKS are
+        # removed; a dangling '<!--' with no '-->' is not a block)
+        for pat in MARKUP_BLOCK_RES:
+            assert re.search(pat, s) is None, (t, s, pat)
         # whitespace contract
         assert "  " not in s
         assert "\n\n\n" not in s
