@@ -130,6 +130,104 @@ def url_blocklist_filter(
 
 # --- hashed-linear quality classifier (fastText architecture) --------------
 
+def train_hashed_linear(
+    docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    n_buckets: int = 1 << 18,
+    iters: int = 20,
+    lr: float = 1.0,
+    l2: float = 0.0,
+) -> tuple[list[float], float]:
+    """Train the hashed-linear (fastText-architecture) quality
+    classifier IN-ENGINE: full-batch logistic regression by gradient
+    descent over hashed bag-of-words means — the model
+    hashed_linear_score(weights=..., bias=..., sigmoid=True) then
+    applies, with the identical tokenizer and md5 bucket, so train and
+    serve can never disagree about features.
+
+    ``label_col`` is 0/1 (1 = keep-quality, e.g. curated/reference
+    docs vs raw crawl — the fastText-classifier recipe of
+    GPT-3/LLaMA-style data filtering). Returns (weights, bias).
+
+    Plan shape (the kmeans_fit loop): per iteration ONE narrow
+    mapInPandas pass emits per-Arrow-batch PARTIAL gradient sums —
+    (bucket, g) rows for the touched buckets plus one bias/loss row —
+    so the corpus never shuffles; a combinable groupBy(bucket) SUM
+    reduces them and the dense gradient (n_buckets doubles, ~2 MB at
+    2^18) comes back to the driver as loop state. ``iters`` passes
+    over the data total. Like kmeans_fit, partial-sum order varies
+    with partitioning (float ulps) — this is the production trainer,
+    not an oracle-replayable surface.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    n = docs.count()
+    if n == 0:
+        raise ValueError("train_hashed_linear: empty training set")
+    src = docs.select(
+        F.col(text_col).alias("_t"), F.col(label_col).cast("double").alias("_y")
+    )
+    w = np.zeros(n_buckets, dtype=np.float64)
+    bias = 0.0
+
+    def buckets_of(text: str) -> list[int]:
+        return [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
+            for t in (text or "").lower().split()
+            if t
+        ]
+
+    for _ in range(iters):
+        w_now, b_now = w.copy(), bias
+
+        def partials(batches, _w=w_now, _b=b_now):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                acc: dict[int, float] = {}
+                gb = 0.0
+                for text, y in zip(pdf["_t"], pdf["_y"]):
+                    bks = buckets_of(text)
+                    if bks:
+                        x = 1.0 / len(bks)
+                        raw = sum(_w[b] for b in bks) * x + _b
+                    else:
+                        raw = _b
+                    p = 1.0 / (1.0 + np.exp(-raw))
+                    err = p - float(y)
+                    gb += err
+                    if bks:
+                        for b in bks:
+                            acc[b] = acc.get(b, 0.0) + err * x
+                out = pd.DataFrame(
+                    {
+                        "bucket": list(acc.keys()) + [-1],
+                        "g": list(acc.values()) + [gb],
+                    }
+                )
+                yield out
+
+        grads = (
+            src.mapInPandas(partials, "bucket long, g double")
+            .groupBy("bucket")
+            .agg(F.sum("g").alias("g"))
+            .collect()
+        )
+        gw = np.zeros(n_buckets, dtype=np.float64)
+        gb = 0.0
+        for r in grads:
+            if r["bucket"] == -1:
+                gb = r["g"]
+            else:
+                gw[int(r["bucket"])] = r["g"]
+        w = w - lr * (gw / n + l2 * w)
+        bias = bias - lr * (gb / n)
+    return [float(x) for x in w], float(bias)
+
 # Pseudo-weight parameters: w(b) = ((b % _W_MOD) - _W_SHIFT) / _W_DEN.
 # _W_DEN is a power of two, so every weight is an exact binary
 # fraction and partial sums are EXACT in float64 — the aggregation

@@ -289,3 +289,86 @@ def test_hashed_linear_large_model_pandas_path(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_train_hashed_linear_separates_planted_classes(spark):
+    """In-engine classifier training: a corpus where quality docs carry
+    distinctive vocabulary must train to weights that separate held-out
+    docs through the SAME serving path (hashed_linear_score)."""
+    from solarpaneldatawrangler_spark.operators.curation import (
+        train_hashed_linear,
+    )
+
+    nb = 1 << 10
+    good_words = ["thoughtful", "analysis", "evidence", "nuanced"]
+    bad_words = ["clickbait", "spam", "scam", "viagra"]
+    rows = []
+    for i in range(40):
+        gw = " ".join(good_words[j % 4] for j in range(i, i + 3))
+        bw = " ".join(bad_words[j % 4] for j in range(i, i + 3))
+        rows.append((2 * i, f"common filler {gw} more filler", 1))
+        rows.append((2 * i + 1, f"common filler {bw} more filler", 0))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    weights, bias = train_hashed_linear(
+        docs, n_buckets=nb, iters=60, lr=2.0
+    )
+    held = spark.createDataFrame(
+        [
+            (100, "a thoughtful analysis with evidence"),
+            (101, "viagra spam clickbait scam offer"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.s
+        for r in held.select(
+            "doc_id",
+            hashed_linear_score(
+                F.col("text"), weights=weights, n_buckets=nb, bias=bias,
+                sigmoid=True,
+            ).alias("s"),
+        ).collect()
+    }
+    assert got[100] > 0.7 > 0.3 > got[101], got
+
+
+def test_train_hashed_linear_matches_numpy_reference(spark):
+    """The distributed trainer equals a single-process NumPy full-batch
+    GD on identical data/params (tiny data -> partial-sum order can
+    only differ in ulps; compared at 1e-8)."""
+    import math
+
+    from solarpaneldatawrangler_spark.operators.curation import (
+        train_hashed_linear,
+    )
+
+    nb = 64
+    rows = [
+        (0, "alpha beta", 1),
+        (1, "beta gamma", 0),
+        (2, "alpha alpha delta", 1),
+        (3, "gamma gamma", 0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    w, b = train_hashed_linear(docs, n_buckets=nb, iters=5, lr=0.5)
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % nb
+
+    import numpy as np
+
+    rw, rb = np.zeros(nb), 0.0
+    for _ in range(5):
+        gw, gb = np.zeros(nb), 0.0
+        for _, text, y in rows:
+            bks = [bucket(t) for t in text.split()]
+            x = 1.0 / len(bks)
+            p = 1.0 / (1.0 + math.exp(-(sum(rw[k] for k in bks) * x + rb)))
+            err = p - y
+            gb += err
+            for k in bks:
+                gw[k] += err * x
+        rw -= 0.5 * gw / len(rows)
+        rb -= 0.5 * gb / len(rows)
+    assert abs(b - rb) < 1e-8
+    assert float(np.abs(np.asarray(w) - rw).max()) < 1e-8
