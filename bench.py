@@ -620,6 +620,8 @@ def _sig_store_dir(spark, sf_dir: str) -> str:
     on disk already, so its build cost stays out of the probe timing)."""
     if sf_dir in _SIG_STORE_CACHE:
         return _SIG_STORE_CACHE[sf_dir]
+    import atexit
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -628,6 +630,7 @@ def _sig_store_dir(spark, sf_dir: str) -> str:
     from solarpaneldatawrangler_spark.sources.star import load_table
 
     d = tempfile.mkdtemp(prefix="sig_store_")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     write_minhash_store(
         docs.filter(F.col("doc_id") % 10 != 0), d, num_hashes=16, bands=4

@@ -161,6 +161,7 @@ def train_hashed_linear(
     not an oracle-replayable surface.
     """
     import hashlib
+    import re
 
     import numpy as np
     import pandas as pd
@@ -168,16 +169,24 @@ def train_hashed_linear(
     n = docs.count()
     if n == 0:
         raise ValueError("train_hashed_linear: empty training set")
+    if docs.filter(F.col(label_col).isNull()).limit(1).count():
+        raise ValueError(
+            "train_hashed_linear: null labels present — a single NaN "
+            "error term would silently poison every summed gradient"
+        )
     src = docs.select(
         F.col(text_col).alias("_t"), F.col(label_col).cast("double").alias("_y")
     )
     w = np.zeros(n_buckets, dtype=np.float64)
     bias = 0.0
+    # explicit Java-\s whitespace class (see _hashed_linear_pandas):
+    # train and BOTH serving paths must tokenize identically
+    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
 
     def buckets_of(text: str) -> list[int]:
         return [
             int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % n_buckets
-            for t in (text or "").lower().split()
+            for t in ws.split((text or "").lower())
             if t
         ]
 
@@ -315,7 +324,15 @@ def _hashed_linear_pandas(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    import re
+
     w = np.asarray(weights, dtype=np.float64)
+    # tokenize with the EXPLICIT Java-\s whitespace class, not Python
+    # str.split(): Python splits on Unicode spaces (NBSP etc) where the
+    # JVM expression path's \s+ is ASCII-only — a divergence that would
+    # make this path score differently from the small-model path on
+    # Unicode-whitespace text
+    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
 
     # NOTE: hints are spelled via pd.Series objects, not strings —
     # under `from __future__ import annotations` with pandas imported
@@ -326,7 +343,7 @@ def _hashed_linear_pandas(
         # type: (pd.Series) -> pd.Series
         out = []
         for t in texts:
-            toks = [x for x in (t or "").lower().split() if x]
+            toks = [x for x in ws.split((t or "").lower()) if x]
             total = 0.0
             for tok in toks:
                 b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets

@@ -948,6 +948,66 @@ def _minhash_store_meta(
     }
 
 
+# store meta lives in a Spark-written ``_meta`` subdirectory (one JSON
+# row), NOT a driver-local file: the store path may be HDFS/S3, where
+# os.path would silently report the meta absent and every probe would
+# admit everything. Underscore-prefixed, so data reads ignore it.
+
+def _read_sig_meta(spark, path: str) -> dict | None:
+    """The store's hash-family meta, or None when the store is absent.
+    Only missing-path/empty-dir analysis errors mean absent; anything
+    else (corrupt files, permissions) raises."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        rows = spark.read.json(f"{path}/_meta").collect()
+    except AnalysisException as ex:
+        if ex.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return None
+        raise
+    if not rows:
+        return None
+    r = rows[0]
+    return _minhash_store_meta(
+        r["num_hashes"], r["bands"], r["shingle_k"], r["reproducible"]
+    )
+
+
+def _write_sig_meta(spark, path: str, meta: dict) -> None:
+    spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
+        f"{path}/_meta"
+    )
+
+
+def _sig_store_has_data(spark, path: str) -> bool:
+    """True iff the store directory holds readable signature rows
+    (underscore-prefixed entries like _meta/_SUCCESS don't count)."""
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return len(spark.read.parquet(path).take(1)) > 0
+    except AnalysisException as ex:
+        if ex.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return False
+        raise
+
+
+def _require_sig_meta(spark, path: str) -> dict | None:
+    """Meta for probing: None = store genuinely absent (bootstrap);
+    meta missing while DATA exists = a half-finished maintenance write
+    (e.g. compaction interrupted between its overwrite and the meta
+    restore) and MUST fail loudly — treating it as absent would both
+    skip the probe and let the next append overwrite the store."""
+    meta = _read_sig_meta(spark, path)
+    if meta is None and _sig_store_has_data(spark, path):
+        raise ValueError(
+            f"minhash store {path} has signature rows but no _meta — "
+            "likely an interrupted compaction; restore _meta (the "
+            "hash-family params) before probing or appending"
+        )
+    return meta
+
+
 def write_minhash_store(
     docs: DataFrame,
     path: str,
@@ -970,17 +1030,15 @@ def write_minhash_store(
     bucket join and the verify). mode='append' adds an accepted
     batch's rows (the write_fingerprint_store idiom; parameters must
     match the existing meta — a silent mismatch would admit
-    everything, so probes validate it).
+    everything, so both appends and probes validate it, and an append
+    onto data whose meta is missing refuses rather than stamping the
+    new params over rows banded under the old ones).
     """
-    import json as _json
-    import os as _os
-
+    spark = docs.sparkSession
     meta = _minhash_store_meta(num_hashes, bands, shingle_k, reproducible)
-    meta_path = _os.path.join(path, "_meta.json")
-    if mode == "append" and _os.path.exists(meta_path):
-        with open(meta_path) as f:
-            have = _json.load(f)
-        if have != meta:
+    if mode == "append":
+        have = _require_sig_meta(spark, path)  # raises on meta-less data
+        if have is not None and have != meta:
             raise ValueError(
                 f"minhash store {path} was built with {have}, "
                 f"append called with {meta} — probes would silently "
@@ -996,9 +1054,7 @@ def write_minhash_store(
         "id",
     )
     rows.write.mode(mode).partitionBy("band").parquet(path)
-    _os.makedirs(path, exist_ok=True)
-    with open(meta_path, "w") as f:
-        _json.dump(meta, f, sort_keys=True)
+    _write_sig_meta(spark, path, meta)
 
 
 def minhash_cross_dup_pairs_store(
@@ -1027,13 +1083,20 @@ def minhash_cross_dup_pairs_store(
     band_sig) key, estimator as a zip_with expression. ``max_bucket``
     caps CORPUS-side buckets (the boilerplate-flood guard, same
     bounded-recall contract as the in-memory path).
-    """
-    import json as _json
-    import os as _os
 
-    with open(_os.path.join(store_path, "_meta.json")) as f:
-        meta = _json.load(f)
+    Edge states: a store whose meta exists but which holds no rows yet
+    (the first admitted batch had nothing shingle-able) yields zero
+    pairs, not a read error; ids appended more than once (re-ingested
+    content) keep ALL their distinct signatures and a candidate pair
+    scores against the best-matching one (max over versions).
+    """
     spark = batch.sparkSession
+    meta = _require_sig_meta(spark, store_path)
+    if meta is None:
+        raise ValueError(
+            f"minhash store {store_path} does not exist — "
+            "near_dup_new_docs_store handles the bootstrap case"
+        )
     b_banded, _, b_sig = _banded_keys(
         batch,
         text_col,
@@ -1043,7 +1106,33 @@ def minhash_cross_dup_pairs_store(
         meta["shingle_k"],
         meta["reproducible"],
     )
-    store = spark.read.parquet(store_path)
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        store = spark.read.parquet(store_path)
+    except AnalysisException as ex:
+        if ex.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            # meta written, zero data rows: an empty corpus
+            from pyspark.sql.types import (
+                DoubleType,
+                StructField,
+                StructType,
+            )
+
+            id_type = dict(zip(batch.columns, batch.schema.fields))[
+                id_col
+            ].dataType
+            return spark.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("batch_id", id_type),
+                        StructField("corpus_id", id_type),
+                        StructField("est_jaccard", DoubleType()),
+                    ]
+                ),
+            )
+        raise
     c_banded = store.select("id", "band", "band_sig")
     if max_bucket is not None:
         from solarpaneldatawrangler_spark.operators.similarity import _cap_buckets
@@ -1066,9 +1155,12 @@ def minhash_cross_dup_pairs_store(
         F.col("id").alias("batch_id"),
         F.array(*[f"m{i}" for i in range(n)]).alias("sig_a"),
     )
+    # keep every DISTINCT signature per corpus id (a re-ingested id may
+    # legitimately carry a second version's signature); a pair scores
+    # against its best-matching version
     csig = store.select(
         F.col("id").alias("corpus_id"), F.col("sig").alias("sig_b")
-    ).dropDuplicates(["corpus_id"])
+    ).dropDuplicates(["corpus_id", "sig_b"])
     est = (
         F.size(
             F.filter(
@@ -1081,7 +1173,9 @@ def minhash_cross_dup_pairs_store(
     return (
         pairs.join(bsig, "batch_id")
         .join(csig, "corpus_id")
-        .withColumn("est_jaccard", est)
+        .withColumn("_est", est)
+        .groupBy("batch_id", "corpus_id")
+        .agg(F.max("_est").alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= sim_threshold)
         .select("batch_id", "corpus_id", "est_jaccard")
     )
@@ -1089,29 +1183,29 @@ def minhash_cross_dup_pairs_store(
 
 def compact_minhash_store(spark, path: str) -> None:
     """Rewrite the signature store to ONE file per band partition with
-    one row per (id, band) — the compact_fingerprint_store maintenance
-    pass for the near-dup half (mode='append' writes a file per band
-    per accepted batch; same file-count-rot math). Bands come from the
-    store's own meta; the localCheckpoint materializes before the
-    self-overwrite truncates the directory being read."""
-    import json as _json
-    import os as _os
-
-    meta_path = _os.path.join(path, "_meta.json")
-    with open(meta_path) as f:
-        meta = _json.load(f)
+    exact-duplicate rows collapsed — the compact_fingerprint_store
+    maintenance pass for the near-dup half (mode='append' writes a file
+    per band per accepted batch; same file-count-rot math). The dedup
+    key is the FULL row (id, band, band_sig, sig): an id appended with
+    two text versions keeps both signatures, so probe verdicts are
+    identical before and after (collapsing on (id, band) would drop an
+    arbitrary version). Bands come from the store's own meta; the
+    localCheckpoint materializes before the self-overwrite truncates
+    the directory being read; the meta (which the overwrite deletes) is
+    restored in the same pass — and should a crash land between the
+    two, probes refuse the meta-less data loudly (_require_sig_meta)
+    instead of bootstrapping over the store."""
+    meta = _read_sig_meta(spark, path)
+    if meta is None:
+        raise ValueError(f"minhash store {path} has no _meta to compact")
     df = (
         spark.read.parquet(path)
-        .dropDuplicates(["id", "band"])
+        .dropDuplicates(["id", "band", "band_sig", "sig"])
         .repartition(int(meta["bands"]), F.col("band"))
         .localCheckpoint()
     )
     df.write.partitionBy("band").mode("overwrite").parquet(path)
-    # the overwrite truncates the directory INCLUDING _meta.json; a
-    # store without meta reads as absent (bootstrap = admit everything),
-    # so the meta must be restored as part of the same maintenance pass
-    with open(meta_path, "w") as f:
-        _json.dump(meta, f, sort_keys=True)
+    _write_sig_meta(spark, path, meta)
 
 
 def near_dup_new_docs_store(
@@ -1126,10 +1220,10 @@ def near_dup_new_docs_store(
     near_dup_new_docs against durable state instead of a corpus frame.
     A missing store (first-ever ingest, before anything was admitted)
     is an empty corpus: everything is new (the incremental_new_docs
-    bootstrap contract)."""
-    import os as _os
-
-    if not _os.path.exists(_os.path.join(store_path, "_meta.json")):
+    bootstrap contract); signature rows WITHOUT meta are a
+    half-finished maintenance state and raise instead (see
+    _require_sig_meta)."""
+    if _require_sig_meta(batch.sparkSession, store_path) is None:
         return batch
     flagged = (
         minhash_cross_dup_pairs_store(

@@ -153,22 +153,25 @@ def streaming_admission(
         fresh = fresh.localCheckpoint()
         fresh.write.mode("append").parquet(accepted_dir)
         if fresh.limit(1).count():
-            write_fingerprint_store(
-                fresh,
-                store_path,
-                text_col=text_col,
-                id_col=id_col,
-                n_buckets=n_buckets,
-                mode="append",
-            )
+            # ORDER MATTERS on at-least-once retry: signatures append
+            # BEFORE fingerprints. A crash after the fingerprint append
+            # would make the retried batch probe as fully-known (exact
+            # gate filters everything), silently skipping the signature
+            # append FOREVER; crashing after the signature append
+            # instead re-appends duplicate signature rows on retry —
+            # harmless (compaction collapses them, probes max over
+            # them) — and then completes the fingerprint append.
             if signature_store is not None:
-                import os as _os
+                # _require_sig_meta: None = genuinely absent (bootstrap
+                # with overwrite); data-without-meta RAISES — deciding
+                # 'overwrite' there would wipe the accumulated store
+                from solarpaneldatawrangler_spark.operators.dedup import (
+                    _require_sig_meta,
+                )
 
                 mode = (
                     "append"
-                    if _os.path.exists(
-                        _os.path.join(signature_store, "_meta.json")
-                    )
+                    if _require_sig_meta(spark, signature_store) is not None
                     else "overwrite"
                 )
                 sig_kwargs = {
@@ -184,6 +187,14 @@ def streaming_admission(
                     id_col=id_col,
                     **sig_kwargs,
                 )
+            write_fingerprint_store(
+                fresh,
+                store_path,
+                text_col=text_col,
+                id_col=id_col,
+                n_buckets=n_buckets,
+                mode="append",
+            )
 
     (
         spark.readStream.schema(schema)

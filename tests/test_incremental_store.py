@@ -416,3 +416,78 @@ def test_minhash_store_compaction_preserves_verdicts(spark, tmp_path):
         batch, store, sim_threshold=0.9).collect()}
     assert before == after == {1100}  # twin of stored doc 3 rejected
     assert n_files_after <= 4 < n_files_before
+
+
+def test_minhash_store_empty_data_and_corrupt_states(spark, tmp_path):
+    """Edge states from the review pass: (a) a store whose first batch
+    had nothing shingle-able (meta, zero rows) probes as empty instead
+    of crashing schema inference; (b) signature rows without meta (an
+    interrupted compaction) refuse probes and appends loudly instead
+    of bootstrapping over the store."""
+    import shutil
+
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        near_dup_new_docs_store,
+        write_minhash_store,
+    )
+
+    # (a) empty store: single doc below shingle_k -> zero signature rows
+    empty_store = str(tmp_path / "sig_empty")
+    tiny = spark.createDataFrame([(1, "hi")], "doc_id long, text string")
+    write_minhash_store(tiny, empty_store, num_hashes=16, bands=4)
+    batch = spark.createDataFrame(
+        [(2, "a perfectly normal document with plenty of words")],
+        "doc_id long, text string",
+    )
+    assert near_dup_new_docs_store(batch, empty_store).count() == 1
+
+    # (b) data without meta: delete the _meta subdir
+    full_store = str(tmp_path / "sig_full")
+    docs = spark.createDataFrame(
+        [(1, "some document about solar arrays and panels " * 3)],
+        "doc_id long, text string",
+    )
+    write_minhash_store(docs, full_store, num_hashes=16, bands=4)
+    shutil.rmtree(f"{full_store}/_meta")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="interrupted compaction"):
+        near_dup_new_docs_store(batch, full_store)
+    with _pytest.raises(ValueError, match="interrupted compaction"):
+        write_minhash_store(
+            docs, full_store, mode="append", num_hashes=16, bands=4
+        )
+
+
+def test_minhash_store_multi_version_id_keeps_both(spark, tmp_path):
+    """An id re-appended with different text keeps BOTH signatures
+    through compaction, and a probe matches whichever version the
+    batch resembles (max over versions)."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        compact_minhash_store,
+        minhash_cross_dup_pairs_store,
+        write_minhash_store,
+    )
+
+    v1 = "the original draft about solar panel installation " * 3
+    v2 = "a completely rewritten text on battery storage economics " * 3
+    store = str(tmp_path / "sig_versions")
+    write_minhash_store(
+        spark.createDataFrame([(42, v1)], "doc_id long, text string"),
+        store, num_hashes=16, bands=4,
+    )
+    write_minhash_store(
+        spark.createDataFrame([(42, v2)], "doc_id long, text string"),
+        store, mode="append", num_hashes=16, bands=4,
+    )
+    compact_minhash_store(spark, store)
+    batch = spark.createDataFrame(
+        [(100, v1), (101, v2)], "doc_id long, text string"
+    )
+    pairs = {
+        (r.batch_id, r.corpus_id): r.est_jaccard
+        for r in minhash_cross_dup_pairs_store(
+            batch, store, sim_threshold=0.9
+        ).collect()
+    }
+    assert pairs[(100, 42)] == 1.0 and pairs[(101, 42)] == 1.0
