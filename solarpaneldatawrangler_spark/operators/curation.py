@@ -169,19 +169,23 @@ def train_hashed_linear(
     n = docs.count()
     if n == 0:
         raise ValueError("train_hashed_linear: empty training set")
-    if docs.filter(F.col(label_col).isNull()).limit(1).count():
+    # validate the label AFTER casting: a pre-cast isNull check misses
+    # both unparseable strings and NaN doubles, either of which would
+    # turn one error term into NaN and silently poison every summed
+    # gradient. try_cast, not cast — under ANSI (the session default)
+    # cast('yes' as double) THROWS mid-job instead of yielding the null
+    # this guard exists to catch.
+    y = F.col(label_col).try_cast("double")
+    if docs.filter(y.isNull() | F.isnan(y)).limit(1).count():
         raise ValueError(
-            "train_hashed_linear: null labels present — a single NaN "
-            "error term would silently poison every summed gradient"
+            "train_hashed_linear: labels contain null/NaN (or values "
+            "that cast to them) — they would silently poison every "
+            "summed gradient"
         )
-    src = docs.select(
-        F.col(text_col).alias("_t"), F.col(label_col).cast("double").alias("_y")
-    )
+    src = docs.select(F.col(text_col).alias("_t"), y.alias("_y"))
     w = np.zeros(n_buckets, dtype=np.float64)
     bias = 0.0
-    # explicit Java-\s whitespace class (see _hashed_linear_pandas):
-    # train and BOTH serving paths must tokenize identically
-    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    ws = re.compile(PY_JAVA_WS_RE)
 
     def buckets_of(text: str) -> list[int]:
         return [
@@ -236,6 +240,13 @@ def train_hashed_linear(
         w = w - lr * (gw / n + l2 * w)
         bias = bias - lr * (gb / n)
     return [float(x) for x in w], float(bias)
+
+# Python twin of the JVM tokenizer's whitespace: Java \s is the ASCII
+# class [ \t\n\x0B\f\r]; Python's \s (and str.split()) are
+# Unicode-aware and would split on NBSP etc. Every Python-side
+# tokenization (the trainer, the large-model scorer) uses THIS class so
+# train and both serving paths agree on any text.
+PY_JAVA_WS_RE = "[ \\t\\n\\x0b\\f\\r]+"
 
 # Pseudo-weight parameters: w(b) = ((b % _W_MOD) - _W_SHIFT) / _W_DEN.
 # _W_DEN is a power of two, so every weight is an exact binary
@@ -327,12 +338,7 @@ def _hashed_linear_pandas(
     import re
 
     w = np.asarray(weights, dtype=np.float64)
-    # tokenize with the EXPLICIT Java-\s whitespace class, not Python
-    # str.split(): Python splits on Unicode spaces (NBSP etc) where the
-    # JVM expression path's \s+ is ASCII-only — a divergence that would
-    # make this path score differently from the small-model path on
-    # Unicode-whitespace text
-    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    ws = re.compile(PY_JAVA_WS_RE)
 
     # NOTE: hints are spelled via pd.Series objects, not strings —
     # under `from __future__ import annotations` with pandas imported

@@ -956,7 +956,12 @@ def _minhash_store_meta(
 def _read_sig_meta(spark, path: str) -> dict | None:
     """The store's hash-family meta, or None when the store is absent.
     Only missing-path/empty-dir analysis errors mean absent; anything
-    else (corrupt files, permissions) raises."""
+    else (corrupt files, permissions) raises. (There is no fallback to
+    a driver-local ``_meta.json`` single file: Spark's hidden-file
+    filter ignores underscore-prefixed FILES even when addressed
+    directly, and that short-lived format never produced a durable
+    store — a hand-built one migrates by rewriting the meta as a
+    one-row JSON under ``{path}/_meta/``.)"""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     try:
@@ -1020,8 +1025,9 @@ def write_minhash_store(
     reproducible: bool = False,
 ) -> None:
     """Persist the corpus's near-dup probe state: (id, band, band_sig,
-    sig array<long>) partitioned by band, plus a ``_meta.json`` pinning
-    the hash-family parameters. The durable twin of the exact
+    sig array<long>) partitioned by band, plus a Spark-written
+    ``_meta`` directory pinning the hash-family parameters (one JSON
+    row — FS-agnostic, unlike a driver-local file). The durable twin of the exact
     fingerprint store — together they make ingest admission O(batch):
     the corpus TEXT is never re-read, never re-shingled.
 
@@ -1036,6 +1042,7 @@ def write_minhash_store(
     """
     spark = docs.sparkSession
     meta = _minhash_store_meta(num_hashes, bands, shingle_k, reproducible)
+    have = None
     if mode == "append":
         have = _require_sig_meta(spark, path)  # raises on meta-less data
         if have is not None and have != meta:
@@ -1054,7 +1061,12 @@ def write_minhash_store(
         "id",
     )
     rows.write.mode(mode).partitionBy("band").parquet(path)
-    _write_sig_meta(spark, path, meta)
+    # a validated append (meta already present and equal) skips the
+    # meta rewrite: it would delete-and-recreate _meta on every
+    # micro-batch, adding a recurring data-without-meta crash window
+    # for zero benefit
+    if not (mode == "append" and have is not None):
+        _write_sig_meta(spark, path, meta)
 
 
 def minhash_cross_dup_pairs_store(
@@ -1064,6 +1076,7 @@ def minhash_cross_dup_pairs_store(
     id_col: str = "doc_id",
     sim_threshold: float = 0.5,
     max_bucket: int | None = None,
+    meta: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs between ``batch`` and a persisted signature store:
     (batch_id, corpus_id, est_jaccard). The store-backed twin of
@@ -1091,7 +1104,8 @@ def minhash_cross_dup_pairs_store(
     scores against the best-matching one (max over versions).
     """
     spark = batch.sparkSession
-    meta = _require_sig_meta(spark, store_path)
+    if meta is None:  # callers that already read it pass it through
+        meta = _require_sig_meta(spark, store_path)
     if meta is None:
         raise ValueError(
             f"minhash store {store_path} does not exist — "
@@ -1119,9 +1133,7 @@ def minhash_cross_dup_pairs_store(
                 StructType,
             )
 
-            id_type = dict(zip(batch.columns, batch.schema.fields))[
-                id_col
-            ].dataType
+            id_type = batch.schema[id_col].dataType
             return spark.createDataFrame(
                 [],
                 StructType(
@@ -1198,6 +1210,8 @@ def compact_minhash_store(spark, path: str) -> None:
     meta = _read_sig_meta(spark, path)
     if meta is None:
         raise ValueError(f"minhash store {path} has no _meta to compact")
+    if not _sig_store_has_data(spark, path):
+        return  # meta-only store (nothing shingle-able yet): no-op
     df = (
         spark.read.parquet(path)
         .dropDuplicates(["id", "band", "band_sig", "sig"])
@@ -1223,11 +1237,13 @@ def near_dup_new_docs_store(
     bootstrap contract); signature rows WITHOUT meta are a
     half-finished maintenance state and raise instead (see
     _require_sig_meta)."""
-    if _require_sig_meta(batch.sparkSession, store_path) is None:
+    meta = _require_sig_meta(batch.sparkSession, store_path)
+    if meta is None:
         return batch
     flagged = (
         minhash_cross_dup_pairs_store(
-            batch, store_path, text_col, id_col, sim_threshold, max_bucket
+            batch, store_path, text_col, id_col, sim_threshold, max_bucket,
+            meta=meta,
         )
         .select(F.col("batch_id").alias(id_col))
         .distinct()

@@ -46,6 +46,7 @@ def admit_batch(
     near_dup_corpus: DataFrame | None = None,
     jaccard_threshold: float = 0.5,
     signature_store: str | None = None,
+    with_exact_new: bool = False,
     **minhash_kwargs,
 ) -> DataFrame:
     """One micro-batch through the full admission chain, cheapest gate
@@ -65,6 +66,10 @@ def admit_batch(
     Pure function of (batch, store): callers decide what to do with
     the admitted rows; streaming_admission writes them + appends their
     fingerprints (and signatures, when a signature store is in play).
+    ``with_exact_new=True`` returns (admitted, exact_new) — exact_new
+    is the stage-2 output, which streaming_admission fingerprints (the
+    content was SEEN and decided even when the near-dup gate rejected
+    it; see the retry analysis there).
     """
     if near_dup_corpus is not None and signature_store is not None:
         raise ValueError(
@@ -76,9 +81,10 @@ def admit_batch(
         ["_afp"],
         order_col=id_col,
     ).drop("_afp")
-    fresh = incremental_new_docs(
+    exact_new = incremental_new_docs(
         b, store_path, text_col=text_col, id_col=id_col, n_buckets=n_buckets
     )
+    fresh = exact_new
     if near_dup_corpus is not None:
         fresh = near_dup_new_docs(
             fresh,
@@ -97,6 +103,8 @@ def admit_batch(
             sim_threshold=jaccard_threshold,
             max_bucket=minhash_kwargs.get("max_bucket"),
         )
+    if with_exact_new:
+        return fresh, exact_new
     return fresh
 
 
@@ -136,7 +144,7 @@ def streaming_admission(
         schema = spark.read.parquet(source_dir).schema
 
     def handle(batch: DataFrame, batch_id: int) -> None:
-        fresh = admit_batch(
+        fresh, exact_new = admit_batch(
             batch,
             store_path,
             text_col=text_col,
@@ -145,23 +153,32 @@ def streaming_admission(
             near_dup_corpus=near_dup_corpus,
             jaccard_threshold=jaccard_threshold,
             signature_store=signature_store,
+            with_exact_new=True,
             **minhash_kwargs,
         )
-        # two actions on the admitted rows: guard the store append from
-        # recomputing admission AFTER the accepted write mutated nothing
-        # but the store append itself would (write → then fingerprint)
+        # multiple actions follow: checkpoint so admission computes once
         fresh = fresh.localCheckpoint()
+        exact_new = exact_new.localCheckpoint()
         fresh.write.mode("append").parquet(accepted_dir)
-        if fresh.limit(1).count():
-            # ORDER MATTERS on at-least-once retry: signatures append
-            # BEFORE fingerprints. A crash after the fingerprint append
-            # would make the retried batch probe as fully-known (exact
-            # gate filters everything), silently skipping the signature
-            # append FOREVER; crashing after the signature append
-            # instead re-appends duplicate signature rows on retry —
-            # harmless (compaction collapses them, probes max over
-            # them) — and then completes the fingerprint append.
-            if signature_store is not None:
+        # RETRY ANALYSIS (at-least-once foreachBatch). Fingerprints are
+        # appended for exact_new (stage-2 survivors), not just the
+        # accepted rows: content the near-dup gate rejected was still
+        # SEEN AND DECIDED, and marking it lets the cheap exact gate
+        # short-circuit its future copies. Ordering: signatures (of the
+        # accepted rows) append BEFORE fingerprints. Crash cases:
+        # - before the signature append: retry reprocesses fully (the
+        #   exact gate still admits), accepted rows append twice — the
+        #   inherent at-least-once append-sink caveat;
+        # - between the two appends: retry's exact gate still admits
+        #   (no fingerprints yet), the near-dup gate drops the rows
+        #   against their own just-written signatures, exact_new stays
+        #   NONEMPTY, so the fingerprint append completes on retry and
+        #   only duplicate signature rows remain (compaction collapses
+        #   them; probes max over them);
+        # - after both: the retried batch probes as fully known, no-op.
+        # Nothing is ever skipped forever.
+        if exact_new.limit(1).count():
+            if signature_store is not None and fresh.limit(1).count():
                 # _require_sig_meta: None = genuinely absent (bootstrap
                 # with overwrite); data-without-meta RAISES — deciding
                 # 'overwrite' there would wipe the accumulated store
@@ -188,7 +205,7 @@ def streaming_admission(
                     **sig_kwargs,
                 )
             write_fingerprint_store(
-                fresh,
+                exact_new,
                 store_path,
                 text_col=text_col,
                 id_col=id_col,

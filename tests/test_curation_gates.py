@@ -372,3 +372,23 @@ def test_train_hashed_linear_matches_numpy_reference(spark):
         rb -= 0.5 * gb / len(rows)
     assert abs(b - rb) < 1e-8
     assert float(np.abs(np.asarray(w) - rw).max()) < 1e-8
+
+
+def test_train_hashed_linear_rejects_poisonous_labels(spark):
+    from solarpaneldatawrangler_spark.operators.curation import (
+        train_hashed_linear,
+    )
+
+    # a string label that CASTS to null must be caught, not NaN-poison
+    docs = spark.createDataFrame(
+        [(0, "alpha", "1"), (1, "beta", "yes")],
+        "doc_id long, text string, label string",
+    )
+    with pytest.raises(ValueError, match="poison"):
+        train_hashed_linear(docs, n_buckets=8, iters=1)
+    nan_docs = spark.createDataFrame(
+        [(0, "alpha", 1.0), (1, "beta", float("nan"))],
+        "doc_id long, text string, label double",
+    )
+    with pytest.raises(ValueError, match="poison"):
+        train_hashed_linear(nan_docs, n_buckets=8, iters=1)

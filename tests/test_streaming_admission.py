@@ -146,3 +146,45 @@ def test_streaming_admission_durable_signature_store(spark, tmp_path):
     assert sorted(
         r.doc_id for r in spark.read.parquet(accepted).collect()
     ) == [1, 3]
+
+
+def test_rejected_near_dup_content_is_fingerprinted(spark, tmp_path):
+    """Content the near-dup gate rejected was still SEEN: its exact
+    fingerprint lands in the store, so a later exact re-delivery is
+    cut by the cheap exact gate (and a retry that lost the race
+    between the two store appends can always complete — the
+    fingerprint append keys off stage-2 survivors, which self-matching
+    signatures cannot empty)."""
+    src = tmp_path / "incoming"
+    src.mkdir()
+    store = str(tmp_path / "store")
+    sig_store = str(tmp_path / "sig_store")
+    accepted = str(tmp_path / "accepted")
+    chk = str(tmp_path / "chk")
+
+    base = "the solar panel array converts sunlight into power " * 4
+    _docs(spark, [(1, base)]).coalesce(1).write.parquet(str(src / "b1"))
+    streaming_admission(
+        spark, str(src / "*"), store, accepted, chk,
+        signature_store=sig_store, jaccard_threshold=0.6,
+        num_hashes=16, bands=16,
+    )
+    # run 2: a near-twin -> rejected by the signature gate, but its
+    # fingerprint must still be recorded
+    twin = base + "extra"
+    _docs(spark, [(2, twin)]).coalesce(1).write.parquet(str(src / "b2"))
+    streaming_admission(
+        spark, str(src / "*"), store, accepted, chk,
+        signature_store=sig_store, jaccard_threshold=0.6,
+        num_hashes=16, bands=16,
+    )
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(accepted).collect()
+    ) == [1]
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        incremental_new_docs,
+    )
+
+    redelivery = _docs(spark, [(3, twin)])
+    # the EXACT gate alone rejects the re-delivered twin text
+    assert incremental_new_docs(redelivery, store).count() == 0
