@@ -1044,6 +1044,20 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         errors["ivfpq_io_stats"] = f"{type(ex).__name__}: {ex}"[:300]
 
+    # Full detail (extras, io stats, load samples, errors) goes to
+    # stderr: r7's single stdout line grew past the driver's
+    # tail-capture window and BENCH_r07.json came back parsed:null.
+    # stdout carries exactly ONE compact JSON line the driver can
+    # always capture and parse (headline totals + per-query timings).
+    detail = {
+        "extra_queries": extra_timings,
+        "extra_value": round(extra_total, 3),
+        **({"ivf_io": ivf_io} if ivf_io else {}),
+        **({"ivfpq_io": ivfpq_io} if ivfpq_io else {}),
+        **({"warm_reruns": warm_reruns} if warm_reruns else {}),
+        **({"load": loads} if loads else {}),
+    }
+    print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -1051,8 +1065,6 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                "extra_queries": extra_timings,
-                "extra_value": round(extra_total, 3),
                 **(
                     {
                         "value_cold": round(cold_total, 3),
@@ -1061,11 +1073,8 @@ def main() -> None:
                     if cold_timings
                     else {}
                 ),
-                **({"ivf_io": ivf_io} if ivf_io else {}),
-                **({"ivfpq_io": ivfpq_io} if ivfpq_io else {}),
+                "extra_value": round(extra_total, 3),
                 **({"errors": errors} if errors else {}),
-                **({"warm_reruns": warm_reruns} if warm_reruns else {}),
-                **({"load": loads} if loads else {}),
                 "repeats": repeats,
                 "sf": sf,
             }

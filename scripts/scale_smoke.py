@@ -420,6 +420,28 @@ def main():
 
     timed("curation gates (clf+PII+URL) 10M docs", gates_count)
 
+    # big-model classifier path (r8): a 2^15-bucket TRAINED weight
+    # table routes through the Arrow/NumPy pandas path — the vectorized
+    # distinct-token md5 memo + gather/cumsum scorer, the path every
+    # REAL fastText-scale model takes at 100 TB. Same 10M-doc corpus as
+    # the trio above so the two numbers are directly comparable.
+    import random as _random
+
+    _rng = _random.Random(8)
+    _big_nb = 1 << 15
+    _big_w = [_rng.uniform(-1.0, 1.0) for _ in range(_big_nb)]
+
+    timed(
+        "hashed-linear BIG model (pandas path, 2^15 buckets) 10M docs",
+        lambda: cdocs.select(
+            hashed_linear_score(
+                F.col("text"), weights=_big_w, n_buckets=_big_nb
+            ).alias("clf")
+        )
+        .filter(F.col("clf") > 0.02)
+        .count(),
+    )
+
     timed("shuffle_shards 10M docs / 256 shards",
           lambda: shuffle_shards(
               spark.range(10_000_000).select(F.col("id").alias("doc_id")),
@@ -456,6 +478,33 @@ def main():
         "span_dedup 2M docs / 200k-copy hot 8-gram",
         lambda: remove_duplicate_spans(sdocs, k=8)
         .filter(F.col("n_removed") > 0)
+        .count(),
+    )
+
+    # r8 pathological coverage case: 2k docs of 10k tokens each where
+    # EVERY 8-gram is duplicated (pairs of identical docs). Under the
+    # r7 per-start exists() this was O(tokens x starts) ~ 10^8 lambda
+    # steps PER ROW; the interval merge collapses each doc to one
+    # [1, n+1) interval so the whole batch is O(tokens)
+    pdocs = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(9_999)),
+                lambda j: F.concat(
+                    F.lit("w"),
+                    ((F.col("id") / 2).cast("long") * 10_000 + j).cast(
+                        "string"
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+    timed(
+        "span_dedup pathological 2k x 10k-token fully-duplicated docs",
+        lambda: remove_duplicate_spans(pdocs, k=8)
+        .filter(F.col("n_removed") == 10_000)
         .count(),
     )
 

@@ -264,6 +264,7 @@ def hashed_linear_score(
     n_buckets: int = 1 << 18,
     bias: float = 0.0,
     sigmoid: bool = False,
+    serve_path: str = "auto",
 ) -> Column:
     """fastText-architecture quality score: mean over tokens of a
     hashed weight lookup (+ bias), optionally squashed by a sigmoid.
@@ -297,7 +298,18 @@ def hashed_linear_score(
         raise ValueError(
             f"weights has {len(weights)} entries, expected n_buckets={n_buckets}"
         )
-    if weights is not None and n_buckets > 1024:
+    if serve_path not in ("auto", "expr", "pandas"):
+        raise ValueError(f"serve_path must be auto|expr|pandas, got {serve_path!r}")
+    # serve_path override (ADVICE r7): "pandas" forces the Python path
+    # for a model trained via train_hashed_linear (Python tokenizer),
+    # closing the JVM-toLowerCase vs str.lower() Unicode-version-skew
+    # window for small models; "expr" forces codegen (only sane for
+    # small weight tables — the array literal is O(n_buckets) PLAN
+    # size). Caveat either way: JVM `lower` and Python `.lower()` can
+    # disagree on rare Unicode; pick the path that matches training.
+    if weights is not None and (
+        serve_path == "pandas" or (serve_path == "auto" and n_buckets > 1024)
+    ):
         return _hashed_linear_pandas(
             text, [float(w) for w in weights], n_buckets, bias, sigmoid
         )
@@ -327,7 +339,17 @@ def _hashed_linear_pandas(
     """fastText-scale scoring: Arrow-batched UDF over a NumPy weight
     table. Same tokenizer (lowercase whitespace split), same md5
     bucket, same left-to-right fold as the expression path — the two
-    paths are value-identical, only the weight-shipping differs."""
+    paths are value-identical, only the weight-shipping differs.
+
+    Vectorized (r8): tokens are deduped per batch and each DISTINCT
+    token is md5-hashed exactly once, with a bounded cross-batch memo
+    (token -> bucket) amortizing the hash over a long-lived executor.
+    Bucket weights are then a NumPy gather; the per-doc total uses
+    np.cumsum, which accumulates STRICTLY left-to-right in float64
+    (np.sum's pairwise summation would change low-order bits and break
+    value-parity with the JVM F.aggregate fold). One cumsum per doc —
+    differencing a single concatenated cumsum would NOT reproduce the
+    per-doc fold ((a+b+c+d)-(a+b) != c+d in floats)."""
     import hashlib
     import math
 
@@ -339,6 +361,8 @@ def _hashed_linear_pandas(
 
     w = np.asarray(weights, dtype=np.float64)
     ws = re.compile(PY_JAVA_WS_RE)
+    memo: dict[str, int] = {}
+    _MEMO_CAP = 1 << 21  # ~2M distinct tokens; beyond that, hash fresh
 
     # NOTE: hints are spelled via pd.Series objects, not strings —
     # under `from __future__ import annotations` with pandas imported
@@ -347,15 +371,42 @@ def _hashed_linear_pandas(
     @pandas_udf("double")
     def _score(texts):
         # type: (pd.Series) -> pd.Series
-        out = []
-        for t in texts:
-            toks = [x for x in ws.split((t or "").lower()) if x]
-            total = 0.0
-            for tok in toks:
-                b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n_buckets
-                total += float(w[b])
-            raw = total / max(len(toks), 1) + bias
-            out.append(1.0 / (1.0 + math.exp(-raw)) if sigmoid else raw)
+        doc_toks = [
+            [x for x in ws.split((t or "").lower()) if x] for t in texts
+        ]
+        fresh = set()
+        for toks in doc_toks:
+            fresh.update(toks)
+        fresh.difference_update(memo)
+        if fresh:
+            hashed = {
+                tok: int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+                % n_buckets
+                for tok in fresh
+            }
+            if len(memo) < _MEMO_CAP:
+                memo.update(hashed)
+            lookup = {**memo, **hashed} if len(memo) >= _MEMO_CAP else memo
+        else:
+            lookup = memo
+        out = np.empty(len(doc_toks), dtype=np.float64)
+        for i, toks in enumerate(doc_toks):
+            if not toks:
+                out[i] = bias
+                continue
+            idx = np.fromiter(
+                (lookup[tok] for tok in toks), dtype=np.int64, count=len(toks)
+            )
+            # cumsum = sequential left-to-right accumulation in C
+            out[i] = float(np.cumsum(w[idx])[-1]) / len(toks) + bias
+        if sigmoid:
+            # math.exp per doc (not np.exp): keeps the exact libm call
+            # the scalar path used, one call per DOC so cost is trivial
+            out = np.fromiter(
+                (1.0 / (1.0 + math.exp(-x)) for x in out),
+                dtype=np.float64,
+                count=len(out),
+            )
         return pd.Series(out, dtype="float64")
 
     return _score(text)

@@ -1363,8 +1363,15 @@ def remove_duplicate_spans(
     combinable, boilerplate-skew-proof), one equi-join back on h, one
     groupBy(id) to gather each doc's duplicated starts (ints only —
     text does NOT move through it), one join of that small starts
-    table back to the scan. Coverage is a per-row array expression
-    (exists over the doc's own starts), never a window.
+    table back to the scan. Coverage is a per-row array expression,
+    never a window: the sorted starts are first merged into DISJOINT
+    [lo, hi) intervals in O(starts) (index-aware filter + zip_with —
+    a start opens an interval iff it exceeds prev_start + k), then
+    each token tests exists() over the intervals. A fully-duplicated
+    doc collapses to ONE interval, so the r7 O(tokens x starts)
+    worst case (10k-token doc, every gram duplicated, ~10^8 lambda
+    steps) becomes O(tokens); disjointness bounds intervals at
+    tokens/(k+1) in the adversarial alternating case.
     """
     starts = (
         duplicate_span_occurrences(
@@ -1384,11 +1391,38 @@ def remove_duplicate_spans(
         F.coalesce("_starts", F.array().cast("array<int>")).alias("_starts"),
         F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
     )
+    # merge the sorted 1-based starts into disjoint [lo, hi) token
+    # intervals (hi exclusive): start s_j opens a NEW interval iff
+    # j == 0 or s_j > s_{j-1} + k (can't merge into the previous
+    # gram's span); it CLOSES its interval iff it's the last start or
+    # s_{j+1} opens a new one. lows/his are equal-length by
+    # construction, zip_with pairs them. All O(starts), no fold-copy.
+    # element_at indices are clamped (greatest/least) because ANSI
+    # mode evaluates both disjuncts — index 0 / out-of-bounds would
+    # throw even when the positional disjunct already decides the row
+    sarr = F.col("_starts")
+    lows = F.filter(
+        sarr,
+        lambda s, j: (j == 0)
+        | (s > F.element_at(sarr, F.greatest(j, F.lit(1))) + k),
+    )
+    his = F.transform(
+        F.filter(
+            sarr,
+            lambda s, j: (j == F.size(sarr) - 1)
+            | (F.element_at(sarr, F.least(j + 2, F.size(sarr))) > s + k),
+        ),
+        lambda s: s + k,
+    )
+    intervals = F.zip_with(
+        lows, his, lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi"))
+    )
+    joined = joined.withColumn("_iv", intervals)
     kept = F.filter(
         F.col("_toks"),
         lambda t, i: ~F.exists(
-            F.col("_starts"),
-            lambda s: (s <= i + 1) & (i + 1 < s + k),
+            F.col("_iv"),
+            lambda iv: (iv["lo"] <= i + 1) & (i + 1 < iv["hi"]),
         ),
     )
     return joined.select(

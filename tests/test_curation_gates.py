@@ -392,3 +392,36 @@ def test_train_hashed_linear_rejects_poisonous_labels(spark):
     )
     with pytest.raises(ValueError, match="poison"):
         train_hashed_linear(nan_docs, n_buckets=8, iters=1)
+
+
+def test_hashed_linear_serve_path_override_parity(spark):
+    """ADVICE r7: serve_path='pandas' forces the Python path for a
+    small (<=1024-bucket) trained model; it must score BIT-IDENTICAL
+    to the expr path (same hash, same left-to-right fold), and
+    serve_path='expr' must stay Exchange-free codegen."""
+    nb = 256
+    import random
+
+    rng = random.Random(11)
+    weights = [rng.uniform(-1.0, 1.0) for _ in range(nb)]
+    rows = [(0, "alpha beta gamma beta"), (1, "delta eps"), (2, ""), (3, None)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def scores(path: str) -> dict[int, float]:
+        return {
+            r.doc_id: r.s
+            for r in docs.select(
+                "doc_id",
+                hashed_linear_score(
+                    F.col("text"), weights=weights, n_buckets=nb,
+                    bias=0.25, serve_path=path,
+                ).alias("s"),
+            ).collect()
+        }
+
+    expr, pandas_ = scores("expr"), scores("pandas")
+    for doc_id in expr:
+        assert expr[doc_id] == pandas_[doc_id], doc_id  # exact, not approx
+
+    with pytest.raises(ValueError, match="serve_path"):
+        hashed_linear_score(F.col("text"), serve_path="jvm")

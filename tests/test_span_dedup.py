@@ -129,3 +129,59 @@ def test_span_removal_plan_shape(spark, sf_dir):
     # exists anywhere (that would be the hot-gram skew trap)
     assert plan.count("ExistingRDD") == 2
     assert plan.count("Window") == 0
+
+
+def test_span_removal_interval_merge_semantics(spark):
+    """The r8 interval-merge coverage must be semantically identical to
+    the naive per-start exists: overlapping, adjacent, touching and
+    isolated duplicated grams all merge/split correctly."""
+    # docs 1,2 share a 12-token run -> overlapping 8-gram starts 1..5
+    # merge into ONE interval [1, 13); tail survives. doc 3 has two
+    # ISOLATED shared 8-grams separated by > k unique tokens -> two
+    # disjoint intervals with the separator kept.
+    shared = " ".join(f"s{i}" for i in range(12))
+    blockA = " ".join(f"a{i}" for i in range(8))
+    blockB = " ".join(f"b{i}" for i in range(8))
+    rows = [
+        (1, shared + " t1 t2 t3"),
+        (2, "u1 u2 " + shared),
+        (3, blockA + " gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 gap9 " + blockB),
+        (4, blockA + " x1 " + blockB),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            spark.createDataFrame(rows, "doc_id int, text string"), k=8
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "t1 t2 t3"
+    assert out[1]["n_removed"] == 12
+    assert out[2]["clean_text"] == "u1 u2"
+    assert out[3]["clean_text"] == "gap1 gap2 gap3 gap4 gap5 gap6 gap7 gap8 gap9"
+    assert out[3]["n_removed"] == 16
+    # doc 4's separator is INSIDE neither 8-gram but the two intervals
+    # [1,9) and [10,18) leave exactly it
+    assert out[4]["clean_text"] == "x1"
+
+
+def test_span_removal_pathological_fully_duplicated_doc(spark):
+    """r7 worst case: a 10k-token doc whose EVERY 8-gram is duplicated
+    (two identical docs). The merged coverage is ONE interval, so this
+    completes in O(tokens) instead of ~10^8 lambda steps."""
+    import time
+
+    text = " ".join(f"w{i % 37}x{i}" for i in range(10_000))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id int, text string"
+    )
+    t0 = time.perf_counter()
+    out = {r["doc_id"]: r for r in remove_duplicate_spans(docs, k=8).collect()}
+    dt = time.perf_counter() - t0
+    for d in (1, 2):
+        assert out[d]["clean_text"] == ""
+        assert out[d]["n_tokens"] == 10_000
+        assert out[d]["n_removed"] == 10_000
+        assert out[d]["n_dup_grams"] == 9_993
+    # generous wall bound: the quadratic path took minutes; the merged
+    # path is sub-second compute inside a few-second Spark job
+    assert dt < 60, f"pathological doc took {dt:.1f}s"
