@@ -380,6 +380,53 @@ def main():
     timed("cross-dedup flood 100k-doc hot buckets, UNCAPPED",
           lambda: flood_recall(None))
 
+    # the STORE-BACKED twin (r8, VERDICT item 6): the same flood corpus
+    # persisted as a signature store, probed by the same batch — the
+    # production admission path (near_dup_new_docs_store) where the
+    # corpus text is never re-shingled. Same recall contract, printed
+    # with the same breakdown; store build time reported separately so
+    # the probe numbers are comparable to the frame path above.
+    import tempfile
+
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        minhash_cross_dup_pairs_store,
+        write_minhash_store,
+    )
+
+    flood_store = tempfile.mkdtemp(prefix="flood_sig_store_")
+
+    timed(
+        "cross-dedup flood STORE build (100k+2k docs)",
+        lambda: (
+            write_minhash_store(corpus_fl, flood_store),
+            corpus_fl.count(),
+        )[1],
+    )
+
+    def flood_recall_store(max_bucket):
+        pairs = minhash_cross_dup_pairs_store(
+            batch_fl, flood_store, sim_threshold=0.5, max_bucket=max_bucket
+        )
+        found = pairs.select("batch_id").distinct()
+        normal_hits = found.filter(
+            (F.col("batch_id") >= 7_000_000) & (F.col("batch_id") < 7_500_000)
+        ).count()
+        flood_hits = found.filter(
+            (F.col("batch_id") >= 7_500_000) & (F.col("batch_id") < 8_000_000)
+        ).count()
+        print(
+            f"  store recall (max_bucket={max_bucket}): normal twins "
+            f"{normal_hits}/{n_normal_twins}, flood twins "
+            f"{flood_hits}/{n_flood_twins}",
+            flush=True,
+        )
+        return pairs.count()
+
+    timed("cross-dedup flood STORE probe, max_bucket=64",
+          lambda: flood_recall_store(64))
+    timed("cross-dedup flood STORE probe, UNCAPPED",
+          lambda: flood_recall_store(None))
+
     # curation gates: 10M synthetic docs through the scan-side trio
     # (hashed-linear clf + RE2 PII scrub + URL verdict) — one map
     # stage, zero shuffle; then the deterministic shard permutation

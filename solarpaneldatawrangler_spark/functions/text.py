@@ -121,9 +121,11 @@ def gopher_flags(
     min_words: int = 50,
     max_words: int = 100_000,
 ) -> Column:
-    """Struct of the seven Gopher rules, one boolean each (True = rule
+    """Struct of the Gopher rules (eight flags), one boolean each (True = rule
     satisfied): word-count bounds, mean word length in [3, 10],
-    symbol-to-word ratio (# and ellipsis) <= 0.1, <= 90% of lines
+    symbol-to-word ratio <= 0.1 for '#' and for ellipsis EACH (the
+    paper applies the 0.1 bound per symbol class, so these are two
+    flags), <= 90% of lines
     bullet-led, <= 30% of lines ellipsis-ended, >= 80% of words contain
     a letter, >= 2 distinct Gopher stop words present.
 
@@ -171,12 +173,49 @@ def gopher_flags(
     return F.struct(
         ((n >= min_words) & (n <= max_words)).alias("words_ok"),
         ((mwl >= 3.0) & (mwl <= 10.0)).alias("mwl_ok"),
-        (((n_hash + n_ellipsis).cast("double") / nz) <= 0.1).alias("symbol_ok"),
+        ((n_hash.cast("double") / nz) <= 0.1).alias("hash_ok"),
+        ((n_ellipsis.cast("double") / nz) <= 0.1).alias("ellipsis_sym_ok"),
         (bullet_frac <= 0.9).alias("bullet_ok"),
         (ell_frac <= 0.3).alias("ellipsis_ok"),
         (alpha_frac >= 0.8).alias("alpha_ok"),
         (stop_hits >= 2).alias("stopword_ok"),
     )
+
+
+def gopher_flags_sql(min_words: int = 50, max_words: int = 100_000) -> str:
+    """DuckDB replay of every gopher_flags rule (same tokenizer, same
+    per-class thresholds) as a list of aliased boolean columns over a
+    ``text`` column — the shared SQL builder consumed by both the
+    pytest replay and the q53 driver-oracle merge, so Spark and the
+    oracle can never drift apart silently."""
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+    lines = (
+        "list_filter(list_transform(string_split_regex(text, '\\n'), "
+        "l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), l -> len(l) > 0)"
+    )
+    sw = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    bullets = " OR ".join(
+        f"starts_with(l, '{b}')" for b in GOPHER_BULLETS
+    )
+    return f"""
+        len({toks}) BETWEEN {min_words} AND {max_words} AS words_ok,
+        (CAST(list_aggregate(list_transform({toks}, t -> len(t)), 'sum')
+              AS DOUBLE) / GREATEST(len({toks}), 1))
+            BETWEEN 3.0 AND 10.0 AS mwl_ok,
+        CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+            / GREATEST(len({toks}), 1) <= 0.1 AS hash_ok,
+        CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)
+            / GREATEST(len({toks}), 1) <= 0.1 AS ellipsis_sym_ok,
+        CAST(len(list_filter({lines}, l -> {bullets}))
+             AS DOUBLE) / GREATEST(len({lines}), 1) <= 0.9 AS bullet_ok,
+        CAST(len(list_filter({lines},
+                 l -> ends_with(l, '...') OR ends_with(l, '…')))
+             AS DOUBLE) / GREATEST(len({lines}), 1) <= 0.3 AS ellipsis_ok,
+        CAST(len(list_filter({toks}, t -> regexp_matches(t, '[a-z]')))
+             AS DOUBLE) / GREATEST(len({toks}), 1) >= 0.8 AS alpha_ok,
+        len(list_intersect(list_distinct({toks}), {sw})) >= 2
+            AS stopword_ok
+    """
 
 
 def gopher_pass(
@@ -187,8 +226,8 @@ def gopher_pass(
     f = gopher_flags(text, min_words, max_words)
     out = F.lit(True)
     for rule in (
-        "words_ok", "mwl_ok", "symbol_ok", "bullet_ok",
-        "ellipsis_ok", "alpha_ok", "stopword_ok",
+        "words_ok", "mwl_ok", "hash_ok", "ellipsis_sym_ok",
+        "bullet_ok", "ellipsis_ok", "alpha_ok", "stopword_ok",
     ):
         out = out & f[rule]
     return out

@@ -83,6 +83,109 @@ def train_bpe_merges(
     return merges
 
 
+def train_bpe_merges_distributed(
+    df: DataFrame,
+    n_merges: int = 64,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """Learn BPE merges from the WHOLE corpus — the 100 TB trainer that
+    removes ``bpe_merges_for_dir``'s sample bound, in the
+    kmeans_fit / train_hashed_linear loop shape (similarity.py:932,
+    curation.py:133): bounded model state lives on the DRIVER, each
+    iteration is one narrow partial-aggregate pass, the corpus text is
+    read exactly once.
+
+    Plan shape:
+    - ONE corpus pass builds the word-frequency table (mapInPandas
+      partial (word, n) counts per Arrow batch — the Zipf head
+      collapses inside each task — then a combinable SUM groupBy on
+      the word key). The table is localCheckpoint'ed: every training
+      iteration reads cached (word, n) rows, never the corpus. Its
+      size is the DISTINCT vocabulary, orders of magnitude below the
+      corpus.
+    - Per iteration: one mapInPandas pass over the word table emits
+      per-batch PARTIAL (a, b, count) adjacent-symbol-pair sums —
+      each word re-segmented with the merges learned so far via the
+      shared encode_word (per-task memo, same fixpoint-replace rule
+      as every other path) — and the driver merges the partials and
+      picks the (count DESC, pair lex ASC) best, exactly
+      train_bpe_merges' tie-break. Partial rows are bounded by
+      distinct symbol pairs (~symbol-vocab^2), not corpus size.
+    - The merge list is the rebroadcast driver state; iteration i
+      re-applies i-1 merges per word, so total work is
+      O(vocab x n_merges^2) worst case — with the per-task word memo
+      and a vocabulary far smaller than the corpus, this is the
+      standard trade for never materializing evolving word states.
+
+    Word counting runs through Python's ``str.lower().split()`` — the
+    SAME tokenizer as train_bpe_merges and bpe_encode (NOT the JVM
+    tokens(), whose Java \\s is ASCII-only) — so the distributed and
+    driver trainers produce IDENTICAL merge tables on any corpus
+    (pinned by tests/test_bpe.py's consistency test), and integer
+    counts make the partial-aggregation order irrelevant (no float-Z
+    concern).
+
+    Stops early when no pair occurs twice, like the driver trainer.
+    """
+    import pandas as pd
+
+    def word_counts(batches):
+        agg: Counter[str] = Counter()
+        for pdf in batches:
+            for t in pdf["_t"]:
+                agg.update((t or "").lower().split())
+        if agg:
+            yield pd.DataFrame(
+                {"w": list(agg.keys()), "n": list(agg.values())}
+            )
+
+    words = (
+        df.select(F.col(text_col).alias("_t"))
+        .mapInPandas(word_counts, "w string, n long")
+        .groupBy("w")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint()
+    )
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        frozen = list(merges)
+
+        def pair_counts(batches, _m=frozen):
+            memo: dict[str, list[str]] = {}
+            agg: Counter[tuple[str, str]] = Counter()
+            for pdf in batches:
+                for w, n in zip(pdf["w"], pdf["n"]):
+                    toks = memo.get(w)
+                    if toks is None:
+                        toks = memo[w] = encode_word(w, _m)
+                    for a, b in zip(toks, toks[1:]):
+                        agg[(a, b)] += int(n)
+            if agg:
+                yield pd.DataFrame(
+                    {
+                        "a": [p[0] for p in agg],
+                        "b": [p[1] for p in agg],
+                        "c": list(agg.values()),
+                    }
+                )
+
+        total: Counter[tuple[str, str]] = Counter()
+        for r in words.mapInPandas(
+            pair_counts, "a string, b string, c long"
+        ).collect():
+            total[(r["a"], r["b"])] += r["c"]
+        if not total:
+            break
+        best, cnt = min(
+            total.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 2:
+            break
+        merges.append(best)
+    return merges
+
+
 def encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
     """Encode one (lowercased) word with the learned merges — the
     reference implementation of the shared semantics."""
@@ -115,10 +218,11 @@ def bpe_merges_for_dir(
         order = np.argsort(t.column("doc_id").to_numpy(), kind="stable")[
             :sample_cap
         ]
-        texts = t.column("text").to_pylist()
-        got = _DIR_MERGES[key] = train_bpe_merges(
-            [texts[i] for i in order], n_merges
-        )
+        # take() the sampled rows BEFORE materializing to Python —
+        # to_pylist() on the full column would copy every doc's text
+        # driver-side just to keep sample_cap of them
+        texts = t.column("text").take(order).to_pylist()
+        got = _DIR_MERGES[key] = train_bpe_merges(texts, n_merges)
     return got
 
 

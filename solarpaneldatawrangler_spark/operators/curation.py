@@ -512,12 +512,13 @@ def write_corpus_jsonl(
     shuffle_shards (md5 permutation — reproducible on any engine), one
     JSON-lines directory per shard via partitionBy, rows in shard_pos
     order. The hash sums decimals (not bigints) so a 10^12-doc shard
-    cannot overflow under ANSI arithmetic. The manifest itself is
-    written driver-side to the local filesystem — for object stores,
-    ship it with the same uploader as the shards.
+    cannot overflow under ANSI arithmetic. The manifest is written
+    through the Hadoop FileSystem API (r8, closing the r7 ADVICE
+    item): on an HDFS/S3 release path it lands next to the shards
+    instead of raising after the expensive shard write the way a
+    driver-local open() would.
     """
     import json as _json
-    import os as _os
 
     # the content hash must survive a JSON round-trip: the verify side
     # re-reads the shards and re-renders each row, so column types whose
@@ -587,9 +588,40 @@ def write_corpus_jsonl(
             for r in stats
         },
     }
-    with open(_os.path.join(path, "_manifest.json"), "w") as f:
-        _json.dump(manifest, f, indent=2, sort_keys=True)
+    _write_text_file(
+        df.sparkSession,
+        f"{path.rstrip('/')}/_manifest.json",
+        _json.dumps(manifest, indent=2, sort_keys=True),
+    )
     return manifest
+
+
+def _write_text_file(spark, file_path: str, data: str) -> None:
+    """One small text file via the Hadoop FileSystem API — FS-agnostic
+    (local/HDFS/S3A), unlike a driver-local open(). Single-object
+    create, so the write is atomic on every FS Spark targets."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(file_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.create(hpath, True)
+    try:
+        stream.write(bytearray(data.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def _read_text_file(spark, file_path: str) -> str:
+    """Read one small text file via the Hadoop FileSystem API.
+    (A Spark reader can't do this: underscore-prefixed files are
+    hidden from Spark scans even when addressed directly.)"""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(file_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(hpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
 
 
 def verify_corpus_jsonl(spark, path: str) -> bool:
@@ -599,19 +631,22 @@ def verify_corpus_jsonl(spark, path: str) -> bool:
     is one scan + one combinable agg (order-independent hash, so shard
     files can arrive in any order/concatenation)."""
     import json as _json
-    import os as _os
 
-    with open(_os.path.join(path, "_manifest.json")) as f:
-        manifest = _json.load(f)
+    manifest = _json.loads(
+        _read_text_file(spark, f"{path.rstrip('/')}/_manifest.json")
+    )
     if not manifest["shards"]:
         # empty release (every doc gated out upstream): nothing to
         # hash — valid iff the directory holds no data files either
         # (read.json on a data-less dir cannot infer a schema and
         # would throw, so don't ask it to)
+        jvm = spark._jvm
+        hp = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hp.getFileSystem(spark._jsc.hadoopConfiguration())
         data = [
-            p
-            for p in _os.listdir(path)
-            if not p.startswith(("_", "."))
+            st.getPath().getName()
+            for st in fs.listStatus(hp)
+            if not st.getPath().getName().startswith(("_", "."))
         ]
         if data:
             raise ValueError(

@@ -662,6 +662,125 @@ def remove_boilerplate_paragraphs(
 
 # --- incremental exact dedup against a fingerprint store ---------------------
 
+# Durable-store layout (v2, r8): a store directory holds numbered
+# GENERATION data subdirectories plus (minhash only) the ``_meta``
+# params dir:
+#
+#   store/
+#     _meta/            minhash hash-family params (never deleted)
+#     gen-000001/       partitioned parquet (bucket=*/ or band=*/)
+#       _COMMITTED      empty marker: this generation is complete
+#     gen-000002/       ...
+#
+# Readers use the HIGHEST generation carrying a _COMMITTED marker;
+# appends go into it; compaction writes a brand-new generation and
+# commits it with one atomic empty-file create, then best-effort
+# deletes older generations. An interrupted compaction therefore
+# leaves the store either FULLY OLD (new gen exists but uncommitted —
+# invisible) or FULLY NEW (marker landed; stale gens are swept by the
+# next compaction): the r7 in-place overwrite's data-without-meta
+# crash window no longer exists, because nothing is ever truncated in
+# place and ``_meta`` is never rewritten by maintenance. Marker files
+# are underscore-prefixed so parquet scans of a generation ignore
+# them. Maintenance and ingest must not run concurrently (unchanged
+# contract — appends into a generation being swept would be lost).
+
+_GEN_PREFIX = "gen-"
+_COMMIT_MARK = "_COMMITTED"
+
+
+def _hadoop_fs(spark, path: str):
+    """(FileSystem, Path, jvm) for ``path`` via the session's Hadoop
+    conf — FS-agnostic (local, HDFS, S3A), unlike os.path."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def _list_gens(spark, path: str) -> list[tuple[int, str, bool]]:
+    """(gen_number, data_path, committed) for every generation dir
+    under ``path`` (committed or not), ascending. Empty when the store
+    directory is absent."""
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(_GEN_PREFIX)):
+            continue
+        try:
+            n = int(name[len(_GEN_PREFIX):])
+        except ValueError:
+            continue
+        mark = jvm.org.apache.hadoop.fs.Path(st.getPath(), _COMMIT_MARK)
+        out.append((n, str(st.getPath()), bool(fs.exists(mark))))
+    out.sort()
+    return out
+
+
+def _current_gen(spark, path: str) -> tuple[int, str] | None:
+    """Highest COMMITTED generation (number, data_path), or None when
+    the store has no complete data yet: absent dir, empty dir, or only
+    half-written generations from an interrupted initial write — all
+    read as 'no durable corpus state'. A directory that exists with
+    NO generation dirs but OTHER non-underscore content (stray files,
+    a pre-generation v1 layout) is damage, not emptiness, and raises —
+    silently treating it as an empty corpus would re-admit the whole
+    corpus (the drift-guard lesson)."""
+    gens = _list_gens(spark, path)
+    committed = [(n, p) for n, p, ok in gens if ok]
+    if committed:
+        return committed[-1]
+    if not gens:
+        fs, hpath, _jvm = _hadoop_fs(spark, path)
+        if fs.exists(hpath):
+            foreign = [
+                st.getPath().getName()
+                for st in fs.listStatus(hpath)
+                if not st.getPath().getName().startswith(("_", "."))
+            ]
+            if foreign:
+                raise ValueError(
+                    f"store {path} holds no generation dirs but other "
+                    f"content ({foreign[:5]}) — damaged or pre-r8 "
+                    "layout; migrate data into "
+                    f"{_GEN_PREFIX}000001/ with a {_COMMIT_MARK} marker"
+                )
+    return None
+
+
+def _next_gen_path(spark, path: str) -> tuple[int, str]:
+    """Allocate the next generation number past EVERY existing dir —
+    committed or not — so a retry after a crashed compaction never
+    collides with its half-written predecessor."""
+    gens = _list_gens(spark, path)
+    n = (gens[-1][0] + 1) if gens else 1
+    return n, f"{path.rstrip('/')}/{_GEN_PREFIX}{n:06d}"
+
+
+def _commit_gen(spark, path: str, n: int) -> None:
+    """Atomically publish generation ``n``: one empty-file create of
+    its _COMMITTED marker (single-object create — atomic on local FS,
+    HDFS and S3)."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    mark = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{_GEN_PREFIX}{n:06d}/{_COMMIT_MARK}"
+    )
+    fs.create(mark, True).close()
+
+
+def _sweep_old_gens(spark, path: str, keep: int) -> None:
+    """Best-effort recursive delete of every generation below ``keep``
+    (and uncommitted strays below it). Runs AFTER the new generation's
+    commit, so a crash mid-sweep only leaves stale dirs the next
+    compaction removes — readers already ignore them."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    for n, p, _ok in _list_gens(spark, path):
+        if n < keep:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+
+
 def _fp_bucket(fp: Column, n_buckets: int) -> Column:
     """Partition bucket from the first 16 bits of the md5 fingerprint —
     pure hex arithmetic, reproducible in any engine."""
@@ -689,13 +808,29 @@ def write_fingerprint_store(
     fingerprints hash into — partition pruning turns the corpus side
     of the dedup join into an O(batch) file scan (the IVF-store idiom,
     measured there as files_probed/files_total in bench's ivf_io).
+
+    Layout v2 (r8): data lives in committed generation subdirs (see
+    the module comment above _list_gens). mode='overwrite' writes a
+    NEW generation and commits it — the previous generation stays
+    readable until the commit lands, then is swept; mode='append'
+    appends into the current committed generation (creating gen 1 on
+    a fresh store).
     """
+    spark = df.sparkSession
     fps = (
         df.select(_store_fingerprint(text_col).alias("fingerprint"))
         .distinct()
         .withColumn("bucket", _fp_bucket(F.col("fingerprint"), n_buckets))
     )
-    fps.write.partitionBy("bucket").mode(mode).parquet(path)
+    if mode == "append":
+        cur = _current_gen(spark, path)
+        if cur is not None:
+            fps.write.partitionBy("bucket").mode("append").parquet(cur[1])
+            return
+    n, gen_path = _next_gen_path(spark, path)
+    fps.write.partitionBy("bucket").mode("overwrite").parquet(gen_path)
+    _commit_gen(spark, path, n)
+    _sweep_old_gens(spark, path, keep=n)
 
 
 def _store_fingerprint(text_col: str) -> Column:
@@ -734,15 +869,16 @@ def incremental_new_docs(
     normalized to "" first (_store_fingerprint) so repeated null docs
     cannot bypass the admission filter via NULL join keys.
 
-    A store that does not exist yet (first-ever ingest: the store is
-    only CREATED by write_fingerprint_store after the first admitted
-    batch) means an empty corpus — every row is new. Only the
-    missing-path analysis error is treated that way; a corrupt or
-    unreadable store still raises (the streaming drift-guard lesson:
-    never let a broad catch swallow the check itself).
+    A store with no COMMITTED generation yet — the directory is
+    absent (first-ever ingest: write_fingerprint_store only runs
+    after the first admitted batch), or exists but holds only
+    uncommitted maintenance debris — means an empty corpus: every
+    row is new. This also closes the r7 ADVICE inconsistency where an
+    existing-but-empty directory raised UNABLE_TO_INFER_SCHEMA here
+    while the minhash reader accepted it. A committed generation that
+    then fails to READ still raises (the streaming drift-guard
+    lesson: never let a broad catch swallow the check itself).
     """
-    from pyspark.errors.exceptions.captured import AnalysisException
-
     spark = batch.sparkSession
     b = batch.withColumn("_fp", _store_fingerprint(text_col))
     buckets = [
@@ -751,10 +887,18 @@ def incremental_new_docs(
         .distinct()
         .collect()
     ]
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    cur = _current_gen(spark, store_path)
+    if cur is None:
+        return b.drop("_fp")
     try:
-        store_df = spark.read.parquet(store_path)
+        store_df = spark.read.parquet(cur[1])
     except AnalysisException as ex:
-        if ex.getCondition() == "PATH_NOT_FOUND":
+        # a committed generation with ZERO rows (an admitted empty
+        # batch) has no parquet footers: an empty corpus, same as the
+        # minhash reader's contract (the r7 ADVICE consistency item)
+        if ex.getCondition() == "UNABLE_TO_INFER_SCHEMA":
             return b.drop("_fp")
         raise
     store = store_df.filter(F.col("bucket").isin(buckets)).select(
@@ -767,6 +911,7 @@ def compact_fingerprint_store(
     spark,
     path: str,
     n_buckets: int = 64,
+    _crash_point: str | None = None,
 ) -> None:
     """Rewrite the fingerprint store to ONE file per bucket with distinct
     fingerprints — the maintenance pass for append-heavy ingest.
@@ -778,22 +923,39 @@ def compact_fingerprint_store(
     Compaction restores the invariant probing cost: files_probed ==
     buckets_probed.
 
-    Plan shape: one read of the store, distinct per fingerprint, one
-    repartition on bucket (each bucket hashes to exactly one of the
-    n_buckets partitions, so the partitioned write emits exactly one
-    file per non-empty bucket), overwrite. The localCheckpoint
-    materializes the compacted rows BEFORE the overwrite truncates the
-    directory being read — the standard self-overwrite guard. At 100 TB
-    the store is ~32 bytes/doc; per-bucket compaction cost is bounded
-    and embarrassingly parallel."""
+    Plan shape: one read of the current generation, distinct per
+    fingerprint, one repartition on bucket (each bucket hashes to
+    exactly one of the n_buckets partitions, so the partitioned write
+    emits exactly one file per non-empty bucket), written into a NEW
+    generation directory and published by one atomic marker create
+    (_commit_gen); older generations are swept afterwards. ATOMIC by
+    construction (r8): a crash at any point leaves probes on the old
+    generation (marker never landed) or on the complete new one —
+    never on a truncated in-place overwrite, which is what the r7
+    version risked. At 100 TB the store is ~32 bytes/doc; per-bucket
+    compaction cost is bounded and embarrassingly parallel.
+
+    ``_crash_point`` is a test-only fault injection: "after_data"
+    raises after the new generation is fully written but before its
+    commit marker; "after_commit" raises after the marker but before
+    the old-generation sweep."""
+    cur = _current_gen(spark, path)
+    if cur is None:
+        raise ValueError(f"fingerprint store {path} has no committed data")
     df = (
-        spark.read.parquet(path)
+        spark.read.parquet(cur[1])
         .select("fingerprint", "bucket")
         .dropDuplicates(["fingerprint"])
         .repartition(n_buckets, F.col("bucket"))
-        .localCheckpoint()
     )
-    df.write.partitionBy("bucket").mode("overwrite").parquet(path)
+    n, gen_path = _next_gen_path(spark, path)
+    df.write.partitionBy("bucket").mode("overwrite").parquet(gen_path)
+    if _crash_point == "after_data":
+        raise RuntimeError("injected crash: after_data")
+    _commit_gen(spark, path, n)
+    if _crash_point == "after_commit":
+        raise RuntimeError("injected crash: after_commit")
+    _sweep_old_gens(spark, path, keep=n)
 
 
 # --- cross-corpus near-dup (incremental ingest admission) --------------------
@@ -985,12 +1147,15 @@ def _write_sig_meta(spark, path: str, meta: dict) -> None:
 
 
 def _sig_store_has_data(spark, path: str) -> bool:
-    """True iff the store directory holds readable signature rows
-    (underscore-prefixed entries like _meta/_SUCCESS don't count)."""
+    """True iff the store holds signature rows in a COMMITTED
+    generation (uncommitted maintenance debris doesn't count)."""
+    cur = _current_gen(spark, path)
+    if cur is None:
+        return False
     from pyspark.errors.exceptions.captured import AnalysisException
 
     try:
-        return len(spark.read.parquet(path).take(1)) > 0
+        return len(spark.read.parquet(cur[1]).take(1)) > 0
     except AnalysisException as ex:
         if ex.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             return False
@@ -999,16 +1164,18 @@ def _sig_store_has_data(spark, path: str) -> bool:
 
 def _require_sig_meta(spark, path: str) -> dict | None:
     """Meta for probing: None = store genuinely absent (bootstrap);
-    meta missing while DATA exists = a half-finished maintenance write
-    (e.g. compaction interrupted between its overwrite and the meta
-    restore) and MUST fail loudly — treating it as absent would both
-    skip the probe and let the next append overwrite the store."""
+    meta missing while COMMITTED data exists MUST fail loudly —
+    treating it as absent would both skip the probe and let the next
+    append overwrite the store. Since r8's generation layout,
+    maintenance never touches _meta, so this state can only come from
+    external damage (a deleted _meta dir), not from an interrupted
+    compaction."""
     meta = _read_sig_meta(spark, path)
     if meta is None and _sig_store_has_data(spark, path):
         raise ValueError(
             f"minhash store {path} has signature rows but no _meta — "
-            "likely an interrupted compaction; restore _meta (the "
-            "hash-family params) before probing or appending"
+            "restore _meta (the hash-family params) before probing "
+            "or appending"
         )
     return meta
 
@@ -1060,11 +1227,19 @@ def write_minhash_store(
         ),
         "id",
     )
-    rows.write.mode(mode).partitionBy("band").parquet(path)
+    # layout v2 (r8): data in committed generation subdirs (see the
+    # store-layout comment above _list_gens); append goes into the
+    # current generation, overwrite publishes a new one
+    if mode == "append" and (cur := _current_gen(spark, path)) is not None:
+        rows.write.mode("append").partitionBy("band").parquet(cur[1])
+    else:
+        n, gen_path = _next_gen_path(spark, path)
+        rows.write.mode("overwrite").partitionBy("band").parquet(gen_path)
+        _commit_gen(spark, path, n)
+        _sweep_old_gens(spark, path, keep=n)
     # a validated append (meta already present and equal) skips the
     # meta rewrite: it would delete-and-recreate _meta on every
-    # micro-batch, adding a recurring data-without-meta crash window
-    # for zero benefit
+    # micro-batch for zero benefit
     if not (mode == "append" and have is not None):
         _write_sig_meta(spark, path, meta)
 
@@ -1122,29 +1297,31 @@ def minhash_cross_dup_pairs_store(
     )
     from pyspark.errors.exceptions.captured import AnalysisException
 
-    try:
-        store = spark.read.parquet(store_path)
-    except AnalysisException as ex:
-        if ex.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            # meta written, zero data rows: an empty corpus
-            from pyspark.sql.types import (
-                DoubleType,
-                StructField,
-                StructType,
-            )
+    cur = _current_gen(spark, store_path)
+    store = None
+    if cur is not None:
+        try:
+            store = spark.read.parquet(cur[1])
+        except AnalysisException as ex:
+            # a committed generation holding ZERO rows (first batch
+            # had nothing shingle-able) has no parquet footers at all
+            if ex.getCondition() != "UNABLE_TO_INFER_SCHEMA":
+                raise
+    if store is None:
+        # meta written, zero committed data rows: an empty corpus
+        from pyspark.sql.types import DoubleType, StructField, StructType
 
-            id_type = batch.schema[id_col].dataType
-            return spark.createDataFrame(
-                [],
-                StructType(
-                    [
-                        StructField("batch_id", id_type),
-                        StructField("corpus_id", id_type),
-                        StructField("est_jaccard", DoubleType()),
-                    ]
-                ),
-            )
-        raise
+        id_type = batch.schema[id_col].dataType
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("batch_id", id_type),
+                    StructField("corpus_id", id_type),
+                    StructField("est_jaccard", DoubleType()),
+                ]
+            ),
+        )
     c_banded = store.select("id", "band", "band_sig")
     if max_bucket is not None:
         from solarpaneldatawrangler_spark.operators.similarity import _cap_buckets
@@ -1193,7 +1370,9 @@ def minhash_cross_dup_pairs_store(
     )
 
 
-def compact_minhash_store(spark, path: str) -> None:
+def compact_minhash_store(
+    spark, path: str, _crash_point: str | None = None
+) -> None:
     """Rewrite the signature store to ONE file per band partition with
     exact-duplicate rows collapsed — the compact_fingerprint_store
     maintenance pass for the near-dup half (mode='append' writes a file
@@ -1201,25 +1380,35 @@ def compact_minhash_store(spark, path: str) -> None:
     key is the FULL row (id, band, band_sig, sig): an id appended with
     two text versions keeps both signatures, so probe verdicts are
     identical before and after (collapsing on (id, band) would drop an
-    arbitrary version). Bands come from the store's own meta; the
-    localCheckpoint materializes before the self-overwrite truncates
-    the directory being read; the meta (which the overwrite deletes) is
-    restored in the same pass — and should a crash land between the
-    two, probes refuse the meta-less data loudly (_require_sig_meta)
-    instead of bootstrapping over the store."""
+    arbitrary version). Bands come from the store's own meta.
+
+    ATOMIC by construction (r8, generation layout): the compacted
+    rows land in a NEW generation directory, published by one atomic
+    marker create; ``_meta`` is NEVER touched by maintenance, so the
+    r7 data-without-meta crash window (overwrite deletes meta, crash
+    before the restore) no longer exists — an interrupted compaction
+    leaves probes on the old generation or the complete new one,
+    never refusing. ``_crash_point`` = test-only fault injection
+    ("after_data" / "after_commit")."""
     meta = _read_sig_meta(spark, path)
     if meta is None:
         raise ValueError(f"minhash store {path} has no _meta to compact")
-    if not _sig_store_has_data(spark, path):
+    cur = _current_gen(spark, path)
+    if cur is None:
         return  # meta-only store (nothing shingle-able yet): no-op
     df = (
-        spark.read.parquet(path)
+        spark.read.parquet(cur[1])
         .dropDuplicates(["id", "band", "band_sig", "sig"])
         .repartition(int(meta["bands"]), F.col("band"))
-        .localCheckpoint()
     )
-    df.write.partitionBy("band").mode("overwrite").parquet(path)
-    _write_sig_meta(spark, path, meta)
+    n, gen_path = _next_gen_path(spark, path)
+    df.write.partitionBy("band").mode("overwrite").parquet(gen_path)
+    if _crash_point == "after_data":
+        raise RuntimeError("injected crash: after_data")
+    _commit_gen(spark, path, n)
+    if _crash_point == "after_commit":
+        raise RuntimeError("injected crash: after_commit")
+    _sweep_old_gens(spark, path, keep=n)
 
 
 def near_dup_new_docs_store(

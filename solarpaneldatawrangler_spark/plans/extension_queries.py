@@ -11,6 +11,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from solarpaneldatawrangler_spark.functions.text import (
+    gopher_flags,
+    gopher_flags_sql,
     lang_marker_score,
     mean_word_length,
     punct_ratio,
@@ -35,6 +37,13 @@ from solarpaneldatawrangler_spark.sources.star import load_table
 
 # DuckDB fragment: whitespace tokens of lowercased text, empties dropped
 _SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+# the eight gopher_flags struct fields, in declaration order (shared
+# with the q53 merge and its oracle columns)
+_GOPHER_RULES = [
+    "words_ok", "mwl_ok", "hash_ok", "ellipsis_sym_ok",
+    "bullet_ok", "ellipsis_ok", "alpha_ok", "stopword_ok",
+]
 
 
 # --- exact dedup (hash-groupBy) + paragraph dedup (merged r7) ----------------
@@ -646,6 +655,13 @@ def _lang_rates_values_or_none(mass_sql: str = "COUNT(*)") -> str | None:
         return None
 
 
+def _and_all(cols):
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
 def _q53_oracle_or_none() -> str | None:
     values = _lang_rates_values_or_none()
     wvalues = _lang_rates_values_or_none(f"SUM(len({_SQL_TOKS}))")
@@ -685,6 +701,9 @@ def _q53_oracle_or_none() -> str | None:
                CAST(SUM(CAST(logp AS DECIMAL(27,6))) AS DOUBLE) AS lm_sum_r,
                COUNT(*) AS lm_n
         FROM bsc GROUP BY doc_id
+    ),
+    gflags AS (
+        SELECT doc_id, {gopher_flags_sql()} FROM documents
     )
     SELECT s.doc_id, s.lang,
            CASE WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
@@ -700,11 +719,17 @@ def _q53_oracle_or_none() -> str | None:
            (('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
               / 4294967296.0) < w.lang_wrate AS wkept,
            COALESCE(l.lm_sum_r, 0.0) AS lm_sum_r,
-           COALESCE(l.lm_n, 0) AS lm_n
+           COALESCE(l.lm_n, 0) AS lm_n,
+           g.words_ok, g.mwl_ok, g.hash_ok, g.ellipsis_sym_ok,
+           g.bullet_ok, g.ellipsis_ok, g.alpha_ok, g.stopword_ok,
+           (g.words_ok AND g.mwl_ok AND g.hash_ok AND g.ellipsis_sym_ok
+            AND g.bullet_ok AND g.ellipsis_ok AND g.alpha_ok
+            AND g.stopword_ok) AS gopher_ok
     FROM scores s
     JOIN trates t USING (lang)
     JOIN twrates w USING (lang)
     LEFT JOIN blm l ON l.doc_id = s.doc_id
+    JOIN gflags g ON g.doc_id = s.doc_id
     """
 
 
@@ -731,7 +756,12 @@ def _q53_oracle_or_none() -> str | None:
     "Hashed surfaces: lang-ID (doc_id, lang, pred_lang); temperature "
     "(lang_n, lang_rate, kept); weighted temperature (lang_wn, "
     "lang_wrate, wkept); LM (lm_sum_r, lm_n — pins tokenizer, "
-    "count tables, vocab size, smoothing, and the summation contract).",
+    "count tables, vocab size, smoothing, and the summation contract). "
+    "ALSO MERGED (r8): the full Gopher rule battery (functions.text."
+    "gopher_flags — Rae et al. 2021 Appendix A, hash and ellipsis "
+    "symbol classes gated SEPARATELY per the paper) as eight boolean "
+    "columns plus the conjunction gopher_ok, oracle via the shared "
+    "gopher_flags_sql builder.",
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.curation import bigram_lm_score
@@ -768,6 +798,7 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_rate").alias("_wrate"),
     )
     lm = bigram_lm_score(docs)
+    docs = docs.withColumn("_g", gopher_flags(t))
     return (
         docs.join(F.broadcast(rates), "lang")
         .join(F.broadcast(wrates), "lang")
@@ -784,6 +815,10 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hash_bucket(F.col("doc_id")) < F.col("_wrate")).alias("wkept"),
             "lm_sum_r",
             "lm_n",
+            *[F.col(f"_g.{r}").alias(r) for r in _GOPHER_RULES],
+            _and_all(
+                [F.col(f"_g.{r}") for r in _GOPHER_RULES]
+            ).alias("gopher_ok"),
         )
     )
 

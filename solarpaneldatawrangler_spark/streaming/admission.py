@@ -48,7 +48,7 @@ def admit_batch(
     signature_store: str | None = None,
     with_exact_new: bool = False,
     **minhash_kwargs,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """One micro-batch through the full admission chain, cheapest gate
     first (the curate_corpus ordering contract):
 

@@ -83,3 +83,43 @@ def test_bpe_encode_duckdb_recursive_replay(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     got = bpe_encode(docs, merges)
     compare(got, run_oracle(_bpe_oracle(merges), sf_dir), "bpe_encode")
+
+
+def test_distributed_trainer_matches_driver_trainer(spark, sf_dir):
+    """Train-path consistency (the IVF idiom): the distributed
+    whole-corpus trainer must produce the IDENTICAL merge table to the
+    driver-side trainer on the same corpus — same tokenizer, same
+    (count DESC, pair lex ASC) tie-break, same early stop."""
+    from solarpaneldatawrangler_spark.operators.bpe import (
+        train_bpe_merges_distributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        "doc_id < 300"
+    ).select("doc_id", "text")
+    got = train_bpe_merges_distributed(docs.repartition(7), n_merges=24)
+    texts = [r["text"] for r in docs.collect()]
+    want = train_bpe_merges(texts, n_merges=24)
+    assert got == want
+    assert len(got) == 24  # the corpus has at least 24 learnable merges
+
+
+def test_distributed_trainer_early_stop_and_repartition_invariance(spark):
+    """No pair occurring twice -> empty merge table; and the result is
+    invariant to physical partitioning (integer partial sums)."""
+    from solarpaneldatawrangler_spark.operators.bpe import (
+        train_bpe_merges_distributed,
+    )
+
+    uniq = spark.createDataFrame(
+        [(1, "ab cd"), (2, "ef gh")], "doc_id int, text string"
+    )
+    assert train_bpe_merges_distributed(uniq, n_merges=8) == []
+
+    rows = [(i, "banana band bandit " + f"u{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    one = train_bpe_merges_distributed(docs.coalesce(1), n_merges=10)
+    many = train_bpe_merges_distributed(docs.repartition(13), n_merges=10)
+    assert one == many == train_bpe_merges(
+        [t for _, t in rows], n_merges=10
+    )

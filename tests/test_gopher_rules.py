@@ -1,6 +1,6 @@
 """The Gopher quality-filter rule battery (Rae et al. 2021 Appendix A):
 hand cases pinning each rule's trigger, a DuckDB replay of the whole
-seven-flag struct over the real corpus, and the curate_corpus gate."""
+eight-flag struct (hash and ellipsis symbol classes gated separately, per the paper) over the real corpus, and the curate_corpus gate."""
 
 from __future__ import annotations
 
@@ -8,46 +8,13 @@ import duckdb
 from pyspark.sql import functions as F
 
 from solarpaneldatawrangler_spark.functions.text import (
-    GOPHER_STOPWORDS,
     gopher_flags,
+    gopher_flags_sql,
     gopher_pass,
 )
 
-_SQL_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
-_SQL_LINES = (
-    "list_filter(list_transform(string_split_regex(text, '\\n'), "
-    "l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), l -> len(l) > 0)"
-)
-_SW_SQL = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
-
-
-def gopher_flags_sql(min_words: int = 50, max_words: int = 100_000) -> str:
-    """DuckDB replay of every gopher_flags rule (same tokenizer, same
-    thresholds) as a list of aliased boolean columns."""
-    return f"""
-        len({_SQL_TOKS}) BETWEEN {min_words} AND {max_words} AS words_ok,
-        (CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum')
-              AS DOUBLE) / GREATEST(len({_SQL_TOKS}), 1))
-            BETWEEN 3.0 AND 10.0 AS mwl_ok,
-        CAST(length(text) - length(replace(text, '#', ''))
-             + len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)
-            / GREATEST(len({_SQL_TOKS}), 1) <= 0.1 AS symbol_ok,
-        CAST(len(list_filter({_SQL_LINES},
-                 l -> starts_with(l, '•') OR starts_with(l, '‣')
-                   OR starts_with(l, '- ') OR starts_with(l, '* ')))
-             AS DOUBLE) / GREATEST(len({_SQL_LINES}), 1) <= 0.9 AS bullet_ok,
-        CAST(len(list_filter({_SQL_LINES},
-                 l -> ends_with(l, '...') OR ends_with(l, '…')))
-             AS DOUBLE) / GREATEST(len({_SQL_LINES}), 1) <= 0.3 AS ellipsis_ok,
-        CAST(len(list_filter({_SQL_TOKS}, t -> regexp_matches(t, '[a-z]')))
-             AS DOUBLE) / GREATEST(len({_SQL_TOKS}), 1) >= 0.8 AS alpha_ok,
-        len(list_intersect(list_distinct({_SQL_TOKS}), {_SW_SQL})) >= 2
-            AS stopword_ok
-    """
-
-
 _RULES = [
-    "words_ok", "mwl_ok", "symbol_ok", "bullet_ok",
+    "words_ok", "mwl_ok", "hash_ok", "ellipsis_sym_ok", "bullet_ok",
     "ellipsis_ok", "alpha_ok", "stopword_ok",
 ]
 
@@ -106,7 +73,8 @@ def test_gopher_rules_hand_cases(spark):
     assert all(got[0].values()), got[0]
     assert not got[1]["words_ok"]
     assert not got[2]["mwl_ok"]
-    assert not got[3]["symbol_ok"]
+    assert not got[3]["hash_ok"]
+    assert got[3]["ellipsis_sym_ok"]  # per-class: hash flood alone trips only hash_ok
     assert not got[4]["bullet_ok"]
     assert not got[5]["ellipsis_ok"]
     assert not got[6]["alpha_ok"]

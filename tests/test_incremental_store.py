@@ -7,6 +7,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from solarpaneldatawrangler_spark.operators.dedup import (
@@ -46,7 +48,7 @@ def test_store_scan_is_partition_pruned(spark, sf_dir, tmp_path):
     write_fingerprint_store(
         load_table(spark, sf_dir, "documents").select("doc_id", "text"), store
     )
-    n_partitions = len(glob.glob(os.path.join(store, "bucket=*")))
+    n_partitions = len(glob.glob(os.path.join(store, "gen-*", "bucket=*")))
     assert n_partitions > 16, "store too coarse for a pruning test"
     # a 3-doc batch can hash into at most 3 buckets
     batch = spark.createDataFrame(
@@ -249,7 +251,7 @@ def test_compaction_bounds_probe_cost_after_appends(spark, tmp_path):
         write_fingerprint_store(admitted, store, mode="append")
 
     def files_per_bucket():
-        buckets = glob.glob(os.path.join(store, "bucket=*"))
+        buckets = glob.glob(os.path.join(store, "gen-*", "bucket=*"))
         counts = [
             len(glob.glob(os.path.join(b, "*.parquet"))) for b in buckets
         ]
@@ -409,9 +411,9 @@ def test_minhash_store_compaction_preserves_verdicts(spark, tmp_path):
     ).withColumn("doc_id", F.col("doc_id") + 1000)
     before = {r.doc_id for r in near_dup_new_docs_store(
         batch, store, sim_threshold=0.9).collect()}
-    n_files_before = len(glob.glob(os.path.join(store, "band=*", "*.parquet")))
+    n_files_before = len(glob.glob(os.path.join(store, "gen-*", "band=*", "*.parquet")))
     compact_minhash_store(spark, store)
-    n_files_after = len(glob.glob(os.path.join(store, "band=*", "*.parquet")))
+    n_files_after = len(glob.glob(os.path.join(store, "gen-*", "band=*", "*.parquet")))
     after = {r.doc_id for r in near_dup_new_docs_store(
         batch, store, sim_threshold=0.9).collect()}
     assert before == after == {1100}  # twin of stored doc 3 rejected
@@ -451,9 +453,9 @@ def test_minhash_store_empty_data_and_corrupt_states(spark, tmp_path):
     shutil.rmtree(f"{full_store}/_meta")
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="interrupted compaction"):
+    with _pytest.raises(ValueError, match="no _meta"):
         near_dup_new_docs_store(batch, full_store)
-    with _pytest.raises(ValueError, match="interrupted compaction"):
+    with _pytest.raises(ValueError, match="no _meta"):
         write_minhash_store(
             docs, full_store, mode="append", num_hashes=16, bands=4
         )
@@ -491,3 +493,120 @@ def test_minhash_store_multi_version_id_keeps_both(spark, tmp_path):
         ).collect()
     }
     assert pairs[(100, 42)] == 1.0 and pairs[(101, 42)] == 1.0
+
+
+def test_interrupted_compaction_exact_store_fully_old_or_fully_new(
+    spark, tmp_path
+):
+    """r8 atomic maintenance: a compaction crash at ANY point leaves
+    the exact store either fully old (new generation invisible) or
+    fully new (marker landed) — probes never refuse, never see a
+    truncated store, and a retry completes normally."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        compact_fingerprint_store,
+        incremental_new_docs,
+        write_fingerprint_store,
+    )
+
+    store = str(tmp_path / "fp_atomic")
+    docs = spark.createDataFrame(
+        [(i, f"stored document {i}") for i in range(30)],
+        "doc_id long, text string",
+    )
+    write_fingerprint_store(docs, store)
+    for i in range(3):  # grow per-bucket file counts via appends
+        write_fingerprint_store(
+            spark.createDataFrame(
+                [(100 + i, f"appended doc {i}")], "doc_id long, text string"
+            ),
+            store,
+            mode="append",
+        )
+    probe = spark.createDataFrame(
+        [(7, "stored document 7"), (999, "genuinely new")],
+        "doc_id long, text string",
+    )
+    want = {999}
+
+    # crash BEFORE the commit marker: store reads fully OLD
+    with pytest.raises(RuntimeError, match="after_data"):
+        compact_fingerprint_store(spark, store, _crash_point="after_data")
+    assert {
+        r.doc_id for r in incremental_new_docs(probe, store).collect()
+    } == want
+    # appended fingerprints must still be present (old gen intact)
+    assert incremental_new_docs(
+        spark.createDataFrame(
+            [(5, "appended doc 1")], "doc_id long, text string"
+        ),
+        store,
+    ).count() == 0
+
+    # crash AFTER the marker (before the sweep): store reads fully NEW
+    with pytest.raises(RuntimeError, match="after_commit"):
+        compact_fingerprint_store(spark, store, _crash_point="after_commit")
+    assert {
+        r.doc_id for r in incremental_new_docs(probe, store).collect()
+    } == want
+
+    # a clean retry converges: one file per bucket, same verdicts
+    compact_fingerprint_store(spark, store)
+    gens = glob.glob(os.path.join(store, "gen-*"))
+    assert len(gens) == 1  # stale generations swept
+    per_bucket = [
+        len(glob.glob(os.path.join(b, "*.parquet")))
+        for b in glob.glob(os.path.join(store, "gen-*", "bucket=*"))
+    ]
+    assert per_bucket and max(per_bucket) == 1
+    assert {
+        r.doc_id for r in incremental_new_docs(probe, store).collect()
+    } == want
+
+
+def test_interrupted_compaction_minhash_store_never_refuses(spark, tmp_path):
+    """The minhash twin: maintenance never touches _meta under the
+    generation layout, so the r7 data-without-meta refusal state is
+    unreachable from compaction — probes keep answering through both
+    crash points with identical verdicts."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        compact_minhash_store,
+        near_dup_new_docs_store,
+        write_minhash_store,
+    )
+
+    store = str(tmp_path / "sig_atomic")
+    mk = lambda i: (i, f"document number {i} about solar arrays " * 3)  # noqa: E731
+    write_minhash_store(
+        spark.createDataFrame([mk(0)], "doc_id long, text string"),
+        store, num_hashes=16, bands=4,
+    )
+    for i in range(1, 5):
+        write_minhash_store(
+            spark.createDataFrame([mk(i)], "doc_id long, text string"),
+            store, mode="append", num_hashes=16, bands=4,
+        )
+    batch = spark.createDataFrame(
+        [mk(3), (100, "novel content never stored anywhere " * 3)],
+        "doc_id long, text string",
+    ).withColumn("doc_id", F.col("doc_id") + 1000)
+
+    def verdict():
+        return {
+            r.doc_id
+            for r in near_dup_new_docs_store(
+                batch, store, sim_threshold=0.9
+            ).collect()
+        }
+
+    want = verdict()
+    assert want == {1100}
+    with pytest.raises(RuntimeError, match="after_data"):
+        compact_minhash_store(spark, store, _crash_point="after_data")
+    assert verdict() == want
+    with pytest.raises(RuntimeError, match="after_commit"):
+        compact_minhash_store(spark, store, _crash_point="after_commit")
+    assert verdict() == want
+    compact_minhash_store(spark, store)
+    assert verdict() == want
+    assert len(glob.glob(os.path.join(store, "gen-*"))) == 1
+    assert os.path.isdir(os.path.join(store, "_meta"))  # never deleted
