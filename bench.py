@@ -777,6 +777,49 @@ def _bpe_encode_bench(spark, sf_dir):
     return bpe_encode(docs, bpe_merges_for_dir(sf_dir, n_merges=64))
 
 
+def _bpe_train_dist_bench(spark, sf_dir):
+    """Whole-corpus distributed BPE training (r8): one word-count pass
+    + 24 narrow partial-pair-count iterations with driver-side merge
+    state. Returns the learned merge table as a DataFrame so the
+    standard count() trigger times the full loop."""
+    from solarpaneldatawrangler_spark.operators.bpe import (
+        train_bpe_merges_distributed,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = train_bpe_merges_distributed(docs, n_merges=24)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "idx int, a string, b string"
+    )
+
+
+def _clf_big_model_bench(spark, sf_dir):
+    """fastText-scale hashed-linear serving (r8): a 2^15-bucket trained
+    weight table through the vectorized Arrow/NumPy pandas path — the
+    distinct-token md5 memo + gather/cumsum scorer every real model
+    takes."""
+    import random
+
+    from solarpaneldatawrangler_spark.operators.curation import (
+        hashed_linear_score,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(8)
+    nb = 1 << 15
+    weights = [rng.uniform(-1.0, 1.0) for _ in range(nb)]
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        hashed_linear_score(
+            F.col("text"), weights=weights, n_buckets=nb, sigmoid=True
+        ).alias("clf"),
+    )
+
+
 def _data_card_bench(spark, sf_dir):
     """Corpus data card: scan-stage stats + one combinable fingerprint
     shuffle + the rollup agg (q46's merged 'card' half)."""
@@ -880,6 +923,8 @@ EXTRA = {
     "x_lm_score": _lm_score_bench,
     "x_bpe_encode": _bpe_encode_bench,
     "x_data_card": _data_card_bench,
+    "x_bpe_train_dist": _bpe_train_dist_bench,
+    "x_clf_big_model": _clf_big_model_bench,
 }
 
 
