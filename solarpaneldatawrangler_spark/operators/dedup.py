@@ -1562,24 +1562,6 @@ def remove_duplicate_spans(
     steps) becomes O(tokens); disjointness bounds intervals at
     tokens/(k+1) in the adversarial alternating case.
     """
-    starts = (
-        duplicate_span_occurrences(
-            df, text_col, id_col, k, min_count, reproducible=reproducible
-        )
-        .groupBy("id")
-        .agg(
-            F.sort_array(F.collect_list("pos")).alias("_starts"),
-            F.count(F.lit(1)).alias("n_dup_grams"),
-        )
-    )
-    toks = tokens(F.col(text_col))
-    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
-    joined = base.join(starts, "id", "left").select(
-        "id",
-        "_toks",
-        F.coalesce("_starts", F.array().cast("array<int>")).alias("_starts"),
-        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
-    )
     # merge the sorted 1-based starts into disjoint [lo, hi) token
     # intervals (hi exclusive): start s_j opens a NEW interval iff
     # j == 0 or s_j > s_{j-1} + k (can't merge into the previous
@@ -1588,7 +1570,19 @@ def remove_duplicate_spans(
     # construction, zip_with pairs them. All O(starts), no fold-copy.
     # element_at indices are clamped (greatest/least) because ANSI
     # mode evaluates both disjuncts — index 0 / out-of-bounds would
-    # throw even when the positional disjunct already decides the row
+    # throw even when the positional disjunct already decides the row.
+    #
+    # CRITICAL placement note: the merge is computed HERE, in the
+    # aggregate-side projection BEFORE the join back to the corpus —
+    # not in a projection above the join. Above the join, `_iv` is a
+    # single-reference alias and CollapseProject INLINES the whole
+    # merge expression into the per-token filter lambda below, where a
+    # higher-order function body re-evaluates it PER TOKEN — silently
+    # restoring the O(tokens x starts) blowup this merge exists to
+    # kill (measured: 20 fully-duplicated 10k-token docs, 63 s inlined
+    # vs ~1 s behind the join boundary). A join output attribute
+    # cannot be inlined across the join, so the merge provably runs
+    # once per doc.
     sarr = F.col("_starts")
     lows = F.filter(
         sarr,
@@ -1606,7 +1600,26 @@ def remove_duplicate_spans(
     intervals = F.zip_with(
         lows, his, lambda lo, hi: F.struct(lo.alias("lo"), hi.alias("hi"))
     )
-    joined = joined.withColumn("_iv", intervals)
+    starts = (
+        duplicate_span_occurrences(
+            df, text_col, id_col, k, min_count, reproducible=reproducible
+        )
+        .groupBy("id")
+        .agg(
+            F.sort_array(F.collect_list("pos")).alias("_starts"),
+            F.count(F.lit(1)).alias("n_dup_grams"),
+        )
+        .select("id", intervals.alias("_iv"), "n_dup_grams")
+    )
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    empty_iv = F.array().cast("array<struct<lo:int,hi:int>>")
+    joined = base.join(starts, "id", "left").select(
+        "id",
+        "_toks",
+        F.coalesce("_iv", empty_iv).alias("_iv"),
+        F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+    )
     kept = F.filter(
         F.col("_toks"),
         lambda t, i: ~F.exists(
