@@ -286,6 +286,224 @@ def duplicate_line_fraction(text: Column) -> Column:
     )
 
 
+def paragraphs_array(text: Column) -> Column:
+    """Trimmed non-empty paragraphs → array<string> (with
+    multiplicity). Paragraph = blank-line-separated block, the SAME
+    split as operators.dedup._split_paragraphs (PARA_SEP_RE twin kept
+    literal here to avoid a functions→operators import cycle), so the
+    repetition signals and paragraph dedup agree on what a paragraph
+    is. Trim matches nonempty_lines' full-whitespace regexp."""
+    return F.filter(
+        F.transform(
+            F.split(text, r"\n[ \t\n\f\r\x0B]*\n"),
+            lambda p: F.regexp_replace(p, r"^\s+|\s+$", ""),
+        ),
+        lambda p: F.length(p) > 0,
+    )
+
+
+def duplicate_paragraph_fraction(text: Column) -> Column:
+    """Gopher repetition signal: fraction of non-empty paragraphs that
+    are repeats of an earlier paragraph (1 - distinct/total; 0 for
+    paragraph-less docs)."""
+    ps = paragraphs_array(text)
+    return F.round(
+        F.when(
+            F.size(ps) >= 1,
+            F.lit(1.0)
+            - F.size(F.array_distinct(ps)).cast("double")
+            / F.size(ps).cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def _dup_char_fraction(arr: Column) -> Column:
+    """Fraction of CHARACTERS sitting in repeated occurrences of the
+    array's elements: 1 - chars(distinct)/chars(all). Both sums are
+    aggregate folds with O(1) lambdas over collection arguments —
+    inlining-safe (the span-dedup CollapseProject lesson: lambdas here
+    never reference an O(doc) subtree)."""
+    tot = F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dis = F.aggregate(
+        F.array_distinct(arr),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    return F.round(
+        F.when(
+            tot >= 1,
+            F.lit(1.0) - dis.cast("double") / tot.cast("double"),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def duplicate_line_char_fraction(text: Column) -> Column:
+    """Gopher repetition signal: fraction of line characters inside
+    duplicated lines (every occurrence beyond the first counts)."""
+    return _dup_char_fraction(nonempty_lines(text))
+
+
+def duplicate_paragraph_char_fraction(text: Column) -> Column:
+    """Gopher repetition signal: paragraph-character twin of
+    duplicate_line_char_fraction."""
+    return _dup_char_fraction(paragraphs_array(text))
+
+
+def top_ngram_char_fraction(text: Column, n: int = 2) -> Column:
+    """Gopher repetition signal: characters claimed by the most
+    frequent word n-gram — occurrences(g*) x len(g*) over the canonical
+    single-spaced token join's length. Overlapping occurrences are NOT
+    merged (matching the published gate's arithmetic), so degenerate
+    text ("the the the ...") can exceed 1; the gate only compares
+    against a threshold.
+
+    Shape: one O(m log m) sort of the gram array, then ONE aggregate
+    fold carrying (prev gram, current run length, best score) — the
+    lambda touches only its element and the accumulator, never an
+    O(doc) subtree, so CollapseProject inlining cannot make it
+    quadratic (the span-dedup lesson). Ties on count resolve to the
+    LONGEST character claim (max over runs of count x len), which is
+    the quantity the rule thresholds."""
+    gs = F.sort_array(word_ngrams(text, n))
+    # acc: (prev gram value, run length of prev, best count*len so far)
+    init = F.struct(
+        F.lit(None).cast("string").alias("v"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    def step(acc, g):
+        run = F.when(
+            acc["v"].isNotNull() & (acc["v"] == g), acc["run"] + 1
+        ).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            g.alias("v"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(g)).alias("best"),
+        )
+    best = F.aggregate(gs, init, step)["best"]
+    toks = tokens(text)
+    denom = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) + F.greatest(F.size(toks) - 1, F.lit(0))
+    return F.round(
+        F.when(
+            denom >= 1, best.cast("double") / denom.cast("double")
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+# Rae et al. 2021 Table A1 thresholds for the repetition battery:
+# (signal, threshold) — a document PASSES a rule when its fraction is
+# <= the threshold.
+GOPHER_REP_THRESHOLDS: dict[str, float] = {
+    "dup_line": 0.30,
+    "dup_para": 0.30,
+    "dup_line_char": 0.20,
+    "dup_para_char": 0.20,
+    "top_2gram_char": 0.20,
+    "top_3gram_char": 0.18,
+    "top_4gram_char": 0.16,
+    "dup_5gram_char": 0.15,
+    "dup_6gram_char": 0.14,
+    "dup_7gram_char": 0.13,
+    "dup_8gram_char": 0.12,
+    "dup_9gram_char": 0.11,
+    "dup_10gram_char": 0.10,
+}
+
+
+def gopher_repetition_flags(text: Column) -> Column:
+    """Struct of the scan-side Gopher REPETITION rules (Rae et al. 2021
+    Table A1) — the companion battery to gopher_flags: duplicate
+    line/paragraph fractions (count and character) and top-2/3/4-gram
+    character fractions, each thresholded per the paper (True = rule
+    satisfied). The dup-5..10-gram character-coverage rules need a
+    per-doc hash map (union coverage) and live in
+    operators.curation.gopher_dup_ngram_char_fracs — compose both for
+    the paper's full 13-rule repetition gate."""
+    return F.struct(
+        (duplicate_line_fraction(text)
+         <= GOPHER_REP_THRESHOLDS["dup_line"]).alias("dup_line_ok"),
+        (duplicate_paragraph_fraction(text)
+         <= GOPHER_REP_THRESHOLDS["dup_para"]).alias("dup_para_ok"),
+        (duplicate_line_char_fraction(text)
+         <= GOPHER_REP_THRESHOLDS["dup_line_char"]).alias("dup_line_char_ok"),
+        (duplicate_paragraph_char_fraction(text)
+         <= GOPHER_REP_THRESHOLDS["dup_para_char"]).alias("dup_para_char_ok"),
+        (top_ngram_char_fraction(text, 2)
+         <= GOPHER_REP_THRESHOLDS["top_2gram_char"]).alias("top2_ok"),
+        (top_ngram_char_fraction(text, 3)
+         <= GOPHER_REP_THRESHOLDS["top_3gram_char"]).alias("top3_ok"),
+        (top_ngram_char_fraction(text, 4)
+         <= GOPHER_REP_THRESHOLDS["top_4gram_char"]).alias("top4_ok"),
+    )
+
+
+def lines_sql(text_expr: str) -> str:
+    """DuckDB replay of nonempty_lines over an arbitrary text expr."""
+    return (
+        f"list_filter(list_transform(string_split_regex({text_expr}, "
+        "'\\n'), l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), "
+        "l -> len(l) > 0)"
+    )
+
+
+def paragraphs_sql(text_expr: str) -> str:
+    """DuckDB replay of paragraphs_array (same PARA_SEP split)."""
+    return (
+        f"list_filter(list_transform(string_split_regex({text_expr}, "
+        "'\\n[ \\t\\n\\f\\r\\x0B]*\\n'), "
+        "l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), l -> len(l) > 0)"
+    )
+
+
+def dup_fraction_sql(arr_expr: str) -> str:
+    """DuckDB replay of the 1 - distinct/total repetition fraction."""
+    return (
+        f"ROUND(CASE WHEN len({arr_expr}) >= 1 THEN 1.0 - "
+        f"CAST(len(list_distinct({arr_expr})) AS DOUBLE) / len({arr_expr}) "
+        "ELSE 0.0 END, 6)"
+    )
+
+
+def dup_char_fraction_sql(arr_expr: str) -> str:
+    """DuckDB replay of _dup_char_fraction."""
+    tot = f"list_sum(list_transform({arr_expr}, x -> len(x)))"
+    dis = f"list_sum(list_transform(list_distinct({arr_expr}), x -> len(x)))"
+    return (
+        f"ROUND(CASE WHEN COALESCE({tot}, 0) >= 1 THEN 1.0 - "
+        f"CAST({dis} AS DOUBLE) / {tot} ELSE 0.0 END, 6)"
+    )
+
+
+def top_ngram_char_fraction_sql(text_expr: str, n: int) -> str:
+    """DuckDB replay of top_ngram_char_fraction: max over n-gram runs
+    of count x len(gram), over the canonical single-spaced join's
+    length — as a scalar subquery usable per documents row."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_expr}), '\\s+'),"
+        " t -> len(t) > 0)"
+    )
+    return f"""
+      ROUND(COALESCE((
+        SELECT MAX(cnt * len(g)) FROM (
+            SELECT array_to_string(list_slice(t.toks, CAST(u.i AS INT),
+                       CAST(u.i AS INT) + {n - 1}), ' ') AS g,
+                   COUNT(*) AS cnt
+            FROM (SELECT {toks} AS toks) t,
+                 LATERAL UNNEST(range(1, len(t.toks) - {n} + 2)) AS u(i)
+            GROUP BY g
+        )), 0) / GREATEST(
+            list_sum(list_transform({toks}, x -> len(x)))
+              + GREATEST(len({toks}) - 1, 0), 1), 6)
+    """
+
+
 def repeated_ngram_fraction(text: Column, n: int = 2) -> Column:
     """Gopher repetition signal: fraction of word n-grams that are
     repeats (1 - distinct/total). Degenerate generated text ("the the

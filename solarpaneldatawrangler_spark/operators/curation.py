@@ -431,6 +431,130 @@ def hashed_linear_score_sql(
     )
 
 
+# --- Gopher dup-n-gram character coverage (the UDF half of the
+# --- repetition battery) ----------------------------------------------------
+
+GOPHER_DUP_NGRAM_NS = (5, 6, 7, 8, 9, 10)
+
+
+def gopher_dup_ngram_char_fracs(text: Column) -> Column:
+    """struct<d5..d10: double>: for each n in 5..10, the fraction of
+    token CHARACTERS covered by word n-grams that occur at least twice
+    in the document — the dup-n-gram half of Gopher's repetition
+    battery (Rae et al. 2021 Table A1; the count/top-gram half is
+    functions.text.gopher_repetition_flags). Coverage is the UNION of
+    the duplicated grams' token spans (the paper's no-double-counting
+    rule); denominator = total token characters (separators excluded);
+    fractions rounded half-up to 6dp.
+
+    Why a pandas UDF (the documented exception, like the big-model
+    scorer): per-document union coverage needs a gram-count hash map
+    plus positional marking — O(m) per doc imperatively, but only
+    expressible in pure Catalyst as either a per-row O(m^2) expression
+    or six corpus-wide explode+shuffle rounds. One Arrow-batched
+    map-only pass computing all six n at once is the 100 TB shape:
+    zero shuffle, ~O(10 x m) Python per doc. Tokenizer is the Python
+    twin of the JVM whitespace class (PY_JAVA_WS_RE) so the battery
+    agrees with the expression half on any text. DuckDB-replayable
+    via UNNEST/GROUP BY (tests + the q52 merge oracle them)."""
+    import math
+    import re
+    from collections import Counter
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(PY_JAVA_WS_RE)
+    ns = GOPHER_DUP_NGRAM_NS
+
+    @pandas_udf("d5 double, d6 double, d7 double, d8 double, d9 double, d10 double")
+    def _fracs(texts):
+        # type: (pd.Series) -> pd.DataFrame
+        rows = []
+        for t in texts:
+            toks = [x for x in ws.split((t or "").lower()) if x]
+            lens = [len(x) for x in toks]
+            total = sum(lens)
+            m = len(toks)
+            out = []
+            for n in ns:
+                if total == 0 or m < n:
+                    out.append(0.0)
+                    continue
+                grams = [" ".join(toks[i : i + n]) for i in range(m - n + 1)]
+                cnt = Counter(grams)
+                covered = bytearray(m)
+                for i, g in enumerate(grams):
+                    if cnt[g] >= 2:
+                        covered[i : i + n] = b"\x01" * n
+                num = sum(l for l, c in zip(lens, covered) if c)
+                # explicit half-up (Python round() is half-even; the
+                # oracle replays FLOOR(x*1e6 + 0.5)/1e6)
+                out.append(math.floor(num / total * 1e6 + 0.5) / 1e6)
+            rows.append(out)
+        return pd.DataFrame(rows, columns=[f"d{n}" for n in ns])
+
+    return _fracs(text)
+
+
+def gopher_dup_ngram_sql(text_expr: str) -> str:
+    """DuckDB replay of gopher_dup_ngram_char_fracs over the
+    ``documents`` table: one SELECT yielding (doc_id, d5..d10). The
+    oracle mirrors the SEMANTICS (union coverage over duplicated
+    n-grams, token-char denominator, half-up 6dp) with UNNEST/GROUP BY
+    — not the implementation."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_expr}), '\\s+'),"
+        " t -> len(t) > 0)"
+    )
+    parts = []
+    for n in GOPHER_DUP_NGRAM_NS:
+        parts.append(f"""
+g{n} AS (
+    SELECT b.doc_id, CAST(u.i AS INT) AS i,
+           array_to_string(list_slice(b.toks, CAST(u.i AS INT),
+                                      CAST(u.i AS INT) + {n - 1}), ' ') AS g
+    FROM btoks b, LATERAL UNNEST(range(1, len(b.toks) - {n} + 2)) AS u(i)
+    WHERE len(b.toks) >= {n}
+),
+d{n} AS (
+    SELECT doc_id, g FROM g{n} GROUP BY doc_id, g HAVING COUNT(*) >= 2
+),
+c{n} AS (
+    SELECT t.doc_id,
+           SUM(CASE WHEN EXISTS (
+                 SELECT 1 FROM g{n} s JOIN d{n} d
+                   ON d.doc_id = s.doc_id AND d.g = s.g
+                 WHERE s.doc_id = t.doc_id
+                   AND s.i <= t.j AND t.j < s.i + {n})
+               THEN len(t.tok) ELSE 0 END) AS num
+    FROM trows t GROUP BY t.doc_id
+)""")
+    sels = ",\n           ".join(
+        f"COALESCE(FLOOR(CAST(c{n}.num AS DOUBLE) / tt.total * 1000000 + 0.5)"
+        f" / 1000000, 0.0) AS d{n}"
+        for n in GOPHER_DUP_NGRAM_NS
+    )
+    joins = "\n    ".join(
+        f"LEFT JOIN c{n} ON c{n}.doc_id = tt.doc_id"
+        for n in GOPHER_DUP_NGRAM_NS
+    )
+    return f"""
+    WITH btoks AS (SELECT doc_id, {toks} AS toks FROM documents),
+    trows AS (
+        SELECT b.doc_id, CAST(u.j AS INT) AS j,
+               b.toks[CAST(u.j AS INT)] AS tok
+        FROM btoks b, LATERAL UNNEST(range(1, len(b.toks) + 1)) AS u(j)
+    ),
+    tt AS (SELECT doc_id, SUM(len(tok)) AS total FROM trows GROUP BY doc_id),
+    {",".join(p for p in parts)}
+    SELECT tt.doc_id,
+           {sels}
+    FROM tt
+    {joins}
+    """
+
+
 # --- deterministic training shards -----------------------------------------
 
 

@@ -481,8 +481,26 @@ _MARKUP_TEXT_SQL = (
 def _q52_oracle() -> str:
     from solarpaneldatawrangler_spark.functions.text import (
         MARKUP_TAG_RE,
+        dup_char_fraction_sql,
+        dup_fraction_sql,
+        lines_sql,
+        paragraphs_sql,
         strip_markup_sql,
+        top_ngram_char_fraction_sql,
     )
+    from solarpaneldatawrangler_spark.operators.curation import (
+        gopher_dup_ngram_sql,
+    )
+
+    rtext = (
+        "text || ' ' || substr(text, 1,"
+        " CAST(FLOOR(length(text) / 2) AS INT))"
+    )
+    ltext = (
+        "text || chr(10) || text || chr(10) || chr(10) ||"
+        " substr(text, 1, 25)"
+    )
+    rep_lines, rep_paras = lines_sql(ltext), paragraphs_sql(ltext)
 
     return f"""
     WITH feats AS (
@@ -494,6 +512,12 @@ def _q52_oracle() -> str:
             CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum') AS DOUBLE)
               / GREATEST(len({_SQL_TOKS}), 1) AS mwl,
             {hashed_linear_score_sql("text")} AS clf,
+            {dup_fraction_sql(rep_lines)} AS rep_lf,
+            {dup_char_fraction_sql(rep_lines)} AS rep_lcf,
+            {dup_fraction_sql(rep_paras)} AS rep_pf,
+            {dup_char_fraction_sql(rep_paras)} AS rep_pcf,
+            {top_ngram_char_fraction_sql(rtext, 2)} AS rep_top2,
+            {top_ngram_char_fraction_sql(rtext, 3)} AS rep_top3,
             {_PII_TEXT_SQL} AS ptext,
             {_MARKUP_TEXT_SQL} AS mtext
         FROM documents
@@ -524,6 +548,14 @@ def _q52_oracle() -> str:
            ROUND(sw * 0.5 + (1.0 - pr) * 0.3
                  + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
                  6) AS quality,
+           f.rep_lf, f.rep_lcf, f.rep_pf, f.rep_pcf,
+           f.rep_top2, f.rep_top3,
+           COALESCE(rep.d5, 0.0) AS rep_d5,
+           COALESCE(rep.d6, 0.0) AS rep_d6,
+           COALESCE(rep.d7, 0.0) AS rep_d7,
+           COALESCE(rep.d8, 0.0) AS rep_d8,
+           COALESCE(rep.d9, 0.0) AS rep_d9,
+           COALESCE(rep.d10, 0.0) AS rep_d10,
            ROUND(clf, 6) AS clf_r,
            CAST(len(regexp_extract_all(ptext, '{_PII_EMAIL_RE2}'))
                 + len(regexp_extract_all(ptext, '{_PII_IP_RE2}')) AS BIGINT)
@@ -536,6 +568,7 @@ def _q52_oracle() -> str:
            COALESCE(k.kw, '') AS kw,
            COALESCE(k.kw_score_r, 0.0) AS kw_score_r
     FROM feats f LEFT JOIN kwagg k USING (doc_id)
+    LEFT JOIN ({gopher_dup_ngram_sql(rtext)}) rep ON rep.doc_id = f.doc_id
     """
 
 
@@ -560,17 +593,30 @@ def _q52_oracle() -> str:
     "doubles). Hashed surfaces: quality (quality_score), clf_r "
     "(hashed_linear_score), pii_n + red_fp (redact_pii/pii_count), "
     "tag_n + strip_fp (strip_markup/markup_tag_count), kw + kw_score_r "
-    "(tfidf_keywords).",
+    "(tfidf_keywords). ALSO MERGED (r8): the full Gopher REPETITION "
+    "battery over repetition-derived texts — rep_lf/rep_lcf/rep_pf/"
+    "rep_pcf (duplicate line/paragraph count+char fractions), "
+    "rep_top2/rep_top3 (top-n-gram char fractions, O(m) sorted-run "
+    "fold), rep_d5..rep_d10 (dup-n-gram union char coverage via the "
+    "Arrow-batched gopher_dup_ngram_char_fracs — the documented "
+    "pandas-UDF exception), each oracle-replayed through the shared "
+    "SQL builders.",
 )
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.functions.text import (
         PII_PATTERNS_RE2,
+        duplicate_line_char_fraction,
+        duplicate_line_fraction,
+        duplicate_paragraph_char_fraction,
+        duplicate_paragraph_fraction,
         markup_tag_count,
         pii_count,
         redact_pii,
         strip_markup,
+        top_ngram_char_fraction,
     )
     from solarpaneldatawrangler_spark.operators.curation import (
+        gopher_dup_ngram_char_fracs,
         hashed_linear_score,
     )
     from solarpaneldatawrangler_spark.operators.ranking import tfidf_keywords
@@ -590,9 +636,30 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string"),
         F.lit(";</script>&amp; <!-- x --></div>"),
     )
+    # repetition-derived texts (r8): rtext plants token repetition
+    # (text + its first half), ltext plants line/paragraph repetition —
+    # both replayed literally in the oracle
+    rtext = F.concat_ws(
+        " ",
+        F.col("text"),
+        F.col("text").substr(
+            F.lit(1), F.floor(F.length("text") / 2).cast("int")
+        ),
+    )
+    ltext = F.concat(
+        F.col("text"), F.lit("\n"), F.col("text"), F.lit("\n\n"),
+        F.col("text").substr(F.lit(1), F.lit(25)),
+    )
     base = docs.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
+        duplicate_line_fraction(ltext).alias("rep_lf"),
+        duplicate_line_char_fraction(ltext).alias("rep_lcf"),
+        duplicate_paragraph_fraction(ltext).alias("rep_pf"),
+        duplicate_paragraph_char_fraction(ltext).alias("rep_pcf"),
+        top_ngram_char_fraction(rtext, 2).alias("rep_top2"),
+        top_ngram_char_fraction(rtext, 3).alias("rep_top3"),
+        gopher_dup_ngram_char_fracs(rtext).alias("_rep"),
         F.round(hashed_linear_score(F.col("text")), 6).alias("clf_r"),
         pii_count(ptext, patterns=PII_PATTERNS_RE2).cast("long").alias("pii_n"),
         F.md5(redact_pii(ptext, patterns=PII_PATTERNS_RE2)).alias("red_fp"),
@@ -603,6 +670,13 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(kw, "doc_id", "left").select(
         "doc_id",
         "quality",
+        "rep_lf",
+        "rep_lcf",
+        "rep_pf",
+        "rep_pcf",
+        "rep_top2",
+        "rep_top3",
+        *[F.col(f"_rep.d{n}").alias(f"rep_d{n}") for n in (5, 6, 7, 8, 9, 10)],
         "clf_r",
         "pii_n",
         "red_fp",
