@@ -53,6 +53,7 @@ class CurationReport:
     n_after_lm: int = -1
     n_after_boilerplate: int = -1
     n_after_gopher: int = -1
+    n_after_rep_battery: int = -1
 
 
 def drop_near_duplicates(
@@ -115,6 +116,7 @@ def curate_corpus(
     decontam_min_shared: int = 5,
     decontam_min_shared_frac: float | None = None,
     max_repetition: float | None = None,
+    gopher_repetition_gate: bool = False,
     gopher_gate: bool = False,
     gopher_min_words: int = 50,
     gopher_max_words: int = 100_000,
@@ -194,8 +196,15 @@ def curate_corpus(
     first copy of the remaining genuine repeats;
     ``temperature_weight_col`` switches the temperature mixture from a
     document budget to a weight (token) budget; ``gopher_gate`` applies
-    the published seven-rule Gopher heuristic battery (functions.text
-    .gopher_pass) beside the repetition gate.
+    the published Gopher rule battery (functions.text.gopher_pass)
+    beside the repetition gate.
+
+    Round-8 gate: ``gopher_repetition_gate`` applies the FULL 13-rule
+    Gopher repetition battery (Rae et al. Table A1 thresholds) —
+    the expression signals plus the dup-5..10-gram union char-coverage
+    rules (one Arrow-batched pass) — superseding the simpler
+    ``max_repetition`` two-signal gate when both are set (both run;
+    max_repetition first).
     """
     if temperature_alpha is not None and sample_rates:
         raise ValueError(
@@ -365,6 +374,41 @@ def curate_corpus(
         norep.count() if (with_report and max_repetition is not None) else -1
     )
 
+    # 4a'. full Gopher REPETITION battery (optional, r8): all 13
+    # Table A1 repetition rules at the paper's thresholds — the seven
+    # expression signals (line/paragraph dup count+char fractions,
+    # top-2/3/4-gram char fractions) plus the six dup-5..10-gram union
+    # char-coverage rules from the Arrow UDF (computed ONCE per row —
+    # the struct is projected, then each field thresholds it)
+    if gopher_repetition_gate:
+        from solarpaneldatawrangler_spark.functions.text import (
+            GOPHER_REP_THRESHOLDS,
+            gopher_repetition_flags,
+        )
+        from solarpaneldatawrangler_spark.operators.curation import (
+            GOPHER_DUP_NGRAM_NS,
+            gopher_dup_ngram_char_fracs,
+        )
+
+        flagged = norep.withColumn(
+            "_repf", gopher_repetition_flags(F.col(text_col))
+        ).withColumn("_repd", gopher_dup_ngram_char_fracs(F.col(text_col)))
+        cond = F.lit(True)
+        for fl in (
+            "dup_line_ok", "dup_para_ok", "dup_line_char_ok",
+            "dup_para_char_ok", "top2_ok", "top3_ok", "top4_ok",
+        ):
+            cond = cond & F.col(f"_repf.{fl}")
+        for n in GOPHER_DUP_NGRAM_NS:
+            cond = cond & (
+                F.col(f"_repd.d{n}")
+                <= GOPHER_REP_THRESHOLDS[f"dup_{n}gram_char"]
+            )
+        norep = flagged.filter(cond).drop("_repf", "_repd")
+    n_rep_battery = (
+        norep.count() if (with_report and gopher_repetition_gate) else -1
+    )
+
     # 4b. Gopher rule battery (optional, scan-stage): the published
     # seven-rule heuristic gate (word-count bounds, mean word length,
     # symbol/bullet/ellipsis ratios, alpha-word fraction, stop-word
@@ -476,6 +520,7 @@ def curate_corpus(
             n_after_classifier=n_clf, n_after_spans=n_spans,
             n_after_lm=n_lm, n_after_boilerplate=n_bp,
             n_after_gopher=n_gopher,
+            n_after_rep_battery=n_rep_battery,
         )
         if with_report
         else None

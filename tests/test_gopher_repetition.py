@@ -250,3 +250,44 @@ def test_expression_signals_match_duckdb(spark, sf_dir):
     for c in ["lf", "lcf", "pf", "pcf", "t3"]:
         assert got[c].tolist() == pytest.approx(want[c].tolist(), abs=2e-6), c
     assert got["lf"].min() > 0.0  # the derivation plants dup lines
+
+
+def test_curate_corpus_repetition_gate(spark):
+    """curate_corpus(gopher_repetition_gate=True) drops the planted
+    repetitious docs, keeps clean ones, reports the stage count, and
+    evaluates the Arrow UDF struct once (a single ArrowEvalPython in
+    the plan)."""
+    from solarpaneldatawrangler_spark.pipeline_text import curate_corpus
+
+    rows = [
+        # mutually distinct clean docs (shared words would trip the
+        # near-dup stage, not the repetition gate under test)
+        (
+            i,
+            " ".join(f"word{i}x{j}" for j in range(40)),
+            "en",
+        )
+        for i in range(6)
+    ] + [
+        # heavy 6-gram repetition: trips the dup-ngram coverage rules
+        (100, ("repeat this exact six gram block " * 12) + "x", "en"),
+        # line repetition
+        (101, "\n".join(["the same line of text here"] * 10), "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out, report = curate_corpus(
+        docs,
+        min_quality=0.0,
+        gopher_repetition_gate=True,
+        with_report=True,
+    )
+    kept = {r.doc_id for r in out.select("doc_id").collect()}
+    assert kept == set(range(6))
+    assert report.n_after_rep_battery == 6
+
+    # plan: the six d-field thresholds must share ONE Arrow UDF eval
+    out2, _ = curate_corpus(
+        docs, min_quality=0.0, gopher_repetition_gate=True, with_report=False
+    )
+    plan = out2._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
