@@ -444,6 +444,104 @@ def gopher_repetition_flags(text: Column) -> Column:
     )
 
 
+# --- C4 cleaning battery (Raffel et al. 2020, "Exploring the Limits
+# --- of Transfer Learning...", §2.2) ----------------------------------------
+
+# a line survives C4 cleaning iff it ends in terminal punctuation
+# (period, exclamation, question mark, or closing quote — the paper's
+# rule), carries at least 5 words, and does not mention javascript
+C4_TERMINAL_RE = "[.!?\"']$"
+
+
+def c4_kept_lines(text: Column, min_words: int = 5) -> Column:
+    """Lines kept by the C4 line-level cleaning rules: trimmed
+    non-empty lines ending in terminal punctuation, with at least
+    ``min_words`` whitespace words, not containing 'javascript'
+    (case-insensitive). Pure expressions; the inner word count's
+    collection argument derives only from the line element, so lambdas
+    stay O(line) (the CollapseProject inlining rule). Null text is
+    normalized to '' (the repo's null-text contract), matching the
+    COALESCE in the SQL replay."""
+    return F.filter(
+        nonempty_lines(F.coalesce(text, F.lit(""))),
+        lambda l: l.rlike(C4_TERMINAL_RE)
+        & (
+            F.size(
+                F.filter(
+                    F.split(l, r"\s+"), lambda w: F.length(w) > 0
+                )
+            )
+            >= min_words
+        )
+        & ~F.contains(F.lower(l), F.lit("javascript")),
+    )
+
+
+def c4_clean(text: Column, min_words: int = 5) -> Column:
+    """The C4-cleaned document: surviving lines re-joined with
+    newlines ('' when every line is dropped)."""
+    return F.array_join(c4_kept_lines(text, min_words), "\n")
+
+
+def c4_doc_flags(
+    text: Column, min_words: int = 5, min_sentences: int = 3
+) -> Column:
+    """Struct of the C4 document-level gates over the RAW text plus
+    stats of the cleaned text: ``has_brace`` ('{' — the code-page
+    rule), ``has_lorem`` ('lorem ipsum', case-insensitive),
+    ``n_kept_lines``, ``n_sentences`` (terminal-punctuation runs in
+    the cleaned text — the paper's >= 3-sentence rule, with sentence
+    boundaries approximated by [.!?]+ runs), and ``c4_ok`` (all gates
+    pass). Scan-side, zero shuffle, DuckDB-replayable
+    (c4_flags_sql)."""
+    kept = c4_kept_lines(text, min_words)
+    cleaned = F.array_join(kept, "\n")
+    n_sent = F.size(
+        F.regexp_extract_all(cleaned, F.lit(r"[.!?]+"), F.lit(0))
+    )
+    has_brace = F.contains(F.coalesce(text, F.lit("")), F.lit("{"))
+    has_lorem = F.contains(
+        F.lower(F.coalesce(text, F.lit(""))), F.lit("lorem ipsum")
+    )
+    return F.struct(
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        F.size(kept).alias("n_kept_lines"),
+        n_sent.alias("n_sentences"),
+        (
+            ~has_brace & ~has_lorem & (n_sent >= min_sentences)
+        ).alias("c4_ok"),
+    )
+
+
+def c4_kept_lines_sql(text_expr: str, min_words: int = 5) -> str:
+    """DuckDB replay of c4_kept_lines over an arbitrary text expr."""
+    lines = lines_sql(f"COALESCE({text_expr}, '')")
+    return (
+        f"list_filter({lines}, l -> "
+        "regexp_matches(l, '[.!?\"'']$') AND "
+        "len(list_filter(string_split_regex(l, '\\s+'), w -> len(w) > 0))"
+        f" >= {min_words} AND NOT contains(lower(l), 'javascript'))"
+    )
+
+
+def c4_flags_sql(text_expr: str, min_words: int = 5, min_sentences: int = 3) -> str:
+    """DuckDB replay of c4_doc_flags as aliased columns."""
+    kept = c4_kept_lines_sql(text_expr, min_words)
+    cleaned = f"array_to_string({kept}, chr(10))"
+    n_sent = f"len(regexp_extract_all({cleaned}, '[.!?]+'))"
+    has_brace = f"contains(COALESCE({text_expr}, ''), '{{')"
+    has_lorem = f"contains(lower(COALESCE({text_expr}, '')), 'lorem ipsum')"
+    return f"""
+        {has_brace} AS has_brace,
+        {has_lorem} AS has_lorem,
+        len({kept}) AS n_kept_lines,
+        {n_sent} AS n_sentences,
+        (NOT {has_brace} AND NOT {has_lorem}
+         AND {n_sent} >= {min_sentences}) AS c4_ok
+    """
+
+
 def lines_sql(text_expr: str) -> str:
     """DuckDB replay of nonempty_lines over an arbitrary text expr."""
     return (

@@ -121,6 +121,9 @@ def curate_corpus(
     gopher_min_words: int = 50,
     gopher_max_words: int = 100_000,
     strip_html: bool = False,
+    c4_clean_lines: bool = False,
+    c4_min_line_words: int = 5,
+    c4_min_sentences: int = 3,
     dedup_paragraphs: bool = False,
     boilerplate_min_df: int | None = None,
     remove_spans: bool = False,
@@ -199,7 +202,11 @@ def curate_corpus(
     the published Gopher rule battery (functions.text.gopher_pass)
     beside the repetition gate.
 
-    Round-8 gate: ``gopher_repetition_gate`` applies the FULL 13-rule
+    Round-8 gates: ``c4_clean_lines`` applies the C4 cleaning battery
+    (Raffel et al. 2020 §2.2) right after markup strip — line-level
+    keep rules REWRITE each doc and the page-level gates drop docs —
+    so dedup fingerprints and later gates judge the cleaned text,
+    matching the paper's ordering; ``gopher_repetition_gate`` applies the FULL 13-rule
     Gopher repetition battery (Rae et al. Table A1 thresholds) —
     the expression signals plus the dup-5..10-gram union char-coverage
     rules (one Arrow-batched pass) — superseding the simpler
@@ -235,6 +242,33 @@ def curate_corpus(
         from solarpaneldatawrangler_spark.functions.text import strip_markup
 
         docs = docs.withColumn(text_col, strip_markup(F.col(text_col)))
+
+    # 0c. C4 line cleaning + document gates (optional, r8): rewrite
+    # each doc to its C4-surviving lines (terminal punctuation, >=
+    # c4_min_line_words words, no 'javascript'), then drop docs the
+    # C4 page rules reject ('{', 'lorem ipsum', < c4_min_sentences
+    # sentences in the CLEANED text). Runs after markup strip (judge
+    # visible text) and before fingerprinting, like the paper's
+    # pipeline; scan-stage expressions, zero shuffle
+    if c4_clean_lines:
+        from solarpaneldatawrangler_spark.functions.text import (
+            c4_clean,
+            c4_doc_flags,
+        )
+
+        docs = (
+            docs.withColumn(
+                "_c4",
+                c4_doc_flags(
+                    F.col(text_col), c4_min_line_words, c4_min_sentences
+                ),
+            )
+            .filter(F.col("_c4.c4_ok"))
+            .drop("_c4")
+            .withColumn(
+                text_col, c4_clean(F.col(text_col), c4_min_line_words)
+            )
+        )
 
     # 1. exact dedup: keep the min-id representative per fingerprint.
     # NO broadcast hint: the keep-set is one id per distinct document,

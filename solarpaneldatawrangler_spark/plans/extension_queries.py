@@ -1774,3 +1774,91 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(admitted, "doc_id", "left")
         .withColumn("is_new", F.coalesce("is_new", F.lit(False)))
     )
+
+
+# --- C4 cleaning battery (Raffel et al. 2020) -------------------------------
+
+# derived multi-line corpus for the C4 columns: each doc gains a mix of
+# keepable/droppable lines plus doc_id-dependent brace / lorem-ipsum
+# injections, replayed literally in the oracle
+def _c4_ltext_spark():
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"), F.lit(".\n"),
+        F.lit("too short.\n"),
+        F.lit("no terminal punctuation on this line at all\n"),
+        F.lit("this line mentions javascript rules and files today.\n"),
+        F.when(
+            d % 4 == 0,
+            F.lit("extra sentence one! extra sentence two? and three."),
+        ).otherwise(F.lit("plain extra line without terminal punct")),
+        F.lit("\n"),
+        F.when(d % 3 == 0, F.lit("has a { brace")).otherwise(
+            F.lit("no brace on this line")
+        ),
+        F.when(d % 5 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+    )
+
+
+_C4_LTEXT_SQL = (
+    "text || '.' || chr(10) || 'too short.' || chr(10) || "
+    "'no terminal punctuation on this line at all' || chr(10) || "
+    "'this line mentions javascript rules and files today.' || chr(10) || "
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'extra sentence one! extra sentence two? and three.' "
+    "ELSE 'plain extra line without terminal punct' END || chr(10) || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'has a { brace' "
+    "ELSE 'no brace on this line' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN ' lorem ipsum' ELSE '' END"
+)
+
+
+def _q71_oracle() -> str:
+    from solarpaneldatawrangler_spark.functions.text import (
+        c4_flags_sql,
+        c4_kept_lines_sql,
+    )
+
+    return f"""
+    SELECT doc_id,
+           {c4_flags_sql(f"({_C4_LTEXT_SQL})")},
+           md5(array_to_string(
+               {c4_kept_lines_sql(f"({_C4_LTEXT_SQL})")}, chr(10)))
+             AS clean_fp
+    FROM documents
+    """
+
+
+@register(
+    "q71_c4_filter",
+    oracle=_q71_oracle(),
+    doc="The C4 cleaning battery (Raffel et al. 2020 §2.2) over a "
+    "derived multi-line corpus: line-level rules (terminal "
+    "punctuation, >= 5 words, no 'javascript') as pure scan-side "
+    "expressions rebuilding the cleaned text, plus the document gates "
+    "('{' code-page rule, 'lorem ipsum', >= 3 sentences counted as "
+    "[.!?]+ runs in the CLEANED text). Hashed surfaces: has_brace / "
+    "has_lorem / n_kept_lines / n_sentences / c4_ok (functions.text."
+    "c4_doc_flags) and clean_fp = md5 of the rebuilt cleaned text — "
+    "pins every line keep/drop decision and the join order. Zero "
+    "shuffle, zero Python; oracle through the shared c4_*_sql "
+    "builders.",
+)
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.functions.text import (
+        c4_clean,
+        c4_doc_flags,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    lt = _c4_ltext_spark()
+    g = c4_doc_flags(lt)
+    return docs.select(
+        "doc_id",
+        g["has_brace"].alias("has_brace"),
+        g["has_lorem"].alias("has_lorem"),
+        g["n_kept_lines"].cast("long").alias("n_kept_lines"),
+        g["n_sentences"].cast("long").alias("n_sentences"),
+        g["c4_ok"].alias("c4_ok"),
+        F.md5(c4_clean(lt)).alias("clean_fp"),
+    )
