@@ -820,6 +820,45 @@ def _clf_big_model_bench(spark, sf_dir):
     )
 
 
+def _rep_battery_bench(spark, sf_dir):
+    """Full 13-rule Gopher repetition battery (r8): seven expression
+    signals + the six dup-n-gram coverage rules in one Arrow pass."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.functions.text import (
+        gopher_repetition_flags,
+    )
+    from solarpaneldatawrangler_spark.operators.curation import (
+        gopher_dup_ngram_char_fracs,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        gopher_repetition_flags(F.col("text")).alias("f"),
+        gopher_dup_ngram_char_fracs(F.col("text")).alias("d"),
+    )
+
+
+def _c4_filter_bench(spark, sf_dir):
+    """C4 line cleaning + page gates (r8): pure codegen rewrite."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.functions.text import (
+        c4_clean,
+        c4_doc_flags,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        c4_doc_flags(F.col("text")).alias("g"),
+        F.md5(c4_clean(F.col("text"))).alias("fp"),
+    )
+
+
 def _data_card_bench(spark, sf_dir):
     """Corpus data card: scan-stage stats + one combinable fingerprint
     shuffle + the rollup agg (q46's merged 'card' half)."""
@@ -925,6 +964,8 @@ EXTRA = {
     "x_data_card": _data_card_bench,
     "x_bpe_train_dist": _bpe_train_dist_bench,
     "x_clf_big_model": _clf_big_model_bench,
+    "x_rep_battery": _rep_battery_bench,
+    "x_c4_filter": _c4_filter_bench,
 }
 
 
