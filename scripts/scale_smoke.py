@@ -489,6 +489,45 @@ def main():
         .count(),
     )
 
+    # full Gopher repetition battery (r8): 2M docs with a planted hot
+    # phrase through the seven expression signals + the six dup-n-gram
+    # coverage fractions (one Arrow pass, all six n per doc)
+    from solarpaneldatawrangler_spark.functions.text import (
+        gopher_repetition_flags,
+    )
+    from solarpaneldatawrangler_spark.operators.curation import (
+        gopher_dup_ngram_char_fracs,
+    )
+
+    rdocs = spark.range(2_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("the common boiler plate header phrase here again "),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(29)),
+                    lambda j: F.concat(
+                        F.lit("r"), (F.col("id") * 30 + j).cast("string")
+                    ),
+                ),
+            ),
+            F.when(
+                F.col("id") % 5 == 0,
+                F.lit(" the common boiler plate header phrase here again"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    timed(
+        "gopher repetition battery (7 expr + 6 UDF signals) 2M docs",
+        lambda: rdocs.select(
+            gopher_repetition_flags(F.col("text")).alias("f"),
+            gopher_dup_ngram_char_fracs(F.col("text")).alias("d"),
+        )
+        .filter(F.col("d.d8") > 0.0)
+        .count(),
+    )
+
     timed("shuffle_shards 10M docs / 256 shards",
           lambda: shuffle_shards(
               spark.range(10_000_000).select(F.col("id").alias("doc_id")),
