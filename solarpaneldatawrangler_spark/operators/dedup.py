@@ -1229,7 +1229,17 @@ def write_minhash_store(
     )
     # layout v2 (r8): data in committed generation subdirs (see the
     # store-layout comment above _list_gens); append goes into the
-    # current generation, overwrite publishes a new one
+    # current generation, overwrite publishes a new one. On a store
+    # with NO meta yet (first-ever write), the meta goes down FIRST:
+    # meta-without-data reads as a valid empty corpus, so a crash
+    # mid-initial-write leaves a probe-able state instead of the
+    # loud data-without-meta refusal. On an existing store the meta
+    # is updated only AFTER the new generation commits (stamping new
+    # params before the data they describe would mis-band probes of
+    # the still-current old generation).
+    meta_exists = have is not None or _read_sig_meta(spark, path) is not None
+    if not meta_exists:
+        _write_sig_meta(spark, path, meta)
     if mode == "append" and (cur := _current_gen(spark, path)) is not None:
         rows.write.mode("append").partitionBy("band").parquet(cur[1])
     else:
@@ -1240,7 +1250,7 @@ def write_minhash_store(
     # a validated append (meta already present and equal) skips the
     # meta rewrite: it would delete-and-recreate _meta on every
     # micro-batch for zero benefit
-    if not (mode == "append" and have is not None):
+    if meta_exists and not (mode == "append" and have is not None):
         _write_sig_meta(spark, path, meta)
 
 

@@ -610,3 +610,49 @@ def test_interrupted_compaction_minhash_store_never_refuses(spark, tmp_path):
     assert verdict() == want
     assert len(glob.glob(os.path.join(store, "gen-*"))) == 1
     assert os.path.isdir(os.path.join(store, "_meta"))  # never deleted
+
+
+def test_minhash_store_fresh_write_meta_first(spark, tmp_path):
+    """On a FRESH store the meta lands before the data generation, so
+    a crash mid-initial-write leaves meta-without-data — a valid
+    empty-corpus state that probes answer — never the loud
+    data-without-meta refusal."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _commit_gen,
+        _read_sig_meta,
+        near_dup_new_docs_store,
+        write_minhash_store,
+    )
+
+    store = str(tmp_path / "sig_fresh_order")
+    docs = spark.createDataFrame(
+        [(1, "some document about solar arrays and panels " * 3)],
+        "doc_id long, text string",
+    )
+    # simulate the crash window: monkeypatch the commit to fail AFTER
+    # meta + data files exist but BEFORE the generation is published
+    import solarpaneldatawrangler_spark.operators.dedup as dd
+
+    orig = dd._commit_gen
+    def boom(spark_, path_, n_):
+        raise RuntimeError("injected crash: before fresh-store commit")
+    dd._commit_gen = boom
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="fresh-store commit"):
+            write_minhash_store(docs, store, num_hashes=16, bands=4)
+    finally:
+        dd._commit_gen = orig
+    # meta is present, no committed generation: empty corpus — the
+    # probe ADMITS instead of refusing
+    assert _read_sig_meta(spark, store) is not None
+    batch = spark.createDataFrame(
+        [(2, "a perfectly normal document with plenty of words")],
+        "doc_id long, text string",
+    )
+    assert near_dup_new_docs_store(batch, store).count() == 1
+    # and a retry of the initial write completes normally
+    write_minhash_store(docs, store, num_hashes=16, bands=4)
+    twin = docs.withColumn("doc_id", F.col("doc_id") + 50)
+    assert near_dup_new_docs_store(twin, store, sim_threshold=0.9).count() == 0
