@@ -227,3 +227,60 @@ def test_strip_markup_invariants_on_arbitrary_soup(spark, texts):
         for ch in "\t\x0b\r":
             assert ch not in s
         assert s == s.strip()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ffff"]),
+            min_size=0,
+            max_size=30,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    k=st.integers(min_value=2, max_value=4),
+)
+def test_span_removal_matches_naive_coverage(spark, docs, k):
+    """remove_duplicate_spans (with the r8 interval-merge coverage)
+    must equal the naive per-start reference on arbitrary small-token
+    corpora: duplicated k-gram occurrence sets, per-token union
+    coverage, and the rebuilt text."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    got = {
+        r["doc_id"]: r
+        for r in remove_duplicate_spans(
+            spark.createDataFrame(rows, "doc_id int, text string"), k=k
+        ).collect()
+    }
+
+    # naive reference: count gram OCCURRENCES corpus-wide, mark every
+    # token covered by any >=2-occurrence gram's span
+    gram_counts: Counter[tuple[str, ...]] = Counter()
+    per_doc_grams = {}
+    for i, toks in enumerate(docs):
+        grams = [tuple(toks[j : j + k]) for j in range(len(toks) - k + 1)]
+        per_doc_grams[i] = grams
+        gram_counts.update(grams)
+    for i, toks in enumerate(docs):
+        covered = [False] * len(toks)
+        n_dup = 0
+        for j, g in enumerate(per_doc_grams[i]):
+            if gram_counts[g] >= 2:
+                n_dup += 1
+                for p in range(j, j + k):
+                    covered[p] = True
+        kept = [t for t, c in zip(toks, covered) if not c]
+        assert got[i]["clean_text"] == " ".join(kept), (i, docs, k)
+        assert got[i]["n_tokens"] == len(toks)
+        assert got[i]["n_removed"] == sum(covered)
+        assert got[i]["n_dup_grams"] == n_dup
