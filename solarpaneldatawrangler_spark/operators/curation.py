@@ -386,7 +386,13 @@ def _hashed_linear_pandas(
             }
             if len(memo) < _MEMO_CAP:
                 memo.update(hashed)
-            lookup = {**memo, **hashed} if len(memo) >= _MEMO_CAP else memo
+                lookup = memo
+            else:
+                # memo full: overlay this batch's fresh hashes without
+                # copying the ~2M-entry memo (ChainMap is view-only)
+                from collections import ChainMap
+
+                lookup = ChainMap(hashed, memo)
         else:
             lookup = memo
         out = np.empty(len(doc_toks), dtype=np.float64)
