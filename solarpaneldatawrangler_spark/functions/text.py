@@ -199,9 +199,10 @@ def gopher_flags_sql(min_words: int = 50, max_words: int = 100_000) -> str:
     )
     return f"""
         len({toks}) BETWEEN {min_words} AND {max_words} AS words_ok,
-        (CAST(list_aggregate(list_transform({toks}, t -> len(t)), 'sum')
-              AS DOUBLE) / GREATEST(len({toks}), 1))
-            BETWEEN 3.0 AND 10.0 AS mwl_ok,
+        CASE WHEN len({toks}) = 0 THEN FALSE ELSE
+            (CAST(list_aggregate(list_transform({toks}, t -> len(t)), 'sum')
+                  AS DOUBLE) / len({toks}))
+                BETWEEN 3.0 AND 10.0 END AS mwl_ok,
         CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
             / GREATEST(len({toks}), 1) <= 0.1 AS hash_ok,
         CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)

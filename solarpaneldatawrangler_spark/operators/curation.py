@@ -300,6 +300,12 @@ def hashed_linear_score(
         )
     if serve_path not in ("auto", "expr", "pandas"):
         raise ValueError(f"serve_path must be auto|expr|pandas, got {serve_path!r}")
+    if serve_path == "pandas" and weights is None:
+        raise ValueError(
+            "serve_path='pandas' requires trained weights — the "
+            "pseudo-weight score has no Python path (it exists for "
+            "engine-exact oracle replay and is expression-only)"
+        )
     # serve_path override (ADVICE r7): "pandas" forces the Python path
     # for a model trained via train_hashed_linear (Python tokenizer),
     # closing the JVM-toLowerCase vs str.lower() Unicode-version-skew
@@ -727,31 +733,18 @@ def write_corpus_jsonl(
 
 
 def _write_text_file(spark, file_path: str, data: str) -> None:
-    """One small text file via the Hadoop FileSystem API — FS-agnostic
-    (local/HDFS/S3A), unlike a driver-local open(). Single-object
-    create, so the write is atomic on every FS Spark targets."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(file_path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.create(hpath, True)
-    try:
-        stream.write(bytearray(data.encode("utf-8")))
-    finally:
-        stream.close()
+    """Shared Hadoop-FS text write (sources.fsutil) — kept as a
+    module-local alias for the sink's call sites."""
+    from solarpaneldatawrangler_spark.sources.fsutil import write_text_file
+
+    write_text_file(spark, file_path, data)
 
 
 def _read_text_file(spark, file_path: str) -> str:
-    """Read one small text file via the Hadoop FileSystem API.
-    (A Spark reader can't do this: underscore-prefixed files are
-    hidden from Spark scans even when addressed directly.)"""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(file_path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    stream = fs.open(hpath)
-    try:
-        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
+    """Shared Hadoop-FS text read (sources.fsutil)."""
+    from solarpaneldatawrangler_spark.sources.fsutil import read_text_file
+
+    return read_text_file(spark, file_path)
 
 
 def verify_corpus_jsonl(spark, path: str) -> bool:

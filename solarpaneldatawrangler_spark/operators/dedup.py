@@ -663,38 +663,40 @@ def remove_boilerplate_paragraphs(
 # --- incremental exact dedup against a fingerprint store ---------------------
 
 # Durable-store layout (v2, r8): a store directory holds numbered
-# GENERATION data subdirectories plus (minhash only) the ``_meta``
-# params dir:
+# GENERATION data subdirectories; for the minhash store each
+# generation carries its OWN ``_meta`` params dir:
 #
 #   store/
-#     _meta/            minhash hash-family params (never deleted)
 #     gen-000001/       partitioned parquet (bucket=*/ or band=*/)
+#       _meta/          minhash only: the hash-family params THIS
+#                       generation's rows were banded under
 #       _COMMITTED      empty marker: this generation is complete
 #     gen-000002/       ...
 #
 # Readers use the HIGHEST generation carrying a _COMMITTED marker;
-# appends go into it; compaction writes a brand-new generation and
-# commits it with one atomic empty-file create, then best-effort
-# deletes older generations. An interrupted compaction therefore
-# leaves the store either FULLY OLD (new gen exists but uncommitted —
-# invisible) or FULLY NEW (marker landed; stale gens are swept by the
-# next compaction): the r7 in-place overwrite's data-without-meta
-# crash window no longer exists, because nothing is ever truncated in
-# place and ``_meta`` is never rewritten by maintenance. Marker files
-# are underscore-prefixed so parquet scans of a generation ignore
-# them. Maintenance and ingest must not run concurrently (unchanged
-# contract — appends into a generation being swept would be lost).
+# appends go into it; maintenance (compaction, overwrite) writes a
+# brand-new generation — data AND meta — and publishes it with one
+# atomic empty-file create, then best-effort deletes older
+# generations. Data and the params describing it therefore commit
+# TOGETHER: a crash at any point leaves the store fully old or fully
+# new, and a parameter-changing overwrite can never publish new-param
+# rows under old-param meta (the silent-admit-everything hazard a
+# store-level _meta had between its commit and meta rewrite).
+# Marker/meta entries are underscore-prefixed so parquet scans of a
+# generation ignore them. Maintenance and ingest must not run
+# concurrently (unchanged contract — appends into a generation being
+# swept would be lost).
 
 _GEN_PREFIX = "gen-"
 _COMMIT_MARK = "_COMMITTED"
 
 
 def _hadoop_fs(spark, path: str):
-    """(FileSystem, Path, jvm) for ``path`` via the session's Hadoop
-    conf — FS-agnostic (local, HDFS, S3A), unlike os.path."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+    """(FileSystem, Path, jvm) — delegates to the shared fsutil helper
+    (kept as a module-local alias for the store code's call sites)."""
+    from solarpaneldatawrangler_spark.sources.fsutil import hadoop_fs
+
+    return hadoop_fs(spark, path)
 
 
 def _list_gens(spark, path: str) -> list[tuple[int, str, bool]]:
@@ -942,9 +944,18 @@ def compact_fingerprint_store(
     cur = _current_gen(spark, path)
     if cur is None:
         raise ValueError(f"fingerprint store {path} has no committed data")
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        src = spark.read.parquet(cur[1])
+    except AnalysisException as ex:
+        # a committed generation with ZERO rows (an admitted empty
+        # batch) has no parquet footers — nothing to compact
+        if ex.getCondition() == "UNABLE_TO_INFER_SCHEMA":
+            return
+        raise
     df = (
-        spark.read.parquet(cur[1])
-        .select("fingerprint", "bucket")
+        src.select("fingerprint", "bucket")
         .dropDuplicates(["fingerprint"])
         .repartition(n_buckets, F.col("bucket"))
     )
@@ -1111,23 +1122,20 @@ def _minhash_store_meta(
 
 
 # store meta lives in a Spark-written ``_meta`` subdirectory (one JSON
-# row), NOT a driver-local file: the store path may be HDFS/S3, where
-# os.path would silently report the meta absent and every probe would
-# admit everything. Underscore-prefixed, so data reads ignore it.
+# row) INSIDE each generation, NOT a driver-local file: the store path
+# may be HDFS/S3, where os.path would silently report the meta absent
+# and every probe would admit everything. Underscore-prefixed, so data
+# reads of the generation ignore it.
 
-def _read_sig_meta(spark, path: str) -> dict | None:
-    """The store's hash-family meta, or None when the store is absent.
-    Only missing-path/empty-dir analysis errors mean absent; anything
-    else (corrupt files, permissions) raises. (There is no fallback to
-    a driver-local ``_meta.json`` single file: Spark's hidden-file
-    filter ignores underscore-prefixed FILES even when addressed
-    directly, and that short-lived format never produced a durable
-    store — a hand-built one migrates by rewriting the meta as a
-    one-row JSON under ``{path}/_meta/``.)"""
+def _read_gen_meta(spark, gen_path: str) -> dict | None:
+    """The hash-family meta of ONE generation dir, or None if that
+    generation carries none. Only missing-path/empty-dir analysis
+    errors mean absent; anything else (corrupt files, permissions)
+    raises."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     try:
-        rows = spark.read.json(f"{path}/_meta").collect()
+        rows = spark.read.json(f"{gen_path}/_meta").collect()
     except AnalysisException as ex:
         if ex.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             return None
@@ -1140,9 +1148,19 @@ def _read_sig_meta(spark, path: str) -> dict | None:
     )
 
 
-def _write_sig_meta(spark, path: str, meta: dict) -> None:
+def _read_sig_meta(spark, path: str) -> dict | None:
+    """The STORE's hash-family meta = the current committed
+    generation's meta; None when the store has no committed
+    generation (absent / bootstrap)."""
+    cur = _current_gen(spark, path)
+    if cur is None:
+        return None
+    return _read_gen_meta(spark, cur[1])
+
+
+def _write_sig_meta(spark, gen_path: str, meta: dict) -> None:
     spark.createDataFrame([meta]).coalesce(1).write.mode("overwrite").json(
-        f"{path}/_meta"
+        f"{gen_path}/_meta"
     )
 
 
@@ -1166,10 +1184,10 @@ def _require_sig_meta(spark, path: str) -> dict | None:
     """Meta for probing: None = store genuinely absent (bootstrap);
     meta missing while COMMITTED data exists MUST fail loudly —
     treating it as absent would both skip the probe and let the next
-    append overwrite the store. Since r8's generation layout,
-    maintenance never touches _meta, so this state can only come from
-    external damage (a deleted _meta dir), not from an interrupted
-    compaction."""
+    append overwrite the store. Since r8's generation layout writes a
+    generation's meta BEFORE its commit marker, this state can only
+    come from external damage (a deleted gen-N/_meta dir), never from
+    interrupted maintenance."""
     meta = _read_sig_meta(spark, path)
     if meta is None and _sig_store_has_data(spark, path):
         raise ValueError(
@@ -1192,11 +1210,13 @@ def write_minhash_store(
     reproducible: bool = False,
 ) -> None:
     """Persist the corpus's near-dup probe state: (id, band, band_sig,
-    sig array<long>) partitioned by band, plus a Spark-written
-    ``_meta`` directory pinning the hash-family parameters (one JSON
-    row — FS-agnostic, unlike a driver-local file). The durable twin of the exact
-    fingerprint store — together they make ingest admission O(batch):
-    the corpus TEXT is never re-read, never re-shingled.
+    sig array<long>) partitioned by band inside a committed
+    generation dir, which also carries a Spark-written ``_meta``
+    pinning the hash-family parameters its rows were banded under
+    (one JSON row — FS-agnostic, unlike a driver-local file). The
+    durable twin of the exact fingerprint store — together they make
+    ingest admission O(batch): the corpus TEXT is never re-read,
+    never re-shingled.
 
     ~bands x (8*num_hashes + key) bytes/doc (the full signature rides
     every band row for locality — one store read serves both the
@@ -1227,31 +1247,23 @@ def write_minhash_store(
         ),
         "id",
     )
-    # layout v2 (r8): data in committed generation subdirs (see the
-    # store-layout comment above _list_gens); append goes into the
-    # current generation, overwrite publishes a new one. On a store
-    # with NO meta yet (first-ever write), the meta goes down FIRST:
-    # meta-without-data reads as a valid empty corpus, so a crash
-    # mid-initial-write leaves a probe-able state instead of the
-    # loud data-without-meta refusal. On an existing store the meta
-    # is updated only AFTER the new generation commits (stamping new
-    # params before the data they describe would mis-band probes of
-    # the still-current old generation).
-    meta_exists = have is not None or _read_sig_meta(spark, path) is not None
-    if not meta_exists:
-        _write_sig_meta(spark, path, meta)
+    # layout v2 (r8): data + meta in committed generation subdirs (see
+    # the store-layout comment above _list_gens). Append goes into the
+    # current generation, data files only — its meta is already there
+    # and validated above. Overwrite (and a fresh append bootstrap)
+    # writes a NEW generation: data, then ITS meta, then the atomic
+    # commit marker — so rows and the params they were banded under
+    # publish together, and a crash at any point (including a
+    # parameter-changing rebuild) leaves probes on a fully consistent
+    # old or new generation, never new-param rows under old-param meta.
     if mode == "append" and (cur := _current_gen(spark, path)) is not None:
         rows.write.mode("append").partitionBy("band").parquet(cur[1])
     else:
         n, gen_path = _next_gen_path(spark, path)
         rows.write.mode("overwrite").partitionBy("band").parquet(gen_path)
+        _write_sig_meta(spark, gen_path, meta)
         _commit_gen(spark, path, n)
         _sweep_old_gens(spark, path, keep=n)
-    # a validated append (meta already present and equal) skips the
-    # meta rewrite: it would delete-and-recreate _meta on every
-    # micro-batch for zero benefit
-    if meta_exists and not (mode == "append" and have is not None):
-        _write_sig_meta(spark, path, meta)
 
 
 def minhash_cross_dup_pairs_store(
@@ -1393,26 +1405,37 @@ def compact_minhash_store(
     arbitrary version). Bands come from the store's own meta.
 
     ATOMIC by construction (r8, generation layout): the compacted
-    rows land in a NEW generation directory, published by one atomic
-    marker create; ``_meta`` is NEVER touched by maintenance, so the
-    r7 data-without-meta crash window (overwrite deletes meta, crash
-    before the restore) no longer exists — an interrupted compaction
-    leaves probes on the old generation or the complete new one,
-    never refusing. ``_crash_point`` = test-only fault injection
-    ("after_data" / "after_commit")."""
-    meta = _read_sig_meta(spark, path)
-    if meta is None:
-        raise ValueError(f"minhash store {path} has no _meta to compact")
+    rows land in a NEW generation directory along with a copy of the
+    meta, published together by one atomic marker create — the r7
+    data-without-meta crash window (overwrite deletes meta, crash
+    before the restore) no longer exists, and an interrupted
+    compaction leaves probes on the old generation or the complete
+    new one, never refusing. ``_crash_point`` = test-only fault
+    injection ("after_data" / "after_commit")."""
     cur = _current_gen(spark, path)
     if cur is None:
-        return  # meta-only store (nothing shingle-able yet): no-op
-    df = (
-        spark.read.parquet(cur[1])
-        .dropDuplicates(["id", "band", "band_sig", "sig"])
-        .repartition(int(meta["bands"]), F.col("band"))
+        return  # no committed data yet (nothing shingle-able): no-op
+    meta = _read_gen_meta(spark, cur[1])
+    if meta is None:
+        raise ValueError(f"minhash store {path} has no _meta to compact")
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        src = spark.read.parquet(cur[1])
+    except AnalysisException as ex:
+        # a committed generation holding ZERO rows (first admitted
+        # batch had nothing shingle-able) has no parquet footers —
+        # nothing to compact, and crashing a maintenance job on it
+        # would be a regression (the probe path documents this state)
+        if ex.getCondition() == "UNABLE_TO_INFER_SCHEMA":
+            return
+        raise
+    df = src.dropDuplicates(["id", "band", "band_sig", "sig"]).repartition(
+        int(meta["bands"]), F.col("band")
     )
     n, gen_path = _next_gen_path(spark, path)
     df.write.partitionBy("band").mode("overwrite").parquet(gen_path)
+    _write_sig_meta(spark, gen_path, meta)
     if _crash_point == "after_data":
         raise RuntimeError("injected crash: after_data")
     _commit_gen(spark, path, n)

@@ -444,8 +444,9 @@ def curate_corpus(
     )
 
     # 4b. Gopher rule battery (optional, scan-stage): the published
-    # seven-rule heuristic gate (word-count bounds, mean word length,
-    # symbol/bullet/ellipsis ratios, alpha-word fraction, stop-word
+    # heuristic gate, eight flags since r8 (word-count bounds, mean
+    # word length, per-class hash/ellipsis symbol ratios,
+    # bullet/ellipsis line ratios, alpha-word fraction, stop-word
     # presence) — functions.text.gopher_pass
     if gopher_gate:
         from solarpaneldatawrangler_spark.functions.text import gopher_pass

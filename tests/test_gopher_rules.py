@@ -125,3 +125,36 @@ def test_curate_corpus_gopher_gate(spark, sf_dir):
         docs, min_quality=0.0, jaccard_threshold=0.99
     )
     assert rep_off.n_after_gopher == -1
+
+
+def test_gopher_sql_builder_empty_and_null_text_parity(spark):
+    """The shared SQL builder must agree with Spark on the edge rows
+    the corpus replay can't reach: empty/whitespace-only text gives
+    every flag a non-NULL False-ish verdict (mwl_ok was NULL in DuckDB
+    before r8's CASE guard), while NULL text stays NULL in both."""
+    rows = [(1, ""), (2, "   \n  "), (3, None)]
+    got = {
+        r.doc_id: {k: r.g[k] for k in _RULES}
+        for r in spark.createDataFrame(rows, "doc_id int, text string")
+        .select("doc_id", gopher_flags(F.col("text")).alias("g"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, ''), (2, '   ' || chr(10) || '  '), (3, NULL)"
+        ") AS t(doc_id, text)"
+    )
+    want = {
+        int(r[0]): dict(zip(_RULES, r[1:]))
+        for r in con.execute(
+            f"SELECT doc_id, {gopher_flags_sql()} FROM documents"
+        ).fetchall()
+    }
+    for d in (1, 2, 3):
+        for rule in _RULES:
+            g, w = got[d][rule], want[d][rule]
+            assert (g is None) == (w is None), (d, rule, g, w)
+            if g is not None:
+                assert bool(g) == bool(w), (d, rule, g, w)
+    assert got[1]["mwl_ok"] is False and want[1]["mwl_ok"] is not None

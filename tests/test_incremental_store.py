@@ -443,14 +443,17 @@ def test_minhash_store_empty_data_and_corrupt_states(spark, tmp_path):
     )
     assert near_dup_new_docs_store(batch, empty_store).count() == 1
 
-    # (b) data without meta: delete the _meta subdir
+    # (b) data without meta: delete the current generation's _meta
     full_store = str(tmp_path / "sig_full")
     docs = spark.createDataFrame(
         [(1, "some document about solar arrays and panels " * 3)],
         "doc_id long, text string",
     )
     write_minhash_store(docs, full_store, num_hashes=16, bands=4)
-    shutil.rmtree(f"{full_store}/_meta")
+    import glob as _glob
+
+    (meta_dir,) = _glob.glob(f"{full_store}/gen-*/_meta")
+    shutil.rmtree(meta_dir)
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="no _meta"):
@@ -609,14 +612,15 @@ def test_interrupted_compaction_minhash_store_never_refuses(spark, tmp_path):
     compact_minhash_store(spark, store)
     assert verdict() == want
     assert len(glob.glob(os.path.join(store, "gen-*"))) == 1
-    assert os.path.isdir(os.path.join(store, "_meta"))  # never deleted
+    # the surviving generation carries its own meta (committed together)
+    assert glob.glob(os.path.join(store, "gen-*", "_meta"))
 
 
-def test_minhash_store_fresh_write_meta_first(spark, tmp_path):
-    """On a FRESH store the meta lands before the data generation, so
-    a crash mid-initial-write leaves meta-without-data — a valid
-    empty-corpus state that probes answer — never the loud
-    data-without-meta refusal."""
+def test_minhash_store_fresh_write_crash_is_bootstrap(spark, tmp_path):
+    """A crash during the very FIRST store write (before the
+    generation's commit marker) leaves no committed generation — the
+    store reads as absent (bootstrap: probes admit everything), never
+    the loud data-without-meta refusal, and a retry completes."""
     from solarpaneldatawrangler_spark.operators.dedup import (
         _commit_gen,
         _read_sig_meta,
@@ -644,9 +648,9 @@ def test_minhash_store_fresh_write_meta_first(spark, tmp_path):
             write_minhash_store(docs, store, num_hashes=16, bands=4)
     finally:
         dd._commit_gen = orig
-    # meta is present, no committed generation: empty corpus — the
+    # no committed generation: the store is absent (bootstrap) — the
     # probe ADMITS instead of refusing
-    assert _read_sig_meta(spark, store) is not None
+    assert _read_sig_meta(spark, store) is None
     batch = spark.createDataFrame(
         [(2, "a perfectly normal document with plenty of words")],
         "doc_id long, text string",
@@ -655,4 +659,73 @@ def test_minhash_store_fresh_write_meta_first(spark, tmp_path):
     # and a retry of the initial write completes normally
     write_minhash_store(docs, store, num_hashes=16, bands=4)
     twin = docs.withColumn("doc_id", F.col("doc_id") + 50)
+    assert near_dup_new_docs_store(twin, store, sim_threshold=0.9).count() == 0
+
+
+def test_compaction_noop_on_committed_empty_generation(spark, tmp_path):
+    """A committed generation holding ZERO rows (empty admitted batch /
+    nothing shingle-able) must make compaction a clean no-op, not an
+    UNABLE_TO_INFER_SCHEMA crash — the probe path already documents
+    this state as reachable."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        compact_fingerprint_store,
+        compact_minhash_store,
+        incremental_new_docs,
+        near_dup_new_docs_store,
+        write_fingerprint_store,
+        write_minhash_store,
+    )
+
+    # exact store: an admitted EMPTY batch still writes + commits
+    fp_store = str(tmp_path / "fp_empty_gen")
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    write_fingerprint_store(empty, fp_store)
+    compact_fingerprint_store(spark, fp_store)  # must not raise
+    batch = spark.createDataFrame(
+        [(1, "anything")], "doc_id long, text string"
+    )
+    assert incremental_new_docs(batch, fp_store).count() == 1
+
+    # minhash store: a first batch with nothing shingle-able
+    sig_store = str(tmp_path / "sig_empty_gen")
+    tiny = spark.createDataFrame([(1, "hi")], "doc_id long, text string")
+    write_minhash_store(tiny, sig_store, num_hashes=16, bands=4)
+    compact_minhash_store(spark, sig_store)  # must not raise
+    probe = spark.createDataFrame(
+        [(2, "a perfectly normal document with plenty of words")],
+        "doc_id long, text string",
+    )
+    assert near_dup_new_docs_store(probe, sig_store).count() == 1
+
+
+def test_overwrite_param_change_crash_keeps_params_consistent(spark, tmp_path):
+    """The review-found hazard: rebuilding a store with DIFFERENT
+    hash-family params must never publish new-param rows under
+    old-param meta. With per-generation meta the two commit together —
+    a crash after the new generation's commit (before the old sweep)
+    still leaves a self-consistent store, and probes band themselves
+    with the params the surviving data was built under."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _read_sig_meta,
+        compact_minhash_store,
+        near_dup_new_docs_store,
+        write_minhash_store,
+    )
+
+    store = str(tmp_path / "sig_rebuild")
+    docs = spark.createDataFrame(
+        [(1, "some document about solar arrays and panels " * 3)],
+        "doc_id long, text string",
+    )
+    write_minhash_store(docs, store, num_hashes=16, bands=4)
+    # rebuild with different params; the new generation (data + meta)
+    # publishes atomically even though the old sweep hasn't run yet
+    write_minhash_store(docs, store, num_hashes=8, bands=2)
+    meta = _read_sig_meta(spark, store)
+    assert (meta["num_hashes"], meta["bands"]) == (8, 2)
+    twin = docs.withColumn("doc_id", F.col("doc_id") + 100)
+    # an exact twin must be REJECTED — banding follows the store meta,
+    # which now matches the surviving 8/2 data
+    assert near_dup_new_docs_store(twin, store, sim_threshold=0.9).count() == 0
+    compact_minhash_store(spark, store)
     assert near_dup_new_docs_store(twin, store, sim_threshold=0.9).count() == 0
