@@ -252,22 +252,34 @@ def curate_corpus(
     # pipeline; scan-stage expressions, zero shuffle
     if c4_clean_lines:
         from solarpaneldatawrangler_spark.functions.text import (
-            c4_clean,
-            c4_doc_flags,
+            c4_kept_lines,
         )
 
+        # the kept-lines array is computed once as an alias serving
+        # both the gates and the rewrite. Predicate pushdown may still
+        # substitute it into the filter condition (Catalyst has no
+        # cost guard there, unlike CollapseProject), so the worst case
+        # is two evaluations per row — the filter on every doc, the
+        # rewrite only on survivors — which already beats the
+        # per-flag-copy cost of extracting from a struct literal
+        # (SimplifyExtractValueOps duplicates the expression per
+        # field; see q71 for the pure-projection single-eval idiom)
+        t = F.coalesce(F.col(text_col), F.lit(""))
+        step = docs.withColumn(
+            "_c4kept", c4_kept_lines(F.col(text_col), c4_min_line_words)
+        )
+        cleaned = F.array_join(F.col("_c4kept"), "\n")
+        n_sent = F.size(
+            F.regexp_extract_all(cleaned, F.lit(r"[.!?]+"), F.lit(0))
+        )
         docs = (
-            docs.withColumn(
-                "_c4",
-                c4_doc_flags(
-                    F.col(text_col), c4_min_line_words, c4_min_sentences
-                ),
+            step.filter(
+                ~F.contains(t, F.lit("{"))
+                & ~F.contains(F.lower(t), F.lit("lorem ipsum"))
+                & (n_sent >= c4_min_sentences)
             )
-            .filter(F.col("_c4.c4_ok"))
-            .drop("_c4")
-            .withColumn(
-                text_col, c4_clean(F.col(text_col), c4_min_line_words)
-            )
+            .withColumn(text_col, cleaned)
+            .drop("_c4kept")
         )
 
     # 1. exact dedup: keep the min-id representative per fingerprint.

@@ -1845,20 +1845,37 @@ def _q71_oracle() -> str:
     "builders.",
 )
 def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from solarpaneldatawrangler_spark.functions.text import (
-        c4_clean,
-        c4_doc_flags,
-    )
+    from solarpaneldatawrangler_spark.functions.text import c4_kept_lines
 
     docs = load_table(spark, sf_dir, "documents")
     lt = _c4_ltext_spark()
-    g = c4_doc_flags(lt)
-    return docs.select(
+    # the kept-lines array is projected as a MULTI-referenced alias in
+    # its own step: CollapseProject refuses to inline a non-cheap
+    # alias referenced more than once, so the O(doc) line filter runs
+    # ONCE per row instead of once per derived column (struct fields
+    # would NOT achieve this — SimplifyExtractValueOps rewrites
+    # GetStructField(CreateNamedStruct) back into per-field copies of
+    # the expression; the HOF evaluates interpreted, so there is no
+    # codegen CSE to fall back on)
+    step = docs.select(
         "doc_id",
-        g["has_brace"].alias("has_brace"),
-        g["has_lorem"].alias("has_lorem"),
-        g["n_kept_lines"].cast("long").alias("n_kept_lines"),
-        g["n_sentences"].cast("long").alias("n_sentences"),
-        g["c4_ok"].alias("c4_ok"),
-        F.md5(c4_clean(lt)).alias("clean_fp"),
+        lt.alias("_lt"),
+        c4_kept_lines(lt).alias("_kept"),
+    )
+    cleaned = F.array_join(F.col("_kept"), "\n")
+    n_sent = F.size(
+        F.regexp_extract_all(cleaned, F.lit(r"[.!?]+"), F.lit(0))
+    )
+    has_brace = F.contains(F.coalesce(F.col("_lt"), F.lit("")), F.lit("{"))
+    has_lorem = F.contains(
+        F.lower(F.coalesce(F.col("_lt"), F.lit(""))), F.lit("lorem ipsum")
+    )
+    return step.select(
+        "doc_id",
+        has_brace.alias("has_brace"),
+        has_lorem.alias("has_lorem"),
+        F.size("_kept").cast("long").alias("n_kept_lines"),
+        n_sent.cast("long").alias("n_sentences"),
+        (~has_brace & ~has_lorem & (n_sent >= 3)).alias("c4_ok"),
+        F.md5(cleaned).alias("clean_fp"),
     )
