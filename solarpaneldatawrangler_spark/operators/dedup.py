@@ -783,6 +783,28 @@ def _sweep_old_gens(spark, path: str, keep: int) -> None:
             fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
 
 
+def _write_fp_meta(spark, gen_path: str, n_buckets: int) -> None:
+    """The exact store's one parameter (bucket count), pinned inside
+    the generation like the minhash meta — a probe or append run with
+    a different n_buckets would prune the WRONG partitions and
+    silently re-admit known fingerprints."""
+    spark.createDataFrame([{"n_buckets": int(n_buckets)}]).coalesce(
+        1
+    ).write.mode("overwrite").json(f"{gen_path}/_meta")
+
+
+def _read_fp_meta(spark, gen_path: str) -> int | None:
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        rows = spark.read.json(f"{gen_path}/_meta").collect()
+    except AnalysisException as ex:
+        if ex.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            return None
+        raise
+    return int(rows[0]["n_buckets"]) if rows else None
+
+
 def _fp_bucket(fp: Column, n_buckets: int) -> Column:
     """Partition bucket from the first 16 bits of the md5 fingerprint —
     pure hex arithmetic, reproducible in any engine."""
@@ -819,18 +841,35 @@ def write_fingerprint_store(
     a fresh store).
     """
     spark = df.sparkSession
+    if mode == "append":
+        cur = _current_gen(spark, path)
+        if cur is not None:
+            # bucket under the STORE's pinned n_buckets — appending
+            # rows bucketed differently would scatter fingerprints
+            # into partitions probes never prune to
+            have = _read_fp_meta(spark, cur[1])
+            if have is not None and have != n_buckets:
+                raise ValueError(
+                    f"fingerprint store {path} was bucketed with "
+                    f"n_buckets={have}, append called with "
+                    f"{n_buckets} — probes would silently re-admit"
+                )
+            use = have if have is not None else n_buckets
+            fps = (
+                df.select(_store_fingerprint(text_col).alias("fingerprint"))
+                .distinct()
+                .withColumn("bucket", _fp_bucket(F.col("fingerprint"), use))
+            )
+            fps.write.partitionBy("bucket").mode("append").parquet(cur[1])
+            return
     fps = (
         df.select(_store_fingerprint(text_col).alias("fingerprint"))
         .distinct()
         .withColumn("bucket", _fp_bucket(F.col("fingerprint"), n_buckets))
     )
-    if mode == "append":
-        cur = _current_gen(spark, path)
-        if cur is not None:
-            fps.write.partitionBy("bucket").mode("append").parquet(cur[1])
-            return
     n, gen_path = _next_gen_path(spark, path)
     fps.write.partitionBy("bucket").mode("overwrite").parquet(gen_path)
+    _write_fp_meta(spark, gen_path, n_buckets)
     _commit_gen(spark, path, n)
     _sweep_old_gens(spark, path, keep=n)
 
@@ -864,7 +903,11 @@ def incremental_new_docs(
     runs on the pruned fingerprints. The corpus is never shuffled and
     never read beyond the probed partitions.
 
-    ``n_buckets`` must match the store's writer. A fingerprint column
+    ``n_buckets`` is taken from the STORE's per-generation meta when
+    present (r8) — the caller's value is only a fallback for stores
+    predating the meta — so a probe can no longer prune the wrong
+    partitions by passing a different bucket count and silently
+    re-admit known content. A fingerprint column
     mismatch (different normalization) admits everything — fingerprints
     are md5 of whitespace-normalized lowercased text on both sides
     (functions.text.fingerprint), the q50 contract, with null text
@@ -883,17 +926,19 @@ def incremental_new_docs(
     """
     spark = batch.sparkSession
     b = batch.withColumn("_fp", _store_fingerprint(text_col))
-    buckets = [
-        r[0]
-        for r in b.select(_fp_bucket(F.col("_fp"), n_buckets).alias("b"))
-        .distinct()
-        .collect()
-    ]
     from pyspark.errors.exceptions.captured import AnalysisException
 
     cur = _current_gen(spark, store_path)
     if cur is None:
         return b.drop("_fp")
+    have = _read_fp_meta(spark, cur[1])
+    use = have if have is not None else n_buckets
+    buckets = [
+        r[0]
+        for r in b.select(_fp_bucket(F.col("_fp"), use).alias("b"))
+        .distinct()
+        .collect()
+    ]
     try:
         store_df = spark.read.parquet(cur[1])
     except AnalysisException as ex:
@@ -954,13 +999,16 @@ def compact_fingerprint_store(
         if ex.getCondition() == "UNABLE_TO_INFER_SCHEMA":
             return
         raise
+    have = _read_fp_meta(spark, cur[1])
+    use = have if have is not None else n_buckets
     df = (
         src.select("fingerprint", "bucket")
         .dropDuplicates(["fingerprint"])
-        .repartition(n_buckets, F.col("bucket"))
+        .repartition(use, F.col("bucket"))
     )
     n, gen_path = _next_gen_path(spark, path)
     df.write.partitionBy("bucket").mode("overwrite").parquet(gen_path)
+    _write_fp_meta(spark, gen_path, use)
     if _crash_point == "after_data":
         raise RuntimeError("injected crash: after_data")
     _commit_gen(spark, path, n)

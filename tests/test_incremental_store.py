@@ -729,3 +729,41 @@ def test_overwrite_param_change_crash_keeps_params_consistent(spark, tmp_path):
     assert near_dup_new_docs_store(twin, store, sim_threshold=0.9).count() == 0
     compact_minhash_store(spark, store)
     assert near_dup_new_docs_store(twin, store, sim_threshold=0.9).count() == 0
+
+
+def test_exact_store_pins_n_buckets(spark, tmp_path):
+    """r8: the exact store pins its bucket count in per-generation
+    meta — a probe called with a DIFFERENT n_buckets adopts the
+    store's (no silent re-admission via wrong partition pruning), and
+    a mismatched append refuses loudly."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        compact_fingerprint_store,
+        incremental_new_docs,
+        write_fingerprint_store,
+    )
+
+    store = str(tmp_path / "fp_meta")
+    docs = spark.createDataFrame(
+        [(i, f"stored doc number {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    write_fingerprint_store(docs, store, n_buckets=128)
+    probe = spark.createDataFrame(
+        [(7, "stored doc number 7"), (999, "genuinely new")],
+        "doc_id long, text string",
+    )
+    # caller passes the WRONG bucket count: the store's 128 wins and
+    # the known doc is still rejected
+    out = {r.doc_id for r in incremental_new_docs(
+        probe, store, n_buckets=64).collect()}
+    assert out == {999}
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        write_fingerprint_store(probe, store, n_buckets=64, mode="append")
+    # matching append works, and compaction carries the meta forward
+    write_fingerprint_store(
+        incremental_new_docs(probe, store), store, n_buckets=128,
+        mode="append",
+    )
+    compact_fingerprint_store(spark, store)
+    assert incremental_new_docs(probe, store, n_buckets=32).count() == 0
