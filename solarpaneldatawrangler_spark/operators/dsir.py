@@ -1,0 +1,253 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+"Data Selection for Language Models via Importance Resampling") as a
+Spark-first pipeline: hashed-n-gram bag features, two corpus-level
+feature distributions (target vs raw), per-document log importance
+weights inside the scan, and deterministic Gumbel-top-k selection.
+
+The published recipe selects raw-corpus documents whose hashed n-gram
+distribution looks like a TARGET corpus (e.g. Wikipedia/books) by
+importance weight  log w(x) = Σ_f c_f(x) · (log p_f − log q_f)  over
+hashed unigram+bigram buckets, then samples without replacement via
+Gumbel-top-k. Everything here is md5-derived and 6dp-rounded, so the
+whole path — feature hashing, the two fitted distributions, the
+per-doc weight, the Gumbel keys, the selected set — replays exactly
+in DuckDB (q72 pins it against the oracle).
+
+100 TB shape:
+- fitting = one explode + map-side-combinable groupBy(bucket) COUNT
+  per corpus, collected driver-side BOUNDED BY n_buckets (the
+  temperature-rates / PQ-codebook contract collect — ~10k rows, never
+  corpus-sized);
+- scoring = pure scan-side expression: the log-ratio table rides the
+  plan as one constant-folded array literal (O(n_buckets) PLAN size —
+  the hashed_linear lesson; the default 1<<12 and the paper's 10k are
+  fine, a 2^18-bucket table is not), the per-doc weight is an exact
+  DECIMAL fold over the doc's own features. Zero shuffle, zero
+  Python, corpus text never moves;
+- selection = TakeOrderedAndProject on the deterministic Gumbel key —
+  bounded k, no global sort.
+
+Reference: the reference repo has no analogous operator (this is a
+driver-mandate §2.12 extension); the technique is the published DSIR
+recipe by structure, not by code.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.functions.text import (
+    md5_long,
+    tokens,
+    word_ngrams,
+)
+
+_U32 = 4294967296.0  # 2^32, the md5_long range
+
+
+def dsir_features(text: Column, n_buckets: int = 1 << 12) -> Column:
+    """array<long> of hashed feature buckets for one document:
+    md5-hashed unigrams followed by md5-hashed bigram strings
+    ("w1 w2"), each mod ``n_buckets`` — the paper's hashed n-gram bag.
+    Lambdas touch only their element (md5 of the element is O(1)), so
+    the expression is CollapseProject-inlining-safe."""
+    unis = F.transform(tokens(text), lambda t: md5_long(t) % n_buckets)
+    bis = F.transform(
+        word_ngrams(text, 2), lambda g: md5_long(g) % n_buckets
+    )
+    return F.concat(unis, bis)
+
+
+def bucket_counts(
+    df: DataFrame, text_col: str = "text", n_buckets: int = 1 << 12
+) -> list[int]:
+    """Corpus-level hashed-feature histogram: one explode + map-side-
+    combinable COUNT per bucket, collected bounded by n_buckets."""
+    rows = (
+        df.select(
+            F.explode(dsir_features(F.col(text_col), n_buckets)).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    out = [0] * n_buckets
+    for r in rows:
+        out[int(r["b"])] = int(r["c"])
+    return out
+
+
+def train_dsir(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1 << 12,
+) -> list[float]:
+    """Fit the per-bucket log importance ratio table
+    round(log p_target − log q_raw, 6) with add-one smoothing:
+    p_f = (c_f + 1) / (N + n_buckets). Two bounded corpus passes; the
+    result is the broadcastable model `dsir_log_weight` applies.
+    6dp rounding makes the table (and everything downstream)
+    engine-exact — the oracle replays it as literal VALUES."""
+    ct = bucket_counts(target, text_col, n_buckets)
+    cr = bucket_counts(raw, text_col, n_buckets)
+    nt, nr = sum(ct) + n_buckets, sum(cr) + n_buckets
+    return [
+        round(math.log((ct[b] + 1) / nt) - math.log((cr[b] + 1) / nr), 6)
+        for b in range(n_buckets)
+    ]
+
+
+def dsir_log_weight(
+    text: Column, log_ratios: list[float], n_buckets: int | None = None
+) -> Column:
+    """Per-document log importance weight: the EXACT decimal sum of the
+    6dp-rounded ratio-table entries of the doc's hashed features,
+    returned as double (the bigram-LM summation contract — decimal
+    addition is order-free, so any engine reproduces the value).
+    The ratio table becomes one constant-folded array literal; plan
+    size is O(n_buckets), fine at the paper's ~10k scale."""
+    nb = n_buckets if n_buckets is not None else len(log_ratios)
+    if len(log_ratios) != nb:
+        raise ValueError(
+            f"log_ratios has {len(log_ratios)} entries, expected {nb}"
+        )
+    arr = F.array(*[F.lit(float(r)) for r in log_ratios])
+    feats = dsir_features(text, nb)
+    # decimal addition widens (27,6)+(27,6) -> (28,6); the fold's merge
+    # must return the accumulator's exact type, so cast back each step
+    # (lossless here — the magnitudes are nowhere near 21 digits)
+    total = F.aggregate(
+        feats,
+        F.lit(0).cast("decimal(27,6)"),
+        lambda acc, b: (
+            acc + F.element_at(arr, (b + 1).cast("int")).cast("decimal(27,6)")
+        ).cast("decimal(27,6)"),
+    )
+    return total.cast("double")
+
+
+def dsir_gumbel_key(
+    log_weight: Column, id_col: Column, seed: str = "0"
+) -> Column:
+    """Deterministic Gumbel perturbation for sampling WITHOUT
+    replacement (Gumbel-top-k): u = md5-uniform of (seed, id) in
+    (0, 1), key = round(log_w + (−ln(−ln u)), 6). md5-derived, so the
+    'random' draw replays in any engine; (h + 0.5)/2^32 keeps u away
+    from the ln singularities at 0 and 1."""
+    u = (
+        md5_long(F.concat(F.lit(str(seed)), F.lit(":"), id_col.cast("string")))
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(_U32)
+    return F.round(log_weight + -F.log(-F.log(u)), 6)
+
+
+def dsir_select(
+    df: DataFrame,
+    log_ratios: list[float],
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "0",
+) -> DataFrame:
+    """The ``k`` documents DSIR selects from ``df``: highest Gumbel-
+    perturbed importance keys, ties broken by id. Scores are scan-side
+    expressions; the top-k compiles to TakeOrderedAndProject (bounded
+    k, no global sort) — the scale-sane selection for 'give me the
+    best k docs', with thresholding on `dsir_log_weight` as the
+    streaming alternative when k itself would be corpus-sized."""
+    w = dsir_log_weight(F.col(text_col), log_ratios)
+    key = dsir_gumbel_key(w, F.col(id_col), seed)
+    return (
+        df.withColumn("dsir_w", w)
+        .withColumn("dsir_key", key)
+        .orderBy(F.col("dsir_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+_DIR_RATIOS: dict[tuple, list[float]] = {}
+
+
+def dsir_ratios_for_dir(
+    sf_dir: str,
+    n_buckets: int = 512,
+    target_mod: int = 7,
+) -> list[float]:
+    """Fit the ratio table straight off ``{sf_dir}/documents.parquet``
+    with pyarrow (no Spark session) — the ivf_centroids_for_dir /
+    bpe_merges_for_dir idiom, so the DuckDB oracle embeds the
+    IDENTICAL table the Spark query applies. Target = docs with
+    doc_id % target_mod == 0 (a deterministic 'curated subset' proxy);
+    raw = every doc. Memoized per (dir, params)."""
+    key = (sf_dir, n_buckets, target_mod)
+    got = _DIR_RATIOS.get(key)
+    if got is None:
+        import hashlib
+
+        import pyarrow.parquet as pq_
+
+        t = pq_.read_table(
+            f"{sf_dir.rstrip('/')}/documents.parquet",
+            columns=["doc_id", "text"],
+        )
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+
+        def bucket(x: str) -> int:
+            return int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % n_buckets
+
+        ct = [0] * n_buckets
+        cr = [0] * n_buckets
+        for i, txt in zip(ids, texts):
+            toks = (txt or "").lower().split()
+            feats = [bucket(w) for w in toks] + [
+                bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])
+            ]
+            for b in feats:
+                cr[b] += 1
+            if i % target_mod == 0:
+                for b in feats:
+                    ct[b] += 1
+        nt, nr = sum(ct) + n_buckets, sum(cr) + n_buckets
+        got = _DIR_RATIOS[key] = [
+            round(
+                math.log((ct[b] + 1) / nt) - math.log((cr[b] + 1) / nr), 6
+            )
+            for b in range(n_buckets)
+        ]
+    return got
+
+
+# --- DuckDB replay builders --------------------------------------------------
+
+def _sql_toks(text_expr: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({text_expr}), '\\s+'),"
+        " t -> len(t) > 0)"
+    )
+
+
+def dsir_features_sql(text_expr: str, n_buckets: int) -> str:
+    """DuckDB replay of dsir_features (same md5 bucket idiom)."""
+    toks = _sql_toks(text_expr)
+    h = "('0x' || substr(md5({x}), 1, 8))::BIGINT % " + str(n_buckets)
+    unis = f"list_transform({toks}, t -> {h.format(x='t')})"
+    bis = (
+        f"list_transform(list_transform(range(1, GREATEST(len({toks}), 1)), "
+        f"i -> array_to_string(list_slice({toks}, CAST(i AS INT), "
+        "CAST(i AS INT) + 1), ' ')), "
+        f"g -> {h.format(x='g')})"
+    )
+    return f"list_concat({unis}, {bis})"
+
+
+def dsir_ratios_values_sql(log_ratios: list[float]) -> str:
+    """The fitted ratio table as a SQL VALUES body (bucket, r)."""
+    return ",\n".join(
+        f"({b}, {r!r})" for b, r in enumerate(log_ratios)
+    )

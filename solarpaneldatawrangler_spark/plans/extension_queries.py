@@ -1879,3 +1879,101 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~has_brace & ~has_lorem & (n_sent >= 3)).alias("c4_ok"),
         F.md5(cleaned).alias("clean_fp"),
     )
+
+
+# --- DSIR importance resampling (Xie et al. 2023) ---------------------------
+
+_DSIR_B = 512
+_DSIR_K = 100
+_DSIR_SEED = "0"
+
+
+def _q72_oracle_or_none() -> str | None:
+    """The fitted ratio table (dsir_ratios_for_dir at ORACLE_SF_DIR —
+    the function the Spark query also calls, the q67 trained-model
+    contract) replays as VALUES; features, the exact decimal weight
+    sum, the md5-Gumbel keys, and the top-k selection replay in plain
+    SQL. Degrades to rows-only if the testdata is absent at import."""
+    try:
+        from solarpaneldatawrangler_spark.operators.dsir import (
+            dsir_features_sql,
+            dsir_ratios_for_dir,
+            dsir_ratios_values_sql,
+        )
+        from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
+
+        ratios = dsir_ratios_for_dir(ORACLE_SF_DIR, n_buckets=_DSIR_B)
+        values = dsir_ratios_values_sql(ratios)
+        feats = dsir_features_sql("text", _DSIR_B)
+    except Exception:
+        return None
+    return f"""
+    WITH ratios(b, r) AS (VALUES {values}),
+    feats AS (
+        SELECT doc_id, unnest({feats}) AS b FROM documents
+    ),
+    w AS (
+        SELECT f.doc_id,
+               CAST(SUM(CAST(ratios.r AS DECIMAL(27,6))) AS DOUBLE) AS w,
+               COUNT(*) AS n
+        FROM feats f JOIN ratios USING (b) GROUP BY f.doc_id
+    ),
+    keys AS (
+        SELECT d.doc_id,
+               COALESCE(w.n, 0) AS dsir_n,
+               COALESCE(w.w, 0.0) AS dsir_w_r,
+               ROUND(COALESCE(w.w, 0.0) + -ln(-ln(
+                   ((('0x' || substr(md5('{_DSIR_SEED}:' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                    / 4294967296.0))), 6) AS dsir_key_r
+        FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+    ),
+    rk AS (
+        SELECT *, RANK() OVER (ORDER BY dsir_key_r DESC, doc_id) AS rnk
+        FROM keys
+    )
+    SELECT doc_id, dsir_n, dsir_w_r, dsir_key_r,
+           rnk <= {_DSIR_K} AS sel
+    FROM rk
+    """
+
+
+@register(
+    "q72_dsir",
+    oracle=_q72_oracle_or_none(),
+    doc="DSIR importance resampling (Xie et al. 2023): hashed "
+    "unigram+bigram bag features, target-vs-raw log importance ratio "
+    "table fitted on the dir (target = doc_id % 7 == 0, the trained-"
+    "model oracle contract), per-doc weight as an exact DECIMAL fold "
+    "inside the scan, deterministic md5-Gumbel keys, and the Gumbel-"
+    "top-k selected set (TakeOrderedAndProject, bounded k). Hashed "
+    "surfaces: dsir_n (feature count), dsir_w_r (exact decimal weight "
+    "sum), dsir_key_r (6dp Gumbel key), sel (membership in the "
+    "selected 100).",
+)
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.dsir import (
+        dsir_features,
+        dsir_gumbel_key,
+        dsir_log_weight,
+        dsir_ratios_for_dir,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratios = dsir_ratios_for_dir(sf_dir, n_buckets=_DSIR_B)
+    t = F.col("text")
+    w = dsir_log_weight(t, ratios)
+    scored = docs.select(
+        "doc_id",
+        F.size(dsir_features(t, _DSIR_B)).cast("long").alias("dsir_n"),
+        w.alias("dsir_w_r"),
+        dsir_gumbel_key(w, F.col("doc_id"), _DSIR_SEED).alias("dsir_key_r"),
+    )
+    top = (
+        scored.orderBy(F.col("dsir_key_r").desc(), "doc_id")
+        .limit(_DSIR_K)
+        .select("doc_id", F.lit(True).alias("sel"))
+    )
+    return scored.join(top, "doc_id", "left").withColumn(
+        "sel", F.coalesce("sel", F.lit(False))
+    )
