@@ -859,6 +859,19 @@ def _c4_filter_bench(spark, sf_dir):
     )
 
 
+def _dsir_bench(spark, sf_dir):
+    """DSIR (r8): dir-fitted ratio table + scan-side exact decimal
+    weight fold + Gumbel-top-100 selection (TakeOrderedAndProject)."""
+    from solarpaneldatawrangler_spark.operators.dsir import (
+        dsir_ratios_for_dir,
+        dsir_select,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return dsir_select(docs, dsir_ratios_for_dir(sf_dir, n_buckets=512), k=100)
+
+
 def _data_card_bench(spark, sf_dir):
     """Corpus data card: scan-stage stats + one combinable fingerprint
     shuffle + the rollup agg (q46's merged 'card' half)."""
@@ -966,6 +979,7 @@ EXTRA = {
     "x_clf_big_model": _clf_big_model_bench,
     "x_rep_battery": _rep_battery_bench,
     "x_c4_filter": _c4_filter_bench,
+    "x_dsir": _dsir_bench,
 }
 
 

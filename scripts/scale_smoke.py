@@ -528,6 +528,36 @@ def main():
         .count(),
     )
 
+    # DSIR weight at scale (r8): 5M docs scored against a 10k-bucket
+    # ratio table — the constant-folded-literal scan fold the paper's
+    # bucket count actually needs, plus the bounded top-k selection
+    from solarpaneldatawrangler_spark.operators.dsir import dsir_select
+
+    import random as _rnd
+
+    _dr = _rnd.Random(8)
+    _dsir_tbl = [round(_dr.uniform(-2.0, 2.0), 6) for _ in range(10_000)]
+    ddocs = spark.range(5_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(29)),
+                lambda j: F.concat(
+                    F.lit("d"), ((F.col("id") * 7 + j) % 50_000).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    )
+    timed(
+        "dsir score+select 5M docs x 10k buckets (expr fold)",
+        lambda: dsir_select(ddocs, _dsir_tbl, k=1000).count(),
+    )
+    timed(
+        "dsir score+select 5M docs x 10k buckets (numpy path)",
+        lambda: dsir_select(ddocs, _dsir_tbl, k=1000, impl="pandas").count(),
+    )
+
     timed("shuffle_shards 10M docs / 256 shards",
           lambda: shuffle_shards(
               spark.range(10_000_000).select(F.col("id").alias("doc_id")),

@@ -54,6 +54,7 @@ class CurationReport:
     n_after_boilerplate: int = -1
     n_after_gopher: int = -1
     n_after_rep_battery: int = -1
+    n_after_dsir: int = -1
 
 
 def drop_near_duplicates(
@@ -129,6 +130,10 @@ def curate_corpus(
     remove_spans: bool = False,
     span_k: int = 8,
     min_lm_score: float | None = None,
+    dsir_target: DataFrame | None = None,
+    dsir_keep: int | None = None,
+    dsir_n_buckets: int = 1 << 12,
+    dsir_seed: str = "0",
     temperature_alpha: float | None = None,
     temperature_frac: float = 0.5,
     temperature_weight_col: str | None = None,
@@ -202,7 +207,11 @@ def curate_corpus(
     the published Gopher rule battery (functions.text.gopher_pass)
     beside the repetition gate.
 
-    Round-8 gates: ``c4_clean_lines`` applies the C4 cleaning battery
+    Round-8 gates: ``dsir_target`` + ``dsir_keep`` insert DSIR
+    importance selection (Xie et al. 2023) after the language gate —
+    fit hashed-n-gram target-vs-survivors ratios, keep the
+    Gumbel-top-k best-matching ``dsir_keep`` docs deterministically;
+    ``c4_clean_lines`` applies the C4 cleaning battery
     (Raffel et al. 2020 §2.2) right after markup strip — line-level
     keep rules REWRITE each doc and the page-level gates drop docs —
     so dedup fingerprints and later gates judge the cleaned text,
@@ -522,6 +531,29 @@ def curate_corpus(
     lang = qual if language is None else qual.filter(F.col(lang_col) == language)
     n_lang = lang.count() if with_report else -1
 
+    # 6b. DSIR selection (optional, r8): keep the dsir_keep surviving
+    # docs whose hashed-n-gram distribution best matches the TARGET
+    # corpus (Gumbel-top-k over deterministic importance weights) —
+    # runs after the drop gates (fit and select over cleaned
+    # survivors), before the mixture downsample, mirroring the
+    # paper's select-then-train flow
+    if dsir_target is not None:
+        if dsir_keep is None:
+            raise ValueError("dsir_target requires dsir_keep (the k)")
+        from solarpaneldatawrangler_spark.operators.dsir import (
+            dsir_select,
+            train_dsir,
+        )
+
+        ratios = train_dsir(
+            dsir_target, lang, text_col=text_col, n_buckets=dsir_n_buckets
+        )
+        lang = dsir_select(
+            lang, ratios, k=dsir_keep, text_col=text_col, id_col=id_col,
+            seed=dsir_seed,
+        ).drop("dsir_w", "dsir_key")
+    n_dsir = lang.count() if (with_report and dsir_target is not None) else -1
+
     # 7. downsample: explicit per-stratum rates OR n^alpha temperature
     # rebalancing (both deterministic hash-bucket membership)
     if temperature_alpha is not None:
@@ -568,6 +600,7 @@ def curate_corpus(
             n_after_lm=n_lm, n_after_boilerplate=n_bp,
             n_after_gopher=n_gopher,
             n_after_rep_battery=n_rep_battery,
+            n_after_dsir=n_dsir,
         )
         if with_report
         else None

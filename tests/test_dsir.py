@@ -114,3 +114,42 @@ def test_empty_and_null_text(spark):
 def test_log_weight_validates_table(spark):
     with pytest.raises(ValueError, match="log_ratios"):
         dsir_log_weight(F.lit("x"), [0.1, 0.2], n_buckets=4)
+
+
+def test_curate_corpus_dsir_stage(spark):
+    """curate_corpus(dsir_target=..., dsir_keep=k): the survivors are
+    the k docs closest to the target distribution, reported."""
+    from solarpaneldatawrangler_spark.pipeline_text import curate_corpus
+
+    target, raw = _corpora(spark)
+    out, report = curate_corpus(
+        raw,
+        min_quality=0.0,
+        dsir_target=target,
+        dsir_keep=5,
+        dsir_n_buckets=256,
+        with_report=True,
+    )
+    ids = sorted(r.doc_id for r in out.select("doc_id").collect())
+    assert ids == [200, 201, 202, 203, 204]
+    assert report.n_after_dsir == 5
+
+
+def test_pandas_path_value_identical_to_expr(spark, sf_dir):
+    """The int64-micro-unit NumPy path must produce BIT-IDENTICAL
+    weights to the DECIMAL expression fold on real corpus text (both
+    compute the same exact rational, rounded once to double)."""
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ratios = dsir_ratios_for_dir(sf_dir, n_buckets=512)
+    both = docs.select(
+        "doc_id",
+        dsir_log_weight(F.col("text"), ratios).alias("we"),
+        dsir_log_weight(F.col("text"), ratios, impl="pandas").alias("wp"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert r.we == r.wp, r.doc_id  # exact, not approx
+    with pytest.raises(ValueError, match="impl"):
+        dsir_log_weight(F.col("text"), ratios, impl="numpy")
