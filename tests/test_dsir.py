@@ -153,3 +153,18 @@ def test_pandas_path_value_identical_to_expr(spark, sf_dir):
         assert r.we == r.wp, r.doc_id  # exact, not approx
     with pytest.raises(ValueError, match="impl"):
         dsir_log_weight(F.col("text"), ratios, impl="numpy")
+
+
+def test_select_compiles_to_take_ordered(spark):
+    """The Gumbel-top-k selection must be TakeOrderedAndProject
+    (bounded k), never a global Sort."""
+    target, raw = _corpora(spark)
+    ratios = train_dsir(target, raw, n_buckets=256)
+    plan = (
+        dsir_select(raw, ratios, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
