@@ -1048,6 +1048,17 @@ def main() -> None:
         _ivfpq_store_dir(spark, sf_dir)
     except Exception as ex:  # noqa: BLE001
         errors["ivfpq_store_setup"] = f"{type(ex).__name__}: {ex}"[:300]
+    # pre-fit the DSIR ratio table for the same reason: it is memoized
+    # per (dir, params), and x_dsir should time the SCAN+SELECT, not
+    # the one-time driver-side pyarrow fit
+    try:
+        from solarpaneldatawrangler_spark.operators.dsir import (
+            dsir_ratios_for_dir,
+        )
+
+        dsir_ratios_for_dir(sf_dir, n_buckets=512)
+    except Exception as ex:  # noqa: BLE001
+        errors["dsir_fit_setup"] = f"{type(ex).__name__}: {ex}"[:300]
     try:
         _fp_store_dir(spark, sf_dir)
     except Exception as ex:  # noqa: BLE001
