@@ -860,8 +860,11 @@ def _c4_filter_bench(spark, sf_dir):
 
 
 def _dsir_bench(spark, sf_dir):
-    """DSIR (r8): dir-fitted ratio table + scan-side exact decimal
-    weight fold + Gumbel-top-100 selection (TakeOrderedAndProject)."""
+    """DSIR (r8): dir-fitted ratio table + Gumbel-top-100 selection
+    via the PRODUCTION numpy scoring path (int64 micro-units —
+    bit-identical to the decimal fold the q72 driver gate verifies;
+    the interpreted fold itself scores ~6x slower and is the oracle
+    surface, not the 100 TB path)."""
     from solarpaneldatawrangler_spark.operators.dsir import (
         dsir_ratios_for_dir,
         dsir_select,
@@ -869,7 +872,10 @@ def _dsir_bench(spark, sf_dir):
     from solarpaneldatawrangler_spark.sources.star import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return dsir_select(docs, dsir_ratios_for_dir(sf_dir, n_buckets=512), k=100)
+    return dsir_select(
+        docs, dsir_ratios_for_dir(sf_dir, n_buckets=512), k=100,
+        impl="pandas",
+    )
 
 
 def _data_card_bench(spark, sf_dir):
