@@ -248,6 +248,16 @@ def train_hashed_linear(
 # train and both serving paths agree on any text.
 PY_JAVA_WS_RE = "[ \\t\\n\\x0b\\f\\r]+"
 
+
+def py_md5_bucket(token: str, n_buckets: int) -> int:
+    """Python twin of the engine bucket hash (md5 hex prefix mod N) —
+    ONE definition for every Python-side scorer/trainer (hashed-linear
+    pandas path, DSIR trainer and numpy path), so the hashing can't
+    drift between them the way per-module copies would."""
+    import hashlib
+
+    return int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % n_buckets
+
 # Pseudo-weight parameters: w(b) = ((b % _W_MOD) - _W_SHIFT) / _W_DEN.
 # _W_DEN is a power of two, so every weight is an exact binary
 # fraction and partial sums are EXACT in float64 — the aggregation
@@ -356,7 +366,6 @@ def _hashed_linear_pandas(
     value-parity with the JVM F.aggregate fold). One cumsum per doc —
     differencing a single concatenated cumsum would NOT reproduce the
     per-doc fold ((a+b+c+d)-(a+b) != c+d in floats)."""
-    import hashlib
     import math
 
     import numpy as np
@@ -386,9 +395,7 @@ def _hashed_linear_pandas(
         fresh.difference_update(memo)
         if fresh:
             hashed = {
-                tok: int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
-                % n_buckets
-                for tok in fresh
+                tok: py_md5_bucket(tok, n_buckets) for tok in fresh
             }
             if len(memo) < _MEMO_CAP:
                 memo.update(hashed)

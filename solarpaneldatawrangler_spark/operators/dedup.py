@@ -1000,15 +1000,26 @@ def compact_fingerprint_store(
             return
         raise
     have = _read_fp_meta(spark, cur[1])
-    use = have if have is not None else n_buckets
+    if have is None:
+        # never GUESS a bucket count into authoritative meta: the rows
+        # keep buckets computed under the store's REAL (unknown) count,
+        # and pinning the fallback would mis-prune every later probe —
+        # worse than the pre-meta state (review-caught). Meta-less
+        # generations only exist for stores predating the r8 meta;
+        # rewrite them via write_fingerprint_store.
+        raise ValueError(
+            f"fingerprint store {path} generation has no n_buckets "
+            "meta (pre-r8 store) — rebuild it with "
+            "write_fingerprint_store before compacting"
+        )
     df = (
         src.select("fingerprint", "bucket")
         .dropDuplicates(["fingerprint"])
-        .repartition(use, F.col("bucket"))
+        .repartition(have, F.col("bucket"))
     )
     n, gen_path = _next_gen_path(spark, path)
     df.write.partitionBy("bucket").mode("overwrite").parquet(gen_path)
-    _write_fp_meta(spark, gen_path, use)
+    _write_fp_meta(spark, gen_path, have)
     if _crash_point == "after_data":
         raise RuntimeError("injected crash: after_data")
     _commit_gen(spark, path, n)
@@ -1233,15 +1244,19 @@ def _require_sig_meta(spark, path: str) -> dict | None:
     meta missing while COMMITTED data exists MUST fail loudly —
     treating it as absent would both skip the probe and let the next
     append overwrite the store. Since r8's generation layout writes a
-    generation's meta BEFORE its commit marker, this state can only
-    come from external damage (a deleted gen-N/_meta dir), never from
-    interrupted maintenance."""
+    generation's meta BEFORE its commit marker, this state comes from
+    external damage (a deleted gen-N/_meta dir) or from a store
+    created before the layout change (root-level _meta) — never from
+    interrupted maintenance; the message explains the migration."""
     meta = _read_sig_meta(spark, path)
     if meta is None and _sig_store_has_data(spark, path):
         raise ValueError(
-            f"minhash store {path} has signature rows but no _meta — "
-            "restore _meta (the hash-family params) before probing "
-            "or appending"
+            f"minhash store {path} has signature rows but no "
+            "generation-level _meta — since r8 the meta lives INSIDE "
+            "each generation (gen-NNNNNN/_meta); a store carrying a "
+            "store-root _meta predates that layout: move (or "
+            "rewrite) the one-row JSON into the current generation "
+            "dir, or rebuild via write_minhash_store"
         )
     return meta
 

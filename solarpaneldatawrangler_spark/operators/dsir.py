@@ -124,7 +124,10 @@ def dsir_log_weight(
     every partial sum exactly representable; int sums are order-free)
     then one division by 1e6. Value-IDENTICAL to the expr path: both
     compute the same exact rational, rounded once to double (pinned
-    by test). Measured 6x the expr path's throughput (89.7s -> 14.9s for 5M docs x 10k buckets on local[32]).
+    by test) — with the hashed_linear caveat: JVM `lower` and Python
+    `str.lower()` can diverge on rare Unicode case mappings
+    (Unicode-version skew), so mixed-path scoring of such text can
+    bucket a token differently; pick one impl per corpus. Measured 6x the expr path's throughput (89.7s -> 14.9s for 5M docs x 10k buckets on local[32]).
     """
     nb = n_buckets if n_buckets is not None else len(log_ratios)
     if len(log_ratios) != nb:
@@ -153,18 +156,22 @@ def dsir_log_weight(
 def _dsir_log_weight_pandas(
     text: Column, log_ratios: list[float], n_buckets: int
 ) -> Column:
-    import hashlib
     import re
 
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from solarpaneldatawrangler_spark.operators.curation import (
+        PY_JAVA_WS_RE,
+        py_md5_bucket,
+    )
+
     # int64 micro-units: exact, order-free partial sums (see caller)
     micro = np.asarray(
         [int(round(r * 1_000_000)) for r in log_ratios], dtype=np.int64
     )
-    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
+    ws = re.compile(PY_JAVA_WS_RE)
     memo: dict[str, int] = {}
     _CAP = 1 << 21
 
@@ -182,10 +189,7 @@ def _dsir_log_weight_pandas(
             for f_ in feats:
                 b = memo.get(f_)
                 if b is None:
-                    b = (
-                        int(hashlib.md5(f_.encode()).hexdigest()[:8], 16)
-                        % n_buckets
-                    )
+                    b = py_md5_bucket(f_, n_buckets)
                     if len(memo) < _CAP:
                         memo[f_] = b
                 total += int(micro[b])
@@ -228,10 +232,17 @@ def dsir_select(
     best k docs', with thresholding on `dsir_log_weight` as the
     streaming alternative when k itself would be corpus-sized."""
     w = dsir_log_weight(F.col(text_col), log_ratios, impl=impl)
-    key = dsir_gumbel_key(w, F.col(id_col), seed)
+    # key is built from the dsir_w COLUMN, not the weight expression:
+    # dsir_w is then referenced twice (output + key), so CollapseProject
+    # keeps a single evaluation of the O(features) scorer — embedding
+    # the expression would run it twice per row (review-caught; HOF
+    # subtrees are skipped by subexpression elimination, and the pandas
+    # path would be two Arrow evals)
     return (
         df.withColumn("dsir_w", w)
-        .withColumn("dsir_key", key)
+        .withColumn(
+            "dsir_key", dsir_gumbel_key(F.col("dsir_w"), F.col(id_col), seed)
+        )
         .orderBy(F.col("dsir_key").desc(), F.col(id_col))
         .limit(k)
     )
@@ -254,9 +265,14 @@ def dsir_ratios_for_dir(
     key = (sf_dir, n_buckets, target_mod)
     got = _DIR_RATIOS.get(key)
     if got is None:
-        import hashlib
+        import re
 
         import pyarrow.parquet as pq_
+
+        from solarpaneldatawrangler_spark.operators.curation import (
+            PY_JAVA_WS_RE,
+            py_md5_bucket,
+        )
 
         t = pq_.read_table(
             f"{sf_dir.rstrip('/')}/documents.parquet",
@@ -264,16 +280,18 @@ def dsir_ratios_for_dir(
         )
         ids = t.column("doc_id").to_pylist()
         texts = t.column("text").to_pylist()
-
-        def bucket(x: str) -> int:
-            return int(hashlib.md5(x.encode()).hexdigest()[:8], 16) % n_buckets
+        # the JVM whitespace class (NOT str.split(), whose Unicode \s
+        # would tokenize NBSP-bearing text differently from the Spark
+        # features this table is applied to — review-caught drift)
+        ws = re.compile(PY_JAVA_WS_RE)
 
         ct = [0] * n_buckets
         cr = [0] * n_buckets
         for i, txt in zip(ids, texts):
-            toks = (txt or "").lower().split()
-            feats = [bucket(w) for w in toks] + [
-                bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])
+            toks = [x for x in ws.split((txt or "").lower()) if x]
+            feats = [py_md5_bucket(w, n_buckets) for w in toks] + [
+                py_md5_bucket(f"{a} {b}", n_buckets)
+                for a, b in zip(toks, toks[1:])
             ]
             for b in feats:
                 cr[b] += 1

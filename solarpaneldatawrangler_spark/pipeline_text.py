@@ -55,6 +55,7 @@ class CurationReport:
     n_after_gopher: int = -1
     n_after_rep_battery: int = -1
     n_after_dsir: int = -1
+    n_after_c4: int = -1
 
 
 def drop_near_duplicates(
@@ -290,6 +291,7 @@ def curate_corpus(
             .withColumn(text_col, cleaned)
             .drop("_c4kept")
         )
+    n_c4 = docs.count() if (with_report and c4_clean_lines) else -1
 
     # 1. exact dedup: keep the min-id representative per fingerprint.
     # NO broadcast hint: the keep-set is one id per distinct document,
@@ -601,6 +603,7 @@ def curate_corpus(
             n_after_gopher=n_gopher,
             n_after_rep_battery=n_rep_battery,
             n_after_dsir=n_dsir,
+            n_after_c4=n_c4,
         )
         if with_report
         else None

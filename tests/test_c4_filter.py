@@ -116,3 +116,20 @@ def test_curate_corpus_c4_stage(spark):
     assert set(got) == set(range(4))
     for i, t in got.items():
         assert "noise line" not in t and t.count("\n") == 3
+
+
+def test_c4_stage_reports_count(spark):
+    from solarpaneldatawrangler_spark.pipeline_text import curate_corpus
+
+    rows = [
+        (i, "\n".join(
+            f"doc {i} sentence {j} with plenty of words w{i}x{j}."
+            for j in range(4)
+        ), "en")
+        for i in range(3)
+    ] + [(10, "too { short", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    _, report = curate_corpus(
+        docs, min_quality=0.0, c4_clean_lines=True, with_report=True
+    )
+    assert report.n_after_c4 == 3

@@ -456,9 +456,9 @@ def test_minhash_store_empty_data_and_corrupt_states(spark, tmp_path):
     shutil.rmtree(meta_dir)
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="no _meta"):
+    with _pytest.raises(ValueError, match="no generation-level _meta"):
         near_dup_new_docs_store(batch, full_store)
-    with _pytest.raises(ValueError, match="no _meta"):
+    with _pytest.raises(ValueError, match="no generation-level _meta"):
         write_minhash_store(
             docs, full_store, mode="append", num_hashes=16, bands=4
         )
