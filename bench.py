@@ -1112,6 +1112,15 @@ def main() -> None:
         os.environ["SPARK_GRAFT_CACHE_TABLES"] = "0"
         star._MEMO.clear()
         spark.catalog.clearCache()
+        # the cold pass follows ~30 allocation-heavy extras; force a
+        # full JVM GC first so their garbage isn't collected INSIDE
+        # the timed queries (diffuse ~1s spikes on random cold queries
+        # under best-of-3 traced to this, not to plan regressions)
+        try:
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(1.0)
+        except Exception:  # noqa: BLE001 — a GC hint must never fail the bench
+            pass
         for name in HEADLINE:
             best = run_safe("cold:" + name, _headline_fn(name))
             if best is not None:

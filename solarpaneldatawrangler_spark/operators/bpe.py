@@ -147,6 +147,20 @@ def train_bpe_merges_distributed(
         .localCheckpoint()
     )
 
+    try:
+        return _bpe_merge_loop(words, n_merges)
+    finally:
+        # the checkpointed word table is loop-internal state: release
+        # its blocks so a long-lived session (bench, notebook) doesn't
+        # carry them past training
+        words.unpersist()
+
+
+def _bpe_merge_loop(
+    words: DataFrame, n_merges: int
+) -> list[tuple[str, str]]:
+    import pandas as pd
+
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         frozen = list(merges)
