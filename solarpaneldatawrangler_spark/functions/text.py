@@ -182,15 +182,22 @@ def gopher_flags(
     )
 
 
-def gopher_flags_sql(min_words: int = 50, max_words: int = 100_000) -> str:
+def gopher_flags_sql(
+    min_words: int = 50, max_words: int = 100_000, text_expr: str = "text"
+) -> str:
     """DuckDB replay of every gopher_flags rule (same tokenizer, same
-    per-class thresholds) as a list of aliased boolean columns over a
-    ``text`` column — the shared SQL builder consumed by both the
-    pytest replay and the q53 driver-oracle merge, so Spark and the
+    per-class thresholds) as a list of aliased boolean columns over
+    ``text_expr`` (default the ``text`` column — parameterized like the
+    sibling c4_*_sql / dsir_features_sql builders so the rules replay
+    over derived texts too) — the shared SQL builder consumed by both
+    the pytest replay and the q53 driver-oracle merge, so Spark and the
     oracle can never drift apart silently."""
-    toks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+    toks = (
+        f"list_filter(string_split_regex(lower({text_expr}), '\\s+'),"
+        " t -> len(t) > 0)"
+    )
     lines = (
-        "list_filter(list_transform(string_split_regex(text, '\\n'), "
+        f"list_filter(list_transform(string_split_regex({text_expr}, '\\n'), "
         "l -> regexp_replace(l, '^\\s+|\\s+$', '', 'g')), l -> len(l) > 0)"
     )
     sw = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
@@ -203,9 +210,10 @@ def gopher_flags_sql(min_words: int = 50, max_words: int = 100_000) -> str:
             (CAST(list_aggregate(list_transform({toks}, t -> len(t)), 'sum')
                   AS DOUBLE) / len({toks}))
                 BETWEEN 3.0 AND 10.0 END AS mwl_ok,
-        CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+        CAST(length({text_expr}) - length(replace({text_expr}, '#', ''))
+             AS DOUBLE)
             / GREATEST(len({toks}), 1) <= 0.1 AS hash_ok,
-        CAST(len(regexp_extract_all(text, '\\.\\.\\.|…')) AS DOUBLE)
+        CAST(len(regexp_extract_all({text_expr}, '\\.\\.\\.|…')) AS DOUBLE)
             / GREATEST(len({toks}), 1) <= 0.1 AS ellipsis_sym_ok,
         CAST(len(list_filter({lines}, l -> {bullets}))
              AS DOUBLE) / GREATEST(len({lines}), 1) <= 0.9 AS bullet_ok,

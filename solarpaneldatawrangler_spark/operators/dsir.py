@@ -248,6 +248,53 @@ def dsir_select(
     )
 
 
+def dsir_select_threshold(
+    df: DataFrame,
+    log_ratios: list[float],
+    threshold: float,
+    text_col: str = "text",
+    impl: str = "expr",
+) -> DataFrame:
+    """Streaming DSIR selection: every document whose log importance
+    weight is >= ``threshold`` — the published recipe's deployment
+    shape when the keep itself is corpus-sized (top-k's bounded-k
+    TakeOrderedAndProject stops being the right plan when k ~ corpus).
+    Pure scan-side filter: zero shuffle, zero global order, works
+    unchanged under Structured Streaming. Null text scores null and is
+    dropped (null >= t is never true) — the conservative admission
+    default. Pick ``threshold`` for a target keep-rate with
+    `dsir_threshold_for_rate`."""
+    w = dsir_log_weight(F.col(text_col), log_ratios, impl=impl)
+    return df.withColumn("dsir_w", w).filter(
+        F.col("dsir_w") >= F.lit(float(threshold))
+    )
+
+
+def dsir_threshold_for_rate(
+    df: DataFrame,
+    log_ratios: list[float],
+    keep_rate: float,
+    text_col: str = "text",
+    impl: str = "expr",
+    relative_error: float = 0.01,
+) -> float:
+    """The weight threshold t such that filtering `dsir_w >= t` keeps
+    ~``keep_rate`` of ``df``: the (1 - keep_rate) quantile of the
+    per-doc weights via approxQuantile (Greenwald-Khanna — one bounded
+    pass, driver state O(1/relative_error), never corpus-sized). The
+    two-pass fit-then-threshold flow is how the streaming variant is
+    calibrated offline before the filter runs on the live ingest."""
+    if not (0.0 < keep_rate <= 1.0):
+        raise ValueError(f"keep_rate must be in (0, 1], got {keep_rate}")
+    scored = df.select(
+        dsir_log_weight(F.col(text_col), log_ratios, impl=impl).alias(
+            "dsir_w"
+        )
+    ).dropna(subset=["dsir_w"])
+    q = scored.approxQuantile("dsir_w", [1.0 - keep_rate], relative_error)
+    return float(q[0])
+
+
 _DIR_RATIOS: dict[tuple, list[float]] = {}
 
 
@@ -255,14 +302,26 @@ def dsir_ratios_for_dir(
     sf_dir: str,
     n_buckets: int = 512,
     target_mod: int = 7,
+    max_docs: int = 20_000,
 ) -> list[float]:
     """Fit the ratio table straight off ``{sf_dir}/documents.parquet``
     with pyarrow (no Spark session) — the ivf_centroids_for_dir /
     bpe_merges_for_dir idiom, so the DuckDB oracle embeds the
     IDENTICAL table the Spark query applies. Target = docs with
     doc_id % target_mod == 0 (a deterministic 'curated subset' proxy);
-    raw = every doc. Memoized per (dir, params)."""
-    key = (sf_dir, n_buckets, target_mod)
+    raw = every doc. Memoized per (dir, params).
+
+    ``max_docs`` caps the driver-side read at the FIRST max_docs rows
+    in file order (deterministic, so both engines fit the identical
+    table) — the bpe_merges_for_dir take-before-to_pylist rule: this
+    is the oracle-fitting idiom, and an uncapped per-token Python pass
+    over an arbitrary sf_dir would silently become a corpus-sized
+    driver loop at bench scale. Streamed via iter_batches, so rows
+    past the cap are never materialized. Every shipped sf dir
+    (500/500/5000 docs) sits far under the default cap — the fit is
+    byte-identical to the uncapped one there. Corpus-sized fitting
+    belongs to `train_dsir` (the distributed path)."""
+    key = (sf_dir, n_buckets, target_mod, max_docs)
     got = _DIR_RATIOS.get(key)
     if got is None:
         import re
@@ -274,12 +333,16 @@ def dsir_ratios_for_dir(
             py_md5_bucket,
         )
 
-        t = pq_.read_table(
-            f"{sf_dir.rstrip('/')}/documents.parquet",
-            columns=["doc_id", "text"],
-        )
-        ids = t.column("doc_id").to_pylist()
-        texts = t.column("text").to_pylist()
+        pf = pq_.ParquetFile(f"{sf_dir.rstrip('/')}/documents.parquet")
+        ids: list = []
+        texts: list = []
+        for batch in pf.iter_batches(columns=["doc_id", "text"]):
+            take = min(len(batch), max_docs - len(ids))
+            if take <= 0:
+                break
+            sl = batch.slice(0, take).to_pydict()
+            ids.extend(sl["doc_id"])
+            texts.extend(sl["text"])
         # the JVM whitespace class (NOT str.split(), whose Unicode \s
         # would tokenize NBSP-bearing text differently from the Spark
         # features this table is applied to — review-caught drift)

@@ -135,6 +135,8 @@ def curate_corpus(
     dsir_keep: int | None = None,
     dsir_n_buckets: int = 1 << 12,
     dsir_seed: str = "0",
+    dsir_impl: str = "expr",
+    dsir_threshold: float | None = None,
     temperature_alpha: float | None = None,
     temperature_frac: float = 0.5,
     temperature_weight_col: str | None = None,
@@ -211,7 +213,14 @@ def curate_corpus(
     Round-8 gates: ``dsir_target`` + ``dsir_keep`` insert DSIR
     importance selection (Xie et al. 2023) after the language gate —
     fit hashed-n-gram target-vs-survivors ratios, keep the
-    Gumbel-top-k best-matching ``dsir_keep`` docs deterministically;
+    Gumbel-top-k best-matching ``dsir_keep`` docs deterministically
+    (``dsir_impl`` picks the scorer: 'expr' = the exact-decimal
+    expression fold, 'pandas' = the bit-identical int64-micro-unit
+    numpy path, measured ~6x faster — r9, so the production path the
+    bench uses is reachable from the pipeline too; ``dsir_threshold``
+    switches selection from top-k to the streaming `log-weight >= t`
+    filter — no global order, corpus-sized keeps — in which case
+    ``dsir_keep`` is ignored);
     ``c4_clean_lines`` applies the C4 cleaning battery
     (Raffel et al. 2020 §2.2) right after markup strip — line-level
     keep rules REWRITE each doc and the page-level gates drop docs —
@@ -540,20 +549,32 @@ def curate_corpus(
     # survivors), before the mixture downsample, mirroring the
     # paper's select-then-train flow
     if dsir_target is not None:
-        if dsir_keep is None:
-            raise ValueError("dsir_target requires dsir_keep (the k)")
+        if dsir_keep is None and dsir_threshold is None:
+            raise ValueError(
+                "dsir_target requires dsir_keep (top-k) or "
+                "dsir_threshold (streaming weight filter)"
+            )
         from solarpaneldatawrangler_spark.operators.dsir import (
             dsir_select,
+            dsir_select_threshold,
             train_dsir,
         )
 
         ratios = train_dsir(
             dsir_target, lang, text_col=text_col, n_buckets=dsir_n_buckets
         )
-        lang = dsir_select(
-            lang, ratios, k=dsir_keep, text_col=text_col, id_col=id_col,
-            seed=dsir_seed,
-        ).drop("dsir_w", "dsir_key")
+        if dsir_threshold is not None:
+            # threshold mode: pure scan-side filter — no global order,
+            # the deployment shape when the keep itself is corpus-sized
+            lang = dsir_select_threshold(
+                lang, ratios, dsir_threshold, text_col=text_col,
+                impl=dsir_impl,
+            ).drop("dsir_w")
+        else:
+            lang = dsir_select(
+                lang, ratios, k=dsir_keep, text_col=text_col, id_col=id_col,
+                seed=dsir_seed, impl=dsir_impl,
+            ).drop("dsir_w", "dsir_key")
     n_dsir = lang.count() if (with_report and dsir_target is not None) else -1
 
     # 7. downsample: explicit per-stratum rates OR n^alpha temperature

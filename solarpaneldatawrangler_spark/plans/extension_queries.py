@@ -1893,20 +1893,31 @@ def _q72_oracle_or_none() -> str | None:
     the function the Spark query also calls, the q67 trained-model
     contract) replays as VALUES; features, the exact decimal weight
     sum, the md5-Gumbel keys, and the top-k selection replay in plain
-    SQL. Degrades to rows-only if the testdata is absent at import."""
-    try:
-        from solarpaneldatawrangler_spark.operators.dsir import (
-            dsir_features_sql,
-            dsir_ratios_for_dir,
-            dsir_ratios_values_sql,
-        )
-        from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
+    SQL. Degrades to rows-only ONLY when the testdata parquet is
+    genuinely absent at import — narrowly caught and announced on
+    stderr, so a demoted q72 is a visible event, never a silent one
+    (r8 review: a bare except here would let any import-order hiccup
+    quietly drop the hash check)."""
+    from solarpaneldatawrangler_spark.operators.dsir import (
+        dsir_features_sql,
+        dsir_ratios_for_dir,
+        dsir_ratios_values_sql,
+    )
+    from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
 
+    try:
         ratios = dsir_ratios_for_dir(ORACLE_SF_DIR, n_buckets=_DSIR_B)
-        values = dsir_ratios_values_sql(ratios)
-        feats = dsir_features_sql("text", _DSIR_B)
-    except Exception:
+    except FileNotFoundError as ex:
+        import sys
+
+        print(
+            "WARNING: q72_dsir oracle demoted to rows-only — testdata "
+            f"absent at import ({ex})",
+            file=sys.stderr,
+        )
         return None
+    values = dsir_ratios_values_sql(ratios)
+    feats = dsir_features_sql("text", _DSIR_B)
     return f"""
     WITH ratios(b, r) AS (VALUES {values}),
     feats AS (
@@ -1962,12 +1973,21 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ratios = dsir_ratios_for_dir(sf_dir, n_buckets=_DSIR_B)
     t = F.col("text")
-    w = dsir_log_weight(t, ratios)
+    # two selects: dsir_key_r is built from the dsir_w_r COLUMN, not
+    # the weight expression — the dsir_select idiom, so the O(features)
+    # interpreted HOF fold runs ONCE per row (embedding w in both
+    # output and key ran it twice; HOF subtrees get no codegen CSE)
     scored = docs.select(
         "doc_id",
         F.size(dsir_features(t, _DSIR_B)).cast("long").alias("dsir_n"),
-        w.alias("dsir_w_r"),
-        dsir_gumbel_key(w, F.col("doc_id"), _DSIR_SEED).alias("dsir_key_r"),
+        dsir_log_weight(t, ratios).alias("dsir_w_r"),
+    ).select(
+        "doc_id",
+        "dsir_n",
+        "dsir_w_r",
+        dsir_gumbel_key(
+            F.col("dsir_w_r"), F.col("doc_id"), _DSIR_SEED
+        ).alias("dsir_key_r"),
     )
     top = (
         scored.orderBy(F.col("dsir_key_r").desc(), "doc_id")
@@ -1976,4 +1996,74 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.join(top, "doc_id", "left").withColumn(
         "sel", F.coalesce("sel", F.lit(False))
+    )
+
+
+_DSIR_T = 0.0
+
+
+def _q73_oracle_or_none() -> str | None:
+    """Threshold-mode DSIR replay: same fitted ratio table and exact
+    DECIMAL weight as q72, selection = the streaming `w >= t` filter
+    instead of Gumbel-top-k. Same narrow missing-testdata demotion
+    contract as q72 (loud, FileNotFoundError only)."""
+    from solarpaneldatawrangler_spark.operators.dsir import (
+        dsir_features_sql,
+        dsir_ratios_for_dir,
+        dsir_ratios_values_sql,
+    )
+    from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
+
+    try:
+        ratios = dsir_ratios_for_dir(ORACLE_SF_DIR, n_buckets=_DSIR_B)
+    except FileNotFoundError as ex:
+        import sys
+
+        print(
+            "WARNING: q73_dsir_threshold oracle demoted to rows-only — "
+            f"testdata absent at import ({ex})",
+            file=sys.stderr,
+        )
+        return None
+    values = dsir_ratios_values_sql(ratios)
+    feats = dsir_features_sql("text", _DSIR_B)
+    return f"""
+    WITH ratios(b, r) AS (VALUES {values}),
+    feats AS (
+        SELECT doc_id, unnest({feats}) AS b FROM documents
+    ),
+    w AS (
+        SELECT f.doc_id,
+               CAST(SUM(CAST(ratios.r AS DECIMAL(27,6))) AS DOUBLE) AS w
+        FROM feats f JOIN ratios USING (b) GROUP BY f.doc_id
+    )
+    SELECT d.doc_id, COALESCE(w.w, 0.0) AS dsir_w
+    FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
+    WHERE COALESCE(w.w, 0.0) >= {_DSIR_T}
+    """
+
+
+@register(
+    "q73_dsir_threshold",
+    oracle=_q73_oracle_or_none(),
+    doc="Threshold-mode DSIR selection (r9, completing the published "
+    "recipe's deployment story): same fitted hashed-n-gram importance "
+    "weights as q72, but selection is the streaming `log-weight >= t` "
+    "scan-side filter — zero shuffle, no global order, the corpus-"
+    "sized-keep shape (operators.dsir.dsir_select_threshold). Hashed "
+    "surfaces: the surviving doc_ids and their exact decimal weights.",
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.dsir import (
+        dsir_ratios_for_dir,
+        dsir_select_threshold,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratios = dsir_ratios_for_dir(sf_dir, n_buckets=_DSIR_B)
+    # empty-text docs have zero features -> weight 0.0 in the oracle's
+    # LEFT JOIN COALESCE; the Spark fold over an empty array is 0.0
+    # too, so the two sides agree without special-casing
+    return dsir_select_threshold(docs, ratios, _DSIR_T).select(
+        "doc_id", F.col("dsir_w")
     )
