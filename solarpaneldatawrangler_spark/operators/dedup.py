@@ -683,12 +683,32 @@ def remove_boilerplate_paragraphs(
 # rows under old-param meta (the silent-admit-everything hazard a
 # store-level _meta had between its commit and meta rewrite).
 # Marker/meta entries are underscore-prefixed so parquet scans of a
-# generation ignore them. Maintenance and ingest must not run
-# concurrently (unchanged contract — appends into a generation being
-# swept would be lost).
+# generation ignore them.
+#
+# Mutual exclusion (r9 — a MECHANISM, no longer just a documented
+# contract): every mutating entry point (append, overwrite,
+# compaction) holds the store's ``_LEASE`` marker for its duration —
+# one atomic createNewFile (create-fail-if-exists, the _COMMITTED
+# idiom). A concurrent mutation therefore raises LOUDLY instead of
+# losing rows: an append racing a compaction could land rows in the
+# generation being superseded, where readers would never see them and
+# known content would be silently re-admitted (the reference's SQLite
+# PK upsert was implicitly serialized by the database; these stores
+# need the lock spelled out). The lease is released in ``finally`` —
+# an exception-path failure never wedges the store; only PROCESS death
+# leaves a stale lease, which an operator clears with `clear_lease`
+# after confirming the dead job (readers were never at risk: the
+# half-written generation carries no _COMMITTED marker).
+#
+# Probes vs maintenance: a probe that resolved _current_gen just
+# before a compaction commits could have its files deleted mid-scan —
+# so the sweep RETAINS the newest superseded committed generation for
+# one maintenance cycle (_sweep_old_gens retain=1), giving in-flight
+# readers a full cycle to drain; only the next maintenance removes it.
 
 _GEN_PREFIX = "gen-"
 _COMMIT_MARK = "_COMMITTED"
+_LEASE_MARK = "_LEASE"
 
 
 def _hadoop_fs(spark, path: str):
@@ -772,15 +792,59 @@ def _commit_gen(spark, path: str, n: int) -> None:
     fs.create(mark, True).close()
 
 
-def _sweep_old_gens(spark, path: str, keep: int) -> None:
-    """Best-effort recursive delete of every generation below ``keep``
-    (and uncommitted strays below it). Runs AFTER the new generation's
-    commit, so a crash mid-sweep only leaves stale dirs the next
-    compaction removes — readers already ignore them."""
+def _sweep_old_gens(spark, path: str, keep: int, retain: int = 1) -> None:
+    """Best-effort recursive delete of generations below ``keep``,
+    RETAINING the newest ``retain`` committed generations below it
+    (default 1 — the in-flight-reader grace window: a probe that
+    resolved _current_gen just before this maintenance committed can
+    finish its scan on the superseded generation; the NEXT maintenance
+    removes it). Uncommitted strays below ``keep`` are always deleted.
+    Runs AFTER the new generation's commit, so a crash mid-sweep only
+    leaves stale dirs the next maintenance removes — readers already
+    ignore them."""
     fs, _, jvm = _hadoop_fs(spark, path)
-    for n, p, _ok in _list_gens(spark, path):
-        if n < keep:
+    gens = _list_gens(spark, path)
+    grace = {n for n, _p, ok in gens if ok and n < keep}
+    grace = set(sorted(grace)[-retain:]) if retain > 0 else set()
+    for n, p, _ok in gens:
+        if n < keep and n not in grace:
             fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
+
+
+def _acquire_lease(spark, path: str) -> None:
+    """Take the store's maintenance/ingest lease: one atomic
+    createNewFile of the ``_LEASE`` marker. Raises when another
+    mutator holds it — the caller must NOT proceed (see the mutual-
+    exclusion comment above _GEN_PREFIX)."""
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        fs.mkdirs(hpath)
+    mark = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{_LEASE_MARK}"
+    )
+    if not fs.createNewFile(mark):
+        raise RuntimeError(
+            f"store {path} is being mutated by another job ({_LEASE_MARK} "
+            "held) — a concurrent append/maintenance would silently lose "
+            "admission state; if a CRASHED job left the lease, clear it "
+            "with operators.dedup.clear_lease after confirming the job "
+            "is dead"
+        )
+
+
+def _release_lease(spark, path: str) -> None:
+    fs, _, jvm = _hadoop_fs(spark, path)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_LEASE_MARK}"),
+        False,
+    )
+
+
+def clear_lease(spark, path: str) -> None:
+    """Operator action: remove a stale ``_LEASE`` left by a DEAD
+    mutator (process crash — exception paths release their own lease).
+    Never call while the owning job may still be alive."""
+    _release_lease(spark, path)
 
 
 def _write_fp_meta(spark, gen_path: str, n_buckets: int) -> None:
@@ -794,15 +858,35 @@ def _write_fp_meta(spark, gen_path: str, n_buckets: int) -> None:
 
 
 def _read_fp_meta(spark, gen_path: str) -> int | None:
+    """The generation's pinned bucket count. None ONLY when the _meta
+    dir is genuinely ABSENT — the explicitly-detected pre-r8 layout,
+    where callers may fall back to their own n_buckets. A _meta dir
+    that exists but cannot be read (no parseable rows: damaged or
+    half-deleted) raises instead: falling back there would prune the
+    WRONG partitions and silently re-admit known fingerprints, the
+    exact failure the per-generation meta exists to prevent (r8
+    ADVICE — compact_fingerprint_store and _require_sig_meta already
+    treat the same state as a loud error)."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     try:
         rows = spark.read.json(f"{gen_path}/_meta").collect()
     except AnalysisException as ex:
-        if ex.getCondition() in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
-            return None
+        if ex.getCondition() == "PATH_NOT_FOUND":
+            return None  # pre-r8 generation: meta never existed
+        if ex.getCondition() == "UNABLE_TO_INFER_SCHEMA":
+            raise ValueError(
+                f"fingerprint store generation {gen_path} has an "
+                "unreadable _meta (exists but no parseable rows) — "
+                "damaged store; refusing to guess n_buckets"
+            ) from ex
         raise
-    return int(rows[0]["n_buckets"]) if rows else None
+    if not rows:
+        raise ValueError(
+            f"fingerprint store generation {gen_path} has an empty "
+            "_meta — damaged store; refusing to guess n_buckets"
+        )
+    return int(rows[0]["n_buckets"])
 
 
 def _fp_bucket(fp: Column, n_buckets: int) -> Column:
@@ -841,37 +925,47 @@ def write_fingerprint_store(
     a fresh store).
     """
     spark = df.sparkSession
-    if mode == "append":
-        cur = _current_gen(spark, path)
-        if cur is not None:
-            # bucket under the STORE's pinned n_buckets — appending
-            # rows bucketed differently would scatter fingerprints
-            # into partitions probes never prune to
-            have = _read_fp_meta(spark, cur[1])
-            if have is not None and have != n_buckets:
-                raise ValueError(
-                    f"fingerprint store {path} was bucketed with "
-                    f"n_buckets={have}, append called with "
-                    f"{n_buckets} — probes would silently re-admit"
+    _acquire_lease(spark, path)
+    try:
+        if mode == "append":
+            cur = _current_gen(spark, path)
+            if cur is not None:
+                # bucket under the STORE's pinned n_buckets — appending
+                # rows bucketed differently would scatter fingerprints
+                # into partitions probes never prune to
+                have = _read_fp_meta(spark, cur[1])
+                if have is not None and have != n_buckets:
+                    raise ValueError(
+                        f"fingerprint store {path} was bucketed with "
+                        f"n_buckets={have}, append called with "
+                        f"{n_buckets} — probes would silently re-admit"
+                    )
+                use = have if have is not None else n_buckets
+                fps = (
+                    df.select(
+                        _store_fingerprint(text_col).alias("fingerprint")
+                    )
+                    .distinct()
+                    .withColumn(
+                        "bucket", _fp_bucket(F.col("fingerprint"), use)
+                    )
                 )
-            use = have if have is not None else n_buckets
-            fps = (
-                df.select(_store_fingerprint(text_col).alias("fingerprint"))
-                .distinct()
-                .withColumn("bucket", _fp_bucket(F.col("fingerprint"), use))
-            )
-            fps.write.partitionBy("bucket").mode("append").parquet(cur[1])
-            return
-    fps = (
-        df.select(_store_fingerprint(text_col).alias("fingerprint"))
-        .distinct()
-        .withColumn("bucket", _fp_bucket(F.col("fingerprint"), n_buckets))
-    )
-    n, gen_path = _next_gen_path(spark, path)
-    fps.write.partitionBy("bucket").mode("overwrite").parquet(gen_path)
-    _write_fp_meta(spark, gen_path, n_buckets)
-    _commit_gen(spark, path, n)
-    _sweep_old_gens(spark, path, keep=n)
+                fps.write.partitionBy("bucket").mode("append").parquet(
+                    cur[1]
+                )
+                return
+        fps = (
+            df.select(_store_fingerprint(text_col).alias("fingerprint"))
+            .distinct()
+            .withColumn("bucket", _fp_bucket(F.col("fingerprint"), n_buckets))
+        )
+        n, gen_path = _next_gen_path(spark, path)
+        fps.write.partitionBy("bucket").mode("overwrite").parquet(gen_path)
+        _write_fp_meta(spark, gen_path, n_buckets)
+        _commit_gen(spark, path, n)
+        _sweep_old_gens(spark, path, keep=n)
+    finally:
+        _release_lease(spark, path)
 
 
 def _store_fingerprint(text_col: str) -> Column:
@@ -991,41 +1085,46 @@ def compact_fingerprint_store(
         raise ValueError(f"fingerprint store {path} has no committed data")
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    _acquire_lease(spark, path)
     try:
-        src = spark.read.parquet(cur[1])
-    except AnalysisException as ex:
-        # a committed generation with ZERO rows (an admitted empty
-        # batch) has no parquet footers — nothing to compact
-        if ex.getCondition() == "UNABLE_TO_INFER_SCHEMA":
-            return
-        raise
-    have = _read_fp_meta(spark, cur[1])
-    if have is None:
-        # never GUESS a bucket count into authoritative meta: the rows
-        # keep buckets computed under the store's REAL (unknown) count,
-        # and pinning the fallback would mis-prune every later probe —
-        # worse than the pre-meta state (review-caught). Meta-less
-        # generations only exist for stores predating the r8 meta;
-        # rewrite them via write_fingerprint_store.
-        raise ValueError(
-            f"fingerprint store {path} generation has no n_buckets "
-            "meta (pre-r8 store) — rebuild it with "
-            "write_fingerprint_store before compacting"
+        try:
+            src = spark.read.parquet(cur[1])
+        except AnalysisException as ex:
+            # a committed generation with ZERO rows (an admitted empty
+            # batch) has no parquet footers — nothing to compact
+            if ex.getCondition() == "UNABLE_TO_INFER_SCHEMA":
+                return
+            raise
+        have = _read_fp_meta(spark, cur[1])
+        if have is None:
+            # never GUESS a bucket count into authoritative meta: the
+            # rows keep buckets computed under the store's REAL
+            # (unknown) count, and pinning the fallback would mis-prune
+            # every later probe — worse than the pre-meta state
+            # (review-caught). Meta-less generations only exist for
+            # stores predating the r8 meta; rewrite them via
+            # write_fingerprint_store.
+            raise ValueError(
+                f"fingerprint store {path} generation has no n_buckets "
+                "meta (pre-r8 store) — rebuild it with "
+                "write_fingerprint_store before compacting"
+            )
+        df = (
+            src.select("fingerprint", "bucket")
+            .dropDuplicates(["fingerprint"])
+            .repartition(have, F.col("bucket"))
         )
-    df = (
-        src.select("fingerprint", "bucket")
-        .dropDuplicates(["fingerprint"])
-        .repartition(have, F.col("bucket"))
-    )
-    n, gen_path = _next_gen_path(spark, path)
-    df.write.partitionBy("bucket").mode("overwrite").parquet(gen_path)
-    _write_fp_meta(spark, gen_path, have)
-    if _crash_point == "after_data":
-        raise RuntimeError("injected crash: after_data")
-    _commit_gen(spark, path, n)
-    if _crash_point == "after_commit":
-        raise RuntimeError("injected crash: after_commit")
-    _sweep_old_gens(spark, path, keep=n)
+        n, gen_path = _next_gen_path(spark, path)
+        df.write.partitionBy("bucket").mode("overwrite").parquet(gen_path)
+        _write_fp_meta(spark, gen_path, have)
+        if _crash_point == "after_data":
+            raise RuntimeError("injected crash: after_data")
+        _commit_gen(spark, path, n)
+        if _crash_point == "after_commit":
+            raise RuntimeError("injected crash: after_commit")
+        _sweep_old_gens(spark, path, keep=n)
+    finally:
+        _release_lease(spark, path)
 
 
 # --- cross-corpus near-dup (incremental ingest admission) --------------------
@@ -1310,6 +1409,14 @@ def write_minhash_store(
         ),
         "id",
     )
+    _acquire_lease(spark, path)
+    try:
+        _write_minhash_rows(spark, path, rows, meta, mode)
+    finally:
+        _release_lease(spark, path)
+
+
+def _write_minhash_rows(spark, path, rows, meta, mode) -> None:
     # layout v2 (r8): data + meta in committed generation subdirs (see
     # the store-layout comment above _list_gens). Append goes into the
     # current generation, data files only — its meta is already there
@@ -1483,28 +1590,32 @@ def compact_minhash_store(
         raise ValueError(f"minhash store {path} has no _meta to compact")
     from pyspark.errors.exceptions.captured import AnalysisException
 
+    _acquire_lease(spark, path)
     try:
-        src = spark.read.parquet(cur[1])
-    except AnalysisException as ex:
-        # a committed generation holding ZERO rows (first admitted
-        # batch had nothing shingle-able) has no parquet footers —
-        # nothing to compact, and crashing a maintenance job on it
-        # would be a regression (the probe path documents this state)
-        if ex.getCondition() == "UNABLE_TO_INFER_SCHEMA":
-            return
-        raise
-    df = src.dropDuplicates(["id", "band", "band_sig", "sig"]).repartition(
-        int(meta["bands"]), F.col("band")
-    )
-    n, gen_path = _next_gen_path(spark, path)
-    df.write.partitionBy("band").mode("overwrite").parquet(gen_path)
-    _write_sig_meta(spark, gen_path, meta)
-    if _crash_point == "after_data":
-        raise RuntimeError("injected crash: after_data")
-    _commit_gen(spark, path, n)
-    if _crash_point == "after_commit":
-        raise RuntimeError("injected crash: after_commit")
-    _sweep_old_gens(spark, path, keep=n)
+        try:
+            src = spark.read.parquet(cur[1])
+        except AnalysisException as ex:
+            # a committed generation holding ZERO rows (first admitted
+            # batch had nothing shingle-able) has no parquet footers —
+            # nothing to compact, and crashing a maintenance job on it
+            # would be a regression (the probe path documents this)
+            if ex.getCondition() == "UNABLE_TO_INFER_SCHEMA":
+                return
+            raise
+        df = src.dropDuplicates(
+            ["id", "band", "band_sig", "sig"]
+        ).repartition(int(meta["bands"]), F.col("band"))
+        n, gen_path = _next_gen_path(spark, path)
+        df.write.partitionBy("band").mode("overwrite").parquet(gen_path)
+        _write_sig_meta(spark, gen_path, meta)
+        if _crash_point == "after_data":
+            raise RuntimeError("injected crash: after_data")
+        _commit_gen(spark, path, n)
+        if _crash_point == "after_commit":
+            raise RuntimeError("injected crash: after_commit")
+        _sweep_old_gens(spark, path, keep=n)
+    finally:
+        _release_lease(spark, path)
 
 
 def near_dup_new_docs_store(

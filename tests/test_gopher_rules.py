@@ -158,3 +158,45 @@ def test_gopher_sql_builder_empty_and_null_text_parity(spark):
             if g is not None:
                 assert bool(g) == bool(w), (d, rule, g, w)
     assert got[1]["mwl_ok"] is False and want[1]["mwl_ok"] is not None
+
+
+def test_gopher_flags_sql_text_expr_over_derived_text(spark):
+    """The shared SQL builder parameterizes its text expression (r9,
+    like the sibling c4_*_sql builders): replaying the rules over a
+    DERIVED text must match Spark's gopher_flags over the same
+    derivation."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.functions.text import (
+        gopher_flags,
+        gopher_flags_sql,
+    )
+
+    rows = [
+        (1, "the and with this that from " + " ".join(f"w{i}" for i in range(60))),
+        (2, "short"),
+        (3, "### markdown " + "# " * 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, raw string")
+    derived = F.concat(F.col("raw"), F.lit(" suffix and that"))
+    got = {
+        r["doc_id"]: tuple(r[c] for c in r.asDict() if c != "doc_id")
+        for r in df.select(
+            "doc_id", gopher_flags(derived, min_words=5).alias("f")
+        ).select("doc_id", "f.*").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, raw)"
+    )
+    sql = gopher_flags_sql(
+        min_words=5, text_expr="(raw || ' suffix and that')"
+    )
+    want = {
+        int(r[0]): tuple(bool(x) for x in r[1:])
+        for r in con.execute(f"SELECT doc_id, {sql} FROM t").fetchall()
+    }
+    assert got == want

@@ -251,7 +251,10 @@ def test_compaction_bounds_probe_cost_after_appends(spark, tmp_path):
         write_fingerprint_store(admitted, store, mode="append")
 
     def files_per_bucket():
-        buckets = glob.glob(os.path.join(store, "gen-*", "bucket=*"))
+        # CURRENT generation only: probes scan only it; r9 retains the
+        # superseded generation one maintenance cycle (reader grace)
+        cur = max(glob.glob(os.path.join(store, "gen-*")))
+        buckets = glob.glob(os.path.join(cur, "bucket=*"))
         counts = [
             len(glob.glob(os.path.join(b, "*.parquet"))) for b in buckets
         ]
@@ -273,7 +276,8 @@ def test_compaction_bounds_probe_cost_after_appends(spark, tmp_path):
     after = sorted(r.doc_id for r in incremental_new_docs(probe, store).collect())
     assert after == before == [1000]
     # distinct survived: total fingerprints == 1 seed + 20*5 batch docs
-    assert spark.read.parquet(store).count() == 101
+    cur = max(glob.glob(os.path.join(store, "gen-*")))
+    assert spark.read.parquet(cur).count() == 101
 
 
 def test_missing_store_bootstrap_admits_everything(spark, tmp_path):
@@ -411,9 +415,13 @@ def test_minhash_store_compaction_preserves_verdicts(spark, tmp_path):
     ).withColumn("doc_id", F.col("doc_id") + 1000)
     before = {r.doc_id for r in near_dup_new_docs_store(
         batch, store, sim_threshold=0.9).collect()}
-    n_files_before = len(glob.glob(os.path.join(store, "gen-*", "band=*", "*.parquet")))
+    def cur_files():
+        cur = max(glob.glob(os.path.join(store, "gen-*")))
+        return len(glob.glob(os.path.join(cur, "band=*", "*.parquet")))
+
+    n_files_before = cur_files()
     compact_minhash_store(spark, store)
-    n_files_after = len(glob.glob(os.path.join(store, "gen-*", "band=*", "*.parquet")))
+    n_files_after = cur_files()
     after = {r.doc_id for r in near_dup_new_docs_store(
         batch, store, sim_threshold=0.9).collect()}
     assert before == after == {1100}  # twin of stored doc 3 rejected
@@ -552,13 +560,17 @@ def test_interrupted_compaction_exact_store_fully_old_or_fully_new(
         r.doc_id for r in incremental_new_docs(probe, store).collect()
     } == want
 
-    # a clean retry converges: one file per bucket, same verdicts
+    # a clean retry converges: one file per bucket in the NEW current
+    # generation; crash debris is swept, and exactly ONE superseded
+    # committed generation is retained (the r9 in-flight-reader grace
+    # window) — a second maintenance pass removes it
     compact_fingerprint_store(spark, store)
-    gens = glob.glob(os.path.join(store, "gen-*"))
-    assert len(gens) == 1  # stale generations swept
+    gens = sorted(glob.glob(os.path.join(store, "gen-*")))
+    assert len(gens) == 2  # current + the one retained predecessor
+    assert os.path.exists(os.path.join(gens[0], "_COMMITTED"))
     per_bucket = [
         len(glob.glob(os.path.join(b, "*.parquet")))
-        for b in glob.glob(os.path.join(store, "gen-*", "bucket=*"))
+        for b in glob.glob(os.path.join(gens[-1], "bucket=*"))
     ]
     assert per_bucket and max(per_bucket) == 1
     assert {
@@ -611,9 +623,11 @@ def test_interrupted_compaction_minhash_store_never_refuses(spark, tmp_path):
     assert verdict() == want
     compact_minhash_store(spark, store)
     assert verdict() == want
-    assert len(glob.glob(os.path.join(store, "gen-*"))) == 1
-    # the surviving generation carries its own meta (committed together)
-    assert glob.glob(os.path.join(store, "gen-*", "_meta"))
+    # current + one retained committed predecessor (reader grace)
+    gens = sorted(glob.glob(os.path.join(store, "gen-*")))
+    assert len(gens) == 2
+    # the surviving generations each carry their own meta
+    assert glob.glob(os.path.join(gens[-1], "_meta"))
 
 
 def test_minhash_store_fresh_write_crash_is_bootstrap(spark, tmp_path):
@@ -767,3 +781,156 @@ def test_exact_store_pins_n_buckets(spark, tmp_path):
     )
     compact_fingerprint_store(spark, store)
     assert incremental_new_docs(probe, store, n_buckets=32).count() == 0
+
+
+def test_maintenance_ingest_lease_serializes(spark, tmp_path):
+    """r9: mutual exclusion is a MECHANISM. While a mutator holds the
+    store lease (here: simulated dead compaction — process death never
+    reaches the finally-release), a concurrent append or compaction
+    raises LOUDLY instead of losing admission state; clear_lease
+    restores service, and normal mutators release their own lease."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _acquire_lease,
+        clear_lease,
+        compact_fingerprint_store,
+        write_fingerprint_store,
+    )
+
+    store = str(tmp_path / "fp_lease")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], "doc_id long, text string"
+    )
+    write_fingerprint_store(docs, store)  # acquires + releases
+    assert not os.path.exists(os.path.join(store, "_LEASE"))
+
+    _acquire_lease(spark, store)  # a concurrent mutator holds it
+    batch = spark.createDataFrame(
+        [(99, "new doc")], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="_LEASE"):
+        write_fingerprint_store(batch, store, mode="append")
+    with pytest.raises(RuntimeError, match="_LEASE"):
+        compact_fingerprint_store(spark, store)
+    # probes are lease-free: reads keep answering during maintenance
+    assert incremental_new_docs(batch, store).count() == 1
+
+    clear_lease(spark, store)
+    write_fingerprint_store(batch, store, mode="append")
+    assert incremental_new_docs(batch, store).count() == 0
+
+
+def test_minhash_store_lease_serializes(spark, tmp_path):
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _acquire_lease,
+        clear_lease,
+        compact_minhash_store,
+        write_minhash_store,
+    )
+
+    store = str(tmp_path / "sig_lease")
+    mk = lambda i: (i, f"document number {i} about solar arrays " * 3)  # noqa: E731
+    write_minhash_store(
+        spark.createDataFrame([mk(0)], "doc_id long, text string"),
+        store, num_hashes=16, bands=4,
+    )
+    _acquire_lease(spark, store)
+    with pytest.raises(RuntimeError, match="_LEASE"):
+        write_minhash_store(
+            spark.createDataFrame([mk(1)], "doc_id long, text string"),
+            store, mode="append", num_hashes=16, bands=4,
+        )
+    with pytest.raises(RuntimeError, match="_LEASE"):
+        compact_minhash_store(spark, store)
+    clear_lease(spark, store)
+    compact_minhash_store(spark, store)  # serialized retry succeeds
+
+
+def test_crashed_maintenance_releases_lease_on_exception(spark, tmp_path):
+    """An EXCEPTION-path failure (vs process death) must release the
+    lease — a failed compaction never wedges ingest."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        compact_fingerprint_store,
+        write_fingerprint_store,
+    )
+
+    store = str(tmp_path / "fp_lease_crash")
+    write_fingerprint_store(
+        spark.createDataFrame([(0, "seed")], "doc_id long, text string"),
+        store,
+    )
+    with pytest.raises(RuntimeError, match="after_data"):
+        compact_fingerprint_store(spark, store, _crash_point="after_data")
+    assert not os.path.exists(os.path.join(store, "_LEASE"))
+    # ingest proceeds immediately
+    write_fingerprint_store(
+        spark.createDataFrame([(1, "next")], "doc_id long, text string"),
+        store,
+        mode="append",
+    )
+
+
+def test_sweep_retains_superseded_generation_for_inflight_readers(
+    spark, tmp_path
+):
+    """r9 reader-grace: a probe plan that resolved the OLD current
+    generation just before a compaction commits must stay scannable —
+    the sweep retains the newest superseded committed generation for
+    one maintenance cycle; the NEXT maintenance removes it."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _current_gen,
+        compact_fingerprint_store,
+        write_fingerprint_store,
+    )
+
+    store = str(tmp_path / "fp_grace")
+    write_fingerprint_store(
+        spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+        ),
+        store,
+    )
+    old_gen = _current_gen(spark, store)[1]
+    old_gen_local = old_gen.replace("file:", "")
+    # an in-flight reader: plan resolved against the old generation
+    inflight = spark.read.parquet(old_gen)
+    compact_fingerprint_store(spark, store)
+    assert _current_gen(spark, store)[1] != old_gen
+    # the superseded generation is still fully scannable
+    assert inflight.count() == 20
+    assert os.path.exists(os.path.join(old_gen_local, "_COMMITTED"))
+    # ...until the NEXT maintenance cycle sweeps it
+    compact_fingerprint_store(spark, store)
+    assert not os.path.exists(old_gen_local)
+    gens = sorted(glob.glob(os.path.join(store, "gen-*")))
+    assert len(gens) == 2  # new current + ITS retained predecessor
+
+
+def test_damaged_fp_meta_raises_instead_of_guessing(spark, tmp_path):
+    """A committed generation whose _meta EXISTS but holds no readable
+    rows is damage: probes and appends must refuse loudly (falling
+    back to the caller's n_buckets would prune the wrong partitions
+    and silently re-admit known fingerprints — r8 ADVICE)."""
+    import shutil
+
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _current_gen,
+        write_fingerprint_store,
+    )
+
+    store = str(tmp_path / "fp_badmeta")
+    write_fingerprint_store(
+        spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(5)], "doc_id long, text string"
+        ),
+        store,
+    )
+    gen = _current_gen(spark, store)[1].replace("file:", "")
+    meta = os.path.join(gen, "_meta")
+    shutil.rmtree(meta)
+    os.makedirs(meta)  # exists, but zero parseable rows
+    batch = spark.createDataFrame([(9, "x")], "doc_id long, text string")
+    with pytest.raises(Exception, match="unreadable _meta|_meta"):
+        incremental_new_docs(batch, store).count()
+    # a genuinely ABSENT _meta (pre-r8 layout) still falls back
+    shutil.rmtree(meta)
+    assert incremental_new_docs(batch, store, n_buckets=64).count() == 1
