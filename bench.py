@@ -315,6 +315,98 @@ def _store_io_stats(spark, sf_dir: str) -> dict[str, int]:
     return out
 
 
+def _bucketed_join_pair(spark, sf_dir, colocated: bool):
+    """The bucketed-layout contrast pair: the SAME fact-fact join+agg
+    (lineitem ⋈ orders on the order key, group by status/returnflag)
+    over (a) the bucketed tables — zero Exchange, the pay-the-shuffle-
+    once layout — vs (b) plain parquet scans, which shuffle both sides
+    every run. Broadcast is disabled for BOTH so the comparison is
+    SMJ-vs-SMJ (at bench sf the orders side would otherwise broadcast
+    and hide the shuffle being measured); the conf must hold at action
+    time, so this fn materializes inside the guard and returns a
+    row-count stub for the harness's .count()."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.relational import exact_sum
+    from solarpaneldatawrangler_spark.plans.extension_queries2 import (
+        _q75_bucketed_tables,
+    )
+    from solarpaneldatawrangler_spark.sources.bucketed import colocated_join
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        if colocated:
+            lt, ot = _q75_bucketed_tables(spark, sf_dir)
+            j = colocated_join(spark, lt, ot, "l_orderkey", "o_orderkey")
+        else:
+            li = load_table(spark, sf_dir, "lineitem")
+            orders = load_table(spark, sf_dir, "orders")
+            j = li.join(
+                orders, li.l_orderkey == orders.o_orderkey
+            )
+        n = (
+            j.groupBy("o_orderstatus", "l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                exact_sum("l_extendedprice").alias("sum_price"),
+            )
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return spark.range(n)
+
+
+def _zorder_io_stats(spark, sf_dir: str) -> dict[str, int]:
+    """Measured data-skipping proof for the z-order layout (the
+    store_io/ivf_io idiom): the SAME 2-D point set — lineitem keys
+    projected onto a 4096² tile grid — written z-ordered and
+    row-major with identical file count and row-group sizing, then
+    three bbox shapes counted against both layouts' parquet footer
+    stats. The square and the column-band prune fine under BOTH
+    layouts (the row-major sort is column-contiguous, so
+    column-selective queries are its good case); the ROW-band is the
+    claim: the single-axis sort leaves the row axis spanning every
+    row group — it must read everything — while Morton clustering
+    bounds both axes, so the same band skips most groups. A layout is
+    chosen for the worst query shape it must serve."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.sources.layout import (
+        bbox_rowgroup_stats,
+        write_rowmajor,
+        write_zordered,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    pts = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 4096).alias("column"),
+        ((F.col("l_partkey") * 7) % 4096).alias("row"),
+        F.col("l_quantity").alias("payload"),
+    )
+    d = tempfile.mkdtemp(prefix="spark_graft_zorder_")
+    zp, rp = f"{d}/z", f"{d}/rowmajor"
+    write_zordered(pts, zp, n_files=16, block_bytes=64 * 1024)
+    write_rowmajor(pts, rp, n_files=16, block_bytes=64 * 1024)
+    bboxes = {
+        "square": ((1024, 1279), (2048, 2303)),
+        "colband": ((1024, 1279), (0, 4095)),
+        "rowband": ((0, 4095), (2048, 2303)),
+    }
+    out: dict[str, int] = {}
+    for shape, bbox in bboxes.items():
+        z = bbox_rowgroup_stats(zp, *bbox)
+        r = bbox_rowgroup_stats(rp, *bbox)
+        out[f"z_{shape}_probed"] = z["rowgroups_probed"]
+        out[f"rowmajor_{shape}_probed"] = r["rowgroups_probed"]
+        out.setdefault("rowgroups_total", z["rowgroups_total"])
+    return out
+
+
 def _ivf_store_corpus(spark, sf_dir: str, with_index: bool):
     store = spark.read.parquet(_ivf_store_dir(spark, sf_dir))
     return store if with_index else store.drop("list_id")
@@ -1063,6 +1155,15 @@ EXTRA = {
     "x_rep_battery": _rep_battery_bench,
     "x_c4_filter": _c4_filter_bench,
     "x_dsir": _dsir_bench,
+    # the r9 layout pair: identical join+agg, bucketed (zero Exchange)
+    # vs plain parquet (shuffles both sides); broadcast disabled in
+    # both so it's SMJ-vs-SMJ — the delta is the shuffle being paid
+    "x_bucketed_join": lambda spark, sf_dir: _bucketed_join_pair(
+        spark, sf_dir, True
+    ),
+    "x_shuffled_join": lambda spark, sf_dir: _bucketed_join_pair(
+        spark, sf_dir, False
+    ),
 }
 
 
@@ -1150,6 +1251,17 @@ def main() -> None:
         _sig_store_dir(spark, sf_dir)
     except Exception as ex:  # noqa: BLE001
         errors["sig_store_setup"] = f"{type(ex).__name__}: {ex}"[:300]
+    # pre-build the bucketed tables (memoized per session+dir): the
+    # layout's whole point is paying the shuffle at WRITE time, so
+    # x_bucketed_join times the co-located join, not the table build
+    try:
+        from solarpaneldatawrangler_spark.plans.extension_queries2 import (
+            _q75_bucketed_tables,
+        )
+
+        _q75_bucketed_tables(spark, sf_dir)
+    except Exception as ex:  # noqa: BLE001
+        errors["bucketed_setup"] = f"{type(ex).__name__}: {ex}"[:300]
 
     # fresh-session snake runs in BOTH positions (r9, the r8 judge's
     # load-vs-code separator): once HERE, before the ~30 allocation-
@@ -1284,6 +1396,13 @@ def main() -> None:
         print(f"# store_io: {store_io}", file=sys.stderr)
     except Exception as ex:  # noqa: BLE001
         errors["store_io_stats"] = f"{type(ex).__name__}: {ex}"[:300]
+    # z-order vs row-major data-skipping proof (r9 layout work)
+    zorder_io: dict[str, int] | None = None
+    try:
+        zorder_io = _zorder_io_stats(spark, sf_dir)
+        print(f"# zorder_io: {zorder_io}", file=sys.stderr)
+    except Exception as ex:  # noqa: BLE001
+        errors["zorder_io_stats"] = f"{type(ex).__name__}: {ex}"[:300]
 
     # gate-staleness self-check (r9, the r8 judge's top item): the
     # artifact carries the catalog size + name-list hash, and names
@@ -1321,6 +1440,7 @@ def main() -> None:
         **({"ivf_io": ivf_io} if ivf_io else {}),
         **({"ivfpq_io": ivfpq_io} if ivfpq_io else {}),
         **({"store_io": store_io} if store_io else {}),
+        **({"zorder_io": zorder_io} if zorder_io else {}),
         **({"warm_reruns": warm_reruns} if warm_reruns else {}),
         **({"load": loads} if loads else {}),
         **({"load_extras": load_extras} if load_extras else {}),
@@ -1343,6 +1463,7 @@ def main() -> None:
                 ),
                 "extra_value": round(extra_total, 3),
                 **({"store_io": store_io} if store_io else {}),
+                **({"zorder_io": zorder_io} if zorder_io else {}),
                 "n_queries": len(cat_names),
                 "catalog_hash": catalog_hash,
                 **(

@@ -121,3 +121,26 @@ def zorder_key(column: Column, row: Column) -> Column:
         return x
 
     return spread(column).bitwiseOR(F.shiftleft(spread(row), 1))
+
+
+def zorder_sql(col_expr: str, row_expr: str) -> str:
+    """ANSI-SQL replay of ``zorder_key`` for the DuckDB oracle — the
+    shared-builder idiom (c4_*_sql, dsir_features_sql): ONE definition
+    of the bit-spread feeds both engines, so the interleave cannot
+    drift between the Spark column and the oracle. Decimal literals
+    (not hex) for engine-neutral parsing; BIGINT throughout — inputs
+    in [0, 2^31) spread into bits 0..62, no signed-overflow hazard."""
+
+    def spread(v: str) -> str:
+        x = f"CAST(({v}) AS BIGINT)"
+        for shift, mask in (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ):
+            x = f"(({x} | ({x} << {shift})) & {mask})"
+        return x
+
+    return f"({spread(col_expr)} | ({spread(row_expr)} << 1))"

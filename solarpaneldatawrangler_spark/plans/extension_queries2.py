@@ -431,3 +431,114 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine_sim", 4).alias("cosine_sim_r"),
         "rank",
     )
+
+
+# --- z-order key (layout clustering for 2-D range pruning) ------------------
+
+def _q74_oracle() -> str:
+    from solarpaneldatawrangler_spark.functions.tiles import zorder_sql
+
+    return f"""
+    SELECT p_partkey,
+           p_partkey % 1024 AS c,
+           (p_partkey * 7) % 1024 AS r,
+           {zorder_sql('p_partkey % 1024', '(p_partkey * 7) % 1024')} AS z
+    FROM part
+    """
+
+
+@register(
+    "q74_zorder_key",
+    oracle=_q74_oracle(),
+    doc="Morton / Z-order interleave of 2-D tile coordinates "
+    "(functions.tiles.zorder_key): the write-time clustering key that "
+    "lets parquet row-group min/max stats prune BOTH axes of a bbox "
+    "query (sources.layout.write_zordered; measured probed-vs-total "
+    "proof in bench zorder_io). Pure codegen magic-number bit spread "
+    "— 10 integer ops per coordinate, no UDF; the oracle replays the "
+    "identical spread via the shared zorder_sql builder, so the "
+    "interleave cannot drift between engines.",
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.functions.tiles import zorder_key
+
+    part = load_table(spark, sf_dir, "part")
+    c = F.col("p_partkey") % 1024
+    r = (F.col("p_partkey") * 7) % 1024
+    return part.select(
+        "p_partkey",
+        c.alias("c"),
+        r.alias("r"),
+        zorder_key(c, r).alias("z"),
+    )
+
+
+# --- bucketed co-located fact-fact join -------------------------------------
+
+_BUCKETS = 8
+
+# bucketed tables are a WRITE-TIME layout: built once per (session,
+# sf_dir) into a temp warehouse path (the q57/q61 memoized-store
+# idiom) and reused by every later call — the exact ingest shape the
+# layout is for (pay the shuffle once, join shuffle-free forever)
+_BUCKETED_MEMO: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _q75_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _BUCKETED_MEMO.get(key)
+    if got is not None:
+        return got
+    import tempfile
+
+    from solarpaneldatawrangler_spark.sources.bucketed import write_bucketed
+
+    import hashlib
+
+    tag = "b" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    lt, ot = f"sg_li_{tag}", f"sg_ord_{tag}"
+    d = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
+    write_bucketed(
+        load_table(spark, sf_dir, "lineitem"),
+        lt, f"{d}/lineitem", "l_orderkey", _BUCKETS,
+    )
+    write_bucketed(
+        load_table(spark, sf_dir, "orders"),
+        ot, f"{d}/orders", "o_orderkey", _BUCKETS,
+    )
+    _BUCKETED_MEMO[key] = (lt, ot)
+    return lt, ot
+
+
+@register(
+    "q75_bucketed_join",
+    oracle="""
+    SELECT o_orderstatus,
+           l_returnflag,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus, l_returnflag
+    """,
+    doc="Fact-fact join through BUCKETED tables "
+    "(sources.bucketed.write_bucketed + colocated_join): both sides "
+    "hash-bucketed and sorted on the order key at write time, so the "
+    "sort-merge join runs with ZERO Exchange on either side — the "
+    "pay-the-shuffle-once layout for every repeated join on a stable "
+    "key at 100 TB (plan-asserted in tests/test_bucketed_layout.py; "
+    "the per-side Sort additionally elides under "
+    "spark.sql.legacy.bucketedTableScan.outputOrdering=true with one "
+    "file per bucket, also plan-asserted there). Result is plain "
+    "join+agg semantics, which is exactly what the oracle replays.",
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.relational import exact_sum
+    from solarpaneldatawrangler_spark.sources.bucketed import colocated_join
+
+    lt, ot = _q75_bucketed_tables(spark, sf_dir)
+    j = colocated_join(spark, lt, ot, "l_orderkey", "o_orderkey")
+    return j.groupBy("o_orderstatus", "l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        exact_sum("l_extendedprice").alias("sum_price"),
+    )
