@@ -1274,6 +1274,18 @@ def main() -> None:
 
     def fresh_snake(label: str) -> None:
         try:
+            # quiesce the parent JVM first (the cold-pass GC-barrier
+            # idiom): the child is a SECOND local[32] JVM sharing the
+            # same 32 cores, and the iterative snake is scheduler-
+            # latency-bound (~10 sequential rounds of tiny tasks) —
+            # parent GC/compilation settling right after the heavy
+            # store setups measured 9.6s vs 4.1s for the identical
+            # child at idle
+            try:
+                spark.sparkContext._jvm.System.gc()
+                time.sleep(1.0)
+            except Exception:  # noqa: BLE001
+                pass
             snap_load(f"{label}_before")
             fresh = _cc_snake_fresh_seconds()
             extra_timings[label] = round(fresh, 3)
