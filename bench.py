@@ -1155,6 +1155,14 @@ EXTRA = {
     "x_rep_battery": _rep_battery_bench,
     "x_c4_filter": _c4_filter_bench,
     "x_dsir": _dsir_bench,
+    # r9 sketches: constant-state corpus profiling — the shuffle is the
+    # sketch (<= 4096 rows), never the corpus
+    "x_hll_card": lambda spark, sf_dir: CATALOG["q76_hll_cardinality"].fn(
+        spark, sf_dir
+    ),
+    "x_cms_topk": lambda spark, sf_dir: CATALOG["q77_cms_heavy_hitters"].fn(
+        spark, sf_dir
+    ),
     # the r9 layout pair: identical join+agg, bucketed (zero Exchange)
     # vs plain parquet (shuffles both sides); broadcast disabled in
     # both so it's SMJ-vs-SMJ — the delta is the shuffle being paid

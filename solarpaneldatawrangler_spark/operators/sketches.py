@@ -1,0 +1,252 @@
+"""Mergeable one-pass sketches (HyperLogLog cardinality, Count-Min
+frequency) as pure DataFrame aggregations with exact cross-engine
+replays.
+
+At 100 TB, corpus profiling — "how many distinct tokens / urls / users
+per shard, what are the heavy hitters" — cannot afford
+distinct-count shuffles proportional to the data: an exact
+`groupBy(token).count()` over a web corpus shuffles billions of keys
+to answer a question whose answer is one number. Sketches invert the
+cost: the map side folds every partition into a CONSTANT-size state
+(4096 registers / a 4x1024 counter grid), the shuffle moves only that
+state, and sketches from different shards/days MERGE losslessly
+(register-wise max, counter-wise sum) — the property that makes them
+the standard incremental-profiling structure (Flajolet et al. 2007
+HyperLogLog; Cormode & Muthukrishnan 2005 Count-Min).
+
+Engine-neutral determinism (the q54/q72 md5 contract): every hash is
+md5-derived (functions.text.md5_long — first 32 md5 bits as bigint),
+bucket/remainder splits are bit ops, the HLL harmonic sum is an exact
+scaled-integer sum (2^(21-rho) folded as BIGINT — partition merge
+order cannot change it), and the only transcendentals (the final
+estimate's one division, the linear-counting ln) are rounded before
+output. So the whole sketch — registers, counters, and estimate —
+replays hash-exactly in DuckDB SQL (q76/q77), which is what makes an
+approximate structure ORACLE-CHECKABLE: the driver verifies the exact
+deterministic algorithm, while the accuracy-vs-exact claim is a
+property test (rel-err ~1.04/sqrt(m) for HLL; CMS overestimates by at
+most eps*N with the usual probabilistic bound).
+
+Spark plan shapes: both sketches are one narrow projection (explode +
+hash math inside the scan stage) followed by ONE partial-aggregating
+groupBy whose key space is bounded by the sketch size (<= n_groups x
+4096 rows ever cross the wire) — the constant-state shape described
+above. Estimation joins the tiny sketch via broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.functions.text import md5_long
+
+HLL_P = 12
+HLL_M = 1 << HLL_P  # 4096 registers
+# max rho: the remainder is 32 - p = 20 bits, so leading-zeros+1 <= 21
+_HLL_RHO_MAX = 33 - HLL_P
+# alpha_m * m^2 * 2^21: shiftright(2^20, rho-1) == 2^(21-rho), so the
+# scaled harmonic sum is 2^21 * sum(2^-rho) — numerator and the
+# empty-register contribution must both carry 2^21 (= 2^RHO_MAX), ONE
+# power off and the raw estimate halves. Computed once here, embedded
+# as the SAME literal in both engines.
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+_HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RHO_MAX)
+
+
+def hll_bucket_rho(item: Column) -> tuple[Column, Column]:
+    """(register index, rank) of one item: md5_long's 32 uniform bits
+    split as low p bits -> bucket, high 20 bits -> rho = leading
+    zeros + 1 (via length(bin(w)) — pure integer/string ops, no
+    float log2 whose half-ulp could flip a register)."""
+    h = md5_long(item)
+    bucket = h.bitwiseAND(F.lit(HLL_M - 1))
+    w = F.shiftright(h, HLL_P)
+    rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
+        F.lit(_HLL_RHO_MAX) - F.length(F.bin(w))
+    )
+    return bucket, rho
+
+
+def hll_sketch(
+    df: DataFrame, item: Column, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Registers (group..., bucket, rho) — one row per NON-EMPTY
+    register: groupBy max folds partition-locally, so at most
+    n_groups x 4096 rows shuffle no matter the corpus size. Two
+    sketches over disjoint data merge via `hll_merge` (max is
+    associative/commutative/idempotent)."""
+    group_cols = group_cols or []
+    bucket, rho = hll_bucket_rho(item)
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Lossless union of register sets (register-wise max) — the
+    shard/day/corpus rollup path; group columns must match."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    keys = [c for c in out.columns if c != "rho"]
+    return out.groupBy(*keys).agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Cardinality estimate per group from a register set. The
+    harmonic sum is EXACT: sum of 2^(21-rho) as BIGINT (rho <= 21,
+    4096 registers -> < 2^33, no overflow, order-insensitive), empty
+    registers contribute 2^21 each via (m - n_nonempty); the estimate
+    is one double division + the standard small-range linear-counting
+    branch (m * ln(m/zeros) when E <= 2.5m and zeros exist), rounded
+    to 4dp — the only transcendental, rounded per the catalog's
+    determinism rules. Columns: group..., hll_zeros, hll_est_r."""
+    group_cols = group_cols or []
+    scale = _HLL_RHO_MAX - 1  # 2^(21 - rho) == 2^scale >> (rho - 1)
+    per = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        # shiftright with a COLUMN shift amount: the Catalyst expression
+        # supports it; the PySpark wrapper's numBits is int-only, so expr
+        F.sum(
+            F.expr(f"shiftright(CAST({1 << scale} AS BIGINT), rho - 1)")
+        ).alias("_s"),
+    )
+    zeros = (F.lit(HLL_M) - F.col("_n")).alias("hll_zeros")
+    # empty registers: rho=0 -> 2^21 * 2^-0 = 2^(scale+1) each
+    s_int = F.col("_s") + (F.lit(HLL_M) - F.col("_n")) * F.lit(
+        1 << (scale + 1)
+    )
+    raw = F.lit(_HLL_NUM) / s_int.cast("double")
+    zcol = F.lit(HLL_M) - F.col("_n")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zcol > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zcol.cast("double")),
+    ).otherwise(raw)
+    return per.select(
+        *group_cols, zeros, F.round(est, 4).alias("hll_est_r")
+    )
+
+
+def hll_sql(
+    item_expr: str, from_clause: str, group_cols: list[str] | None = None
+) -> str:
+    """The DuckDB replay of sketch+estimate — ONE definition of the
+    constants (m, rho max, the alpha*m^2*2^21 literal) shared with the
+    Spark path above, the c4_*_sql shared-builder idiom."""
+    group_cols = group_cols or []
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if g else ""
+    gby = f"GROUP BY {g}" if g else ""
+    m, rmax, scale = HLL_M, _HLL_RHO_MAX, _HLL_RHO_MAX - 1
+    return f"""
+    WITH hashed AS (
+        SELECT {gsel}
+               ('0x' || substr(md5({item_expr}), 1, 8))::BIGINT AS h
+        FROM {from_clause}
+    ),
+    regs AS (
+        SELECT {gsel} h & {m - 1} AS bucket,
+               MAX(CASE WHEN (h >> {HLL_P}) = 0 THEN {rmax}
+                   ELSE {rmax} - length(bin(h >> {HLL_P})) END) AS rho
+        FROM hashed GROUP BY {gsel} h & {m - 1}
+    ),
+    folded AS (
+        SELECT {gsel} COUNT(*) AS n,
+               SUM(({1 << scale}::BIGINT) >> (rho - 1)) AS s
+        FROM regs {gby}
+    )
+    SELECT {gsel} ({m} - n) AS hll_zeros,
+           ROUND(CASE WHEN ({_HLL_NUM!r} / CAST(s + ({m} - n) * {1 << (scale + 1)}::BIGINT AS DOUBLE)) <= {2.5 * HLL_M!r}
+                       AND ({m} - n) > 0
+                 THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n AS DOUBLE))
+                 ELSE {_HLL_NUM!r} / CAST(s + ({m} - n) * {1 << (scale + 1)}::BIGINT AS DOUBLE)
+                 END, 4) AS hll_est_r
+    FROM folded
+    """
+
+
+CMS_D = 4
+CMS_W = 1024
+
+
+def _cms_col(item: Column, i: int, w: int) -> Column:
+    return md5_long(F.concat(F.lit(f"{i}:"), item)) % w
+
+
+def cms_sketch(
+    df: DataFrame, item: Column, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Count-Min counter grid (i, col, n): each item occurrence
+    increments one counter per row i at column md5(i:item) % w. The
+    explode-to-d-rows happens INSIDE the scan stage; the groupBy key
+    space is d x w (4096), so partial aggregation collapses
+    everything map-side and the shuffle is constant-size. Counters
+    from disjoint corpora merge by summing (i, col) cells."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"), _cms_col(item, i, w).alias("col")
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.col")
+        .groupBy("i", "col")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+) -> DataFrame:
+    """Point-frequency estimates: est(item) = min over rows of the
+    item's counter — never an underestimate, over by at most the
+    collisions in its narrowest row. The sketch is tiny (d x w rows),
+    so the probe is a BROADCAST join; per item the d cells reduce by
+    min. Adds `cms_n` to ``queries``."""
+    item = F.col(item_col)
+    probes = queries.select(
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        _cms_col(item, i, w).alias("col"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("p"),
+    ).select(item_col, "p.i", "p.col")
+    joined = probes.join(F.broadcast(sketch), ["i", "col"], "left")
+    est = joined.groupBy(item_col).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_n")
+    )
+    return queries.join(F.broadcast(est), item_col, "left")
+
+
+def cms_sql(
+    item_expr: str, occurrences_from: str, d: int = CMS_D, w: int = CMS_W
+) -> str:
+    """DuckDB replay of the counter grid as a CTE body (one row per
+    (i, col) with its count), parameterized like the Spark sketch —
+    callers compose it with their own query/estimate SQL."""
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, "
+        f"('0x' || substr(md5('{i}:' || ({item_expr})), 1, 8))::BIGINT % {w}"
+        f" AS col FROM {occurrences_from}"
+        for i in range(d)
+    )
+    return f"SELECT i, col, COUNT(*) AS n FROM ({rows}) GROUP BY i, col"

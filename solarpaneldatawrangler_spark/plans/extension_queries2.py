@@ -542,3 +542,126 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         exact_sum("l_extendedprice").alias("sum_price"),
     )
+
+
+# --- mergeable sketches: HLL cardinality + Count-Min heavy hitters ----------
+
+_TOKENS_SQL = (
+    "list_filter(string_split_regex(lower(COALESCE(text, '')), '\\s+'),"
+    " w -> len(w) > 0)"
+)
+
+
+def _q76_oracle() -> str:
+    from solarpaneldatawrangler_spark.operators.sketches import hll_sql
+
+    toks = f"""(
+        SELECT lang, unnest({_TOKENS_SQL}) AS tok FROM documents
+    ) t"""
+    exact = f"""
+        SELECT lang, COUNT(DISTINCT tok) AS exact_distinct
+        FROM (SELECT lang, unnest({_TOKENS_SQL}) AS tok FROM documents)
+        GROUP BY lang
+    """
+    return f"""
+    WITH est AS ({hll_sql('tok', toks, ['lang'])}),
+    exact AS ({exact})
+    SELECT lang, hll_zeros, hll_est_r, exact_distinct
+    FROM est JOIN exact USING (lang)
+    """
+
+
+@register(
+    "q76_hll_cardinality",
+    oracle=_q76_oracle(),
+    doc="HyperLogLog distinct-token cardinality per language "
+    "(operators.sketches, Flajolet et al. 2007): md5-derived "
+    "bucket/rho (pure integer+string ops — no float log2), registers "
+    "as ONE bounded groupBy-max (<= n_langs x 4096 rows ever shuffle, "
+    "corpus size notwithstanding — the constant-state profiling shape "
+    "for 100 TB), EXACT scaled-integer harmonic sum (order-"
+    "insensitive BIGINT fold), estimate rounded 4dp with the standard "
+    "linear-counting branch. The oracle replays the identical "
+    "algorithm via the shared hll_sql builder; exact_distinct rides "
+    "along so every artifact row SHOWS the sketch's error against "
+    "truth. Accuracy (~1.04/sqrt(4096)) is property-tested in "
+    "tests/test_sketches.py; mergeability (register-wise max) too.",
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.functions.text import tokens
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
+    )
+    est = hll_estimate(hll_sketch(toks, F.col("tok"), ["lang"]), ["lang"])
+    exact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("exact_distinct")
+    )
+    return est.join(exact, "lang")
+
+
+def _q77_oracle() -> str:
+    from solarpaneldatawrangler_spark.operators.sketches import cms_sql
+
+    occ = f"(SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)"
+    return f"""
+    WITH cms AS ({cms_sql('tok', occ)}),
+    exact AS (
+        SELECT tok, COUNT(*) AS exact_n
+        FROM {occ}
+        GROUP BY tok
+        ORDER BY exact_n DESC, tok ASC
+        LIMIT 20
+    ),
+    probes AS (
+        SELECT tok, exact_n, i,
+               ('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 8))::BIGINT
+                   % 1024 AS col
+        FROM exact CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)
+    )
+    SELECT p.tok, ANY_VALUE(p.exact_n) AS exact_n,
+           MIN(COALESCE(c.n, 0)) AS cms_n
+    FROM probes p LEFT JOIN cms c USING (i, col)
+    GROUP BY p.tok
+    """
+
+
+@register(
+    "q77_cms_heavy_hitters",
+    oracle=_q77_oracle(),
+    doc="Count-Min heavy hitters (operators.sketches, Cormode & "
+    "Muthukrishnan 2005): the 4x1024 counter grid built in ONE "
+    "bounded groupBy (explode-to-4-rows inside the scan stage; "
+    "partial agg collapses map-side, so the shuffle is <= 4096 rows "
+    "at ANY corpus size), probed for the top-20 exact tokens via a "
+    "broadcast join with per-token min. All-integer surfaces — "
+    "hash-exact across engines via the shared cms_sql builder; the "
+    "exact counts ride along so each row shows the sketch's "
+    "overestimate directly (cms_n >= exact_n always, a property "
+    "test pins it).",
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.functions.text import tokens
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
+    )
+    sketch = cms_sketch(occ, F.col("tok"))
+    top = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    return cms_estimate(sketch, top, "tok")

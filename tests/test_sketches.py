@@ -1,0 +1,124 @@
+"""Mergeable sketches (operators/sketches.py): HLL accuracy against
+known cardinalities, lossless mergeability (register-wise max), CMS's
+never-underestimate guarantee, and the bounded-shuffle plan shape the
+whole family exists for. Cross-engine value parity is covered by the
+q76/q77 oracle rows in test_oracle_queries; these tests pin the
+sketch-theoretic properties the oracle can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from solarpaneldatawrangler_spark.operators.sketches import (
+    HLL_M,
+    cms_estimate,
+    cms_sketch,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+
+
+def _ints_as_items(spark, lo: int, hi: int):
+    return spark.range(lo, hi).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("item")
+    )
+
+
+@pytest.mark.parametrize("n", [100, 5_000, 50_000])
+def test_hll_estimate_within_standard_error(spark, n):
+    """Relative error ~1.04/sqrt(4096) = 1.6%; assert a generous 3x
+    band (the md5 stream is fixed, so this is a deterministic check,
+    not a flaky probabilistic one)."""
+    df = _ints_as_items(spark, 0, n)
+    est = hll_estimate(hll_sketch(df, F.col("item"))).collect()[0]
+    assert abs(est["hll_est_r"] - n) / n < 0.05, (n, est["hll_est_r"])
+
+
+def test_hll_duplicates_do_not_move_the_estimate(spark):
+    """Cardinality, not count: replicating every item 13x leaves the
+    registers (max is idempotent) and the estimate identical."""
+    once = _ints_as_items(spark, 0, 2_000)
+    many = once.crossJoin(spark.range(13)).select("item")
+    e1 = hll_estimate(hll_sketch(once, F.col("item"))).collect()[0]
+    e2 = hll_estimate(hll_sketch(many, F.col("item"))).collect()[0]
+    assert e1["hll_est_r"] == e2["hll_est_r"]
+    assert e1["hll_zeros"] == e2["hll_zeros"]
+
+
+def test_hll_merge_is_lossless(spark):
+    """sketch(A ∪ B) == merge(sketch(A), sketch(B)) REGISTER-FOR-
+    REGISTER — the property that lets shards/days roll up without
+    re-reading data. Overlapping halves on purpose: idempotence is
+    part of the claim."""
+    a = _ints_as_items(spark, 0, 6_000)
+    b = _ints_as_items(spark, 4_000, 10_000)
+    both = _ints_as_items(spark, 0, 10_000)
+    merged = hll_merge(
+        hll_sketch(a, F.col("item")), hll_sketch(b, F.col("item"))
+    )
+    direct = hll_sketch(both, F.col("item"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_hll_grouped_registers_bounded_by_m(spark):
+    df = spark.range(0, 30_000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.concat(F.lit("x"), F.col("id")).alias("item"),
+    )
+    sk = hll_sketch(df, F.col("item"), ["g"])
+    per = {r["g"]: r["n"] for r in sk.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per) == {"0", "1", "2"}
+    assert all(n <= HLL_M for n in per.values())
+
+
+def test_cms_never_underestimates_and_bounds_error(spark):
+    """est >= exact for every token (min over rows can only add
+    collisions), and est - exact <= total_occurrences (trivial cap) —
+    with d=4, w=1024 over a 20k-occurrence stream the overestimate
+    should in fact be tiny; assert a conservative 2% of N."""
+    occ = spark.range(0, 20_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 500)).alias("tok")
+    )
+    sketch = cms_sketch(occ, F.col("tok"))
+    exact = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = cms_estimate(sketch, exact, "tok").collect()
+    assert len(est) == 500
+    for r in est:
+        assert r["cms_n"] >= r["exact_n"], r
+        assert r["cms_n"] - r["exact_n"] <= 0.02 * 20_000, r
+
+
+def test_cms_unseen_item_estimates_from_collisions_only(spark):
+    occ = spark.range(0, 1_000).select(
+        F.concat(F.lit("seen"), F.col("id")).alias("tok")
+    )
+    sketch = cms_sketch(occ, F.col("tok"))
+    probe = spark.createDataFrame(
+        [("never-in-corpus-xyzzy",)], "tok string"
+    )
+    got = cms_estimate(sketch, probe, "tok").collect()[0]
+    # not a guarantee of zero (collisions), but with 1000 occurrences
+    # over 1024 columns the min over 4 rows must be tiny
+    assert 0 <= got["cms_n"] <= 10
+
+
+def test_sketch_shuffles_are_bounded(spark):
+    """The family's reason to exist: the ONLY Exchange in a sketch
+    build carries the (bounded) sketch key space, not the corpus.
+    cms_sketch: exactly one Exchange (hash on i,col <= 4096 keys) with
+    the explode fused into the scan-side stage; hll_sketch: one
+    Exchange on (bucket); estimates add one more bounded regroup."""
+    df = _ints_as_items(spark, 0, 10_000)
+    cms_plan = cms_sketch(df, F.col("item"))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert cms_plan.count("Exchange") == 1, cms_plan
+    hll_plan = hll_estimate(hll_sketch(df, F.col("item")))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert hll_plan.count("Exchange") <= 2, hll_plan
+    # partial aggregation present: a map-side fold precedes the shuffle
+    assert "partial_count" in cms_plan or "HashAggregate" in cms_plan
