@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -140,4 +140,43 @@ def streaming_dedup(
     """
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
+    )
+
+
+def streaming_register_sketch(
+    events: DataFrame,
+    item: Column,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Windowed HLL registers over a stream: distinct-cardinality
+    profiling with BOUNDED state — at most 4096 registers per open
+    window, regardless of event rate (the batch sketch's constant-
+    state property carried into Structured Streaming).
+
+    Deployment shape: the STREAM materializes registers (this one
+    stateful watermarked aggregation — append mode emits each
+    window's registers once the watermark closes it); the ESTIMATE is
+    computed on READ with the stateless batch `hll_estimate` over the
+    register sink, because a second chained stateful aggregation is
+    exactly what streaming restricts. Registers from the sink also
+    `hll_merge` across windows/days for rollups — the sink IS the
+    profile store. Streaming registers are bit-identical to batch
+    registers over the same events (max is order-insensitive), which
+    is how the test pins correctness.
+    """
+    from solarpaneldatawrangler_spark.operators.sketches import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(item)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .select(
+            F.col(ts_col),
+            bucket.alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(F.window(ts_col, window).alias("w"), F.col("bucket"))
+        .agg(F.max("rho").alias("rho"))
+        .select(F.col("w.start").alias("window_start"), "bucket", "rho")
     )

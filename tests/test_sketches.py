@@ -122,3 +122,58 @@ def test_sketch_shuffles_are_bounded(spark):
     assert hll_plan.count("Exchange") <= 2, hll_plan
     # partial aggregation present: a map-side fold precedes the shuffle
     assert "partial_count" in cms_plan or "HashAggregate" in cms_plan
+
+
+def test_streaming_registers_equal_batch_registers(spark, tmp_path):
+    """streaming_register_sketch over a file stream produces BIT-
+    IDENTICAL registers to the batch sketch over the same events (max
+    is order-insensitive, so micro-batch boundaries cannot show
+    through) — estimate-on-read is then the already-tested batch
+    hll_estimate. Complete-mode memory sink so the final open window
+    is visible to the assertion."""
+    import datetime as dt
+
+    from solarpaneldatawrangler_spark.streaming.incremental import (
+        streaming_register_sketch,
+    )
+
+    src = tmp_path / "events"
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (i, base + dt.timedelta(minutes=7 * i), f"user-{i % 800}")
+        for i in range(2_000)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, uid string")
+    df.write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        streaming_register_sketch(
+            stream, F.col("uid"), ts_col="ts", window="1 hour"
+        )
+        .writeStream.format("memory")
+        .queryName("t_stream_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM t_stream_regs").collect())
+    )
+
+    from solarpaneldatawrangler_spark.operators.sketches import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(F.col("uid"))
+    want = sorted(
+        map(
+            tuple,
+            spark.read.parquet(str(src))
+            .select(F.col("ts"), bucket.alias("bucket"), rho.alias("rho"))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "bucket")
+            .agg(F.max("rho").alias("rho"))
+            .select(F.col("w.start").alias("window_start"), "bucket", "rho")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
