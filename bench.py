@@ -1163,6 +1163,9 @@ EXTRA = {
     "x_cms_topk": lambda spark, sf_dir: CATALOG["q77_cms_heavy_hitters"].fn(
         spark, sf_dir
     ),
+    "x_bloom_membership": lambda spark, sf_dir: CATALOG[
+        "q78_bloom_membership"
+    ].fn(spark, sf_dir),
     # the r9 layout pair: identical join+agg, bucketed (zero Exchange)
     # vs plain parquet (shuffles both sides); broadcast disabled in
     # both so it's SMJ-vs-SMJ — the delta is the shuffle being paid

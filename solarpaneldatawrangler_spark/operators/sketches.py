@@ -250,3 +250,132 @@ def cms_sql(
         for i in range(d)
     )
     return f"SELECT i, col, COUNT(*) AS n FROM ({rows}) GROUP BY i, col"
+
+
+# --- Bloom filter: mergeable set membership ---------------------------------
+
+BLOOM_M = 1 << 16  # bits
+BLOOM_K = 6
+_BLOOM_WORD_BITS = 32  # bits packed per BIGINT word: 2^31 max, no
+# sign-bit hazard to reconcile between engines' << semantics
+
+
+def _bloom_positions(item: Column, m: int, k: int) -> list[Column]:
+    """k bit positions via Kirsch-Mitzenmacher double hashing
+    (pos_i = h1 + i*h2 mod m) — two md5s per item instead of k, the
+    published trick that preserves the FPR bound (Kirsch &
+    Mitzenmacher 2006)."""
+    h1 = md5_long(item)
+    h2 = md5_long(F.concat(F.lit("b:"), item))
+    return [(h1 + F.lit(i) * h2) % m for i in range(k)]
+
+
+def bloom_build(
+    df: DataFrame, item: Column, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Bloom bitmap as (word, bits) rows: each item sets k bits; bits
+    pack 32 per BIGINT word via a bit_or aggregate. The groupBy key
+    space is m/32 words (2048 at the default), so — like the other
+    sketches — the only shuffle is filter-sized, partial-combined
+    map-side, and two filters over disjoint data MERGE by word-wise
+    bit_or. FPR ≈ (1 - e^(-k*n/m))^k; size m for the corpus you gate.
+    """
+    pos = F.explode(F.array(*_bloom_positions(item, m, k))).alias("pos")
+    return (
+        df.select(pos)
+        .select(
+            F.shiftright(F.col("pos"), 5).alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Word-wise OR of bitmaps — the shard/day rollup path."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+
+
+def bloom_maybe_contains(
+    bloom: DataFrame,
+    queries: DataFrame,
+    item_col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Adds `maybe_seen` to ``queries``: TRUE iff all k bits are set.
+    FALSE is a GUARANTEE of absence (no false negatives — the property
+    that makes the filter an admission fast-path: definitely-new rows
+    skip the durable-store probe entirely; only maybe-seen rows pay
+    the partition-pruned store join). The bitmap is tiny (<= m/32
+    rows), so the probe is a broadcast join; per item the k membership
+    bits reduce by bool_and."""
+    item = F.col(item_col)
+    probes = queries.select(
+        item_col,
+        F.explode(F.array(*_bloom_positions(item, m, k))).alias("pos"),
+    ).select(
+        item_col,
+        F.shiftright(F.col("pos"), 5).alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
+        ).alias("bit"),
+    )
+    hit = probes.join(F.broadcast(bloom), "word", "left").groupBy(
+        item_col
+    ).agg(
+        F.bool_and(
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit"))
+            != 0
+        ).alias("maybe_seen")
+    )
+    return queries.join(F.broadcast(hit), item_col, "left")
+
+
+def bloom_sql(
+    item_expr: str, from_clause: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> str:
+    """DuckDB replay of bloom_build as a (word, bits) SELECT — shared-
+    builder idiom; compose with caller probe SQL."""
+    pos = " UNION ALL ".join(
+        f"SELECT (('0x' || substr(md5({item_expr}), 1, 8))::BIGINT"
+        f" + {i} * ('0x' || substr(md5('b:' || ({item_expr})), 1, 8))::BIGINT)"
+        f" % {m} AS pos FROM {from_clause}"
+        for i in range(k)
+    )
+    return (
+        f"SELECT pos // 32 AS word, bit_or(1::BIGINT << (pos % 32)::INT)"
+        f" AS bits FROM ({pos}) GROUP BY pos // 32"
+    )
+
+
+def bloom_probe_sql(
+    item_expr: str,
+    queries_from: str,
+    bloom_cte: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB replay of bloom_maybe_contains: per-item bool_and over
+    the k membership bits against ``bloom_cte`` (a CTE name holding
+    (word, bits))."""
+    pos = " UNION ALL ".join(
+        f"SELECT {item_expr} AS item,"
+        f" (('0x' || substr(md5({item_expr}), 1, 8))::BIGINT"
+        f" + {i} * ('0x' || substr(md5('b:' || ({item_expr})), 1, 8))::BIGINT)"
+        f" % {m} AS pos FROM {queries_from}"
+        for i in range(k)
+    )
+    return f"""
+    SELECT p.item,
+           bool_and((COALESCE(b.bits, 0) & (1::BIGINT << (p.pos % 32)::INT)) != 0)
+               AS maybe_seen
+    FROM ({pos}) p LEFT JOIN {bloom_cte} b ON b.word = p.pos // 32
+    GROUP BY p.item
+    """

@@ -665,3 +665,71 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return cms_estimate(sketch, top, "tok")
+
+
+def _q78_oracle() -> str:
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        bloom_probe_sql,
+        bloom_sql,
+    )
+
+    members = (
+        "(SELECT COALESCE(text, '') AS item FROM documents "
+        "WHERE doc_id % 2 = 0) mem"
+    )
+    build = bloom_sql("item", members)
+    probe = bloom_probe_sql(
+        "COALESCE(text, '')", "documents", "bloom"
+    )
+    return f"""
+    WITH bloom AS ({build}),
+    probed AS ({probe})
+    SELECT d.doc_id, p.maybe_seen,
+           (COALESCE(d.text, '') IN (
+               SELECT COALESCE(text, '') FROM documents
+               WHERE doc_id % 2 = 0)) AS truly_seen
+    FROM documents d JOIN probed p ON p.item = COALESCE(d.text, '')
+    """
+
+
+@register(
+    "q78_bloom_membership",
+    oracle=_q78_oracle(),
+    doc="Bloom-filter membership (operators.sketches, Kirsch-"
+    "Mitzenmacher double hashing): the bitmap is a bit_or aggregate "
+    "over m/32 BIGINT words (2048 rows — filter-sized shuffle, "
+    "map-side combined, word-wise mergeable), probes are a broadcast "
+    "join + bool_and over the k bits. maybe_seen=false GUARANTEES "
+    "absence — the admission fast-path: definitely-new rows skip the "
+    "durable fingerprint-store probe entirely (composition equality "
+    "pinned in test_sketches). truly_seen rides along so every "
+    "artifact row exposes false positives (never false negatives) "
+    "directly. All-integer + boolean surfaces, hash-exact through "
+    "the shared bloom_sql/bloom_probe_sql builders.",
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    item = F.coalesce(F.col("text"), F.lit(""))
+    members = docs.filter(F.col("doc_id") % 2 == 0).select(
+        item.alias("item")
+    )
+    bloom = bloom_build(members, F.col("item"))
+    probed = bloom_maybe_contains(
+        bloom, docs.select(item.alias("item")).distinct(), "item"
+    )
+    member_set = members.distinct().withColumn("truly_seen", F.lit(True))
+    return (
+        docs.select("doc_id", item.alias("item"))
+        .join(probed, "item")
+        .join(F.broadcast(member_set), "item", "left")
+        .select(
+            "doc_id",
+            "maybe_seen",
+            F.coalesce("truly_seen", F.lit(False)).alias("truly_seen"),
+        )
+    )

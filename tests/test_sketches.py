@@ -177,3 +177,99 @@ def test_streaming_registers_equal_batch_registers(spark, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    """Every member answers maybe_seen=true (the absence guarantee the
+    admission fast-path rests on); non-members answer true at roughly
+    the theoretical FPR ((1-e^(-kn/m))^k ≈ 1.6% at n=5000, m=2^16,
+    k=6) — assert a 3x band. Deterministic: the md5 stream is fixed."""
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    members = _ints_as_items(spark, 0, 5_000)
+    others = spark.range(100_000, 110_000).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("item")
+    )
+    bloom = bloom_build(members, F.col("item"))
+    m_hit = bloom_maybe_contains(bloom, members, "item")
+    assert m_hit.filter(~F.col("maybe_seen")).count() == 0
+    o_hit = bloom_maybe_contains(bloom, others, "item")
+    fpr = o_hit.filter(F.col("maybe_seen")).count() / 10_000
+    assert fpr < 0.05, fpr
+
+
+def test_bloom_merge_equals_direct_build(spark):
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        bloom_build,
+        bloom_merge,
+    )
+
+    a = _ints_as_items(spark, 0, 3_000)
+    b = _ints_as_items(spark, 2_000, 6_000)
+    both = _ints_as_items(spark, 0, 6_000)
+    merged = bloom_merge(
+        bloom_build(a, F.col("item")), bloom_build(b, F.col("item"))
+    )
+    direct = bloom_build(both, F.col("item"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_bloom_prescreen_composes_with_store_admission(spark, tmp_path):
+    """The admission fast-path: bloom built from the corpus texts
+    prescreens a batch — maybe_seen=false rows are DEFINITELY new
+    (admitted without touching the store), only maybe_seen=true rows
+    pay the fingerprint-store probe. The composed admit set must equal
+    plain incremental_new_docs over the whole batch, and the probed
+    subset must be smaller than the batch (the saving being bought)."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        incremental_new_docs,
+        write_fingerprint_store,
+    )
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus doc {i}") for i in range(500)],
+        "doc_id long, text string",
+    )
+    store = str(tmp_path / "fp_store")
+    write_fingerprint_store(corpus, store)
+    bloom = bloom_build(corpus, F.coalesce(F.col("text"), F.lit("")))
+
+    batch = spark.createDataFrame(
+        [(1000 + i, f"corpus doc {i}") for i in range(0, 100)]  # dups
+        + [(2000 + i, f"fresh doc {i}") for i in range(400)],   # new
+        "doc_id long, text string",
+    )
+    screened = bloom_maybe_contains(
+        bloom,
+        batch.withColumn("item", F.coalesce(F.col("text"), F.lit(""))),
+        "item",
+    )
+    fast_new = screened.filter(~F.col("maybe_seen")).drop(
+        "item", "maybe_seen"
+    )
+    to_probe = screened.filter(F.col("maybe_seen")).drop(
+        "item", "maybe_seen"
+    )
+    probed_new = incremental_new_docs(to_probe, store)
+    composed = sorted(
+        r.doc_id
+        for r in fast_new.unionByName(probed_new).collect()
+    )
+    plain = sorted(
+        r.doc_id for r in incremental_new_docs(batch, store).collect()
+    )
+    assert composed == plain == sorted(
+        [2000 + i for i in range(400)]
+    )
+    # the saving: the store probe saw only the maybe-seen sliver
+    n_probe = to_probe.count()
+    assert 100 <= n_probe < 150, n_probe  # 100 dups + few false positives
