@@ -313,29 +313,36 @@ def bloom_maybe_contains(
     FALSE is a GUARANTEE of absence (no false negatives — the property
     that makes the filter an admission fast-path: definitely-new rows
     skip the durable-store probe entirely; only maybe-seen rows pay
-    the partition-pruned store join). The bitmap is tiny (<= m/32
-    rows), so the probe is a broadcast join; per item the k membership
-    bits reduce by bool_and."""
+    the partition-pruned store join).
+
+    Plan shape: the bitmap is BOUNDED (m/32 longs — 2048 at the
+    default), so it is collected once into a plan literal (the
+    IVF-centroid / DSIR-ratio bounded-collect idiom) and the probe is
+    a PURE SCAN-SIDE expression — element_at on the literal array,
+    k bit tests ANDed, zero shuffle, zero join, no matter how large
+    ``queries`` is. (A join-back formulation would regroup the query
+    side — corpus-sized work to evaluate a constant-size filter; the
+    DuckDB replay keeps the relational form and the results are
+    equal, q78.)"""
+    words = {int(r["word"]): int(r["bits"]) for r in bloom.collect()}
+    n_words = m // _BLOOM_WORD_BITS
+    bitmap = F.array(
+        *[F.lit(words.get(w, 0)).cast("long") for w in range(n_words)]
+    )
     item = F.col(item_col)
-    probes = queries.select(
-        item_col,
-        F.explode(F.array(*_bloom_positions(item, m, k))).alias("pos"),
-    ).select(
-        item_col,
-        F.shiftright(F.col("pos"), 5).alias("word"),
-        F.expr(
-            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"
-        ).alias("bit"),
-    )
-    hit = probes.join(F.broadcast(bloom), "word", "left").groupBy(
-        item_col
-    ).agg(
-        F.bool_and(
-            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit"))
-            != 0
-        ).alias("maybe_seen")
-    )
-    return queries.join(F.broadcast(hit), item_col, "left")
+    checks = []
+    for pos in _bloom_positions(item, m, k):
+        word = F.shiftright(pos, 5) + 1  # element_at is 1-indexed
+        # 1 << (pos % 32) with a COLUMN shift: pow(2, e) is exact for
+        # e <= 31 (the word width is chosen for this), cast back exact
+        bit = F.pow(F.lit(2.0), (pos % 32).cast("double")).cast("long")
+        checks.append(
+            F.element_at(bitmap, word.cast("int")).bitwiseAND(bit) != 0
+        )
+    maybe = checks[0]
+    for c in checks[1:]:
+        maybe = maybe & c
+    return queries.withColumn("maybe_seen", maybe)
 
 
 def bloom_sql(

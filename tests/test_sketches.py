@@ -273,3 +273,22 @@ def test_bloom_prescreen_composes_with_store_admission(spark, tmp_path):
     # the saving: the store probe saw only the maybe-seen sliver
     n_probe = to_probe.count()
     assert 100 <= n_probe < 150, n_probe  # 100 dups + few false positives
+
+
+def test_bloom_probe_is_scan_side(spark):
+    """The probe evaluates a CONSTANT-size filter, so it must cost the
+    query side nothing but a scan expression: bitmap collected to a
+    plan literal (bounded m/32 longs, the IVF-centroid idiom), k bit
+    tests ANDed — zero Exchange, zero Join in the probe plan."""
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    members = _ints_as_items(spark, 0, 2_000)
+    probe = bloom_maybe_contains(
+        bloom_build(members, F.col("item")), members, "item"
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
