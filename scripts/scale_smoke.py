@@ -699,5 +699,101 @@ def main():
     )
 
 
+
+
+
+def sketches_smoke():
+    """r9 sketch family at profile scale: the constant-shuffle claim —
+    register/counter/bitmap shuffles stay <= sketch size at 20M items,
+    and the Bloom probe is a scan-side expression (no join) at any
+    query size. Labels all carry the 'sketch' prefix so
+    `python scripts/scale_smoke.py sketch` runs just this family
+    (the argv[1] substring filter)."""
+    spark = get_spark("scale-smoke-sketches")
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        HLL_M,
+        bloom_build,
+        bloom_maybe_contains,
+        cms_sketch,
+        hll_estimate,
+        hll_sketch,
+    )
+
+    items = spark.range(20_000_000).select(
+        F.concat(F.lit("u"), F.pmod(F.xxhash64("id"), 5_000_000)).alias(
+            "item"
+        )
+    )
+    regs = {}
+
+    def hll_run():
+        sk = hll_sketch(items, F.col("item"))
+        regs["n"] = sk.count()
+        est = hll_estimate(sk).collect()[0]
+        regs["est"] = est["hll_est_r"]
+        return 20_000_000
+
+    timed("sketch: HLL build+estimate 20M items (~5M distinct)", hll_run)
+    if "n" in regs:  # empty when argv-filtered away
+        assert regs["n"] <= HLL_M, regs
+        err = abs(regs["est"] - 5_000_000) / 5_000_000
+        print(f"  hll_est={regs['est']:,.0f} rel_err={err:.3%} "
+              f"registers={regs['n']}", flush=True)
+        assert err < 0.05, regs
+
+    timed(
+        "sketch: CMS 4x1024 grid over 20M occurrences",
+        lambda: cms_sketch(items, F.col("item")).count() * 0
+        + 20_000_000,
+    )
+
+    members = spark.range(2_000_000).select(
+        F.concat(F.lit("m"), F.col("id")).alias("item")
+    )
+    # m sized for the member count: 2^25 bits / k=6 -> ~2% FPR. This m
+    # is past _BLOOM_ARRAY_MAX_WORDS, so the probe exercises the
+    # BINARY-literal encoding (one 4 MiB plan literal, byte-addressed
+    # scan-side tests — the path that exists because an ARRAY literal
+    # costs one Py4J call per element and took minutes at 1M words).
+    built = {}
+
+    def build_run():
+        # localCheckpoint is eager: the timed lambda really builds
+        built["bloom"] = bloom_build(
+            members, F.col("item"), m=1 << 25
+        ).localCheckpoint()
+        return 2_000_000
+
+    timed("sketch: bloom_build 2M members (2^25 bits)", build_run)
+    bloom = built.get("bloom") or bloom_build(
+        members, F.col("item"), m=1 << 25
+    ).localCheckpoint()
+    probe = spark.range(20_000_000).select(
+        F.concat(F.lit("m"), F.pmod(F.xxhash64("id"), 4_000_000)).alias(
+            "item"
+        )
+    )
+    hits = {}
+
+    def probe_run():
+        got = (
+            bloom_maybe_contains(bloom, probe, "item", m=1 << 25)
+            .filter(F.col("maybe_seen"))
+            .count()
+        )
+        hits["n"] = got
+        return 20_000_000
+
+    timed("sketch: bloom probe 20M queries (scan-side literal)", probe_run)
+    # ~half the probed id space is members; the rest passes only at FPR
+    if "n" in hits:
+        frac = hits["n"] / 20_000_000
+        print(f"  maybe_seen_frac={frac:.3f} (true member frac ~0.5)",
+              flush=True)
+        assert 0.5 <= frac < 0.55, hits
+    bloom.unpersist()
+
+
 if __name__ == "__main__":
     main()
+    sketches_smoke()

@@ -292,3 +292,33 @@ def test_bloom_probe_is_scan_side(spark):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_bloom_binary_literal_path_matches_array_path(spark):
+    """The large-m probe encoding (one BINARY literal, byte-addressed
+    via conv(hex(substring(...)))) must answer bit-identically to the
+    small-m ARRAY<BIGINT> encoding on the same filter — including the
+    no-false-negative guarantee — and stay scan-side (zero Exchange,
+    zero Join). Forced via impl= so the parity check doesn't depend on
+    the auto threshold."""
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    members = _ints_as_items(spark, 0, 3_000)
+    mixed = spark.range(0, 8_000, 1, 4).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("item")
+    )
+    bloom = bloom_build(members, F.col("item"))
+    got = {}
+    for impl in ("array", "binary"):
+        df = bloom_maybe_contains(bloom, mixed, "item", impl=impl)
+        got[impl] = sorted(map(tuple, df.collect()))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (impl, plan)
+        assert "Join" not in plan, (impl, plan)
+    assert got["array"] == got["binary"]
+    # members (first 3000 ids) all answer true in both
+    seen = dict(got["binary"])
+    assert all(seen[f"item-{i}"] for i in range(3_000))
