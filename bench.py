@@ -1166,6 +1166,12 @@ EXTRA = {
     "x_bloom_membership": lambda spark, sf_dir: CATALOG[
         "q78_bloom_membership"
     ].fn(spark, sf_dir),
+    "x_kmv_distinct": lambda spark, sf_dir: CATALOG[
+        "q79_kmv_distinct"
+    ].fn(spark, sf_dir),
+    "x_sample_quantiles": lambda spark, sf_dir: CATALOG[
+        "q80_sample_quantiles"
+    ].fn(spark, sf_dir),
     # the r9 layout pair: identical join+agg, bucketed (zero Exchange)
     # vs plain parquet (shuffles both sides); broadcast disabled in
     # both so it's SMJ-vs-SMJ — the delta is the shuffle being paid

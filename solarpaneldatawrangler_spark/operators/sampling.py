@@ -21,7 +21,7 @@ the row: hash the id, take a bucket in [0, 1), keep if bucket < rate.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from solarpaneldatawrangler_spark.functions.text import md5_long
@@ -216,3 +216,95 @@ def temperature_rates(
         ]
     )
     return df.sparkSession.createDataFrame(rows, schema)
+
+
+def hash_sample_quantiles(
+    df: DataFrame,
+    value_col: str,
+    id_col: Column,
+    rate: float,
+    ps: tuple[float, ...] = (0.5, 0.9),
+    group_cols: list[str] | None = None,
+    reproducible: bool = True,
+) -> DataFrame:
+    """Quantile estimates from a DETERMINISTIC hash sample: keep rows
+    with hash_bucket(id) < rate (scan-side filter, zero shuffle, the
+    stratified-sample membership rule), then the exact
+    percentile_disc of the sample per group via rank-select — the
+    smallest value whose row_number reaches ceil(p * n) in value
+    order. Rank-select is tie-safe (equal values share the selected
+    VALUE whatever their row_number order) and replays verbatim in
+    any engine, which is what makes a sampling-based estimator
+    oracle-checkable (q80).
+
+    This is the corpus-scale quantile shape: the full-data exact
+    percentile (q46) sorts the corpus; here the sort touches only the
+    sample, whose size the caller bounds via ``rate`` — the published
+    uniform-sample quantile bound (eps-approximate for sample size
+    O(1/eps^2), Vapnik-Chervonenkis): reruns and other engines pick
+    the SAME sample, so the estimate is a deterministic function of
+    the data, not of the cluster.
+
+    Columns: group..., sample_n, q{int(100p)} per requested p."""
+    group_cols = group_cols or []
+    sample = df.filter(hash_bucket(id_col, reproducible) < rate)
+    w_all = Window.partitionBy(*group_cols)
+    ranked = sample.select(
+        *group_cols, F.col(value_col).alias("_v")
+    ).withColumns(
+        {
+            "_rn": F.row_number().over(
+                Window.partitionBy(*group_cols).orderBy("_v")
+            ),
+            "_n": F.count(F.lit(1)).over(w_all),
+        }
+    )
+    aggs = [F.max("_n").alias("sample_n")]
+    for p in ps:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("_rn")
+                    == F.ceil(F.lit(float(p)) * F.col("_n")),
+                    F.col("_v"),
+                )
+            ).alias(f"q{int(round(p * 100))}")
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def hash_sample_quantiles_sql(
+    value_expr: str,
+    id_expr: str,
+    from_clause: str,
+    rate: float,
+    ps: tuple[float, ...] = (0.5, 0.9),
+    group_cols: list[str] | None = None,
+) -> str:
+    """DuckDB replay of hash_sample_quantiles — the same md5 bucket
+    membership and the same rank-select, shared-builder idiom."""
+    group_cols = group_cols or []
+    g = ", ".join(group_cols)
+    gsel = f"{g}, " if g else ""
+    part = f"PARTITION BY {g}" if g else ""
+    qs = ", ".join(
+        f"MIN(CASE WHEN _rn = CEIL({float(p)!r} * _n) THEN _v END)"
+        f" AS q{int(round(p * 100))}"
+        for p in ps
+    )
+    return f"""
+    WITH sample AS (
+        SELECT {gsel} {value_expr} AS _v
+        FROM {from_clause}
+        WHERE CAST(('0x' || substr(md5({id_expr}), 1, 8))::BIGINT AS DOUBLE)
+              / 4294967296.0 < {float(rate)!r}
+    ),
+    ranked AS (
+        SELECT {gsel} _v,
+               ROW_NUMBER() OVER ({part} ORDER BY _v) AS _rn,
+               COUNT(*) OVER ({part}) AS _n
+        FROM sample
+    )
+    SELECT {gsel} MAX(_n) AS sample_n, {qs}
+    FROM ranked {f"GROUP BY {g}" if g else ""}
+    """

@@ -36,7 +36,7 @@ above. Estimation joins the tiny sketch via broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from solarpaneldatawrangler_spark.functions.text import md5_long
@@ -458,3 +458,78 @@ def bloom_probe_sql(
     FROM ({pos}) p LEFT JOIN {bloom_cte} b ON b.word = p.pos // 32
     GROUP BY p.item
     """
+
+
+# --- KMV (k minimum values): mergeable distinct-count sample ----------------
+
+KMV_K = 256
+_KMV_HASH_SPACE = 1 << 32  # md5_long yields 32 uniform bits
+
+
+def kmv_sketch(df: DataFrame, item: Column, k: int = KMV_K) -> DataFrame:
+    """The k smallest DISTINCT md5 hash values of ``item`` as
+    (rank, h) rows — the KMV synopsis (Beyer et al., SIGMOD 2007).
+    Order-free (a set minimum), so it is exactly replayable in SQL
+    and two sketches over disjoint data merge losslessly
+    (``kmv_merge``). Distinct-count estimate via ``kmv_estimate``;
+    the same bottom-k hashes double as a uniform sample of the
+    distinct items when built with the item riding along.
+
+    Plan shape: one hash projection in the scan, a distinct on the
+    32-bit hash (map-side partial aggregation dedupes per partition
+    first, so the Exchange carries per-partition-distinct longs, not
+    rows), then TakeOrderedAndProject(k) — bounded state everywhere.
+    32-bit hashes are the oracle-parity choice (DuckDB md5 replay);
+    collisions bias the estimate only as n approaches 2^16-ish
+    (birthday) — size up via a wider md5 slice if a deployment needs
+    n >> millions."""
+    h = md5_long(item).alias("h")
+    hashes = df.select(h).distinct().orderBy("h").limit(k)
+    w = Window.orderBy("h")
+    return hashes.select(
+        F.row_number().over(w).alias("rank"), F.col("h")
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Lossless union merge: the bottom-k of the combined hash sets —
+    identical to a direct build over the union of the inputs."""
+    hashes = (
+        a.select("h").unionByName(b.select("h")).distinct()
+        .orderBy("h").limit(k)
+    )
+    w = Window.orderBy("h")
+    return hashes.select(
+        F.row_number().over(w).alias("rank"), F.col("h")
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
+    """One row (kmv_n, kmv_est_r): the unbiased estimator
+    (k-1) * 2^32 / h_(k) when the sketch is full, else the sketch IS
+    the distinct set (est = row count) — the standard small-set rule.
+    Exact-integer inputs into one IEEE double divide, rounded 4dp,
+    so both engines produce the identical literal."""
+    return sketch.agg(
+        F.count("h").alias("kmv_n"),
+        F.round(
+            F.when(
+                F.count("h") < k, F.count("h").cast("double")
+            ).otherwise(
+                F.lit(float((k - 1) * _KMV_HASH_SPACE))
+                / F.max("h").cast("double")
+            ),
+            4,
+        ).alias("kmv_est_r"),
+    )
+
+
+def kmv_sql(item_expr: str, from_clause: str, k: int = KMV_K) -> str:
+    """DuckDB replay of kmv_sketch: bottom-k distinct 32-bit md5
+    hashes with their rank — the shared-builder idiom (compose with
+    caller estimate SQL)."""
+    return (
+        f"SELECT ROW_NUMBER() OVER (ORDER BY h) AS rank, h FROM ("
+        f"SELECT DISTINCT ('0x' || substr(md5({item_expr}), 1, 8))::BIGINT"
+        f" AS h FROM {from_clause}) ORDER BY h LIMIT {k}"
+    )

@@ -698,8 +698,10 @@ def _q78_oracle() -> str:
     doc="Bloom-filter membership (operators.sketches, Kirsch-"
     "Mitzenmacher double hashing): the bitmap is a bit_or aggregate "
     "over m/32 BIGINT words (2048 rows — filter-sized shuffle, "
-    "map-side combined, word-wise mergeable), probes are a broadcast "
-    "join + bool_and over the k bits. maybe_seen=false GUARANTEES "
+    "map-side combined, word-wise mergeable); the probe is a pure "
+    "scan-side expression over the bitmap collected into a plan "
+    "literal (ARRAY<BIGINT>, or one BINARY literal past 2^17 bits) — "
+    "zero join, zero shuffle. maybe_seen=false GUARANTEES "
     "absence — the admission fast-path: definitely-new rows skip the "
     "durable fingerprint-store probe entirely (composition equality "
     "pinned in test_sketches). truly_seen rides along so every "
@@ -733,3 +735,125 @@ def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("truly_seen", F.lit(False)).alias("truly_seen"),
         )
     )
+
+
+def _q79_oracle() -> str:
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        KMV_K,
+        _KMV_HASH_SPACE,
+        kmv_sql,
+    )
+
+    num = float((KMV_K - 1) * _KMV_HASH_SPACE)
+    return f"""
+    WITH sk AS ({kmv_sql("l_orderkey::VARCHAR", "lineitem")}),
+    est AS (
+        SELECT COUNT(h) AS kmv_n,
+               ROUND(CASE WHEN COUNT(h) < {KMV_K}
+                     THEN CAST(COUNT(h) AS DOUBLE)
+                     ELSE {num!r} / CAST(MAX(h) AS DOUBLE) END,
+                     4) AS kmv_est_r
+        FROM sk
+    ),
+    exact AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct
+        FROM lineitem
+    )
+    SELECT sk.rank, sk.h, est.kmv_n, est.kmv_est_r, exact.exact_distinct
+    FROM sk CROSS JOIN est CROSS JOIN exact
+    """
+
+
+@register(
+    "q79_kmv_distinct",
+    oracle=_q79_oracle(),
+    doc="KMV (k-minimum-values) distinct-count synopsis over order "
+    "keys (operators.sketches, Beyer et al. SIGMOD 2007): the k=256 "
+    "smallest distinct 32-bit md5 hashes — an ORDER-FREE set minimum, "
+    "hence exactly SQL-replayable AND losslessly mergeable across "
+    "shards (bottom-k of the union; pinned in test_sketches). "
+    "Estimator (k-1)*2^32/h_(k) with the small-set branch, exact "
+    "integers into one rounded double divide. Plan: hash in the scan, "
+    "distinct on the hash (map-side partial dedup), "
+    "TakeOrderedAndProject(k) — bounded state at any corpus size, and "
+    "the surviving hashes double as a uniform distinct-item sample. "
+    "exact_distinct rides along so every row shows the sketch error.",
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = kmv_sketch(li, F.col("l_orderkey").cast("string"))
+    est = kmv_estimate(sk)
+    exact = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    return sk.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(exact))
+
+
+def _q80_oracle() -> str:
+    from solarpaneldatawrangler_spark.operators.sampling import (
+        hash_sample_quantiles_sql,
+    )
+
+    est = hash_sample_quantiles_sql(
+        "l_extendedprice",
+        "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR",
+        "lineitem",
+        rate=0.2,
+        ps=(0.5, 0.9),
+        group_cols=["l_returnflag"],
+    )
+    exact = hash_sample_quantiles_sql(
+        "l_extendedprice",
+        "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR",
+        "lineitem",
+        rate=1.0,
+        ps=(0.5,),
+        group_cols=["l_returnflag"],
+    )
+    return f"""
+    WITH est AS ({est}), exact AS ({exact})
+    SELECT est.l_returnflag, est.sample_n, est.q50, est.q90,
+           exact.q50 AS exact_q50
+    FROM est JOIN exact USING (l_returnflag)
+    """
+
+
+@register(
+    "q80_sample_quantiles",
+    oracle=_q80_oracle(),
+    doc="Deterministic hash-sample quantiles per return flag "
+    "(operators.sampling.hash_sample_quantiles): membership is "
+    "md5_bucket(id) < rate — a scan-side filter identical under "
+    "reruns, repartitioning, and other engines (the stratified-sample "
+    "rule), so the sample-based percentile_disc (rank-select at "
+    "ceil(p*n), tie-safe) is a deterministic function of the DATA and "
+    "hash-checkable end-to-end. The corpus-scale quantile shape: the "
+    "sort touches only the rate-bounded sample, vs q46's full-data "
+    "sort. exact_q50 (the same rank-select at rate=1, where the "
+    "bucket test keeps every row) rides along to show sampling error.",
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.sampling import (
+        hash_sample_quantiles,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    est = hash_sample_quantiles(
+        li, "l_extendedprice", rid, rate=0.2, ps=(0.5, 0.9),
+        group_cols=["l_returnflag"],
+    )
+    exact = hash_sample_quantiles(
+        li, "l_extendedprice", rid, rate=1.0, ps=(0.5,),
+        group_cols=["l_returnflag"],
+    ).select("l_returnflag", F.col("q50").alias("exact_q50"))
+    return est.join(exact, "l_returnflag")

@@ -425,3 +425,59 @@ def test_pil_codec_drop_in(spark):
         assert set(a) == set(b)
         for key in a:
             assert np.array_equal(a[key], b[key]), key
+
+
+def test_hash_sample_quantiles_deterministic_and_exact_at_rate_one(
+    spark, sf_dir
+):
+    """Rank-select percentile_disc over the md5 hash sample: rate=1
+    keeps every row, so q50 must equal the true percentile_disc
+    median (numpy 'inverted_cdf' on the sorted values); at rate=0.2
+    the estimate is reproducible across repartitionings (membership
+    is a pure row function) and lands near the truth."""
+    from solarpaneldatawrangler_spark.operators.sampling import (
+        hash_sample_quantiles,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rid = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    full = hash_sample_quantiles(
+        li, "l_extendedprice", rid, rate=1.0, ps=(0.5,),
+        group_cols=["l_returnflag"],
+    ).collect()
+    import math
+
+    vals = {
+        r["l_returnflag"]: sorted(
+            x["l_extendedprice"]
+            for x in li.select("l_returnflag", "l_extendedprice").collect()
+            if x["l_returnflag"] == r["l_returnflag"]
+        )
+        for r in full
+    }
+    for r in full:
+        v = vals[r["l_returnflag"]]
+        assert r["sample_n"] == len(v)
+        assert r["q50"] == v[math.ceil(0.5 * len(v)) - 1]
+
+    est1 = hash_sample_quantiles(
+        li, "l_extendedprice", rid, rate=0.2, ps=(0.5,),
+        group_cols=["l_returnflag"],
+    ).collect()
+    est2 = hash_sample_quantiles(
+        li.repartition(7), "l_extendedprice", rid, rate=0.2, ps=(0.5,),
+        group_cols=["l_returnflag"],
+    ).collect()
+    assert sorted(map(tuple, est1)) == sorted(map(tuple, est2))
+    truth = {r["l_returnflag"]: r["q50"] for r in full}
+    for r in est1:
+        assert r["sample_n"] < len(vals[r["l_returnflag"]])
+        rel = abs(r["q50"] - truth[r["l_returnflag"]]) / truth[
+            r["l_returnflag"]
+        ]
+        assert rel < 0.05, (r, truth)

@@ -322,3 +322,64 @@ def test_bloom_binary_literal_path_matches_array_path(spark):
     # members (first 3000 ids) all answer true in both
     seen = dict(got["binary"])
     assert all(seen[f"item-{i}"] for i in range(3_000))
+
+
+def test_kmv_merge_equals_direct_and_estimate_band(spark):
+    """KMV is an order-free set minimum: the merge of two disjoint
+    halves must be ROW-IDENTICAL to the direct build, and the
+    estimator lands within the published ~2/sqrt(k) relative-error
+    band of the true distinct count (deterministic: fixed md5
+    stream)."""
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a = _ints_as_items(spark, 0, 4_000)
+    b = _ints_as_items(spark, 4_000, 10_000)
+    both = _ints_as_items(spark, 0, 10_000)
+    merged = kmv_merge(
+        kmv_sketch(a, F.col("item")), kmv_sketch(b, F.col("item"))
+    )
+    direct = kmv_sketch(both, F.col("item"))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    est = kmv_estimate(direct).collect()[0]
+    assert est["kmv_n"] == 256
+    rel = abs(est["kmv_est_r"] - 10_000) / 10_000
+    assert rel < 2 / (256 ** 0.5), est  # ~12.5%
+
+
+def test_kmv_small_set_is_exact_and_duplicate_invariant(spark):
+    """Below k distinct items the sketch IS the distinct set: the
+    estimate equals the exact count, and duplicating every row
+    changes nothing (set semantics)."""
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    once = _ints_as_items(spark, 0, 100)
+    thrice = once.unionByName(once).unionByName(once)
+    sk1 = kmv_sketch(once, F.col("item"))
+    sk3 = kmv_sketch(thrice, F.col("item"))
+    assert sorted(map(tuple, sk1.collect())) == sorted(
+        map(tuple, sk3.collect())
+    )
+    est = kmv_estimate(sk1).collect()[0]
+    assert est["kmv_n"] == 100 and est["kmv_est_r"] == 100.0
+
+
+def test_kmv_sketch_plan_is_bounded(spark):
+    """The sketch must compile to TakeOrderedAndProject (per-partition
+    top-k then one bounded reduce) over a partial-aggregated distinct
+    — never a global sort of the hash column."""
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        kmv_sketch,
+    )
+
+    sk = kmv_sketch(_ints_as_items(spark, 0, 10_000), F.col("item"))
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
