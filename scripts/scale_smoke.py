@@ -785,6 +785,56 @@ def sketches_smoke():
         return 20_000_000
 
     timed("sketch: bloom probe 20M queries (scan-side literal)", probe_run)
+
+    from solarpaneldatawrangler_spark.operators.sampling import (
+        hash_sample_quantiles,
+    )
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    kmv = {}
+
+    def kmv_run():
+        sk = kmv_sketch(items, F.col("item"))
+        est = kmv_estimate(sk).collect()[0]
+        kmv["est"] = est["kmv_est_r"]
+        kmv["n"] = est["kmv_n"]
+        return 20_000_000
+
+    timed("sketch: KMV bottom-256 over 20M rows (~5M distinct)", kmv_run)
+    if "n" in kmv:
+        err = abs(kmv["est"] - 5_000_000) / 5_000_000
+        print(f"  kmv_est={kmv['est']:,.0f} rel_err={err:.3%}", flush=True)
+        assert kmv["n"] == 256 and err < 0.25, kmv  # 2/sqrt(256)=12.5% at 2 sigma
+
+    vals = spark.range(20_000_000).select(
+        F.col("id").alias("rid"),
+        (F.pmod(F.xxhash64("id"), 1_000_000) / 10.0).alias("v"),
+    )
+    qt = {}
+
+    def qtile_run():
+        got = hash_sample_quantiles(
+            vals, "v", F.col("rid").cast("string"), rate=0.005,
+            ps=(0.5, 0.9),
+        ).collect()[0]
+        qt["row"] = got
+        return 20_000_000
+
+    timed(
+        "sketch: hash-sample quantiles 20M rows (rate=0.005 -> ~100k sample)",
+        qtile_run,
+    )
+    # v is ~uniform on [0, 100000): medians land near 50000, p90 near 90000
+    if "row" in qt:
+        r = qt["row"]
+        print(f"  sample_n={r['sample_n']:,} q50={r['q50']:.1f} "
+              f"q90={r['q90']:.1f}", flush=True)
+        assert abs(r["q50"] - 50_000) / 50_000 < 0.02, r
+        assert abs(r["q90"] - 90_000) / 90_000 < 0.02, r
+
     # ~half the probed id space is members; the rest passes only at FPR
     if "n" in hits:
         frac = hits["n"] / 20_000_000
