@@ -302,13 +302,14 @@ def bloom_merge(*filters: DataFrame) -> DataFrame:
     return out.groupBy("word").agg(F.bit_or("bits").alias("bits"))
 
 
-# Above this many 32-bit words the bitmap literal switches from an
-# ARRAY<BIGINT> (one Py4J lit call per element — measured ~50 s at 100k
-# elements, a construction cliff, not an execution one) to a single
-# BINARY literal (one Py4J call for the whole bitmap; 4 MiB at 2^25
-# bits). 4096 words = 2^17 bits keeps the array path for every
-# default-sized filter.
-_BLOOM_ARRAY_MAX_WORDS = 4096
+# The ARRAY<BIGINT> bitmap literal costs one Py4J lit call PER ELEMENT
+# (~0.5 ms each: ~1 s of pure construction at the default 2048 words,
+# measured as the bulk of q78's bench time; ~50 s at 100k words) while
+# the BINARY literal is ONE call at any size (8 KiB default, 4 MiB at
+# 2^25 bits) with runtime-equal probes — so 'auto' always picks
+# binary, and the array encoding survives only as an explicitly
+# requested variant kept bit-identical by the parity test.
+_BLOOM_ARRAY_MAX_WORDS = 0
 
 
 def bloom_maybe_contains(
@@ -334,17 +335,18 @@ def bloom_maybe_contains(
     replay keeps the relational form and the results are equal, q78.)
 
     Two literal encodings, bit-identical results (pinned by test):
-    - 'array'  — ARRAY<BIGINT> of m/32 words, element_at + bit test.
-      Construction is one Py4J call PER ELEMENT, so it is gated to
-      small filters (<= _BLOOM_ARRAY_MAX_WORDS words).
-    - 'binary' — the whole bitmap as ONE BinaryType literal
-      (little-endian within each 32-bit word, so byte(pos) = pos>>3
-      and bit(pos) = pos%8 globally); probe via
-      conv(hex(substring(bitmap, byte, 1))) — still scan-side, still
-      codegen'd, and the literal ships once in the task binary
-      (measured: 20M probes against a 2^25-bit filter in ~5 s on
+    - 'binary' (the default via 'auto') — the whole bitmap as ONE
+      BinaryType literal (little-endian within each 32-bit word, so
+      byte(pos) = pos>>3 and bit(pos) = pos%8 globally); probe via
+      conv(hex(substring(bitmap, byte, 1))) — scan-side, codegen'd,
+      and the literal ships once in the task binary (8 KiB at the
+      default m, 4 MiB at 2^25 bits; 20M probes in ~35 s on
       local[32]).
-    'auto' picks by m."""
+    - 'array'  — ARRAY<BIGINT> of m/32 words, element_at + bit test.
+      Runtime-equal but construction is one Py4J call PER ELEMENT
+      (~1 s at the default 2048 words, minutes at 1M), so it is never
+      auto-chosen; it remains as the independently-derived encoding
+      the parity test checks the binary path against."""
     if impl == "auto":
         impl = (
             "array"
