@@ -700,7 +700,7 @@ def _q78_oracle() -> str:
     "over m/32 BIGINT words (2048 rows — filter-sized shuffle, "
     "map-side combined, word-wise mergeable); the probe is a pure "
     "scan-side expression over the bitmap collected into a plan "
-    "literal (ARRAY<BIGINT>, or one BINARY literal past 2^17 bits) — "
+    "literal (one BinaryType literal at any m — a single Py4J call) — "
     "zero join, zero shuffle. maybe_seen=false GUARANTEES "
     "absence — the admission fast-path: definitely-new rows skip the "
     "durable fingerprint-store probe entirely (composition equality "
