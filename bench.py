@@ -1207,6 +1207,30 @@ def main() -> None:
     # warm the JVM + parquet footers so query 1 doesn't pay session startup
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # machine-speed canary (r9): two FIXED workloads timed every run —
+    # a JVM-side codegen job and a pure-Python loop — so a cross-round
+    # comparison can tell host drift (canary moved too) from a plan
+    # regression (canary flat, queries moved). The r8->r9 comparison
+    # needed exactly this: unchanged queries uniformly ~1.3x slower
+    # with per-pass loadavg already low, which load samples alone
+    # cannot adjudicate.
+    def _cpu_canary() -> dict[str, float]:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id * 3 + 1)").collect()
+        jvm_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(5_000_000):
+            acc += i
+        py_s = time.perf_counter() - t0
+        return {"jvm_s": round(jvm_s, 3), "py_s": round(py_s, 3)}
+
+    cpu_canary = min(
+        (_cpu_canary() for _ in range(2)),
+        key=lambda c: c["jvm_s"],
+    )
+    print(f"# cpu_canary: {cpu_canary}", file=sys.stderr)
+
     def run(name: str, fn) -> float:
         best, n = float("inf"), 0
         for _ in range(max(repeats, 1)):
@@ -1501,6 +1525,7 @@ def main() -> None:
                     else {}
                 ),
                 **({"errors": errors} if errors else {}),
+                "cpu_canary": cpu_canary,
                 "repeats": repeats,
                 "sf": sf,
             }
