@@ -765,9 +765,6 @@ def sketches_smoke():
         return 2_000_000
 
     timed("sketch: bloom_build 2M members (2^25 bits)", build_run)
-    bloom = built.get("bloom") or bloom_build(
-        members, F.col("item"), m=1 << 25
-    ).localCheckpoint()
     probe = spark.range(20_000_000).select(
         F.concat(F.lit("m"), F.pmod(F.xxhash64("id"), 4_000_000)).alias(
             "item"
@@ -776,6 +773,14 @@ def sketches_smoke():
     hits = {}
 
     def probe_run():
+        # build fallback lives INSIDE the timed fn so an argv filter
+        # that skips the bloom probes never pays the eager
+        # localCheckpoint build (review-caught)
+        bloom = built.get("bloom")
+        if bloom is None:
+            bloom = built["bloom"] = bloom_build(
+                members, F.col("item"), m=1 << 25
+            ).localCheckpoint()
         got = (
             bloom_maybe_contains(bloom, probe, "item", m=1 << 25)
             .filter(F.col("maybe_seen"))
@@ -841,7 +846,8 @@ def sketches_smoke():
         print(f"  maybe_seen_frac={frac:.3f} (true member frac ~0.5)",
               flush=True)
         assert 0.5 <= frac < 0.55, hits
-    bloom.unpersist()
+    if built.get("bloom") is not None:
+        built["bloom"].unpersist()
 
 
 if __name__ == "__main__":

@@ -1080,13 +1080,21 @@ def compact_fingerprint_store(
     raises after the new generation is fully written but before its
     commit marker; "after_commit" raises after the marker but before
     the old-generation sweep."""
-    cur = _current_gen(spark, path)
-    if cur is None:
-        raise ValueError(f"fingerprint store {path} has no committed data")
     from pyspark.errors.exceptions.captured import AnalysisException
 
     _acquire_lease(spark, path)
     try:
+        # resolve the generation INSIDE the lease (review-caught): a
+        # writer committing between an early resolve and the lease
+        # acquisition would have its generation silently compacted
+        # AWAY — the compaction would rewrite the stale predecessor
+        # and publish it as current, losing every fingerprint the
+        # racing writer admitted
+        cur = _current_gen(spark, path)
+        if cur is None:
+            raise ValueError(
+                f"fingerprint store {path} has no committed data"
+            )
         try:
             src = spark.read.parquet(cur[1])
         except AnalysisException as ex:
@@ -1391,15 +1399,6 @@ def write_minhash_store(
     """
     spark = docs.sparkSession
     meta = _minhash_store_meta(num_hashes, bands, shingle_k, reproducible)
-    have = None
-    if mode == "append":
-        have = _require_sig_meta(spark, path)  # raises on meta-less data
-        if have is not None and have != meta:
-            raise ValueError(
-                f"minhash store {path} was built with {have}, "
-                f"append called with {meta} — probes would silently "
-                "miss every collision"
-            )
     banded, _, sig = _banded_keys(
         docs, text_col, id_col, num_hashes, bands, shingle_k, reproducible
     )
@@ -1411,6 +1410,19 @@ def write_minhash_store(
     )
     _acquire_lease(spark, path)
     try:
+        # param validation INSIDE the lease (review-caught): validated
+        # before acquisition, a rebuild with different params committing
+        # in between would let this append land rows banded under the
+        # OLD family into the new-family generation — the silent
+        # mismatch the validation exists to refuse
+        if mode == "append":
+            have = _require_sig_meta(spark, path)  # raises on meta-less
+            if have is not None and have != meta:
+                raise ValueError(
+                    f"minhash store {path} was built with {have}, "
+                    f"append called with {meta} — probes would silently "
+                    "miss every collision"
+                )
         _write_minhash_rows(spark, path, rows, meta, mode)
     finally:
         _release_lease(spark, path)
@@ -1582,16 +1594,22 @@ def compact_minhash_store(
     compaction leaves probes on the old generation or the complete
     new one, never refusing. ``_crash_point`` = test-only fault
     injection ("after_data" / "after_commit")."""
-    cur = _current_gen(spark, path)
-    if cur is None:
-        return  # no committed data yet (nothing shingle-able): no-op
-    meta = _read_gen_meta(spark, cur[1])
-    if meta is None:
-        raise ValueError(f"minhash store {path} has no _meta to compact")
     from pyspark.errors.exceptions.captured import AnalysisException
 
     _acquire_lease(spark, path)
     try:
+        # generation AND meta resolved INSIDE the lease (review-caught,
+        # same lost-update window as compact_fingerprint_store): a
+        # writer committing a newer generation between resolve and
+        # lease acquisition would be compacted away
+        cur = _current_gen(spark, path)
+        if cur is None:
+            return  # no committed data yet (nothing shingle-able)
+        meta = _read_gen_meta(spark, cur[1])
+        if meta is None:
+            raise ValueError(
+                f"minhash store {path} has no _meta to compact"
+            )
         try:
             src = spark.read.parquet(cur[1])
         except AnalysisException as ex:

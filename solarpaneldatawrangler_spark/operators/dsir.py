@@ -292,6 +292,11 @@ def dsir_threshold_for_rate(
         )
     ).dropna(subset=["dsir_w"])
     q = scored.approxQuantile("dsir_w", [1.0 - keep_rate], relative_error)
+    if not q:  # approxQuantile returns [] on zero surviving rows
+        raise ValueError(
+            "dsir_threshold_for_rate: no scored documents to calibrate "
+            "on (empty corpus, or every text NULL)"
+        )
     return float(q[0])
 
 

@@ -260,13 +260,35 @@ _BLOOM_WORD_BITS = 32  # bits packed per BIGINT word: 2^31 max, no
 # sign-bit hazard to reconcile between engines' << semantics
 
 
+def _bloom_item(item: Column) -> Column:
+    """NULL-normalized probe/build key: a NULL item hashes as '' so
+    maybe_seen is always a real boolean. Without this, md5(NULL) is
+    NULL, every bit test is NULL, and the documented admission
+    composition — filter(~maybe_seen) admitted fast OR
+    filter(maybe_seen) store-probed — drops NULL-text rows from BOTH
+    branches (review-caught), while the store path normalizes
+    NULL->'' and gives a verdict. Build and probe MUST share this rule
+    or FALSE stops guaranteeing absence."""
+    return F.coalesce(item.cast("string"), F.lit(""))
+
+
+def _bloom_hashes(item: Column) -> tuple[Column, Column]:
+    """The two Kirsch-Mitzenmacher md5 hashes (h1, h2) of the
+    normalized item — THE single definition both the build explode and
+    the staged probe derive positions from (pos_i = h1 + i*h2 mod m,
+    two md5s instead of k; Kirsch & Mitzenmacher 2006). The SQL
+    builders (bloom_sql / bloom_probe_sql) replay the same derivation
+    textually; change it here and there together or probes return
+    false negatives."""
+    norm = _bloom_item(item)
+    return md5_long(norm), md5_long(F.concat(F.lit("b:"), norm))
+
+
 def _bloom_positions(item: Column, m: int, k: int) -> list[Column]:
-    """k bit positions via Kirsch-Mitzenmacher double hashing
-    (pos_i = h1 + i*h2 mod m) — two md5s per item instead of k, the
-    published trick that preserves the FPR bound (Kirsch &
-    Mitzenmacher 2006)."""
-    h1 = md5_long(item)
-    h2 = md5_long(F.concat(F.lit("b:"), item))
+    """k bit positions from _bloom_hashes — the build-side (inline)
+    form; the probe stages the two hashes as aliases first (see
+    bloom_maybe_contains) but derives positions identically."""
+    h1, h2 = _bloom_hashes(item)
     return [(h1 + F.lit(i) * h2) % m for i in range(k)]
 
 
@@ -363,13 +385,8 @@ def bloom_maybe_contains(
     # referenced more than once (the q71 kept-lines rule), so the
     # single evaluation survives optimization.
     h1c, h2c = "_bloom_h1", "_bloom_h2"
-    item = F.col(item_col)
-    staged = queries.withColumns(
-        {
-            h1c: md5_long(item),
-            h2c: md5_long(F.concat(F.lit("b:"), item)),
-        }
-    )
+    h1, h2 = _bloom_hashes(F.col(item_col))
+    staged = queries.withColumns({h1c: h1, h2c: h2})
     positions = [
         (F.col(h1c) + F.lit(i) * F.col(h2c)) % m for i in range(k)
     ]
@@ -423,10 +440,12 @@ def bloom_sql(
     item_expr: str, from_clause: str, m: int = BLOOM_M, k: int = BLOOM_K
 ) -> str:
     """DuckDB replay of bloom_build as a (word, bits) SELECT — shared-
-    builder idiom; compose with caller probe SQL."""
+    builder idiom; compose with caller probe SQL. Replays
+    _bloom_hashes exactly, including its NULL->'' normalization."""
+    it = f"COALESCE(({item_expr})::VARCHAR, '')"
     pos = " UNION ALL ".join(
-        f"SELECT (('0x' || substr(md5({item_expr}), 1, 8))::BIGINT"
-        f" + {i} * ('0x' || substr(md5('b:' || ({item_expr})), 1, 8))::BIGINT)"
+        f"SELECT (('0x' || substr(md5({it}), 1, 8))::BIGINT"
+        f" + {i} * ('0x' || substr(md5('b:' || {it}), 1, 8))::BIGINT)"
         f" % {m} AS pos FROM {from_clause}"
         for i in range(k)
     )
@@ -445,11 +464,14 @@ def bloom_probe_sql(
 ) -> str:
     """DuckDB replay of bloom_maybe_contains: per-item bool_and over
     the k membership bits against ``bloom_cte`` (a CTE name holding
-    (word, bits))."""
+    (word, bits)). Replays _bloom_hashes exactly, including its
+    NULL->'' normalization (the emitted item is normalized too, so a
+    NULL query keys the same row both engines)."""
+    it = f"COALESCE(({item_expr})::VARCHAR, '')"
     pos = " UNION ALL ".join(
-        f"SELECT {item_expr} AS item,"
-        f" (('0x' || substr(md5({item_expr}), 1, 8))::BIGINT"
-        f" + {i} * ('0x' || substr(md5('b:' || ({item_expr})), 1, 8))::BIGINT)"
+        f"SELECT {it} AS item,"
+        f" (('0x' || substr(md5({it}), 1, 8))::BIGINT"
+        f" + {i} * ('0x' || substr(md5('b:' || {it}), 1, 8))::BIGINT)"
         f" % {m} AS pos FROM {queries_from}"
         for i in range(k)
     )

@@ -2039,7 +2039,7 @@ def _q73_oracle_or_none() -> str | None:
     )
     SELECT d.doc_id, COALESCE(w.w, 0.0) AS dsir_w
     FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
-    WHERE COALESCE(w.w, 0.0) >= {_DSIR_T}
+    WHERE d.text IS NOT NULL AND COALESCE(w.w, 0.0) >= {_DSIR_T}
     """
 
 
@@ -2061,9 +2061,13 @@ def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     ratios = dsir_ratios_for_dir(sf_dir, n_buckets=_DSIR_B)
-    # empty-text docs have zero features -> weight 0.0 in the oracle's
-    # LEFT JOIN COALESCE; the Spark fold over an empty array is 0.0
-    # too, so the two sides agree without special-casing
+    # EMPTY-text docs: zero features -> weight 0.0 on both sides (the
+    # oracle's LEFT JOIN COALESCE, the Spark fold over an empty
+    # array). NULL-text docs: Spark scores null -> filtered (the
+    # conservative-admission rule dsir_select_threshold documents), so
+    # the oracle carries an explicit text IS NOT NULL (review-caught:
+    # COALESCE alone would KEEP null-text docs at weight 0.0 and
+    # diverge on any corpus containing one)
     return dsir_select_threshold(docs, ratios, _DSIR_T).select(
         "doc_id", F.col("dsir_w")
     )

@@ -498,6 +498,13 @@ def _q75_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     tag = "b" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     lt, ot = f"sg_li_{tag}", f"sg_ord_{tag}"
     d = tempfile.mkdtemp(prefix="spark_graft_bucketed_")
+    # bench-store idiom (review-caught omission): clean the bucketed
+    # table copies up at exit like _ivf_store_dir does, or every
+    # session touching q75 leaves a lineitem+orders copy in /tmp
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     write_bucketed(
         load_table(spark, sf_dir, "lineitem"),
         lt, f"{d}/lineitem", "l_orderkey", _BUCKETS,

@@ -383,3 +383,62 @@ def test_kmv_sketch_plan_is_bounded(spark):
     sk = kmv_sketch(_ints_as_items(spark, 0, 10_000), F.col("item"))
     plan = sk._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bloom_null_items_get_real_verdicts_both_engines(spark):
+    """A NULL item must hash as '' on BOTH sides (build and probe) so
+    maybe_seen is always a real boolean: without the normalization,
+    md5(NULL) nulls every bit test and the admission composition
+    (~maybe_seen fast-admit | maybe_seen store-probe) silently drops
+    NULL-text rows from both branches. Cross-engine: the DuckDB
+    builders replay the same normalization."""
+    import duckdb
+
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+        bloom_probe_sql,
+        bloom_sql,
+    )
+
+    members = spark.createDataFrame(
+        [("alpha",), (None,), ("beta",)], "item string"
+    )
+    queries = spark.createDataFrame(
+        [("alpha",), (None,), ("",), ("other",)], "item string"
+    )
+    probed = bloom_maybe_contains(
+        bloom_build(members, F.col("item")), queries, "item"
+    )
+    rows = {r["item"]: r["maybe_seen"] for r in probed.collect()}
+    assert all(v is not None for v in rows.values()), rows
+    assert rows["alpha"] is True
+    assert rows[None] is True     # NULL normalized to '' — a member
+    assert rows[""] is True       # same key as the NULL member
+
+    con = duckdb.connect()
+    build = bloom_sql("x", "(VALUES ('alpha'), (NULL), ('beta')) t(x)")
+    probe = bloom_probe_sql(
+        "x", "(VALUES ('alpha'), (NULL), (''), ('other')) q(x)", "bloom"
+    )
+    got = dict(
+        con.execute(f"WITH bloom AS ({build}) {probe}").fetchall()
+    )
+    # the SQL emits the NORMALIZED item, so NULL and '' collapse to ''
+    assert got["alpha"] is True and got[""] is True
+    assert got["other"] == rows["other"]
+
+
+def test_q73_oracle_excludes_null_text_like_spark_does():
+    """dsir_select_threshold drops NULL-text docs (null weight never
+    passes >= t); the q73 oracle must carry the matching text IS NOT
+    NULL — COALESCE alone would keep them at weight 0.0 and diverge
+    on any corpus containing one (review-caught)."""
+    from solarpaneldatawrangler_spark.plans import CATALOG
+
+    oracle = CATALOG["q73_dsir_threshold"].oracle
+    if oracle is None:
+        import pytest
+
+        pytest.skip("q73 oracle demoted (testdata absent)")
+    assert "text IS NOT NULL" in oracle
