@@ -1172,6 +1172,9 @@ EXTRA = {
     "x_sample_quantiles": lambda spark, sf_dir: CATALOG[
         "q80_sample_quantiles"
     ].fn(spark, sf_dir),
+    "x_corpus_diff": lambda spark, sf_dir: CATALOG[
+        "q81_corpus_diff"
+    ].fn(spark, sf_dir),
     # the r9 layout pair: identical join+agg, bucketed (zero Exchange)
     # vs plain parquet (shuffles both sides); broadcast disabled in
     # both so it's SMJ-vs-SMJ — the delta is the shuffle being paid

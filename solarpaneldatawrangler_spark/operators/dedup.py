@@ -1859,3 +1859,51 @@ def remove_duplicate_spans(
         (F.size("_toks") - F.size(kept)).alias("n_removed"),
         "n_dup_grams",
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Release-to-release corpus diff by CONTENT: one row per distinct
+    fingerprint across both snapshots with status 'added' (only in
+    new), 'removed' (only in old), or 'kept' (in both) — the
+    what-changed report a dataset release pipeline publishes next to
+    its data card. Content identity is the store fingerprint
+    (whitespace-normalized lowercased md5, NULL->'' — the exact-dedup
+    key), so a re-crawled duplicate or a renamed doc_id is 'kept',
+    not an add+remove.
+
+    ``group_cols`` ride along deterministically (MIN per fingerprint
+    per side, new side wins for kept rows) so counts can be rolled up
+    by source/lang. Plan shape: two partial-aggregated groupBys (one
+    per snapshot, distinct-fingerprint-sized) and ONE full-outer hash
+    join on the fingerprint — no corpus text ever moves, and at 100 TB
+    the shuffle is bounded by distinct content (~32 B/doc), the same
+    budget as the fingerprint store this composes with."""
+    group_cols = group_cols or []
+    fp = _store_fingerprint(text_col)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.min(c).alias(f"_{tag}_{c}") for c in group_cols]
+        aggs.append(F.lit(True).alias(f"_in_{tag}"))
+        g = df.select(fp.alias("fingerprint"), *group_cols).groupBy(
+            "fingerprint"
+        )
+        return g.agg(*aggs) if aggs else g.count().drop("count")
+
+    o, n = side(old, "old"), side(new, "new")
+    j = o.join(n, "fingerprint", "full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .otherwise(F.lit("kept"))
+    )
+    cols = [F.col("fingerprint"), status.alias("status")]
+    for c in group_cols:
+        cols.append(
+            F.coalesce(F.col(f"_new_{c}"), F.col(f"_old_{c}")).alias(c)
+        )
+    return j.select(*cols)

@@ -864,3 +864,53 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
         group_cols=["l_returnflag"],
     ).select("l_returnflag", F.col("q50").alias("exact_q50"))
     return est.join(exact, "l_returnflag")
+
+
+_DIFF_FP = (
+    "md5(regexp_replace(trim(lower(COALESCE(text, ''))), "
+    "'\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "q81_corpus_diff",
+    oracle=f"""
+    WITH o AS (
+        SELECT {_DIFF_FP} AS fingerprint, MIN(source) AS source
+        FROM documents WHERE doc_id % 3 != 0 GROUP BY 1
+    ),
+    n AS (
+        SELECT {_DIFF_FP} AS fingerprint, MIN(source) AS source
+        FROM documents WHERE doc_id % 4 != 0 GROUP BY 1
+    ),
+    d AS (
+        SELECT COALESCE(n.source, o.source) AS source,
+               CASE WHEN o.fingerprint IS NULL THEN 'added'
+                    WHEN n.fingerprint IS NULL THEN 'removed'
+                    ELSE 'kept' END AS status
+        FROM o FULL OUTER JOIN n ON n.fingerprint = o.fingerprint
+    )
+    SELECT source, status, COUNT(*) AS n_docs
+    FROM d GROUP BY source, status
+    """,
+    doc="Release-to-release corpus diff (operators.dedup.corpus_diff): "
+    "two overlapping snapshots (doc_id % 3 != 0 vs % 4 != 0) compared "
+    "by CONTENT fingerprint — added/removed/kept counts per source, "
+    "the what-changed report published next to a release's data card. "
+    "Content identity is the exact-dedup store fingerprint "
+    "(normalized md5, NULL->''), so re-crawled duplicates and renamed "
+    "ids read as 'kept'. Plan: two distinct-fingerprint-bounded "
+    "partial-agg groupBys + ONE full-outer hash join on the "
+    "fingerprint — corpus text never shuffles; at 100 TB the join is "
+    "~32 B per distinct doc, the fingerprint-store budget.",
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.dedup import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 4 != 0)
+    d = corpus_diff(old, new, group_cols=["source"])
+    return d.groupBy("source", "status").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

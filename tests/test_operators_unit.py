@@ -481,3 +481,43 @@ def test_hash_sample_quantiles_deterministic_and_exact_at_rate_one(
             r["l_returnflag"]
         ]
         assert rel < 0.05, (r, truth)
+
+
+def test_corpus_diff_content_identity_and_statuses(spark):
+    """Diff is by CONTENT: a renamed doc_id with identical text is
+    'kept', a re-crawled duplicate collapses to one kept fingerprint,
+    edits show as add+remove, and NULL text diffs as '' (the store
+    fingerprint rule). Group col rides along (new side wins)."""
+    from solarpaneldatawrangler_spark.operators.dedup import corpus_diff
+
+    old = spark.createDataFrame(
+        [
+            (1, "alpha doc", "web"),
+            (2, "beta doc", "web"),
+            (3, "gamma doc", "wiki"),
+            (4, None, "web"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha doc", "web"),      # renamed id -> kept
+            (11, "alpha doc", "web"),      # re-crawl dup -> same row
+            (12, "beta doc EDITED", "web"),  # edit -> added (+removed)
+            (3, "gamma doc", "wiki"),
+            (13, None, "wiki"),            # NULL == NULL -> kept
+        ],
+        "doc_id long, text string, source string",
+    )
+    d = corpus_diff(old, new, group_cols=["source"])
+    rows = {(r["status"], r["source"]) for r in d.collect()}
+    counts = {
+        s: n
+        for s, n in d.groupBy("status").count().collect()
+    }
+    assert counts == {"kept": 3, "added": 1, "removed": 1}, counts
+    assert ("added", "web") in rows      # the edited text
+    assert ("removed", "web") in rows    # the old beta
+    # NULL-text fingerprints matched across snapshots; new side's
+    # source (wiki) wins for kept rows
+    assert ("kept", "wiki") in rows
