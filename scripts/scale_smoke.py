@@ -850,6 +850,44 @@ def sketches_smoke():
         built["bloom"].unpersist()
 
 
+def diff_smoke():
+    """r9 corpus_diff at 20M docs per snapshot: the release-diff claim
+    — only 32-char fingerprints shuffle (two partial-agg groupBys + one
+    full-outer SMJ), so the diff costs the fingerprint-store budget,
+    never a text shuffle. Snapshots overlap 50%: expect ~10M kept,
+    ~10M added, ~10M removed."""
+    spark = get_spark("scale-smoke-diff")
+    from solarpaneldatawrangler_spark.operators.dedup import corpus_diff
+
+    def snap(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("synthetic document body "), F.col("id")).alias(
+                "text"
+            ),
+            (F.pmod(F.col("id"), 4)).cast("string").alias("source"),
+        )
+
+    counts = {}
+
+    def diff_run():
+        d = corpus_diff(snap(0, 20_000_000), snap(10_000_000, 30_000_000),
+                        group_cols=["source"])
+        counts.update(
+            {r["status"]: r["n"] for r in
+             d.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+        )
+        return 40_000_000
+
+    timed("diff: corpus_diff 2 x 20M docs (50% overlap)", diff_run)
+    if counts:
+        print(f"  {counts}", flush=True)
+        assert counts == {
+            "kept": 10_000_000, "added": 10_000_000, "removed": 10_000_000
+        }, counts
+
+
 if __name__ == "__main__":
     main()
     sketches_smoke()
+    diff_smoke()
