@@ -521,3 +521,47 @@ def test_corpus_diff_content_identity_and_statuses(spark):
     # NULL-text fingerprints matched across snapshots; new side's
     # source (wiki) wins for kept rows
     assert ("kept", "wiki") in rows
+
+
+def test_corpus_diff_matches_set_algebra_reference(spark):
+    """Property-style check against a driver-side reference: for a
+    seeded random pair of snapshots (with dups, renames, NULLs, and
+    whitespace variants), corpus_diff's statuses must equal plain set
+    algebra over the normalized-content keys."""
+    import random
+    import re
+
+    rng = random.Random(42)
+    texts = [f"doc body {i}" for i in range(80)] + [None, "", "  "]
+    old_rows = [
+        (i, rng.choice(texts), rng.choice(["web", "wiki"]))
+        for i in range(200)
+    ]
+    new_rows = [
+        (1000 + i, rng.choice(texts), rng.choice(["web", "wiki"]))
+        for i in range(200)
+    ]
+    old = spark.createDataFrame(
+        old_rows, "doc_id long, text string, source string"
+    )
+    new = spark.createDataFrame(
+        new_rows, "doc_id long, text string, source string"
+    )
+
+    def norm(t):
+        return re.sub(r"\s+", " ", (t or "").strip().lower())
+
+    o_keys = {norm(t) for _, t, _ in old_rows}
+    n_keys = {norm(t) for _, t, _ in new_rows}
+    want = {
+        "added": len(n_keys - o_keys),
+        "removed": len(o_keys - n_keys),
+        "kept": len(o_keys & n_keys),
+    }
+    from solarpaneldatawrangler_spark.operators.dedup import corpus_diff
+
+    got = {
+        r["status"]: r["count"]
+        for r in corpus_diff(old, new).groupBy("status").count().collect()
+    }
+    assert {k: v for k, v in want.items() if v} == got, (want, got)
