@@ -315,6 +315,42 @@ def _store_io_stats(spark, sf_dir: str) -> dict[str, int]:
     return out
 
 
+def _range_join_naive(spark, sf_dir):
+    """x_range_join's control arm: the SAME incident-window workload as
+    q82 but joined with the raw non-equi predicate, which Spark can
+    only plan as BroadcastNestedLoopJoin / cartesian — O(windows *
+    events) probes. The delta against x_range_join is what the bin-
+    bucketing rewrite buys."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 200))
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("hi"),
+        )
+    )
+    probes = ev.select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("value").alias("e_value"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = windows.join(
+        probes,
+        (F.col("e_ts") >= F.col("lo")) & (F.col("e_ts") < F.col("hi")),
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("e_id").alias("n_events"),
+        F.countDistinct("e_user").alias("n_users"),
+        F.max("e_value").alias("max_value"),
+    )
+
+
 def _bucketed_join_pair(spark, sf_dir, colocated: bool):
     """The bucketed-layout contrast pair: the SAME fact-fact join+agg
     (lineitem ⋈ orders on the order key, group by status/returnflag)
@@ -1184,6 +1220,18 @@ EXTRA = {
     "x_shuffled_join": lambda spark, sf_dir: _bucketed_join_pair(
         spark, sf_dir, False
     ),
+    # the r9 interval-join pair: identical windows+agg, bin-bucketed
+    # equi-join rewrite vs the naive non-equi plan (BNL/cartesian) —
+    # the delta is the O(n*m) probe cost the rewrite removes
+    "x_range_join": lambda spark, sf_dir: CATALOG[
+        "q82_range_join"
+    ].fn(spark, sf_dir),
+    "x_range_join_naive": lambda spark, sf_dir: _range_join_naive(
+        spark, sf_dir
+    ),
+    "x_kmv_jaccard": lambda spark, sf_dir: CATALOG[
+        "q83_kmv_jaccard"
+    ].fn(spark, sf_dir),
 }
 
 

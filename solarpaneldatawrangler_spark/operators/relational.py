@@ -169,3 +169,60 @@ def exact_avg(col: str | Column, scale: int = 4) -> Column:
     """Deterministic mean: exact decimal sum divided by count, in double."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(22,{scale})")).cast("double") / F.count(c)
+
+
+def range_join_binned(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Interval (range) join: every pair where
+    ``lo <= left.ts < hi`` — WITHOUT an equi-key, the case Spark plans
+    as BroadcastNestedLoopJoin (O(n*m) probes) or, unbroadcastable, a
+    cartesian.
+
+    The scale plan is bin bucketing (the published range-join
+    optimization used by Sedona-style spatial joins, here on the time
+    axis): discretize into ``bin_seconds`` buckets, explode each
+    interval to the buckets it spans, tag each left row with its ONE
+    bucket, shuffle equi-join on the bucket, post-filter the exact
+    predicate. Each qualifying pair meets in exactly one bucket (the
+    left row's), so no dedup pass is needed. O(n + m * span/bin)
+    shuffled rows instead of n*m probes; at 100 TB the join is an
+    ordinary hash/sort-merge exchange.
+
+    Pick ``bin_seconds`` near the median interval length: too small
+    explodes intervals wide, too large piles unrelated rows into one
+    bucket (a hot bin skews the shuffle — AQE skew-join splits it).
+    Intervals are half-open; empty/inverted (hi <= lo) intervals drop.
+    Column names must be disjoint between the two inputs (alias first).
+    """
+    w_us = int(bin_seconds) * 1_000_000
+    if w_us <= 0:
+        raise ValueError("bin_seconds must be positive")
+
+    def _bin(c: Column) -> Column:
+        # exact integer floor-div on epoch micros: x - x % w is a
+        # multiple of w, and both operands are < 2^53 so the double
+        # divide is exact
+        x = F.unix_micros(c)
+        return ((x - x % F.lit(w_us)) / F.lit(w_us)).cast("long")
+
+    lo, hi, ts = F.col(lo_col), F.col(hi_col), F.col(ts_col)
+    binned_intervals = intervals.filter(hi > lo).withColumn(
+        "_rj_bin",
+        # half-open upper bound: the last bucket an interval can meet
+        # a row in is the one containing hi - 1 microsecond
+        F.explode(
+            F.sequence(_bin(lo), _bin(F.timestamp_micros(F.unix_micros(hi) - 1)))
+        ),
+    )
+    binned_left = left.withColumn("_rj_bin", _bin(ts))
+    return (
+        binned_intervals.join(binned_left, "_rj_bin")
+        .where((ts >= lo) & (ts < hi))
+        .drop("_rj_bin")
+    )

@@ -557,3 +557,90 @@ def kmv_sql(item_expr: str, from_clause: str, k: int = KMV_K) -> str:
         f"SELECT DISTINCT ('0x' || substr(md5({item_expr}), 1, 8))::BIGINT"
         f" AS h FROM {from_clause}) ORDER BY h LIMIT {k}"
     )
+
+
+def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Sketch-space set operations (Beyer et al., SIGMOD 2007 §5; the
+    theta-sketch idiom): from two KMV sketches ALONE — no rescan of
+    either input — estimate Jaccard similarity, union, and
+    intersection cardinalities.
+
+    rho = |M ∩ A ∩ B| / |M| where M is the bottom-k of A ∪ B: M is a
+    uniform sample of the distinct union, so the fraction of its
+    members present in both sketches is an unbiased Jaccard estimate,
+    and inter_est = rho * union_est. One row out:
+    (union_n, overlap_n, jaccard_r, union_est_r, inter_est_r).
+
+    Everything is integer counts into one or two IEEE double ops,
+    rounded — deterministic and exactly SQL-replayable. Plan: the
+    inputs are already k-bounded, so every join/agg here is driver-
+    scale; at 100 TB the corpus cost was paid once when the sketches
+    were built (one scan each, mergeable across shards)."""
+    u = kmv_merge(a, b, k)
+    flagged = (
+        u.join(
+            a.select("h").withColumn("_in_a", F.lit(1)), "h", "left"
+        ).join(b.select("h").withColumn("_in_b", F.lit(1)), "h", "left")
+    )
+    counts = flagged.agg(
+        F.count("h").alias("union_n"),
+        F.sum(
+            F.when(
+                F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("overlap_n"),
+    )
+    est = kmv_estimate(u, k)
+    return counts.crossJoin(F.broadcast(est)).select(
+        "union_n",
+        "overlap_n",
+        F.round(
+            F.col("overlap_n").cast("double") / F.col("union_n"), 6
+        ).alias("jaccard_r"),
+        F.col("kmv_est_r").alias("union_est_r"),
+        F.round(
+            F.col("overlap_n").cast("double")
+            / F.col("union_n")
+            * F.col("kmv_est_r"),
+            4,
+        ).alias("inter_est_r"),
+    )
+
+
+def kmv_jaccard_sql(a_cte: str, b_cte: str, k: int = KMV_K) -> str:
+    """DuckDB replay of kmv_jaccard over two kmv_sql sketch CTEs —
+    the same bottom-k-of-union membership counts and the
+    kmv_estimate formula (small-set branch included), so both engines
+    emit identical literals."""
+    return f"""
+    WITH a AS ({a_cte}), b AS ({b_cte}),
+    u AS (
+        SELECT h FROM (
+            SELECT DISTINCT h FROM (
+                SELECT h FROM a UNION ALL SELECT h FROM b
+            )
+        ) ORDER BY h LIMIT {k}
+    ),
+    flagged AS (
+        SELECT u.h, (a.h IS NOT NULL AND b.h IS NOT NULL) AS in_both
+        FROM u LEFT JOIN a ON a.h = u.h LEFT JOIN b ON b.h = u.h
+    ),
+    counts AS (
+        SELECT COUNT(*) AS union_n,
+               COUNT(*) FILTER (in_both) AS overlap_n,
+               MAX(h) AS h_k
+        FROM flagged
+    ),
+    est AS (
+        SELECT CASE WHEN union_n < {k} THEN union_n::DOUBLE
+                    ELSE {float((k - 1) * _KMV_HASH_SPACE)} / h_k::DOUBLE
+               END AS raw_est, *
+        FROM counts
+    )
+    SELECT union_n, overlap_n,
+           ROUND(overlap_n::DOUBLE / union_n, 6) AS jaccard_r,
+           ROUND(raw_est, 4) AS union_est_r,
+           ROUND(overlap_n::DOUBLE / union_n * ROUND(raw_est, 4), 4)
+               AS inter_est_r
+    FROM est
+    """

@@ -914,3 +914,153 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("source", "status").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+# --- range (interval) join --------------------------------------------------
+
+@register(
+    "q82_range_join",
+    oracle="""
+    WITH w AS (
+        SELECT event_id AS window_id, ts AS lo,
+               ts + INTERVAL 6 HOUR AS hi
+        FROM events WHERE event_type = 'error' AND value > 200
+    )
+    SELECT w.window_id,
+           COUNT(e.event_id) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           MAX(e.value) AS max_value
+    FROM w JOIN events e ON e.ts >= w.lo AND e.ts < w.hi
+    GROUP BY w.window_id
+    """,
+    doc="Pure interval join, no equi-key (operators.relational."
+    "range_join_binned): high-severity error events open 6-hour "
+    "incident windows; every event landing in a window joins to it "
+    "(activity count, distinct users, peak value per window). Spark's "
+    "naive plan for the non-equi predicate is BroadcastNestedLoopJoin "
+    "— O(n*m) probes; the operator's bin-bucketing rewrite (explode "
+    "intervals to the time buckets they span, equi-join rows on their "
+    "ONE bucket, post-filter the exact bound) makes it an ordinary "
+    "shuffled hash join, the plan that survives 100 TB. Oracle is the "
+    "naive non-equi join — same pairs, brute force.",
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.relational import (
+        range_join_binned,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    windows = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 200))
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("hi"),
+        )
+    )
+    probes = ev.select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("value").alias("e_value"),
+        F.col("ts").alias("e_ts"),
+    )
+    # bin = the window length: each interval spans <= 2 buckets
+    joined = range_join_binned(
+        probes, windows, ts_col="e_ts", lo_col="lo", hi_col="hi",
+        bin_seconds=6 * 3600,
+    )
+    return joined.groupBy("window_id").agg(
+        F.count("e_id").alias("n_events"),
+        F.countDistinct("e_user").alias("n_users"),
+        F.max("e_value").alias("max_value"),
+    )
+
+
+# --- KMV sketch set operations ----------------------------------------------
+
+_Q83_NORM = (
+    "regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g')"
+)
+
+
+def _q83_oracle() -> str:
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        kmv_jaccard_sql,
+        kmv_sql,
+    )
+
+    a = kmv_sql(_Q83_NORM, "documents WHERE doc_id % 3 != 0")
+    b = kmv_sql(_Q83_NORM, "documents WHERE doc_id % 4 != 0")
+    sketch = kmv_jaccard_sql(a, b)
+    return f"""
+    WITH sk AS ({sketch}),
+    oa AS (SELECT DISTINCT {_Q83_NORM} AS t FROM documents
+           WHERE doc_id % 3 != 0),
+    ob AS (SELECT DISTINCT {_Q83_NORM} AS t FROM documents
+           WHERE doc_id % 4 != 0),
+    ex AS (
+        SELECT COUNT(*) AS exact_union_n,
+               COUNT(*) FILTER (oa.t IS NOT NULL AND ob.t IS NOT NULL)
+                   AS exact_overlap_n
+        FROM oa FULL OUTER JOIN ob ON oa.t = ob.t
+    )
+    SELECT sk.*, ex.exact_union_n, ex.exact_overlap_n,
+           ROUND(ex.exact_overlap_n::DOUBLE / ex.exact_union_n, 6)
+               AS exact_jaccard_r
+    FROM sk CROSS JOIN ex
+    """
+
+
+@register(
+    "q83_kmv_jaccard",
+    oracle=_q83_oracle(),
+    doc="Sketch-space release overlap (operators.sketches.kmv_jaccard; "
+    "Beyer et al. 2007 §5 / the theta-sketch set-op idiom): the q81 "
+    "snapshots (doc_id % 3 != 0 vs % 4 != 0) compared by normalized "
+    "content — but from two 256-hash KMV synopses ALONE. Jaccard = "
+    "fraction of the bottom-k-of-union present in both sketches; "
+    "intersection = jaccard * union estimate. The q81 exact diff "
+    "costs a full-outer join per release pair; this answers 'how "
+    "much changed' from kilobyte sketches built once per release and "
+    "mergeable across shards — the data-card overlap matrix at 100 TB "
+    "is then driver-side arithmetic. Exact counts ride along to show "
+    "the sketch error, q79-style.",
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " "
+    )
+    old = docs.filter(F.col("doc_id") % 3 != 0).select(norm.alias("t"))
+    new = docs.filter(F.col("doc_id") % 4 != 0).select(norm.alias("t"))
+    sk = kmv_jaccard(
+        kmv_sketch(old, F.col("t")), kmv_sketch(new, F.col("t"))
+    )
+    oa = old.distinct().withColumn("_ia", F.lit(1))
+    ob = new.distinct().withColumn("_ib", F.lit(1))
+    exact = (
+        oa.join(ob, "t", "full")
+        .agg(
+            F.count(F.lit(1)).alias("exact_union_n"),
+            F.sum(
+                F.when(
+                    F.col("_ia").isNotNull() & F.col("_ib").isNotNull(), 1
+                ).otherwise(0)
+            ).alias("exact_overlap_n"),
+        )
+        .select(
+            "exact_union_n",
+            "exact_overlap_n",
+            F.round(
+                F.col("exact_overlap_n").cast("double")
+                / F.col("exact_union_n"),
+                6,
+            ).alias("exact_jaccard_r"),
+        )
+    )
+    return sk.crossJoin(F.broadcast(exact))

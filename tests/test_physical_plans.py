@@ -82,6 +82,10 @@ _BNL_ALLOWED = {
     # exact-distinct ride-along are single aggregate rows crossJoin-
     # broadcast onto the 256-row sketch — keyless by construction
     "q79_kmv_distinct",
+    # q83: kmv_jaccard's counts/estimate rows and the exact-overlap
+    # ride-along are all single-row aggregates crossJoin-broadcast
+    # together — the same keyless 1-row idiom; every input is k-bounded
+    "q83_kmv_jaccard",
 }
 
 

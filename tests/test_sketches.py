@@ -442,3 +442,57 @@ def test_q73_oracle_excludes_null_text_like_spark_does():
 
         pytest.skip("q73 oracle demoted (testdata absent)")
     assert "text IS NOT NULL" in oracle
+
+
+def test_kmv_jaccard_exact_in_small_set_regime(spark):
+    """Union below k: the merged sketch IS the distinct union, so
+    overlap_n / union_n is the exact Jaccard and both estimates
+    collapse to the exact cardinalities."""
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    a_items = _ints_as_items(spark, 0, 60)       # {0..59}
+    b_items = _ints_as_items(spark, 40, 100)     # {40..99}, overlap 20
+    sk = kmv_jaccard(
+        kmv_sketch(a_items, F.col("item")),
+        kmv_sketch(b_items, F.col("item")),
+    ).collect()[0]
+    assert sk.union_n == 100 and sk.overlap_n == 20
+    assert sk.jaccard_r == 0.2
+    assert sk.union_est_r == 100.0 and sk.inter_est_r == 20.0
+
+
+def test_kmv_jaccard_from_shard_merged_sketches(spark):
+    """The deployment shape: each side's sketch is itself a merge of
+    per-shard sketches. kmv_merge is lossless, so the jaccard row is
+    IDENTICAL to one built from monolithic scans."""
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        kmv_jaccard,
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    a_all = _ints_as_items(spark, 0, 3_000)
+    b_all = _ints_as_items(spark, 1_500, 4_500)
+    direct = kmv_jaccard(
+        kmv_sketch(a_all, F.col("item")), kmv_sketch(b_all, F.col("item"))
+    ).collect()[0]
+    a_sharded = kmv_merge(
+        kmv_sketch(_ints_as_items(spark, 0, 1_000), F.col("item")),
+        kmv_merge(
+            kmv_sketch(_ints_as_items(spark, 1_000, 2_000), F.col("item")),
+            kmv_sketch(_ints_as_items(spark, 2_000, 3_000), F.col("item")),
+        ),
+    )
+    b_sharded = kmv_merge(
+        kmv_sketch(_ints_as_items(spark, 1_500, 2_500), F.col("item")),
+        kmv_sketch(_ints_as_items(spark, 2_500, 4_500), F.col("item")),
+    )
+    sharded = kmv_jaccard(a_sharded, b_sharded).collect()[0]
+    assert sharded == direct
+    # full-sketch regime sanity: estimates land near the true values
+    true_j = 1_500 / 4_500
+    assert abs(sharded.jaccard_r - true_j) < 0.12
+    assert abs(sharded.union_est_r - 4_500) / 4_500 < 0.2
