@@ -887,7 +887,54 @@ def diff_smoke():
         }, counts
 
 
+def range_join_smoke():
+    """r9 range_join_binned at 20M rows x 50k intervals: the naive
+    non-equi plan would be 10^12 predicate probes (a cartesian — never
+    finishes); the binned rewrite shuffles ~20M one-bucket rows plus
+    ~100k exploded interval-buckets into an ordinary equi-join. Dense
+    integer-second timestamps against 600-s windows every 200 s make
+    the answer exact: every window holds exactly 600 events."""
+    spark = get_spark("scale-smoke-rangejoin")
+    from solarpaneldatawrangler_spark.operators.relational import (
+        range_join_binned,
+    )
+
+    base = 1_700_000_000  # epoch anchor, seconds
+    events = spark.range(20_000_000).select(
+        F.col("id").alias("e_id"),
+        F.timestamp_seconds(F.col("id") + base).alias("ts"),
+    )
+    intervals = spark.range(50_000).select(
+        F.col("id").alias("w_id"),
+        F.timestamp_seconds(F.col("id") * 200 + base).alias("lo"),
+        F.timestamp_seconds(F.col("id") * 200 + 600 + base).alias("hi"),
+    )
+    stats = {}
+
+    def run():
+        per_w = (
+            range_join_binned(events, intervals, "ts", "lo", "hi", 600)
+            .groupBy("w_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.count(F.lit(1)).alias("windows"),
+                F.min("n").alias("lo_n"),
+                F.max("n").alias("hi_n"),
+                F.sum("n").alias("pairs"),
+            )
+            .collect()[0]
+        )
+        stats.update(per_w.asDict())
+        return int(stats["pairs"])
+
+    timed("range_join 20M events x 50k intervals (binned)", run)
+    if stats:
+        assert stats["windows"] == 50_000 and stats["lo_n"] == 600 \
+            and stats["hi_n"] == 600, stats
+
+
 if __name__ == "__main__":
     main()
     sketches_smoke()
     diff_smoke()
+    range_join_smoke()
