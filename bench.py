@@ -323,32 +323,17 @@ def _range_join_naive(spark, sf_dir):
     bucketing rewrite buys."""
     from pyspark.sql import functions as F
 
-    from solarpaneldatawrangler_spark.sources.star import load_table
+    from solarpaneldatawrangler_spark.plans.extension_queries2 import (
+        q82_agg,
+        q82_workload,
+    )
 
-    ev = load_table(spark, sf_dir, "events")
-    windows = (
-        ev.filter((F.col("event_type") == "error") & (F.col("value") > 200))
-        .select(
-            F.col("event_id").alias("window_id"),
-            F.col("ts").alias("lo"),
-            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("hi"),
-        )
-    )
-    probes = ev.select(
-        F.col("event_id").alias("e_id"),
-        F.col("user_id").alias("e_user"),
-        F.col("value").alias("e_value"),
-        F.col("ts").alias("e_ts"),
-    )
+    windows, probes = q82_workload(spark, sf_dir)
     joined = windows.join(
         probes,
         (F.col("e_ts") >= F.col("lo")) & (F.col("e_ts") < F.col("hi")),
     )
-    return joined.groupBy("window_id").agg(
-        F.count("e_id").alias("n_events"),
-        F.countDistinct("e_user").alias("n_users"),
-        F.max("e_value").alias("max_value"),
-    )
+    return q82_agg(joined)
 
 
 def _bucketed_join_pair(spark, sf_dir, colocated: bool):

@@ -1892,7 +1892,7 @@ def corpus_diff(
         g = df.select(fp.alias("fingerprint"), *group_cols).groupBy(
             "fingerprint"
         )
-        return g.agg(*aggs) if aggs else g.count().drop("count")
+        return g.agg(*aggs)  # non-empty: the _in_{tag} marker is always here
 
     o, n = side(old, "old"), side(new, "new")
     j = o.join(n, "fingerprint", "full_outer")

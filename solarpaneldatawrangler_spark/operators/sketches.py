@@ -582,12 +582,15 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
             a.select("h").withColumn("_in_a", F.lit(1)), "h", "left"
         ).join(b.select("h").withColumn("_in_b", F.lit(1)), "h", "left")
     )
+    # count(when(...)), not sum(when-otherwise): over an empty union
+    # sketch sum() yields NULL while the DuckDB replay's COUNT(*)
+    # FILTER yields 0 — count keeps the literals engine-identical.
     counts = flagged.agg(
         F.count("h").alias("union_n"),
-        F.sum(
+        F.count(
             F.when(
                 F.col("_in_a").isNotNull() & F.col("_in_b").isNotNull(), 1
-            ).otherwise(0)
+            )
         ).alias("overlap_n"),
     )
     est = kmv_estimate(u, k)

@@ -918,6 +918,42 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- range (interval) join --------------------------------------------------
 
+def q82_workload(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The q82 incident-window workload, shared with bench.py's naive
+    control arm (x_range_join_naive) so the two timed plans can never
+    drift onto different filter thresholds / window lengths: returns
+    (windows, probes) — 6-hour windows opened by high-severity error
+    events, and the full event stream as probes."""
+    ev = load_table(spark, sf_dir, "events")
+    windows = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 200))
+        .select(
+            F.col("event_id").alias("window_id"),
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("hi"),
+        )
+    )
+    probes = ev.select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        F.col("value").alias("e_value"),
+        F.col("ts").alias("e_ts"),
+    )
+    return windows, probes
+
+
+def q82_agg(joined: DataFrame) -> DataFrame:
+    """The q82 per-window rollup, shared with the bench control arm."""
+    return joined.groupBy("window_id").agg(
+        F.count("e_id").alias("n_events"),
+        F.countDistinct("e_user").alias("n_users"),
+        F.max("e_value").alias("max_value"),
+    )
+
+
+
 @register(
     "q82_range_join",
     oracle="""
@@ -949,31 +985,13 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         range_join_binned,
     )
 
-    ev = load_table(spark, sf_dir, "events")
-    windows = (
-        ev.filter((F.col("event_type") == "error") & (F.col("value") > 200))
-        .select(
-            F.col("event_id").alias("window_id"),
-            F.col("ts").alias("lo"),
-            (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("hi"),
-        )
-    )
-    probes = ev.select(
-        F.col("event_id").alias("e_id"),
-        F.col("user_id").alias("e_user"),
-        F.col("value").alias("e_value"),
-        F.col("ts").alias("e_ts"),
-    )
+    windows, probes = q82_workload(spark, sf_dir)
     # bin = the window length: each interval spans <= 2 buckets
     joined = range_join_binned(
         probes, windows, ts_col="e_ts", lo_col="lo", hi_col="hi",
         bin_seconds=6 * 3600,
     )
-    return joined.groupBy("window_id").agg(
-        F.count("e_id").alias("n_events"),
-        F.countDistinct("e_user").alias("n_users"),
-        F.max("e_value").alias("max_value"),
-    )
+    return q82_agg(joined)
 
 
 # --- KMV sketch set operations ----------------------------------------------

@@ -232,6 +232,10 @@ def test_kmv_and_quantile_plans_stay_bounded(spark, sf_dir):
     assert "CartesianProduct" not in plan80, plan80
     assert "BroadcastNestedLoopJoin" not in plan80, plan80
     # the md5-bucket membership filter evaluates before any Exchange:
-    # everything below the first exchange includes the Filter node
+    # the plan string prints root-first, so the subtree BELOW the first
+    # Exchange is everything after its first occurrence — the sample
+    # filter (an md5 conjunct) must sit there, in the scan stage,
+    # not above the window sort.
     below_first_exchange = plan80.split("Exchange", 1)[-1]
-    assert "Filter" in plan80.split("Exchange")[-1] or "Filter" in plan80, plan80
+    assert "Filter" in below_first_exchange, plan80
+    assert "md5" in below_first_exchange, plan80
