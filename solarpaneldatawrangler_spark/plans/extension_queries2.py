@@ -1082,3 +1082,62 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sk.crossJoin(F.broadcast(exact))
+
+
+# --- sequence packing (training-shard layout) --------------------------------
+
+_PACK_MAX = 512
+_PACK_SHARDS = 8
+_PACK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+
+
+@register(
+    "q84_pack_sequences",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id,
+               CAST(COALESCE(len({_PACK_TOKS}), 0) AS BIGINT) AS n_tokens,
+               CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ),
+    packed AS (
+        SELECT shard, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS pack_offset
+        FROM toks WHERE rn = 1
+        UNION ALL
+        SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+               CASE WHEN p.pack_offset + p.n_tokens > 0
+                     AND p.pack_offset + p.n_tokens + t.n_tokens > {_PACK_MAX}
+                    THEN p.seq + 1 ELSE p.seq END,
+               CASE WHEN p.pack_offset + p.n_tokens > 0
+                     AND p.pack_offset + p.n_tokens + t.n_tokens > {_PACK_MAX}
+                    THEN CAST(0 AS BIGINT)
+                    ELSE p.pack_offset + p.n_tokens END
+        FROM packed p JOIN toks t ON t.shard = p.shard AND t.rn = p.rn + 1
+    )
+    SELECT doc_id, n_tokens, shard,
+           CAST(shard AS BIGINT) * 1099511627776 + seq AS pack_id,
+           pack_offset
+    FROM packed
+    """,
+    doc="Greedy sequence packing (operators.packing.pack_sequences; "
+    "GPT-3 appendix B / T5 packing): documents assigned to fixed-"
+    f"budget {_PACK_MAX}-token training sequences, next-fit in id "
+    f"order within {_PACK_SHARDS} hash shards — the step between a "
+    "curated corpus and a tokenized training shard. Plan: token "
+    "counting is a scan-side Catalyst expression, so ONE shuffle of "
+    "(id, n_tokens, shard) rows — text never moves — then each shard "
+    "packs independently in one Arrow batch; shard-then-pack trades "
+    "global optimality for 1000-executor parallelism while staying "
+    "deterministic and restartable per shard. Oracle replays the "
+    "sequential next-fit fold exactly as a per-shard recursive CTE "
+    "(one frontier row per shard per step).",
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, max_tokens=_PACK_MAX, n_shards=_PACK_SHARDS)
