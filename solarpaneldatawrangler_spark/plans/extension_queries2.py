@@ -1141,3 +1141,53 @@ def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_sequences(docs, max_tokens=_PACK_MAX, n_shards=_PACK_SHARDS)
+
+
+# --- mixture scheduling (domain mixing) ---------------------------------------
+
+# the demo mixture: up-weight the first five sources 4x, the next five
+# 2x, everything else 1x — a LLaMA-style quality-tiered mix
+_MIX_WEIGHTS = {f"src{i}": (4 if i < 5 else 2) for i in range(10)}
+
+
+def _q85_oracle() -> str:
+    from solarpaneldatawrangler_spark.operators.mixing import mixture_case_sql
+
+    w_case, s_case, _ = mixture_case_sql(_MIX_WEIGHTS)
+    return f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT)
+                   AS src_rank,
+               CAST({w_case} AS INT) AS weight,
+               CAST({s_case} AS BIGINT) AS stride
+        FROM documents
+    )
+    SELECT doc_id, source, src_rank, weight,
+           (2 * src_rank + 1) * stride AS mix_key
+    FROM ranked
+    """
+
+
+@register(
+    "q85_mixture_order",
+    oracle=_q85_oracle(),
+    doc="Deterministic domain mixing (operators.mixing.mixture_order; "
+    "stride scheduling, Waldspurger 1994 — the GPT-3/Pile/LLaMA "
+    "weighted-source training mix): each doc gets its position key in "
+    "the interleaved training stream, source s emitting its i-th doc "
+    "at exact integer virtual time (2i+1)*(lcm/w_s); every prefix of "
+    "the key-sorted stream holds each source within O(1) docs of its "
+    "target share, with no RNG and no epoch artifacts. Plan: weight "
+    "lookup is a literal CASE on the scan; ONE window shuffle assigns "
+    "the per-source ordinal — or zero shuffles when ingest already "
+    "carries one (rank_col, the 100 TB path, skew-immune). Global "
+    "ordinal stays the writer's range-partitioned sort, never a "
+    "single-partition window.",
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.mixing import mixture_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_order(docs, _MIX_WEIGHTS)
