@@ -1089,6 +1089,17 @@ def _pack_bench(spark, sf_dir):
     return pack_sequences(docs, max_tokens=2048, n_shards=8)
 
 
+def _mixture_bench(spark, sf_dir):
+    """Stride-scheduled domain mixing (q85's workload): scan-side CASE
+    weight lookup + one per-source window shuffle."""
+    from solarpaneldatawrangler_spark.operators.mixing import mixture_order
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    weights = {f"src{i}": (4 if i < 5 else 2) for i in range(10)}
+    return mixture_order(docs, weights)
+
+
 # breadth set: NOT in "value" (the round-over-round comparable) — timed
 # and reported separately so regressions in the iterative/join-heavy
 # operators are visible per-query
@@ -1152,6 +1163,7 @@ EXTRA = {
     "x_ivf_store_full": lambda spark, sf_dir: _ivf_store_topk(spark, sf_dir, False),
     "x_decontaminate": _decontaminate_bench,
     "x_pack_sequences": _pack_bench,
+    "x_mixture_order": _mixture_bench,
     "x_semantic_dedup": _semdedup_bench,
     "x_bm25": _bm25_bench,
     "x_paragraph_dedup": _paragraph_dedup_bench,

@@ -933,8 +933,59 @@ def range_join_smoke():
             and stats["hi_n"] == 600, stats
 
 
+def mixing_smoke():
+    """r9 mixture_order at scale: 50M docs / 20 sources on the map-only
+    rank_col path (zero shuffles — the 100 TB layout job), plus the
+    window path at 20M for contrast (one exchange on source). Checks
+    are exact: per-source counts and the closed-form max mix_key
+    (2*(n_s-1)+1) * lcm/w_s."""
+    spark = get_spark("scale-smoke-mixing")
+    from solarpaneldatawrangler_spark.operators.mixing import mixture_order
+
+    weights = {f"src{i}": (4 if i < 5 else 2) for i in range(10)}
+    n, n_src = 50_000_000, 20
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % n_src).cast("string")).alias(
+            "source"
+        ),
+        (F.col("id") / n_src).cast("long").alias("pos"),
+    )
+    stats = {}
+
+    def run_map_only():
+        per_src = (
+            mixture_order(docs, weights, rank_col="pos")
+            .groupBy("source", "weight")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("mix_key").alias("mk"))
+            .collect()
+        )
+        stats.update({r["source"]: r.asDict() for r in per_src})
+        return len(per_src)
+
+    timed("mixture_order 50M docs / 20 sources (rank_col, map-only)",
+          run_map_only)
+    per = n // n_src
+    lcm = 4  # lcm(4, 2, 1)
+    for src, row in stats.items():
+        w = weights.get(src, 1)
+        assert row["n"] == per and row["weight"] == w, row
+        assert row["mk"] == (2 * (per - 1) + 1) * (lcm // w), row
+
+    # aggregate mix_key, not count(): under a bare count() Catalyst
+    # prunes the unused window and the timing measures nothing
+    docs20 = docs.filter(F.col("doc_id") < 20_000_000)
+    timed(
+        "mixture_order 20M docs (window path, one exchange)",
+        lambda: mixture_order(docs20.drop("pos"), weights)
+        .agg(F.count(F.lit(1)), F.sum("mix_key"))
+        .collect()[0][0],
+    )
+
+
 if __name__ == "__main__":
     main()
     sketches_smoke()
     diff_smoke()
     range_join_smoke()
+    mixing_smoke()
