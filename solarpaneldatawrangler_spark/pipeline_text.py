@@ -5,8 +5,8 @@ training-data flow — [URL blocklist] → exact dedup → near-dup removal
 → [benchmark decontamination] → [paragraph-level dedup] →
 [exact-substring span removal] → [repetition gate] → quality gate →
 [classifier gate] → [bigram-LM gate] → language gate → stratified or
-temperature downsample → [PII scrub] → [training shards] — as one
-lazy DataFrame chain
+temperature downsample → [PII scrub] → [training shards] →
+[domain-mix keys] — as one lazy DataFrame chain
 (materialized once at the sink; every stage is the already-tested
 operator, so the pipeline adds composition, not new semantics).
 
@@ -148,6 +148,8 @@ def curate_corpus(
     scrub_pii: bool = False,
     n_shards: int | None = None,
     shard_seed: str = "0",
+    mix_weights: dict[str, int] | None = None,
+    mix_default_weight: int = 1,
     with_report: bool = True,
 ) -> tuple[DataFrame, CurationReport | None]:
     """Run the full curation chain; returns (survivors, report).
@@ -193,7 +195,10 @@ def curate_corpus(
     word-count gates are the tool for dropping tiny docs); ``scrub_pii`` rewrites
     the surviving text through the PII redaction chain LAST (scrub
     once, on released docs only); ``n_shards`` appends deterministic
-    (shard, shard_pos) training-shard assignment as the final step.
+    (shard, shard_pos) training-shard assignment; ``mix_weights``
+    appends the stride-scheduling ``mix_key`` (operators.mixing) over
+    ``stratum_col`` as the final step — sorting the release by
+    (mix_key, stratum, id) IS the weighted training order.
 
     Round-7b gates: ``strip_html`` rewrites the text through
     functions.text.strip_markup right after the URL gate (the gate needs
@@ -613,6 +618,19 @@ def curate_corpus(
 
         out = shuffle_shards(out, id_col=id_col, n_shards=n_shards,
                              seed=shard_seed)
+
+    # 10. domain-mix keys (optional): stride-scheduling position in the
+    # weighted source interleave — the consumer's ORDER BY column
+    if mix_weights is not None:
+        from solarpaneldatawrangler_spark.operators.mixing import (
+            mixture_order,
+        )
+
+        keys = mixture_order(
+            out, mix_weights, default_weight=mix_default_weight,
+            source_col=stratum_col, id_col=id_col,
+        ).select(id_col, "mix_key")
+        out = out.join(keys, id_col)
 
     report = (
         CurationReport(

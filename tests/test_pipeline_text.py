@@ -410,3 +410,28 @@ def test_lm_floor_passes_docs_without_bigram_evidence(spark):
         with_report=False,
     )
     assert {r.doc_id for r in out.collect()} == {1, 2}
+
+
+def test_curate_corpus_mix_stage(spark, sf_dir):
+    """mix_weights appends the stride-scheduling mix_key over the
+    stratum column, matching a direct mixture_order call on the same
+    survivors — and composes with the shard stage."""
+    from solarpaneldatawrangler_spark.operators.mixing import mixture_order
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    weights = {"src0": 4, "src1": 2}
+    out, _ = curate_corpus(
+        docs, min_quality=0.0, n_shards=2, mix_weights=weights,
+        with_report=False,
+    )
+    rows = out.select("doc_id", "source", "mix_key").collect()
+    assert rows and all(r.mix_key is not None for r in rows)
+
+    survivors = out.select("doc_id", "source")
+    direct = {
+        (r.doc_id, r.mix_key)
+        for r in mixture_order(survivors, weights).collect()
+    }
+    assert {(r.doc_id, r.mix_key) for r in rows} == direct
