@@ -108,3 +108,39 @@ def test_case_sql_matches_python_lcm():
     assert "WHEN 'a' THEN 3" in s_case and "WHEN 'b' THEN 2" in s_case
     assert s_case.endswith("ELSE 12 END")
     assert "WHEN 'a' THEN 4" in w_case and w_case.endswith("ELSE 1 END")
+
+
+def test_prefix_bound_property_arbitrary_weights():
+    """The O(1) prefix-share bound is a property of the key formula
+    itself, for ANY weights — pinned by hypothesis over the same exact
+    integer keys mixture_order emits ((2i+1) * lcm/w), simulated
+    driver-side with ample supply so no source exhausts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=1, max_value=9), min_size=2,
+                 max_size=5)
+    )
+    def check(ws):
+        L = math.lcm(*ws)
+        W = sum(ws)
+        supply = 20 * max(ws)
+        horizon = int(supply * W / max(ws))
+        stream = sorted(
+            ((2 * i + 1) * (L // w), s, i)
+            for s, w in enumerate(ws)
+            for i in range(supply)
+        )
+        seen = [0] * len(ws)
+        for n, (_k, s, _i) in enumerate(stream[:horizon], start=1):
+            seen[s] += 1
+            for j, w in enumerate(ws):
+                # <= 1 when keys are distinct; key TIES (strides whose
+                # multiples collide, e.g. [1,1,1,5]) cluster up to
+                # len(ws) emissions at one virtual time and the
+                # within-tie source order adds <1 more deviation
+                assert abs(seen[j] - n * w / W) <= 2.0 + 1e-9, (ws, n, j)
+
+    check()
