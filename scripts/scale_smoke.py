@@ -791,6 +791,35 @@ def sketches_smoke():
 
     timed("sketch: bloom probe 20M queries (scan-side literal)", probe_run)
 
+    xxh = {}
+
+    def probe_run_xxh():
+        # the xxhash64 serve path: same workload, codegen hashes in
+        # place of the two md5 hex round-trips; built fresh because
+        # build and probe must share the hash family
+        bloom = bloom_build(
+            members, F.col("item"), m=1 << 25, hash_family="xxhash64"
+        ).localCheckpoint()
+        got = (
+            bloom_maybe_contains(
+                bloom, probe, "item", m=1 << 25, hash_family="xxhash64"
+            )
+            .filter(F.col("maybe_seen"))
+            .count()
+        )
+        xxh["n"] = got
+        return 20_000_000
+
+    timed("sketch: bloom probe 20M queries (xxhash64 serve path, incl "
+          "rebuild)", probe_run_xxh)
+    if hits and xxh:
+        # same membership structure: both include every true member
+        # (10M of the 20M probes) and differ only in false positives
+        for d in (hits, xxh):
+            assert d["n"] >= 10_000_000, (hits, xxh)
+        print(f"  maybe_seen md5={hits['n']:,} xxh={xxh['n']:,} "
+              f"(true member frac ~0.5)", flush=True)
+
     from solarpaneldatawrangler_spark.operators.sampling import (
         hash_sample_quantiles,
     )

@@ -201,6 +201,41 @@ def test_bloom_no_false_negatives_and_low_fpr(spark):
     assert fpr < 0.05, fpr
 
 
+def test_bloom_xxhash64_serve_path(spark):
+    """The xxhash64 hash family (the codegen serve path, no SQL
+    replay): same absence guarantee and FPR band as md5, NULL items
+    still get a real verdict, and a family mismatch between build and
+    probe is demonstrably unsafe (false negatives appear) — pinning
+    WHY the contract says they must match."""
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    members = _ints_as_items(spark, 0, 5_000).unionByName(
+        spark.sql("SELECT CAST(NULL AS STRING) AS item")
+    )
+    others = spark.range(100_000, 110_000).select(
+        F.concat(F.lit("item-"), F.col("id")).alias("item")
+    )
+    bloom = bloom_build(members, F.col("item"), hash_family="xxhash64")
+    m_hit = bloom_maybe_contains(
+        bloom, members, "item", hash_family="xxhash64"
+    )
+    assert m_hit.filter(~F.col("maybe_seen")).count() == 0
+    o_hit = bloom_maybe_contains(
+        bloom, others, "item", hash_family="xxhash64"
+    )
+    fpr = o_hit.filter(F.col("maybe_seen")).count() / 10_000
+    assert fpr < 0.05, fpr
+
+    mismatched = bloom_maybe_contains(bloom, members, "item")  # md5 probe
+    assert mismatched.filter(~F.col("maybe_seen")).count() > 0
+
+    with pytest.raises(ValueError, match="hash_family"):
+        bloom_build(members, F.col("item"), hash_family="sha1")
+
+
 def test_bloom_merge_equals_direct_build(spark):
     from solarpaneldatawrangler_spark.operators.sketches import (
         bloom_build,
