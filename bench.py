@@ -1089,6 +1089,14 @@ def _pack_bench(spark, sf_dir):
     return pack_sequences(docs, max_tokens=2048, n_shards=8)
 
 
+def _image_neardup_bench(spark, sf_dir):
+    """q86's workload: dHash in one Arrow stage, banded equi-join,
+    popcount verify — only (id, hash) rows shuffle."""
+    from solarpaneldatawrangler_spark.plans import CATALOG
+
+    return CATALOG["q86_image_neardup"].fn(spark, sf_dir)
+
+
 def _mixture_bench(spark, sf_dir):
     """Stride-scheduled domain mixing (q85's workload): scan-side CASE
     weight lookup + one per-source window shuffle."""
@@ -1164,6 +1172,7 @@ EXTRA = {
     "x_decontaminate": _decontaminate_bench,
     "x_pack_sequences": _pack_bench,
     "x_mixture_order": _mixture_bench,
+    "x_image_neardup": _image_neardup_bench,
     "x_semantic_dedup": _semdedup_bench,
     "x_bm25": _bm25_bench,
     "x_paragraph_dedup": _paragraph_dedup_bench,

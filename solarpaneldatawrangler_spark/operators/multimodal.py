@@ -445,3 +445,113 @@ def audio_features(
     return audio.mapInPandas(
         feats, f"{id_col} long, win_idx int, rms double, zcr double, peak double"
     )
+
+
+# --- image near-duplicate dedup (perceptual hash, §2.12) ---------------------
+
+def image_dhash(
+    images: DataFrame,
+    codec=None,
+    id_col: str = "image_id",
+    content_col: str = "content",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual difference hash (dHash): decode -> channel-mean
+    grayscale -> bilinear resize to (hash_size, hash_size+1) -> each bit
+    is the horizontal brightness gradient sign (px[r,c+1] > px[r,c]) —
+    hash_size^2 bits packed into one BIGINT. Near-identical images
+    (re-encodes, small edits, mild resizes) land within a few Hamming
+    bits; unrelated images differ by ~half the bits.
+
+    Plan: one mapInPandas Arrow stage through the injected codec (the
+    slice_grid seam — swap NumpyCodec for PIL without touching the
+    plan), no shuffle; the corpus-wide output is (id, 64-bit long), so
+    everything downstream is sketch-sized relational work.
+    """
+    if hash_size * hash_size > 64:
+        raise ValueError("hash_size^2 must fit 64 bits")
+    codec = codec or NumpyCodec()
+    weights = (1 << np.arange(hash_size * hash_size, dtype=np.uint64))
+
+    def hash_batch(batches):
+        for pdf in batches:
+            out = []
+            for content in pdf[content_col]:
+                arr = codec.decode(content)
+                gray = arr.astype(np.float64).mean(axis=2, keepdims=True)
+                small = bilinear_resize(
+                    np.rint(gray).astype(np.uint8), hash_size, hash_size + 1
+                ).astype(np.int16)[:, :, 0]
+                bits = (small[:, 1:] > small[:, :-1]).flatten()
+                out.append(int((bits * weights).sum().astype(np.uint64)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    # numpy uint64 -> signed 64-bit two's complement
+                    "dhash": np.array(out, dtype=np.uint64).astype(np.int64),
+                }
+            )
+
+    return images.mapInPandas(hash_batch, f"{id_col} long, dhash long")
+
+
+def image_neardup_pairs(
+    images: DataFrame,
+    codec=None,
+    id_col: str = "image_id",
+    content_col: str = "content",
+    max_hamming: int = 6,
+    bands: int = 4,
+) -> DataFrame:
+    """Image near-duplicate pairs (the LAION-style image-dedup step):
+    dHash each image, band the 64-bit hash into ``bands`` contiguous
+    slices (dedup.simhash_bands — two hashes within max_hamming Hamming
+    distance agree on at least one band whenever max_hamming < bands,
+    pigeonhole), candidate pairs from the per-band EQUI-join, verified
+    with an exact popcount on the XOR. Returns (id_a, id_b, hamming),
+    id_a < id_b.
+
+    Plan: hashing is the map-only Arrow stage above; banding explodes
+    to ``bands`` rows of (band, key, id, dhash); candidates come from a
+    hash-partitioned self-equi-join on the scalar (band, key) — never
+    an all-pairs theta-join — and the verify (bit_count(a^b)) is a
+    codegen expression on the already-joined 16-byte rows. The same
+    shape as text SimHash dedup (q56) and LSH near-dup (q63): corpus
+    pixels are read ONCE, everything that shuffles is hash-sized.
+    """
+    from solarpaneldatawrangler_spark.operators.dedup import simhash_bands
+
+    hashes = image_dhash(
+        images, codec=codec, id_col=id_col, content_col=content_col
+    )
+    banded = hashes.select(
+        F.col(id_col),
+        "dhash",
+        F.explode(simhash_bands(F.col("dhash"), bands)).alias("b"),
+    ).select(
+        id_col, "dhash", F.col("b.band").alias("band"),
+        F.col("b.key").alias("key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.bit_count(
+            F.col("ha").bitwiseXOR(F.col("hb"))
+        ).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)

@@ -1191,3 +1191,55 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return mixture_order(docs, _MIX_WEIGHTS)
+
+
+# --- image near-duplicate dedup (perceptual hash) -----------------------------
+
+@register(
+    "q86_image_neardup",
+    oracle=None,  # binary pixel decode is not SQL-expressible (q62's
+    # precedent); determinism is pinned instead by pixel goldens and
+    # planted-twin tests in tests/test_image_dedup.py
+    doc="Image near-duplicate pairs (operators.multimodal."
+    "image_neardup_pairs; the LAION-style image-dedup step): dHash "
+    "perceptual hash per image (decode -> grayscale -> bilinear 8x9 -> "
+    "horizontal gradient sign bits, one BIGINT), 16-bit band "
+    "equi-join candidates, exact bit_count(XOR) verify. Workload: "
+    "deterministic 40x40 NumpyCodec images seeded from the first 60 "
+    "doc texts, every odd doc reusing its even neighbor's seed — 30 "
+    "planted exact twins the probe must find (hamming 0) with zero "
+    "false pairs among the noise images. Rows-only by design; the "
+    "plan is the multimodal twin of q56/q63: pixels read once in one "
+    "Arrow stage, only (id, 64-bit hash) rows ever shuffle.",
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from solarpaneldatawrangler_spark.operators.multimodal import (
+        NumpyCodec,
+        deterministic_pixels,
+        image_neardup_pairs,
+    )
+
+    codec = NumpyCodec()
+    docs = load_table(spark, sf_dir, "documents").orderBy("doc_id").limit(60)
+
+    def to_image(batches):
+        for pdf in batches:
+            seeds = [
+                (int(i) // 2).to_bytes(8, "big") for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["doc_id"],
+                    "content": [
+                        codec.encode(deterministic_pixels(40, 40, s))
+                        for s in seeds
+                    ],
+                }
+            )
+
+    images = docs.select("doc_id").mapInPandas(
+        to_image, "image_id long, content binary"
+    )
+    return image_neardup_pairs(images, codec=codec).orderBy("id_a")
