@@ -1206,7 +1206,7 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
     "horizontal gradient sign bits, one BIGINT), 16-bit band "
     "equi-join candidates, exact bit_count(XOR) verify. Workload: "
     "deterministic 40x40 NumpyCodec images seeded from the first 60 "
-    "doc texts, every odd doc reusing its even neighbor's seed — 30 "
+    "doc ids, every odd doc reusing its even neighbor's seed — 30 "
     "planted exact twins the probe must find (hamming 0) with zero "
     "false pairs among the noise images. Rows-only by design; the "
     "plan is the multimodal twin of q56/q63: pixels read once in one "
