@@ -1243,3 +1243,39 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_image, "image_id long, content binary"
     )
     return image_neardup_pairs(images, codec=codec).orderBy("id_a")
+
+
+# --- multi-level aggregation (ROLLUP + GROUPING markers) ----------------------
+
+@register(
+    "q87_rollup_stats",
+    oracle="""
+    SELECT source, lang,
+           GROUPING(source) AS g_source, GROUPING(lang) AS g_lang,
+           COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
+    FROM documents
+    GROUP BY ROLLUP(source, lang)
+    """,
+    doc="Hierarchical corpus stats in ONE pass (df.rollup): per "
+    "(source, lang), per source, and the grand total, with GROUPING "
+    "markers disambiguating rollup NULLs from data NULLs — the "
+    "data-card drill-down table. Plan: Expand (one row per grouping "
+    "set) feeding a single partial-aggregated exchange — Catalyst's "
+    "native multi-level agg, no per-level rescan; at 100 TB the "
+    "shuffle is bounded by distinct (source, lang) x 3 levels, never "
+    "the corpus.",
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.grouping("source").alias("g_source"),
+            F.grouping("lang").alias("g_lang"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select(
+            "source", "lang", "g_source", "g_lang", "n_docs", "sum_chars"
+        )
+    )
