@@ -1100,12 +1100,19 @@ def _image_neardup_bench(spark, sf_dir):
 def _mixture_bench(spark, sf_dir):
     """Stride-scheduled domain mixing (q85's workload): scan-side CASE
     weight lookup + one per-source window shuffle."""
+    from pyspark.sql import functions as F
+
     from solarpaneldatawrangler_spark.operators.mixing import mixture_order
     from solarpaneldatawrangler_spark.sources.star import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     weights = {f"src{i}": (4 if i < 5 else 2) for i in range(10)}
-    return mixture_order(docs, weights)
+    # aggregate mix_key, not the bare frame: under the harness's
+    # .count() Catalyst prunes the unused window and the timing
+    # measures a raw scan (the scale-smoke lesson, review-caught)
+    return mixture_order(docs, weights).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("mix_key").alias("key_sum")
+    )
 
 
 # breadth set: NOT in "value" (the round-over-round comparable) — timed

@@ -51,9 +51,53 @@ def mixture_order(
     0-based per-source ordinal) the plan is map-only — the 100 TB path;
     without it one window shuffle on source_col assigns the ordinal.
     """
+    r, w, key = _mix_exprs(
+        weights, default_weight, source_col, id_col, rank_col
+    )
+    return docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        r.alias("src_rank"),
+        w.alias("weight"),
+        key.alias("mix_key"),
+    )
+
+
+def append_mix_key(
+    docs: DataFrame,
+    weights: dict[str, int],
+    default_weight: int = 1,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    rank_col: str | None = None,
+) -> DataFrame:
+    """mixture_order's in-place form: appends only ``mix_key``, keeping
+    every input column — the shape pipelines want (curate_corpus's mix
+    stage). No join: the key is a plain column expression (plus the
+    one per-source window when rank_col is absent), so the input plan
+    executes once."""
+    _, _, key = _mix_exprs(
+        weights, default_weight, source_col, id_col, rank_col
+    )
+    return docs.withColumn("mix_key", key)
+
+
+def _mix_exprs(
+    weights: dict[str, int],
+    default_weight: int,
+    source_col: str,
+    id_col: str,
+    rank_col: str | None,
+):
+    """(src_rank, weight, mix_key) column expressions shared by
+    mixture_order and append_mix_key."""
     vals = set(weights.values()) | {default_weight}
     if any((not isinstance(v, int)) or v < 1 for v in vals):
-        raise ValueError(f"weights must be positive ints, got {sorted(vals)}")
+        # sort by repr: vals may mix types, and a plain sorted() would
+        # raise TypeError inside the raise, masking this message
+        raise ValueError(
+            f"weights must be positive ints, got {sorted(vals, key=repr)}"
+        )
     lcm = math.lcm(*vals)
 
     w = F.lit(default_weight)
@@ -72,13 +116,8 @@ def mixture_order(
             )
             - 1
         ).cast("long")
-    return docs.select(
-        F.col(id_col),
-        F.col(source_col),
-        r.alias("src_rank"),
-        w.cast("int").alias("weight"),
-        ((F.lit(2) * r + 1) * stride.cast("long")).alias("mix_key"),
-    )
+    key = (F.lit(2) * r + 1) * stride.cast("long")
+    return r, w.cast("int"), key
 
 
 def mixture_case_sql(

@@ -500,7 +500,7 @@ def image_neardup_pairs(
     codec=None,
     id_col: str = "image_id",
     content_col: str = "content",
-    max_hamming: int = 6,
+    max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
     """Image near-duplicate pairs (the LAION-style image-dedup step):
@@ -510,6 +510,12 @@ def image_neardup_pairs(
     pigeonhole), candidate pairs from the per-band EQUI-join, verified
     with an exact popcount on the XOR. Returns (id_a, id_b, hamming),
     id_a < id_b.
+
+    Recall is COMPLETE only while max_hamming < bands (the pigeonhole
+    precondition); a looser threshold silently misses pairs whose
+    differing bits spread across every band, so the combination is
+    validated — raise bands (8 x 8-bit bands covers max_hamming <= 7)
+    instead of loosening the check.
 
     Plan: hashing is the map-only Arrow stage above; banding explodes
     to ``bands`` rows of (band, key, id, dhash); candidates come from a
@@ -521,6 +527,14 @@ def image_neardup_pairs(
     """
     from solarpaneldatawrangler_spark.operators.dedup import simhash_bands
 
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands} loses the "
+            "pigeonhole recall guarantee — raise bands (64 bits allow "
+            "up to 64) instead"
+        )
+    if 64 % bands != 0:
+        raise ValueError(f"bands must divide 64, got {bands}")
     hashes = image_dhash(
         images, codec=codec, id_col=id_col, content_col=content_col
     )

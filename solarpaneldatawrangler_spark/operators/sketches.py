@@ -286,9 +286,9 @@ def _bloom_hashes(
       textually in DuckDB; change it here and there together or probes
       return false negatives.
     - 'xxhash64' — the serve path: Spark's codegen-native hash, no
-      string hex round-trip (measured at 20M probes x 2^25 bits:
-      build 8.0 -> 2.1 s, probe 49 -> 26 s — the probe's remaining
-      cost is the k byte tests, not the hashes).
+      string hex round-trip (same-session side-by-side at 20M probes
+      x 2^25 bits, quiet load: build 5.7 -> 1.8 s, probe 49 -> 32 s —
+      the probe's remaining cost is the k byte tests, not the hashes).
       NOT SQL-replayable (DuckDB has no xxhash64); build and probe
       MUST use the same family or FALSE stops guaranteeing absence —
       the same caller contract as m and k. Both hashes reduce to
@@ -403,8 +403,8 @@ def bloom_maybe_contains(
       the parity test checks the binary path against.
 
     ``hash_family`` must match the build's: 'md5' is the SQL-replayable
-    oracle contract, 'xxhash64' the ~2x-probe / ~4x-build codegen serve
-    path (see _bloom_hashes)."""
+    oracle contract, 'xxhash64' the ~1.5x-probe / ~3x-build codegen
+    serve path (see _bloom_hashes)."""
     if impl == "auto":
         impl = (
             "array"

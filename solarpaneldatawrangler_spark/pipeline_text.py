@@ -620,17 +620,19 @@ def curate_corpus(
                              seed=shard_seed)
 
     # 10. domain-mix keys (optional): stride-scheduling position in the
-    # weighted source interleave — the consumer's ORDER BY column
+    # weighted source interleave — the consumer's ORDER BY column.
+    # append_mix_key adds the column in place (the shuffle_shards
+    # pattern); a join-back would execute the whole curation lineage
+    # twice (review-caught)
     if mix_weights is not None:
         from solarpaneldatawrangler_spark.operators.mixing import (
-            mixture_order,
+            append_mix_key,
         )
 
-        keys = mixture_order(
+        out = append_mix_key(
             out, mix_weights, default_weight=mix_default_weight,
             source_col=stratum_col, id_col=id_col,
-        ).select(id_col, "mix_key")
-        out = out.join(keys, id_col)
+        )
 
     report = (
         CurationReport(

@@ -49,15 +49,23 @@ def test_dhash_deterministic_and_discriminative(spark):
 
 
 def test_neardup_pairs_find_planted_twins_only(spark):
+    # bands=8 keeps the pigeonhole recall guarantee at max_hamming=6
+    # (complete for hamming < bands)
     df = _images(spark)
     pairs = {
         (r.id_a, r.id_b): r.hamming
-        for r in image_neardup_pairs(df, max_hamming=6).collect()
+        for r in image_neardup_pairs(df, max_hamming=6, bands=8).collect()
     }
     assert pairs[(1, 10)] == 0
     assert (0, 11) in pairs and pairs[(0, 11)] <= 4
     extras = set(pairs) - {(1, 10), (0, 11)}
     assert not extras, extras
+
+
+def test_neardup_validates_pigeonhole_precondition(spark):
+    df = _images(spark)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup_pairs(df, max_hamming=6, bands=4)
 
 
 def test_neardup_plan_is_banded_equijoin(spark):

@@ -4,6 +4,7 @@ path, and plan shape."""
 import math
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from solarpaneldatawrangler_spark.operators.mixing import (
@@ -65,11 +66,7 @@ def test_rank_col_path_matches_window_path(spark):
     via_window = mixture_order(df, {"a": 3}).collect()
     pre = df.withColumn(
         "pos",
-        F.row_number().over(
-            __import__("pyspark.sql.window", fromlist=["Window"])
-            .Window.partitionBy("source")
-            .orderBy("doc_id")
-        )
+        F.row_number().over(Window.partitionBy("source").orderBy("doc_id"))
         - 1,
     )
     via_rank = (
@@ -90,16 +87,12 @@ def test_rank_col_path_is_map_only(spark, sf_dir):
 
 
 def test_weights_validated():
-    import pyspark.sql  # noqa: F401
-
-    with pytest.raises(ValueError, match="positive ints"):
-        mixture_case_sql_probe()
-
-
-def mixture_case_sql_probe():
     # mixture_order validates before touching the DataFrame, so a None
     # df is fine for the error path
-    mixture_order(None, {"a": 0})
+    with pytest.raises(ValueError, match="positive ints"):
+        mixture_order(None, {"a": 0})
+    with pytest.raises(ValueError, match="positive ints"):
+        mixture_order(None, {"a": "2"})  # mixed types must not TypeError
 
 
 def test_case_sql_matches_python_lcm():
