@@ -239,3 +239,15 @@ def test_kmv_and_quantile_plans_stay_bounded(spark, sf_dir):
     below_first_exchange = plan80.split("Exchange", 1)[-1]
     assert "Filter" in below_first_exchange, plan80
     assert "md5" in below_first_exchange, plan80
+
+
+def test_rollup_is_single_pass(spark, sf_dir):
+    """q87: all rollup levels come from ONE Expand feeding ONE
+    partial-aggregated exchange — never a per-level rescan/union."""
+    from solarpaneldatawrangler_spark.plans import CATALOG
+
+    df = CATALOG["q87_rollup_stats"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "Union" not in plan, plan
