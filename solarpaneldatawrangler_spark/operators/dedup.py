@@ -815,7 +815,17 @@ def _acquire_lease(spark, path: str) -> None:
     """Take the store's maintenance/ingest lease: one atomic
     createNewFile of the ``_LEASE`` marker. Raises when another
     mutator holds it — the caller must NOT proceed (see the mutual-
-    exclusion comment above _GEN_PREFIX)."""
+    exclusion comment above _GEN_PREFIX).
+
+    FILESYSTEM CONTRACT: the guarantee holds only where
+    FileSystem.createNewFile is an atomic create-fail-if-exists —
+    local FS, HDFS, ABFS. On eventually-checked object stores (plain
+    S3A is check-then-create) two concurrent mutators can BOTH
+    "acquire" the lease and race silently — the exact lost-append
+    this mechanism exists to prevent. Deployments whose store path is
+    on such a store must front it with a conditional-write primitive
+    (S3 If-None-Match PUT, a DynamoDB/S3Guard-style lock, or a
+    rename-based lock dir) instead of relying on this marker."""
     fs, hpath, jvm = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         fs.mkdirs(hpath)
@@ -859,14 +869,15 @@ def _write_fp_meta(spark, gen_path: str, n_buckets: int) -> None:
 
 def _read_fp_meta(spark, gen_path: str) -> int | None:
     """The generation's pinned bucket count. None ONLY when the _meta
-    dir is genuinely ABSENT — the explicitly-detected pre-r8 layout,
-    where callers may fall back to their own n_buckets. A _meta dir
-    that exists but cannot be read (no parseable rows: damaged or
-    half-deleted) raises instead: falling back there would prune the
-    WRONG partitions and silently re-admit known fingerprints, the
-    exact failure the per-generation meta exists to prevent (r8
-    ADVICE — compact_fingerprint_store and _require_sig_meta already
-    treat the same state as a loud error)."""
+    dir is genuinely ABSENT — the explicitly-detected pre-r8 layout.
+    Every CALLER now treats that None as a loud error too (r9 review:
+    probes and appends used to fall back to the caller's n_buckets,
+    which on a store whose real count differs would prune the WRONG
+    partitions and silently re-admit known fingerprints — rebuild
+    pre-r8 stores with write_fingerprint_store, the
+    compact_fingerprint_store contract). A _meta dir that exists but
+    cannot be read (no parseable rows: damaged or half-deleted)
+    raises here directly."""
     from pyspark.errors.exceptions.captured import AnalysisException
 
     try:
@@ -934,13 +945,19 @@ def write_fingerprint_store(
                 # rows bucketed differently would scatter fingerprints
                 # into partitions probes never prune to
                 have = _read_fp_meta(spark, cur[1])
-                if have is not None and have != n_buckets:
+                if have is None:
+                    raise ValueError(
+                        f"fingerprint store {path} generation has no "
+                        "n_buckets meta (pre-r8 store) — rebuild it "
+                        "with write_fingerprint_store before appending"
+                    )
+                if have != n_buckets:
                     raise ValueError(
                         f"fingerprint store {path} was bucketed with "
                         f"n_buckets={have}, append called with "
                         f"{n_buckets} — probes would silently re-admit"
                     )
-                use = have if have is not None else n_buckets
+                use = have
                 fps = (
                     df.select(
                         _store_fingerprint(text_col).alias("fingerprint")
@@ -997,11 +1014,15 @@ def incremental_new_docs(
     runs on the pruned fingerprints. The corpus is never shuffled and
     never read beyond the probed partitions.
 
-    ``n_buckets`` is taken from the STORE's per-generation meta when
-    present (r8) — the caller's value is only a fallback for stores
-    predating the meta — so a probe can no longer prune the wrong
-    partitions by passing a different bucket count and silently
-    re-admit known content. A fingerprint column
+    ``n_buckets`` is taken from the STORE's per-generation meta —
+    always (r10): a committed generation WITHOUT meta raises instead
+    of falling back to the caller's value (the sibling append and
+    compaction contracts), because a silent fallback on a store whose
+    real count differs would prune the wrong partitions and re-admit
+    known content — the exact failure the meta exists to prevent.
+    The parameter is retained for signature compatibility and is
+    never consulted once a committed generation exists. A fingerprint
+    column
     mismatch (different normalization) admits everything — fingerprints
     are md5 of whitespace-normalized lowercased text on both sides
     (functions.text.fingerprint), the q50 contract, with null text
@@ -1026,7 +1047,15 @@ def incremental_new_docs(
     if cur is None:
         return b.drop("_fp")
     have = _read_fp_meta(spark, cur[1])
-    use = have if have is not None else n_buckets
+    if have is None:
+        raise ValueError(
+            f"fingerprint store {store_path} generation has no "
+            "n_buckets meta (pre-r8 store) — probing it with a guessed "
+            "bucket count would prune the wrong partitions and "
+            "silently re-admit known content; rebuild it with "
+            "write_fingerprint_store"
+        )
+    use = have
     buckets = [
         r[0]
         for r in b.select(_fp_bucket(F.col("_fp"), use).alias("b"))

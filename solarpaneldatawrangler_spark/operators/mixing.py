@@ -129,11 +129,18 @@ def mixture_case_sql(
     mixture_order's literal weight lookup — shared by the q85 oracle so
     the Spark CASE chain and the SQL CASE can never drift."""
     lcm = math.lcm(*(set(weights.values()) | {default_weight}))
+
+    def q(name: str) -> str:
+        # SQL string literal: double embedded quotes (o'reilly ->
+        # 'o''reilly') — the Spark CASE chain compares the raw name,
+        # so an unescaped arm would silently diverge from it
+        return "'" + name.replace("'", "''") + "'"
+
     w_arms = " ".join(
-        f"WHEN '{name}' THEN {weights[name]}" for name in sorted(weights)
+        f"WHEN {q(name)} THEN {weights[name]}" for name in sorted(weights)
     )
     s_arms = " ".join(
-        f"WHEN '{name}' THEN {lcm // weights[name]}"
+        f"WHEN {q(name)} THEN {lcm // weights[name]}"
         for name in sorted(weights)
     )
     w_case = f"CASE {source_expr} {w_arms} ELSE {default_weight} END"

@@ -54,12 +54,24 @@ HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
 _HLL_NUM = HLL_ALPHA * HLL_M * HLL_M * float(1 << _HLL_RHO_MAX)
 
 
+def _sketch_item(item: Column) -> Column:
+    """NULL-item normalization shared by every sketch builder: md5 of
+    NULL is NULL, which would register a (bucket=NULL, rho=NULL) HLL
+    row that COUNT sees but SUM skips (a silent estimate inflation),
+    scatter CMS occurrences into a NULL column, and sort ambiguously
+    in KMV (Spark NULLS FIRST vs DuckDB NULLS LAST). Coalesce to ''
+    exactly like the Bloom path (_bloom_item), mirrored by the
+    COALESCE the *_sql builders emit."""
+    return F.coalesce(item.cast("string"), F.lit(""))
+
+
 def hll_bucket_rho(item: Column) -> tuple[Column, Column]:
     """(register index, rank) of one item: md5_long's 32 uniform bits
     split as low p bits -> bucket, high 20 bits -> rho = leading
     zeros + 1 (via length(bin(w)) — pure integer/string ops, no
-    float log2 whose half-ulp could flip a register)."""
-    h = md5_long(item)
+    float log2 whose half-ulp could flip a register). NULL items
+    count as '' (_sketch_item)."""
+    h = md5_long(_sketch_item(item))
     bucket = h.bitwiseAND(F.lit(HLL_M - 1))
     w = F.shiftright(h, HLL_P)
     rho = F.when(w == 0, F.lit(_HLL_RHO_MAX)).otherwise(
@@ -146,7 +158,8 @@ def hll_sql(
     return f"""
     WITH hashed AS (
         SELECT {gsel}
-               ('0x' || substr(md5({item_expr}), 1, 8))::BIGINT AS h
+               ('0x' || substr(md5(COALESCE({item_expr}, '')), 1, 8))::BIGINT
+                   AS h
         FROM {from_clause}
     ),
     regs AS (
@@ -175,7 +188,9 @@ CMS_W = 1024
 
 
 def _cms_col(item: Column, i: int, w: int) -> Column:
-    return md5_long(F.concat(F.lit(f"{i}:"), item)) % w
+    # NULL items hash as '' (_sketch_item): concat with a NULL operand
+    # is NULL, which would scatter the occurrence into a NULL column
+    return md5_long(F.concat(F.lit(f"{i}:"), _sketch_item(item))) % w
 
 
 def cms_sketch(
@@ -245,7 +260,8 @@ def cms_sql(
     callers compose it with their own query/estimate SQL."""
     rows = " UNION ALL ".join(
         f"SELECT {i} AS i, "
-        f"('0x' || substr(md5('{i}:' || ({item_expr})), 1, 8))::BIGINT % {w}"
+        f"('0x' || substr(md5('{i}:' || COALESCE({item_expr}, '')), 1, 8))"
+        f"::BIGINT % {w}"
         f" AS col FROM {occurrences_from}"
         for i in range(d)
     )
@@ -542,8 +558,8 @@ def kmv_sketch(df: DataFrame, item: Column, k: int = KMV_K) -> DataFrame:
     32-bit hashes are the oracle-parity choice (DuckDB md5 replay);
     collisions bias the estimate only as n approaches 2^16-ish
     (birthday) — size up via a wider md5 slice if a deployment needs
-    n >> millions."""
-    h = md5_long(item).alias("h")
+    n >> millions. NULL items count as '' (_sketch_item)."""
+    h = md5_long(_sketch_item(item)).alias("h")
     hashes = df.select(h).distinct().orderBy("h").limit(k)
     w = Window.orderBy("h")
     return hashes.select(
@@ -590,7 +606,8 @@ def kmv_sql(item_expr: str, from_clause: str, k: int = KMV_K) -> str:
     caller estimate SQL)."""
     return (
         f"SELECT ROW_NUMBER() OVER (ORDER BY h) AS rank, h FROM ("
-        f"SELECT DISTINCT ('0x' || substr(md5({item_expr}), 1, 8))::BIGINT"
+        f"SELECT DISTINCT"
+        f" ('0x' || substr(md5(COALESCE({item_expr}, '')), 1, 8))::BIGINT"
         f" AS h FROM {from_clause}) ORDER BY h LIMIT {k}"
     )
 

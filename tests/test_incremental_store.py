@@ -931,6 +931,16 @@ def test_damaged_fp_meta_raises_instead_of_guessing(spark, tmp_path):
     batch = spark.createDataFrame([(9, "x")], "doc_id long, text string")
     with pytest.raises(Exception, match="unreadable _meta|_meta"):
         incremental_new_docs(batch, store).count()
-    # a genuinely ABSENT _meta (pre-r8 layout) still falls back
+    # a genuinely ABSENT _meta (pre-r8 layout) raises too (r10): a
+    # guessed bucket count on a store whose real count differs would
+    # mis-prune and silently re-admit — rebuild instead of guessing,
+    # the compact_fingerprint_store contract
     shutil.rmtree(meta)
-    assert incremental_new_docs(batch, store, n_buckets=64).count() == 1
+    with pytest.raises(ValueError, match="no\\s+n_buckets meta"):
+        incremental_new_docs(batch, store, n_buckets=64).count()
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        write_fingerprint_store as _wfs,
+    )
+
+    with pytest.raises(ValueError, match="no\\s+n_buckets meta"):
+        _wfs(batch, store, mode="append")

@@ -137,3 +137,22 @@ def test_prefix_bound_property_arbitrary_weights():
                 assert abs(seen[j] - n * w / W) <= 2.0 + 1e-9, (ws, n, j)
 
     check()
+
+
+def test_mixture_case_sql_escapes_quoted_source_names():
+    """A source name containing a single quote (o'reilly) must emit a
+    doubled-quote SQL literal — an unescaped arm is malformed SQL or,
+    worse, a semantically different CASE than the Spark chain."""
+    import duckdb
+
+    from solarpaneldatawrangler_spark.operators.mixing import (
+        mixture_case_sql,
+    )
+
+    w_case, s_case, lcm = mixture_case_sql({"o'reilly": 4, "plain": 2})
+    assert "'o''reilly'" in w_case and "'o''reilly'" in s_case
+    rows = duckdb.connect().execute(
+        f"SELECT {w_case} AS w, {s_case} AS s FROM (VALUES ('o''reilly'), "
+        "('plain'), ('other')) t(source) ORDER BY source"
+    ).fetchall()
+    assert rows == [(4, lcm // 4), (1, lcm), (2, lcm // 2)]

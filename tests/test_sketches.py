@@ -531,3 +531,61 @@ def test_kmv_jaccard_from_shard_merged_sketches(spark):
     true_j = 1_500 / 4_500
     assert abs(sharded.jaccard_r - true_j) < 0.12
     assert abs(sharded.union_est_r - 4_500) / 4_500 < 0.2
+
+
+def test_null_items_hash_as_empty_string_in_every_sketch(spark):
+    """NULL-item normalization (r9 ADVICE): HLL/CMS/KMV treat a NULL
+    item exactly like '' — the Bloom _bloom_item rule — in BOTH the
+    Spark builders and the SQL replays. Before the fix a NULL item
+    produced a (bucket=NULL, rho=NULL) HLL register that COUNT saw but
+    SUM skipped (estimate inflation), a NULL CMS column, and an
+    ambiguous NULL sort key in KMV."""
+    import duckdb
+
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        cms_sql,
+        hll_sql,
+        kmv_estimate,
+        kmv_sketch,
+        kmv_sql,
+    )
+
+    with_null = spark.createDataFrame(
+        [(f"w{i}",) for i in range(50)] + [(None,)], "item string"
+    )
+    with_empty = spark.createDataFrame(
+        [(f"w{i}",) for i in range(50)] + [("",)], "item string"
+    )
+    # Spark side: NULL and '' land identically
+    for df_pair in [
+        (hll_sketch(with_null, F.col("item")),
+         hll_sketch(with_empty, F.col("item"))),
+        (cms_sketch(with_null, F.col("item")),
+         cms_sketch(with_empty, F.col("item"))),
+        (kmv_sketch(with_null, F.col("item")),
+         kmv_sketch(with_empty, F.col("item"))),
+    ]:
+        got = sorted(map(tuple, df_pair[0].collect()))
+        want = sorted(map(tuple, df_pair[1].collect()))
+        assert got == want and got  # non-empty, no NULL-register rows
+        assert all(None not in row for row in got)
+    # SQL side: the builders coalesce the same way, so DuckDB over the
+    # NULL-bearing relation matches Spark exactly
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW items AS SELECT 'w' || CAST(r AS VARCHAR) AS item "
+        "FROM range(50) t(r) UNION ALL SELECT NULL"
+    )
+    hll_spark = hll_estimate(hll_sketch(with_null, F.col("item"))).collect()[0]
+    hll_duck = con.execute(hll_sql("item", "items")).fetchone()
+    assert (hll_spark["hll_zeros"], hll_spark["hll_est_r"]) == hll_duck
+    kmv_spark = sorted(
+        (r["rank"], r["h"]) for r in kmv_sketch(with_null, F.col("item")).collect()
+    )
+    kmv_duck = sorted(con.execute(kmv_sql("item", "items")).fetchall())
+    assert kmv_spark == kmv_duck
+    cms_spark = sorted(
+        map(tuple, cms_sketch(with_null, F.col("item")).collect())
+    )
+    cms_duck = sorted(con.execute(cms_sql("item", "items")).fetchall())
+    assert cms_spark == cms_duck
