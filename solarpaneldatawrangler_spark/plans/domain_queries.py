@@ -64,9 +64,10 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F2: num2deg inverse projection (process_city_shapes.py:38-59) ----------
 
-@register(
-    "q31_num2deg",
-    oracle=f"""
+def _q31_oracle() -> str:
+    from solarpaneldatawrangler_spark.functions.tiles import zorder_sql
+
+    return f"""
     WITH tiles AS (
         SELECT p_partkey,
                p_partkey % 1024 AS c,
@@ -87,17 +88,35 @@ def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
                  - EXP(-({math.pi} * (1.0 - 2.0 * (r + 0.5) / 1024.0)))) / 2.0)), 9) AS lat,
            ROUND(cx / 1024.0 * 360.0 - 180.0, 9) AS ring_lon,
            ROUND(DEGREES(ATAN((EXP({math.pi} * (1.0 - 2.0 * cy / 1024.0))
-                 - EXP(-({math.pi} * (1.0 - 2.0 * cy / 1024.0)))) / 2.0)), 9) AS ring_lat
+                 - EXP(-({math.pi} * (1.0 - 2.0 * cy / 1024.0)))) / 2.0)), 9) AS ring_lat,
+           {zorder_sql('c', 'r')} AS z
     FROM corners
-    """,
+    """
+
+
+@register(
+    "q31_num2deg",
+    oracle=_q31_oracle(),
     doc="F2 num2deg center-of-tile inverse projection "
     "(process_city_shapes.py:38-59) + F11 closed 5-point tile bbox ring "
     "in lon/lat (maproulette.py:21-27): the ring is built as a Catalyst "
     "array expression then posexploded alongside the tile-center "
     "coordinates. sinh spelled as (e^x-e^-x)/2 so any IEEE engine "
-    "reproduces it bit-for-bit; rounded to 9 decimals.",
+    "reproduces it bit-for-bit; rounded to 9 decimals. MERGED (r10, "
+    "absorbing retired q74): each tile row also carries its Morton / "
+    "Z-order key z (functions.tiles.zorder_key — the write-time "
+    "clustering key that lets parquet row-group min/max stats prune "
+    "BOTH axes of a bbox query; sources.layout.write_zordered, measured "
+    "probed-vs-total proof in bench zorder_io). Pure codegen magic-"
+    "number bit spread — 10 integer ops per coordinate, no UDF; the "
+    "oracle replays the identical spread via the shared zorder_sql "
+    "builder, so the interleave cannot drift between engines. Hashed "
+    "surfaces: tile-center + ring lon/lat (num2deg/tile_bbox_ring); "
+    "z (zorder_key over the SAME c,r derivation retired q74 used).",
 )
 def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.functions.tiles import zorder_key
+
     part = load_table(spark, sf_dir, "part")
     tiles = part.select(
         "p_partkey",
@@ -110,6 +129,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.round(num2deg_lon(F.col("c"), 10, center=True), 9).alias("lon"),
             F.round(num2deg_lat(F.col("r"), 10, center=True), 9).alias("lat"),
+            zorder_key(F.col("c"), F.col("r")).alias("z"),
             F.posexplode(ring).alias("point_idx", "pt"),
         )
         .select(
@@ -119,6 +139,7 @@ def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lat",
             F.round(F.element_at("pt", 1), 9).alias("ring_lon"),
             F.round(F.element_at("pt", 2), 9).alias("ring_lat"),
+            "z",
         )
     )
 

@@ -433,45 +433,9 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- z-order key (layout clustering for 2-D range pruning) ------------------
-
-def _q74_oracle() -> str:
-    from solarpaneldatawrangler_spark.functions.tiles import zorder_sql
-
-    return f"""
-    SELECT p_partkey,
-           p_partkey % 1024 AS c,
-           (p_partkey * 7) % 1024 AS r,
-           {zorder_sql('p_partkey % 1024', '(p_partkey * 7) % 1024')} AS z
-    FROM part
-    """
-
-
-@register(
-    "q74_zorder_key",
-    oracle=_q74_oracle(),
-    doc="Morton / Z-order interleave of 2-D tile coordinates "
-    "(functions.tiles.zorder_key): the write-time clustering key that "
-    "lets parquet row-group min/max stats prune BOTH axes of a bbox "
-    "query (sources.layout.write_zordered; measured probed-vs-total "
-    "proof in bench zorder_io). Pure codegen magic-number bit spread "
-    "— 10 integer ops per coordinate, no UDF; the oracle replays the "
-    "identical spread via the shared zorder_sql builder, so the "
-    "interleave cannot drift between engines.",
-)
-def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from solarpaneldatawrangler_spark.functions.tiles import zorder_key
-
-    part = load_table(spark, sf_dir, "part")
-    c = F.col("p_partkey") % 1024
-    r = (F.col("p_partkey") * 7) % 1024
-    return part.select(
-        "p_partkey",
-        c.alias("c"),
-        r.alias("r"),
-        zorder_key(c, r).alias("z"),
-    )
-
+# --- z-order key: retired q74 — absorbed into q31_num2deg (r10), which
+# derives the IDENTICAL (c, r) tile coordinates from part and carries
+# zorder_key(c, r) as a hashed column via the shared zorder_sql builder.
 
 # --- bucketed co-located fact-fact join -------------------------------------
 
@@ -1245,37 +1209,6 @@ def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(images, codec=codec).orderBy("id_a")
 
 
-# --- multi-level aggregation (ROLLUP + GROUPING markers) ----------------------
-
-@register(
-    "q87_rollup_stats",
-    oracle="""
-    SELECT source, lang,
-           GROUPING(source) AS g_source, GROUPING(lang) AS g_lang,
-           COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars
-    FROM documents
-    GROUP BY ROLLUP(source, lang)
-    """,
-    doc="Hierarchical corpus stats in ONE pass (df.rollup): per "
-    "(source, lang), per source, and the grand total, with GROUPING "
-    "markers disambiguating rollup NULLs from data NULLs — the "
-    "data-card drill-down table. Plan: Expand (one row per grouping "
-    "set) feeding a single partial-aggregated exchange — Catalyst's "
-    "native multi-level agg, no per-level rescan; at 100 TB the "
-    "shuffle is bounded by distinct (source, lang) x 3 levels, never "
-    "the corpus.",
-)
-def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.rollup("source", "lang")
-        .agg(
-            F.grouping("source").alias("g_source"),
-            F.grouping("lang").alias("g_lang"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_chars").alias("sum_chars"),
-        )
-        .select(
-            "source", "lang", "g_source", "g_lang", "n_docs", "sum_chars"
-        )
-    )
+# --- multi-level aggregation: retired q87 — absorbed into q24_rollup
+# (r10) as its 'rollup'-tagged row half (documents ROLLUP + GROUPING
+# markers), hash-gated there.

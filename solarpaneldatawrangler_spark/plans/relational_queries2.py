@@ -85,31 +85,79 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q24_rollup",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(CEIL(SUM(CAST(l_quantity AS DECIMAL(18,2)))) AS BIGINT) AS ceil_qty,
+    SELECT 'cube' AS tag, l_returnflag AS k1, l_linestatus AS k2,
+           CAST(GROUPING(l_returnflag) AS INT) AS g1,
+           CAST(GROUPING(l_linestatus) AS INT) AS g2,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dec,
+           CAST(CEIL(SUM(CAST(l_quantity AS DECIMAL(18,2)))) AS BIGINT) AS sum_int,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'rollup' AS tag, source AS k1, lang AS k2,
+           CAST(GROUPING(source) AS INT) AS g1,
+           CAST(GROUPING(lang) AS INT) AS g2,
+           CAST(NULL AS DOUBLE) AS sum_dec,
+           SUM(n_chars) AS sum_int,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY ROLLUP(source, lang)
     """,
     doc="Cube: all 2^k grouping combinations (superset of rollup's "
     "hierarchical subtotals) in one pass — partial aggregation handles "
     "all levels map-side — with GROUPING() flags disambiguating real "
-    "NULLs from subtotal rows. The grand-total row's ceil_qty is the "
+    "NULLs from subtotal rows. The grand-total row's sum_int is the "
     "A6/F6 global area sum + ceil (process_city_shapes.py:249-253), "
-    "exact via decimal.",
+    "exact via decimal. MERGED (r10, absorbing retired q87): "
+    "'rollup'-tagged rows carry the hierarchical corpus stats "
+    "(df.rollup over documents — per (source, lang), per source, grand "
+    "total, with GROUPING markers): the data-card drill-down table. "
+    "Both halves are Catalyst's native multi-level agg — ONE Expand "
+    "feeding ONE partial-aggregated exchange, no per-level rescan "
+    "(plan-asserted in test_physical_plans); at 100 TB each shuffle is "
+    "bounded by distinct keys x levels, never the corpus. Hashed "
+    "surfaces: 'cube' rows (lineitem CUBE + exact ceil-sum); 'rollup' "
+    "rows (documents ROLLUP + GROUPING markers).",
 )
 def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").cast("int").alias("g_flag"),
-        F.grouping("l_linestatus").cast("int").alias("g_status"),
-        exact_sum("l_quantity").alias("sum_qty"),
-        F.ceil(F.sum(F.col("l_quantity").cast("decimal(18,2)"))).cast("bigint").alias("ceil_qty"),
-        F.count(F.lit(1)).alias("n"),
+    cube_rows = (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g1"),
+            F.grouping("l_linestatus").cast("int").alias("g2"),
+            exact_sum("l_quantity").alias("sum_dec"),
+            F.ceil(F.sum(F.col("l_quantity").cast("decimal(18,2)")))
+            .cast("bigint")
+            .alias("sum_int"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("cube").alias("tag"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "g1", "g2", "sum_dec", "sum_int", "n",
+        )
     )
+    docs = load_table(spark, sf_dir, "documents")
+    rollup_rows = (
+        docs.rollup("source", "lang")
+        .agg(
+            F.grouping("source").cast("int").alias("g1"),
+            F.grouping("lang").cast("int").alias("g2"),
+            F.sum("n_chars").alias("sum_int"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.lit("rollup").alias("tag"),
+            F.col("source").alias("k1"),
+            F.col("lang").alias("k2"),
+            "g1", "g2",
+            F.lit(None).cast("double").alias("sum_dec"),
+            "sum_int", "n",
+        )
+    )
+    return cube_rows.unionByName(rollup_rows)
 
 
 # --- exact percentiles -------------------------------------------------------

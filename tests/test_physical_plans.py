@@ -242,12 +242,15 @@ def test_kmv_and_quantile_plans_stay_bounded(spark, sf_dir):
 
 
 def test_rollup_is_single_pass(spark, sf_dir):
-    """q87: all rollup levels come from ONE Expand feeding ONE
-    partial-aggregated exchange — never a per-level rescan/union."""
+    """q24 (which absorbed q87's documents ROLLUP in r10): each
+    grouping-sets half — the lineitem CUBE and the documents ROLLUP —
+    computes all its levels from ONE Expand feeding ONE partial-
+    aggregated exchange; the only Union is the two-half tag union,
+    never a per-level rescan."""
     from solarpaneldatawrangler_spark.plans import CATALOG
 
-    df = CATALOG["q87_rollup_stats"].fn(spark, sf_dir)
+    df = CATALOG["q24_rollup"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Expand" in plan, plan
-    assert plan.count("Exchange") == 1, plan
-    assert "Union" not in plan, plan
+    assert plan.count("Expand") == 2, plan
+    assert plan.count("Exchange") == 2, plan
+    assert plan.count("Union") == 1, plan
