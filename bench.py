@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
 
 from solarpaneldatawrangler_spark.plans import CATALOG  # noqa: E402
+from solarpaneldatawrangler_spark.plans import extension_queries2 as _x2  # noqa: E402
 from solarpaneldatawrangler_spark.session import get_spark, sf_dir_from_env  # noqa: E402
 
 # headline set: scans/top-k, join+agg, window, grid, spatial, CC, dedup,
@@ -1224,12 +1225,12 @@ EXTRA = {
     "x_kmv_distinct": lambda spark, sf_dir: CATALOG[
         "q79_kmv_distinct"
     ].fn(spark, sf_dir),
-    "x_sample_quantiles": lambda spark, sf_dir: CATALOG[
-        "q80_sample_quantiles"
-    ].fn(spark, sf_dir),
-    "x_corpus_diff": lambda spark, sf_dir: CATALOG[
-        "q81_corpus_diff"
-    ].fn(spark, sf_dir),
+    "x_sample_quantiles": lambda spark, sf_dir: _x2.sample_quantiles_workload(
+        spark, sf_dir
+    ),
+    "x_corpus_diff": lambda spark, sf_dir: _x2.corpus_diff_workload(
+        spark, sf_dir
+    ),
     # the r9 layout pair: identical join+agg, bucketed (zero Exchange)
     # vs plain parquet (shuffles both sides); broadcast disabled in
     # both so it's SMJ-vs-SMJ — the delta is the shuffle being paid

@@ -61,6 +61,13 @@ from solarpaneldatawrangler_spark.operators.dedup import (  # noqa: E402
     PARA_WS_RE,
 )
 
+# q81-absorption fragment (r10): the corpus-diff content fingerprint —
+# identical to the exact-dedup store fingerprint, NULL->'' first
+_DIFF_FP = (
+    "md5(regexp_replace(trim(lower(COALESCE(text, ''))), "
+    "'\\s+', ' ', 'g'))"
+)
+
 _PARA_CTES = f"""
     built AS (
         SELECT a.doc_id,
@@ -139,11 +146,37 @@ _PARA_CTES = f"""
                COUNT(*) AS n_copies
         FROM documents
         GROUP BY 1
+    ),
+    cdo AS (
+        SELECT {_DIFF_FP} AS fingerprint, MIN(source) AS source
+        FROM documents WHERE doc_id % 3 != 0 GROUP BY 1
+    ),
+    cdn AS (
+        SELECT {_DIFF_FP} AS fingerprint, MIN(source) AS source
+        FROM documents WHERE doc_id % 4 != 0 GROUP BY 1
+    ),
+    cdd AS (
+        SELECT COALESCE(cdn.source, cdo.source) AS source,
+               CASE WHEN cdo.fingerprint IS NULL THEN 'added'
+                    WHEN cdn.fingerprint IS NULL THEN 'removed'
+                    ELSE 'kept' END AS status
+        FROM cdo FULL OUTER JOIN cdn ON cdn.fingerprint = cdo.fingerprint
     )
-    SELECT ex.fingerprint, ex.keep_id, ex.n_copies,
+    SELECT 'doc' AS tag, ex.fingerprint, ex.keep_id, ex.n_copies,
            p.para_fp, p.para_kept, p.para_dropped,
            bp.bp_fp, bp.bp_kept, bp.bp_dropped
     FROM ex JOIN para p USING (keep_id) JOIN bp USING (keep_id)
+    UNION ALL
+    SELECT 'diff' AS tag, source AS fingerprint,
+           CAST(NULL AS BIGINT) AS keep_id,
+           COUNT(*) AS n_copies,
+           status AS para_fp,
+           CAST(NULL AS BIGINT) AS para_kept,
+           CAST(NULL AS BIGINT) AS para_dropped,
+           CAST(NULL AS VARCHAR) AS bp_fp,
+           CAST(NULL AS BIGINT) AS bp_kept,
+           CAST(NULL AS BIGINT) AS bp_dropped
+    FROM cdd GROUP BY source, status
     """,
     doc="Exact dedup (md5 fingerprint of normalized text, deterministic "
     "min-id representative; one shuffle on a 32-byte key, map-side "
@@ -159,14 +192,23 @@ _PARA_CTES = f"""
     ">= 3 distinct docs are removed EVERYWHERE; bp_fp pins the rebuilt "
     "text, bp_kept/bp_dropped the counts (the document-frequency agg is "
     "two-level groupBy — (fp,id) then (fp) — map-side combinable, no "
-    "Window). Hashed surfaces: exact (fingerprint, keep_id, n_copies); "
-    "paragraph (para_fp, para_kept, para_dropped); boilerplate (bp_fp, "
-    "bp_kept, bp_dropped). Bench keeps timing the pure exact_dedup half "
-    "(headline pin), x_paragraph_dedup the paragraph half, and "
-    "x_boilerplate_para the removal half.",
+    "Window). ALSO MERGED (r10, absorbing retired q81): 'diff'-tagged "
+    "rows carry the release-to-release corpus diff (operators/dedup."
+    "corpus_diff — two overlapping snapshots, doc_id % 3 != 0 vs "
+    "% 4 != 0, compared by the SAME content fingerprint): added/"
+    "removed/kept counts per source, the what-changed report next to a "
+    "release's data card; ONE full-outer join on 32-byte fingerprints, "
+    "text never shuffles. Hashed surfaces ('doc' rows): exact "
+    "(fingerprint, keep_id, n_copies); paragraph (para_fp, para_kept, "
+    "para_dropped); boilerplate (bp_fp, bp_kept, bp_dropped). 'diff' "
+    "rows: (source, status, count) packed into (fingerprint, para_fp, "
+    "n_copies). Bench keeps timing the pure exact_dedup half (headline "
+    "pin), x_paragraph_dedup the paragraph half, x_boilerplate_para "
+    "the removal half, x_corpus_diff the diff half.",
 )
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.dedup import (
+        corpus_diff,
         paragraph_dedup,
         remove_boilerplate_paragraphs,
     )
@@ -198,7 +240,36 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_kept").alias("bp_kept"),
         F.col("n_dropped").alias("bp_dropped"),
     )
-    return ex.join(para, "keep_id").join(bp, "keep_id")
+    doc_rows = (
+        ex.join(para, "keep_id")
+        .join(bp, "keep_id")
+        .select(
+            F.lit("doc").alias("tag"),
+            "fingerprint", "keep_id", "n_copies",
+            "para_fp", "para_kept", "para_dropped",
+            "bp_fp", "bp_kept", "bp_dropped",
+        )
+    )
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 4 != 0)
+    diff_rows = (
+        corpus_diff(old, new, group_cols=["source"])
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            F.lit("diff").alias("tag"),
+            F.col("source").alias("fingerprint"),
+            F.lit(None).cast("long").alias("keep_id"),
+            "n_copies",
+            F.col("status").alias("para_fp"),
+            F.lit(None).cast("long").alias("para_kept"),
+            F.lit(None).cast("long").alias("para_dropped"),
+            F.lit(None).cast("string").alias("bp_fp"),
+            F.lit(None).cast("long").alias("bp_kept"),
+            F.lit(None).cast("long").alias("bp_dropped"),
+        )
+    )
+    return doc_rows.unionByName(diff_rows)
 
 
 # --- token counting + BM25 probe --------------------------------------------

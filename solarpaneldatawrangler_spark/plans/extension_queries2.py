@@ -765,50 +765,13 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.crossJoin(F.broadcast(est)).crossJoin(F.broadcast(exact))
 
 
-def _q80_oracle() -> str:
-    from solarpaneldatawrangler_spark.operators.sampling import (
-        hash_sample_quantiles_sql,
-    )
+# --- hash-sample quantiles: retired q80 — absorbed into q46_percentiles
+# (r10) as its 'sample'-tagged row half (identical rate=0.2 sample vs
+# rate=1.0 exact-median workload), hash-gated there. The workload stays
+# here as a plain function so bench's x_sample_quantiles keeps timing
+# the SAME plan round-over-round (the q82_workload idiom).
 
-    est = hash_sample_quantiles_sql(
-        "l_extendedprice",
-        "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR",
-        "lineitem",
-        rate=0.2,
-        ps=(0.5, 0.9),
-        group_cols=["l_returnflag"],
-    )
-    exact = hash_sample_quantiles_sql(
-        "l_extendedprice",
-        "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR",
-        "lineitem",
-        rate=1.0,
-        ps=(0.5,),
-        group_cols=["l_returnflag"],
-    )
-    return f"""
-    WITH est AS ({est}), exact AS ({exact})
-    SELECT est.l_returnflag, est.sample_n, est.q50, est.q90,
-           exact.q50 AS exact_q50
-    FROM est JOIN exact USING (l_returnflag)
-    """
-
-
-@register(
-    "q80_sample_quantiles",
-    oracle=_q80_oracle(),
-    doc="Deterministic hash-sample quantiles per return flag "
-    "(operators.sampling.hash_sample_quantiles): membership is "
-    "md5_bucket(id) < rate — a scan-side filter identical under "
-    "reruns, repartitioning, and other engines (the stratified-sample "
-    "rule), so the sample-based percentile_disc (rank-select at "
-    "ceil(p*n), tie-safe) is a deterministic function of the DATA and "
-    "hash-checkable end-to-end. The corpus-scale quantile shape: the "
-    "sort touches only the rate-bounded sample, vs q46's full-data "
-    "sort. exact_q50 (the same rank-select at rate=1, where the "
-    "bucket test keeps every row) rides along to show sampling error.",
-)
-def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sample_quantiles_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.sampling import (
         hash_sample_quantiles,
     )
@@ -830,45 +793,12 @@ def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "l_returnflag")
 
 
-_DIFF_FP = (
-    "md5(regexp_replace(trim(lower(COALESCE(text, ''))), "
-    "'\\s+', ' ', 'g'))"
-)
+# --- corpus snapshot diff: retired q81 — absorbed into q50_exact_dedup
+# (r10) as its 'diff'-tagged row half (same snapshots, same content
+# fingerprint — _DIFF_FP now lives beside q50), hash-gated there.
+# Workload kept for bench's x_corpus_diff (q82_workload idiom).
 
-
-@register(
-    "q81_corpus_diff",
-    oracle=f"""
-    WITH o AS (
-        SELECT {_DIFF_FP} AS fingerprint, MIN(source) AS source
-        FROM documents WHERE doc_id % 3 != 0 GROUP BY 1
-    ),
-    n AS (
-        SELECT {_DIFF_FP} AS fingerprint, MIN(source) AS source
-        FROM documents WHERE doc_id % 4 != 0 GROUP BY 1
-    ),
-    d AS (
-        SELECT COALESCE(n.source, o.source) AS source,
-               CASE WHEN o.fingerprint IS NULL THEN 'added'
-                    WHEN n.fingerprint IS NULL THEN 'removed'
-                    ELSE 'kept' END AS status
-        FROM o FULL OUTER JOIN n ON n.fingerprint = o.fingerprint
-    )
-    SELECT source, status, COUNT(*) AS n_docs
-    FROM d GROUP BY source, status
-    """,
-    doc="Release-to-release corpus diff (operators.dedup.corpus_diff): "
-    "two overlapping snapshots (doc_id % 3 != 0 vs % 4 != 0) compared "
-    "by CONTENT fingerprint — added/removed/kept counts per source, "
-    "the what-changed report published next to a release's data card. "
-    "Content identity is the exact-dedup store fingerprint "
-    "(normalized md5, NULL->''), so re-crawled duplicates and renamed "
-    "ids read as 'kept'. Plan: two distinct-fingerprint-bounded "
-    "partial-agg groupBys + ONE full-outer hash join on the "
-    "fingerprint — corpus text never shuffles; at 100 TB the join is "
-    "~32 B per distinct doc, the fingerprint-store budget.",
-)
-def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_diff_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.dedup import corpus_diff
 
     docs = load_table(spark, sf_dir, "documents")

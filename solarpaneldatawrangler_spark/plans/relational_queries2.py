@@ -162,6 +162,34 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact percentiles -------------------------------------------------------
 
+# q80-absorption params (r10): the deterministic hash-sample quantile
+# rows that ride q46 as 'sample'-tagged rows — same workload the
+# retired q80 gated (rate=0.2 sample vs rate=1.0 exact median)
+_Q46_SAMPLE_RID = "l_orderkey::VARCHAR || '-' || l_linenumber::VARCHAR"
+
+
+def _q46_sample_est() -> str:
+    from solarpaneldatawrangler_spark.operators.sampling import (
+        hash_sample_quantiles_sql,
+    )
+
+    return hash_sample_quantiles_sql(
+        "l_extendedprice", _Q46_SAMPLE_RID, "lineitem",
+        rate=0.2, ps=(0.5, 0.9), group_cols=["l_returnflag"],
+    )
+
+
+def _q46_sample_exact() -> str:
+    from solarpaneldatawrangler_spark.operators.sampling import (
+        hash_sample_quantiles_sql,
+    )
+
+    return hash_sample_quantiles_sql(
+        "l_extendedprice", _Q46_SAMPLE_RID, "lineitem",
+        rate=1.0, ps=(0.5,), group_cols=["l_returnflag"],
+    )
+
+
 def _q46_oracle() -> str:
     from solarpaneldatawrangler_spark.plans.extension_queries import (
         _SQL_TOKS,
@@ -208,6 +236,14 @@ def _q46_oracle() -> str:
     FROM lineitem GROUP BY l_returnflag
     UNION ALL
     SELECT 'card' AS tag, key, median_r, p90_r, m3, m4, m5 FROM card
+    UNION ALL
+    SELECT 'sample' AS tag, est.l_returnflag AS key,
+           est.q50 AS median_r, est.q90 AS p90_r,
+           CAST(est.sample_n AS DOUBLE) AS m3,
+           exact.q50 AS m4,
+           CAST(NULL AS DOUBLE) AS m5
+    FROM ({_q46_sample_est()}) est
+    JOIN ({_q46_sample_exact()}) exact USING (l_returnflag)
     """
 
 
@@ -224,11 +260,22 @@ def _q46_oracle() -> str:
     "exact-decimal mean quality, and the corpus-wide exact-duplicate "
     "fraction. Hashed surfaces: price percentiles ('price' rows); data "
     "card ('card' rows — pins tokenization, quality formula, "
-    "fingerprint dedup counting, rollup, and every rounding contract).",
+    "fingerprint dedup counting, rollup, and every rounding contract). "
+    "ALSO MERGED (r10, absorbing retired q80): 'sample'-tagged rows "
+    "carry the deterministic hash-sample quantiles per return flag "
+    "(operators.sampling.hash_sample_quantiles — membership is "
+    "md5_bucket(id) < rate, a scan-side filter identical under reruns "
+    "and engines, so the sample percentile_disc is hash-checkable; the "
+    "corpus-scale quantile shape: only the rate-bounded sample sorts). "
+    "m3 = sample size, m4 = the rate=1.0 exact median riding along to "
+    "show sampling error.",
 )
 def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.curation import (
         corpus_data_card,
+    )
+    from solarpaneldatawrangler_spark.operators.sampling import (
+        hash_sample_quantiles,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -257,7 +304,29 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mean_quality_r").alias("m4"),
         F.col("dup_frac_r").alias("m5"),
     )
-    return price.unionByName(card)
+    rid = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    est = hash_sample_quantiles(
+        li, "l_extendedprice", rid, rate=0.2, ps=(0.5, 0.9),
+        group_cols=["l_returnflag"],
+    )
+    exact = hash_sample_quantiles(
+        li, "l_extendedprice", rid, rate=1.0, ps=(0.5,),
+        group_cols=["l_returnflag"],
+    ).select("l_returnflag", F.col("q50").alias("exact_q50"))
+    sample = est.join(exact, "l_returnflag").select(
+        F.lit("sample").alias("tag"),
+        F.col("l_returnflag").alias("key"),
+        F.col("q50").alias("median_r"),
+        F.col("q90").alias("p90_r"),
+        F.col("sample_n").cast("double").alias("m3"),
+        F.col("exact_q50").alias("m4"),
+        F.lit(None).cast("double").alias("m5"),
+    )
+    return price.unionByName(card).unionByName(sample)
 
 
 # --- U3/S13: ON-CONFLICT-IGNORE upsert (solardb.py:83-97) -------------------

@@ -227,7 +227,11 @@ def test_kmv_and_quantile_plans_stay_bounded(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan79, plan79
     assert "CartesianProduct" not in plan79, plan79
 
-    qt = CATALOG["q80_sample_quantiles"].fn(spark, sf_dir)
+    from solarpaneldatawrangler_spark.plans.extension_queries2 import (
+        sample_quantiles_workload,
+    )
+
+    qt = sample_quantiles_workload(spark, sf_dir)
     plan80 = qt._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan80, plan80
     assert "BroadcastNestedLoopJoin" not in plan80, plan80
