@@ -1243,9 +1243,9 @@ EXTRA = {
     # the r9 interval-join pair: identical windows+agg, bin-bucketed
     # equi-join rewrite vs the naive non-equi plan (BNL/cartesian) —
     # the delta is the O(n*m) probe cost the rewrite removes
-    "x_range_join": lambda spark, sf_dir: CATALOG[
-        "q82_range_join"
-    ].fn(spark, sf_dir),
+    "x_range_join": lambda spark, sf_dir: _x2.range_join_workload(
+        spark, sf_dir
+    ),
     "x_range_join_naive": lambda spark, sf_dir: _range_join_naive(
         spark, sf_dir
     ),

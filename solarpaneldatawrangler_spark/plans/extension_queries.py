@@ -1196,10 +1196,24 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash fingerprints ----------------------------------------------------
 
-@register(
-    "q56_simhash",
-    oracle=f"""
-    WITH tk AS (
+# q84/q85-absorption params (r10): greedy-packing budget/shards and the
+# LLaMA-style quality-tiered demo mixture (first five sources 4x, next
+# five 2x, everything else 1x) — the exact workloads the retired
+# queries gated
+_PACK_MAX = 512
+_PACK_SHARDS = 8
+_PACK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
+_MIX_WEIGHTS = {f"src{i}": (4 if i < 5 else 2) for i in range(10)}
+
+
+def _q56_oracle() -> str:
+    from solarpaneldatawrangler_spark.operators.mixing import (
+        mixture_case_sql,
+    )
+
+    w_case, s_case, _ = mixture_case_sql(_MIX_WEIGHTS)
+    return f"""
+    WITH RECURSIVE tk AS (
         SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
     ),
     hv AS (
@@ -1229,22 +1243,85 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        ORDER BY skey, doc_id) AS BIGINT)
                  AS shard_pos
         FROM k
+    ),
+    pktoks AS (
+        SELECT doc_id,
+               CAST(COALESCE(len({_PACK_TOKS}), 0) AS BIGINT) AS n_tokens,
+               CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ),
+    pkpacked AS (
+        SELECT shard, rn, doc_id, n_tokens,
+               CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS pack_offset
+        FROM pktoks WHERE rn = 1
+        UNION ALL
+        SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+               CASE WHEN p.pack_offset + p.n_tokens > 0
+                     AND p.pack_offset + p.n_tokens + t.n_tokens > {_PACK_MAX}
+                    THEN p.seq + 1 ELSE p.seq END,
+               CASE WHEN p.pack_offset + p.n_tokens > 0
+                     AND p.pack_offset + p.n_tokens + t.n_tokens > {_PACK_MAX}
+                    THEN CAST(0 AS BIGINT)
+                    ELSE p.pack_offset + p.n_tokens END
+        FROM pkpacked p JOIN pktoks t ON t.shard = p.shard AND t.rn = p.rn + 1
+    ),
+    pk AS (
+        SELECT doc_id, n_tokens AS pack_ntok, shard AS pack_shard,
+               CAST(shard AS BIGINT) * 1099511627776 + seq AS pack_id,
+               pack_offset
+        FROM pkpacked
+    ),
+    mx AS (
+        SELECT doc_id, source,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT)
+                   AS mix_rank,
+               CAST({w_case} AS INT) AS mix_weight,
+               (2 * CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT) + 1)
+                 * CAST({s_case} AS BIGINT) AS mix_key
+        FROM documents
     )
-    SELECT sh.doc_id, sh.simhash, pos.shard, pos.shard_pos
-    FROM sh JOIN pos ON pos.doc_id = sh.doc_id
-    """,
+    SELECT sh.doc_id, sh.simhash, pos.shard, pos.shard_pos,
+           pk.pack_ntok, pk.pack_shard, pk.pack_id, pk.pack_offset,
+           mx.source, mx.mix_rank, mx.mix_weight, mx.mix_key
+    FROM sh
+    JOIN pos ON pos.doc_id = sh.doc_id
+    JOIN pk ON pk.doc_id = sh.doc_id
+    JOIN mx ON mx.doc_id = sh.doc_id
+    """
+
+
+@register(
+    "q56_simhash",
+    oracle=_q56_oracle(),
     doc="64-bit SimHash (Charikar'02) over tokens, md5-based reproducible "
     "hash family; near-dup candidates come from band equality "
     "(operators.dedup.simhash_bands). MERGED (r7) with deterministic "
     "training-shard assignment (operators.curation.shuffle_shards, seed=7, "
     "16 shards): shard + shard_pos pin the full reproducible corpus "
     "permutation — md5-keyed shard membership AND the per-shard order. "
-    "Hashed surfaces: simhash (dedup.simhash_df); shard + shard_pos "
-    "(curation.shuffle_shards).",
+    "ALSO MERGED (r10, absorbing retired q84 + q85 — both are corpus "
+    "LAYOUT orderings, the shard/permutation family): pack_ntok / "
+    "pack_shard / pack_id / pack_offset pin greedy sequence packing "
+    "(operators.packing.pack_sequences, GPT-3/T5 next-fit into 512-"
+    "token sequences within 8 hash shards; oracle = the per-shard "
+    "recursive-CTE next-fit replay — text never shuffles, only "
+    "(id, n_tokens, shard) rows); source / mix_rank / mix_weight / "
+    "mix_key pin stride-scheduled domain mixing (operators.mixing."
+    "mixture_order, Waldspurger 1994 — exact integer virtual-time "
+    "keys, every prefix holds each source within O(1) of its target "
+    "share; oracle via the shared mixture_case_sql builder). Hashed "
+    "surfaces: simhash; (shard, shard_pos); pack_*; mix_*.",
 )
 def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.curation import shuffle_shards
     from solarpaneldatawrangler_spark.operators.dedup import simhash_df
+    from solarpaneldatawrangler_spark.operators.mixing import mixture_order
+    from solarpaneldatawrangler_spark.operators.packing import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
     sh = simhash_df(docs, "text", "doc_id", reproducible=True)
@@ -1253,7 +1330,25 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("shard").cast("long").alias("shard"),
         F.col("shard_pos").cast("long").alias("shard_pos"),
     )
-    return sh.join(shards, "doc_id")
+    pack = pack_sequences(
+        docs, max_tokens=_PACK_MAX, n_shards=_PACK_SHARDS
+    ).select(
+        "doc_id",
+        F.col("n_tokens").alias("pack_ntok"),
+        F.col("shard").alias("pack_shard"),
+        "pack_id",
+        "pack_offset",
+    )
+    mix = mixture_order(docs, _MIX_WEIGHTS).select(
+        "doc_id",
+        "source",
+        F.col("src_rank").alias("mix_rank"),
+        F.col("weight").alias("mix_weight"),
+        "mix_key",
+    )
+    return (
+        sh.join(shards, "doc_id").join(pack, "doc_id").join(mix, "doc_id")
+    )
 
 
 # --- n-gram Jaccard + cross-corpus near-dup pairs (merged r7) ---------------

@@ -17,20 +17,58 @@ from solarpaneldatawrangler_spark.sources.star import load_table
 @register(
     "q65_asof_join",
     oracle="""
-    SELECT p.event_id,
+    WITH w AS (
+        SELECT event_id AS window_id, ts AS lo,
+               ts + INTERVAL 6 HOUR AS hi
+        FROM events WHERE event_type = 'error' AND value > 200
+    ),
+    r AS (
+        SELECT w.window_id,
+               COUNT(e.event_id) AS n_events,
+               COUNT(DISTINCT e.user_id) AS n_users,
+               MAX(e.value) AS max_value
+        FROM w JOIN events e ON e.ts >= w.lo AND e.ts < w.hi
+        GROUP BY w.window_id
+    )
+    SELECT 'asof' AS method, p.event_id AS id,
            (SELECT MAX(e.ts) FROM events e
             WHERE e.user_id = p.user_id AND e.event_type = 'error'
-              AND e.ts <= p.ts) AS last_error_ts
+              AND e.ts <= p.ts) AS last_error_ts,
+           CAST(NULL AS BIGINT) AS n_events,
+           CAST(NULL AS BIGINT) AS n_users,
+           CAST(NULL AS DOUBLE) AS max_value
     FROM events p
     WHERE p.event_type = 'purchase'
+    UNION ALL
+    SELECT 'range' AS method, window_id AS id,
+           CAST(NULL AS TIMESTAMP) AS last_error_ts,
+           n_events, n_users, max_value
+    FROM r
     """,
     doc="Backward as-of join: each purchase gets the latest prior error "
     "timestamp for the same user. Implemented as the union-tag single-"
     "window plan (operators.relational.asof_join_last) — one shuffle on "
     "user_id, no range join; oracle is the correlated-subquery "
-    "definition of as-of semantics.",
+    "definition of as-of semantics ('asof' rows). MERGED (r10, "
+    "absorbing retired q82 — the other temporal non-equi join on the "
+    "same events table): 'range'-tagged rows carry the pure interval "
+    "join (operators.relational.range_join_binned): high-severity "
+    "error events open 6-hour incident windows; per-window activity "
+    "count, distinct users, peak value. Spark's naive plan for the "
+    "non-equi predicate is BroadcastNestedLoopJoin — O(n*m) probes; "
+    "the bin-bucketing rewrite (explode intervals to the time buckets "
+    "they span, equi-join rows on their ONE bucket, post-filter the "
+    "exact bound) makes it an ordinary shuffled hash join, the plan "
+    "that survives 100 TB. Oracle for that half is the naive non-equi "
+    "join — same pairs, brute force. Bench: x_range_join (binned) vs "
+    "x_range_join_naive (the BNL control arm) still time the shared "
+    "q82_workload pair.",
 )
 def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.relational import (
+        range_join_binned,
+    )
+
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
@@ -40,7 +78,29 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, errors.withColumn("err_ts", F.col("ts")),
         ts_col="ts", by=["user_id"], value_cols=["err_ts"],
     )
-    return joined.select("event_id", F.col("err_ts_asof").alias("last_error_ts"))
+    asof_rows = joined.select(
+        F.lit("asof").alias("method"),
+        F.col("event_id").alias("id"),
+        F.col("err_ts_asof").alias("last_error_ts"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("long").alias("n_users"),
+        F.lit(None).cast("double").alias("max_value"),
+    )
+    windows, probes = q82_workload(spark, sf_dir)
+    # bin = the window length: each interval spans <= 2 buckets
+    binned = range_join_binned(
+        probes, windows, ts_col="e_ts", lo_col="lo", hi_col="hi",
+        bin_seconds=6 * 3600,
+    )
+    range_rows = q82_agg(binned).select(
+        F.lit("range").alias("method"),
+        F.col("window_id").alias("id"),
+        F.lit(None).cast("timestamp").alias("last_error_ts"),
+        "n_events",
+        "n_users",
+        "max_value",
+    )
+    return asof_rows.unionByName(range_rows)
 
 
 # --- embedding-cosine near-dup dedup (LSH-bucketed, the scale path) ---------
@@ -848,39 +908,19 @@ def q82_agg(joined: DataFrame) -> DataFrame:
 
 
 
-@register(
-    "q82_range_join",
-    oracle="""
-    WITH w AS (
-        SELECT event_id AS window_id, ts AS lo,
-               ts + INTERVAL 6 HOUR AS hi
-        FROM events WHERE event_type = 'error' AND value > 200
-    )
-    SELECT w.window_id,
-           COUNT(e.event_id) AS n_events,
-           COUNT(DISTINCT e.user_id) AS n_users,
-           MAX(e.value) AS max_value
-    FROM w JOIN events e ON e.ts >= w.lo AND e.ts < w.hi
-    GROUP BY w.window_id
-    """,
-    doc="Pure interval join, no equi-key (operators.relational."
-    "range_join_binned): high-severity error events open 6-hour "
-    "incident windows; every event landing in a window joins to it "
-    "(activity count, distinct users, peak value per window). Spark's "
-    "naive plan for the non-equi predicate is BroadcastNestedLoopJoin "
-    "— O(n*m) probes; the operator's bin-bucketing rewrite (explode "
-    "intervals to the time buckets they span, equi-join rows on their "
-    "ONE bucket, post-filter the exact bound) makes it an ordinary "
-    "shuffled hash join, the plan that survives 100 TB. Oracle is the "
-    "naive non-equi join — same pairs, brute force.",
-)
-def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+# retired q82 (bin-bucketed range join) — absorbed into q65_asof_join
+# (r10) as its 'range'-tagged row half (same events table, the other
+# temporal non-equi join), hash-gated there. q82_workload/q82_agg above
+# stay shared with bench's x_range_join / x_range_join_naive pair.
+
+def range_join_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binned arm over the shared workload — bench's
+    x_range_join (the naive control arm composes the same pieces)."""
     from solarpaneldatawrangler_spark.operators.relational import (
         range_join_binned,
     )
 
     windows, probes = q82_workload(spark, sf_dir)
-    # bin = the window length: each interval spans <= 2 buckets
     joined = range_join_binned(
         probes, windows, ts_col="e_ts", lo_col="lo", hi_col="hi",
         bin_seconds=6 * 3600,
@@ -980,111 +1020,15 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sequence packing (training-shard layout) --------------------------------
 
-_PACK_MAX = 512
-_PACK_SHARDS = 8
-_PACK_TOKS = "list_filter(string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)"
 
 
-@register(
-    "q84_pack_sequences",
-    oracle=f"""
-    WITH RECURSIVE toks AS (
-        SELECT doc_id,
-               CAST(COALESCE(len({_PACK_TOKS}), 0) AS BIGINT) AS n_tokens,
-               CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
-               ROW_NUMBER() OVER (
-                   PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
-               ) AS rn
-        FROM documents
-    ),
-    packed AS (
-        SELECT shard, rn, doc_id, n_tokens,
-               CAST(0 AS BIGINT) AS seq, CAST(0 AS BIGINT) AS pack_offset
-        FROM toks WHERE rn = 1
-        UNION ALL
-        SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
-               CASE WHEN p.pack_offset + p.n_tokens > 0
-                     AND p.pack_offset + p.n_tokens + t.n_tokens > {_PACK_MAX}
-                    THEN p.seq + 1 ELSE p.seq END,
-               CASE WHEN p.pack_offset + p.n_tokens > 0
-                     AND p.pack_offset + p.n_tokens + t.n_tokens > {_PACK_MAX}
-                    THEN CAST(0 AS BIGINT)
-                    ELSE p.pack_offset + p.n_tokens END
-        FROM packed p JOIN toks t ON t.shard = p.shard AND t.rn = p.rn + 1
-    )
-    SELECT doc_id, n_tokens, shard,
-           CAST(shard AS BIGINT) * 1099511627776 + seq AS pack_id,
-           pack_offset
-    FROM packed
-    """,
-    doc="Greedy sequence packing (operators.packing.pack_sequences; "
-    "GPT-3 appendix B / T5 packing): documents assigned to fixed-"
-    f"budget {_PACK_MAX}-token training sequences, next-fit in id "
-    f"order within {_PACK_SHARDS} hash shards — the step between a "
-    "curated corpus and a tokenized training shard. Plan: token "
-    "counting is a scan-side Catalyst expression, so ONE shuffle of "
-    "(id, n_tokens, shard) rows — text never moves — then each shard "
-    "packs independently in one Arrow batch; shard-then-pack trades "
-    "global optimality for 1000-executor parallelism while staying "
-    "deterministic and restartable per shard. Oracle replays the "
-    "sequential next-fit fold exactly as a per-shard recursive CTE "
-    "(one frontier row per shard per step).",
-)
-def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from solarpaneldatawrangler_spark.operators.packing import pack_sequences
-
-    docs = load_table(spark, sf_dir, "documents")
-    return pack_sequences(docs, max_tokens=_PACK_MAX, n_shards=_PACK_SHARDS)
-
-
-# --- mixture scheduling (domain mixing) ---------------------------------------
-
-# the demo mixture: up-weight the first five sources 4x, the next five
-# 2x, everything else 1x — a LLaMA-style quality-tiered mix
-_MIX_WEIGHTS = {f"src{i}": (4 if i < 5 else 2) for i in range(10)}
-
-
-def _q85_oracle() -> str:
-    from solarpaneldatawrangler_spark.operators.mixing import mixture_case_sql
-
-    w_case, s_case, _ = mixture_case_sql(_MIX_WEIGHTS)
-    return f"""
-    WITH ranked AS (
-        SELECT doc_id, source,
-               CAST(ROW_NUMBER() OVER (
-                   PARTITION BY source ORDER BY doc_id) - 1 AS BIGINT)
-                   AS src_rank,
-               CAST({w_case} AS INT) AS weight,
-               CAST({s_case} AS BIGINT) AS stride
-        FROM documents
-    )
-    SELECT doc_id, source, src_rank, weight,
-           (2 * src_rank + 1) * stride AS mix_key
-    FROM ranked
-    """
-
-
-@register(
-    "q85_mixture_order",
-    oracle=_q85_oracle(),
-    doc="Deterministic domain mixing (operators.mixing.mixture_order; "
-    "stride scheduling, Waldspurger 1994 — the GPT-3/Pile/LLaMA "
-    "weighted-source training mix): each doc gets its position key in "
-    "the interleaved training stream, source s emitting its i-th doc "
-    "at exact integer virtual time (2i+1)*(lcm/w_s); every prefix of "
-    "the key-sorted stream holds each source within O(1) docs of its "
-    "target share, with no RNG and no epoch artifacts. Plan: weight "
-    "lookup is a literal CASE on the scan; ONE window shuffle assigns "
-    "the per-source ordinal — or zero shuffles when ingest already "
-    "carries one (rank_col, the 100 TB path, skew-immune). Global "
-    "ordinal stays the writer's range-partitioned sort, never a "
-    "single-partition window.",
-)
-def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from solarpaneldatawrangler_spark.operators.mixing import mixture_order
-
-    docs = load_table(spark, sf_dir, "documents")
-    return mixture_order(docs, _MIX_WEIGHTS)
+# retired q84 (sequence packing) + q85 (stride-scheduled domain
+# mixing) — absorbed into q56_simhash (r10) as its pack_* / mix_*
+# ride-along columns (both are corpus layout orderings, the
+# shard/permutation family); hash-gated there via the recursive-CTE
+# next-fit replay and the shared mixture_case_sql builder. The
+# params moved next to q56; bench's x_pack_sequences / x_mixture_order
+# already time the operators directly.
 
 
 # --- image near-duplicate dedup (perceptual hash) -----------------------------

@@ -2,7 +2,7 @@
 pair-set parity against a driver-side brute-force reference over seeded
 random data (the corpus_diff testing idiom), half-open boundary pins,
 bin-width invariance, and the equi-join plan shape the rewrite exists
-for. Cross-engine value parity is q82's oracle row (the naive non-equi
+for. Cross-engine value parity is q65's 'range' oracle rows (the naive non-equi
 SQL join) in test_oracle_queries."""
 
 from __future__ import annotations
