@@ -48,6 +48,17 @@ HEADLINE = [
 ]
 
 
+def _broadcast_join_headline(spark, sf_dir):
+    """Pinned q06 HEADLINE workload: the pure broadcast FK join+agg as
+    timed r1-r9, before the catalog entry grew the merged bucketed-join
+    half in r10 (x_bucketed_join/x_shuffled_join time that pair)."""
+    from solarpaneldatawrangler_spark.plans.relational_queries import (
+        broadcast_join_workload,
+    )
+
+    return broadcast_join_workload(spark, sf_dir)
+
+
 def _exact_dedup_headline(spark, sf_dir):
     """Pinned q50 HEADLINE workload: the pure exact_dedup operator. The
     catalog's q50 entry grew merged paragraph-dedup columns in r7 (the
@@ -117,6 +128,7 @@ def _dedup_clusters_bench(spark, sf_dir):
 # workload (merged correctness-rotation columns): the bench times the
 # pinned original operator
 HEADLINE_FNS = {
+    "q06_broadcast_join_agg": _broadcast_join_headline,
     "q50_exact_dedup": _exact_dedup_headline,
     "q52_quality_score": _quality_headline,
     "q55_minhash_neardup": _minhash_pairs_headline,
@@ -1219,9 +1231,9 @@ EXTRA = {
     "x_cms_topk": lambda spark, sf_dir: CATALOG["q77_cms_heavy_hitters"].fn(
         spark, sf_dir
     ),
-    "x_bloom_membership": lambda spark, sf_dir: CATALOG[
-        "q78_bloom_membership"
-    ].fn(spark, sf_dir),
+    "x_bloom_membership": lambda spark, sf_dir: (
+        _x2.bloom_membership_workload(spark, sf_dir)
+    ),
     "x_kmv_distinct": lambda spark, sf_dir: CATALOG[
         "q79_kmv_distinct"
     ].fn(spark, sf_dir),

@@ -1898,18 +1898,39 @@ def _q61_store_dir(spark: SparkSession, sf_dir: str) -> str:
     return d
 
 
-@register(
-    "q61_binary_meta",
-    oracle="""
-    SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           sha256(text) AS content_sha,
-           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) NOT IN (
+def _q61_oracle() -> str:
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        bloom_probe_sql,
+        bloom_sql,
+    )
+
+    members = (
+        "(SELECT COALESCE(text, '') AS item FROM documents "
+        "WHERE doc_id % 2 = 0) mem"
+    )
+    build = bloom_sql("item", members)
+    probe = bloom_probe_sql("COALESCE(text, '')", "documents", "bloom")
+    return f"""
+    WITH bloom AS ({build}),
+    probed AS ({probe})
+    SELECT d.doc_id,
+           octet_length(encode(d.text)) AS n_bytes,
+           sha256(d.text) AS content_sha,
+           md5(regexp_replace(trim(lower(d.text)), '\\s+', ' ', 'g')) NOT IN (
                SELECT md5(regexp_replace(trim(lower(c.text)), '\\s+', ' ', 'g'))
                FROM documents c WHERE c.doc_id % 2 = 0
-           ) AS is_new
-    FROM documents
-    """,
+           ) AS is_new,
+           p.maybe_seen,
+           (COALESCE(d.text, '') IN (
+               SELECT COALESCE(text, '') FROM documents
+               WHERE doc_id % 2 = 0)) AS truly_seen
+    FROM documents d JOIN probed p ON p.item = COALESCE(d.text, '')
+    """
+
+
+@register(
+    "q61_binary_meta",
+    oracle=_q61_oracle(),
     doc="Multimodal binary-column plumbing: opaque binary payload + typed "
     "metadata (byte length, content hash) — the schema/partitioning "
     "pattern for image/audio columns (SURVEY §2.9 G4-G8; decode stubs "
@@ -1919,16 +1940,48 @@ def _q61_store_dir(spark: SparkSession, sf_dir: str) -> str:
     "half, written once per process — each row's is_new flag is the "
     "store-probe verdict (the batch's bucket set partition-prunes the "
     "store scan; the oracle replays the store from first principles as "
-    "the even-id fingerprint set). Hashed surfaces: binary meta "
-    "(n_bytes, content_sha); admission (is_new per doc).",
+    "the even-id fingerprint set). ALSO MERGED (r10, absorbing retired "
+    "q78 — the admission family's fast path): Bloom-filter membership "
+    "(operators.sketches, Kirsch-Mitzenmacher double hashing) over the "
+    "SAME even-id corpus half — the bitmap is a bit_or aggregate over "
+    "m/32 BIGINT words (filter-sized shuffle, word-wise mergeable); "
+    "the probe is a pure scan-side expression over the bitmap as a "
+    "BinaryType plan literal — zero join, zero shuffle. maybe_seen="
+    "false GUARANTEES absence, so definitely-new rows skip the durable "
+    "store probe entirely (composition pinned in test_sketches); "
+    "truly_seen rides along to expose false positives. Hashed "
+    "surfaces: binary meta (n_bytes, content_sha); store admission "
+    "(is_new); Bloom fast path (maybe_seen, truly_seen — via the "
+    "shared bloom_sql/bloom_probe_sql builders).",
 )
 def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.dedup import incremental_new_docs
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     store = _q61_store_dir(spark, sf_dir)
     admitted = incremental_new_docs(docs.select("doc_id", "text"), store).select(
         "doc_id", F.lit(True).alias("is_new")
+    )
+    item = F.coalesce(F.col("text"), F.lit(""))
+    members = docs.filter(F.col("doc_id") % 2 == 0).select(item.alias("item"))
+    bloom = bloom_build(members, F.col("item"))
+    probed = bloom_maybe_contains(
+        bloom, docs.select(item.alias("item")).distinct(), "item"
+    )
+    member_set = members.distinct().withColumn("truly_seen", F.lit(True))
+    bloom_cols = (
+        docs.select("doc_id", item.alias("item"))
+        .join(probed, "item")
+        .join(F.broadcast(member_set), "item", "left")
+        .select(
+            "doc_id",
+            "maybe_seen",
+            F.coalesce("truly_seen", F.lit(False)).alias("truly_seen"),
+        )
     )
     content = F.encode(F.col("text"), "UTF-8")
     return (
@@ -1939,6 +1992,7 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(admitted, "doc_id", "left")
         .withColumn("is_new", F.coalesce("is_new", F.lit(False)))
+        .join(bloom_cols, "doc_id")
     )
 
 

@@ -541,38 +541,11 @@ def _q75_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return lt, ot
 
 
-@register(
-    "q75_bucketed_join",
-    oracle="""
-    SELECT o_orderstatus,
-           l_returnflag,
-           COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS sum_price
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY o_orderstatus, l_returnflag
-    """,
-    doc="Fact-fact join through BUCKETED tables "
-    "(sources.bucketed.write_bucketed + colocated_join): both sides "
-    "hash-bucketed and sorted on the order key at write time, so the "
-    "sort-merge join runs with ZERO Exchange on either side — the "
-    "pay-the-shuffle-once layout for every repeated join on a stable "
-    "key at 100 TB (plan-asserted in tests/test_bucketed_layout.py; "
-    "the per-side Sort additionally elides under "
-    "spark.sql.legacy.bucketedTableScan.outputOrdering=true with one "
-    "file per bucket, also plan-asserted there). Result is plain "
-    "join+agg semantics, which is exactly what the oracle replays.",
-)
-def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from solarpaneldatawrangler_spark.operators.relational import exact_sum
-    from solarpaneldatawrangler_spark.sources.bucketed import colocated_join
-
-    lt, ot = _q75_bucketed_tables(spark, sf_dir)
-    j = colocated_join(spark, lt, ot, "l_orderkey", "o_orderkey")
-    return j.groupBy("o_orderstatus", "l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        exact_sum("l_extendedprice").alias("sum_price"),
-    )
+# retired q75 (bucketed co-located join) — absorbed into
+# q06_broadcast_join_agg (r10) as its 'bucketed'-tagged row half (the
+# other join strategy over the same star tables), hash-gated there.
+# _q75_bucketed_tables above stays shared with q06 and bench's
+# x_bucketed_join/x_shuffled_join pair.
 
 
 # --- mergeable sketches: HLL cardinality + Count-Min heavy hitters ----------
@@ -698,49 +671,14 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, top, "tok")
 
 
-def _q78_oracle() -> str:
-    from solarpaneldatawrangler_spark.operators.sketches import (
-        bloom_probe_sql,
-        bloom_sql,
-    )
+# retired q78 (Bloom membership) — absorbed into q61_binary_meta (r10)
+# as its maybe_seen/truly_seen columns (the admission family's fast
+# path over the same even-id corpus half), hash-gated there. Workload
+# kept for bench's x_bloom_membership (q82_workload idiom).
 
-    members = (
-        "(SELECT COALESCE(text, '') AS item FROM documents "
-        "WHERE doc_id % 2 = 0) mem"
-    )
-    build = bloom_sql("item", members)
-    probe = bloom_probe_sql(
-        "COALESCE(text, '')", "documents", "bloom"
-    )
-    return f"""
-    WITH bloom AS ({build}),
-    probed AS ({probe})
-    SELECT d.doc_id, p.maybe_seen,
-           (COALESCE(d.text, '') IN (
-               SELECT COALESCE(text, '') FROM documents
-               WHERE doc_id % 2 = 0)) AS truly_seen
-    FROM documents d JOIN probed p ON p.item = COALESCE(d.text, '')
-    """
-
-
-@register(
-    "q78_bloom_membership",
-    oracle=_q78_oracle(),
-    doc="Bloom-filter membership (operators.sketches, Kirsch-"
-    "Mitzenmacher double hashing): the bitmap is a bit_or aggregate "
-    "over m/32 BIGINT words (2048 rows — filter-sized shuffle, "
-    "map-side combined, word-wise mergeable); the probe is a pure "
-    "scan-side expression over the bitmap collected into a plan "
-    "literal (one BinaryType literal at any m — a single Py4J call) — "
-    "zero join, zero shuffle. maybe_seen=false GUARANTEES "
-    "absence — the admission fast-path: definitely-new rows skip the "
-    "durable fingerprint-store probe entirely (composition equality "
-    "pinned in test_sketches). truly_seen rides along so every "
-    "artifact row exposes false positives (never false negatives) "
-    "directly. All-integer + boolean surfaces, hash-exact through "
-    "the shared bloom_sql/bloom_probe_sql builders.",
-)
-def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bloom_membership_workload(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.sketches import (
         bloom_build,
         bloom_maybe_contains,

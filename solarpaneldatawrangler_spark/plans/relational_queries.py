@@ -104,19 +104,10 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- J1 + A: broadcast FK join + aggregation (solardb.py:129-132) -----------
 
-@register(
-    "q06_broadcast_join_agg",
-    oracle="""
-    SELECT p_brand,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
-           COUNT(*) AS n_items
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    GROUP BY p_brand
-    """,
-    doc="J1 broadcast FK equi-join + group agg (solardb.py:129-132 ORM lazy "
-    "loads -> one broadcast hash join). Exact decimal sum for determinism.",
-)
-def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+def broadcast_join_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The original q06 broadcast-join half — bench's pinned headline
+    workload (the q50/q52/q55 pinning idiom), so the round-over-round
+    headline comparable is unchanged by the r10 bucketed-join merge."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     return (
@@ -130,6 +121,69 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@register(
+    "q06_broadcast_join_agg",
+    oracle="""
+    SELECT 'broadcast' AS method, p_brand AS k1,
+           CAST(NULL AS VARCHAR) AS k2,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    UNION ALL
+    SELECT 'bucketed' AS method, o_orderstatus AS k1, l_returnflag AS k2,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_val
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus, l_returnflag
+    """,
+    doc="J1 broadcast FK equi-join + group agg (solardb.py:129-132 ORM lazy "
+    "loads -> one broadcast hash join). Exact decimal sum for determinism "
+    "('broadcast' rows). MERGED (r10, absorbing retired q75 — the other "
+    "join STRATEGY): 'bucketed'-tagged rows carry the fact-fact join "
+    "through BUCKETED tables (sources.bucketed.write_bucketed + "
+    "colocated_join): both sides hash-bucketed and sorted on the order "
+    "key at write time, so the sort-merge join runs with ZERO Exchange "
+    "on either side — the pay-the-shuffle-once layout for every "
+    "repeated join on a stable key at 100 TB (plan-asserted in "
+    "tests/test_bucketed_layout.py). Result is plain join+agg "
+    "semantics, which is exactly what the oracle replays. Bench pins "
+    "the q06 headline to the pure broadcast half (broadcast_join_"
+    "workload); x_bucketed_join/x_shuffled_join time the layout pair.",
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    broadcast_rows = broadcast_join_workload(spark, sf_dir).select(
+        F.lit("broadcast").alias("method"),
+        F.col("p_brand").alias("k1"),
+        F.lit(None).cast("string").alias("k2"),
+        "n_items",
+        F.col("revenue").alias("sum_val"),
+    )
+    from solarpaneldatawrangler_spark.plans.extension_queries2 import (
+        _q75_bucketed_tables,
+    )
+    from solarpaneldatawrangler_spark.sources.bucketed import colocated_join
+
+    lt, ot = _q75_bucketed_tables(spark, sf_dir)
+    j = colocated_join(spark, lt, ot, "l_orderkey", "o_orderkey")
+    bucketed_rows = (
+        j.groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum("l_extendedprice").alias("sum_val"),
+        )
+        .select(
+            F.lit("bucketed").alias("method"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("l_returnflag").alias("k2"),
+            "n_items",
+            "sum_val",
+        )
+    )
+    return broadcast_rows.unionByName(bucketed_rows)
 
 
 # --- J2: left-semi existence (solardb.py:75-78) -----------------------------
