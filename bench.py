@@ -1225,18 +1225,18 @@ EXTRA = {
     "x_dsir": _dsir_bench,
     # r9 sketches: constant-state corpus profiling — the shuffle is the
     # sketch (<= 4096 rows), never the corpus
-    "x_hll_card": lambda spark, sf_dir: CATALOG["q76_hll_cardinality"].fn(
+    "x_hll_card": lambda spark, sf_dir: _x2.hll_cardinality_workload(
         spark, sf_dir
     ),
-    "x_cms_topk": lambda spark, sf_dir: CATALOG["q77_cms_heavy_hitters"].fn(
+    "x_cms_topk": lambda spark, sf_dir: _x2.cms_heavy_hitters_workload(
         spark, sf_dir
     ),
     "x_bloom_membership": lambda spark, sf_dir: (
         _x2.bloom_membership_workload(spark, sf_dir)
     ),
-    "x_kmv_distinct": lambda spark, sf_dir: CATALOG[
-        "q79_kmv_distinct"
-    ].fn(spark, sf_dir),
+    "x_kmv_distinct": lambda spark, sf_dir: _x2.kmv_distinct_workload(
+        spark, sf_dir
+    ),
     "x_sample_quantiles": lambda spark, sf_dir: _x2.sample_quantiles_workload(
         spark, sf_dir
     ),
@@ -1261,9 +1261,9 @@ EXTRA = {
     "x_range_join_naive": lambda spark, sf_dir: _range_join_naive(
         spark, sf_dir
     ),
-    "x_kmv_jaccard": lambda spark, sf_dir: CATALOG[
-        "q83_kmv_jaccard"
-    ].fn(spark, sf_dir),
+    "x_kmv_jaccard": lambda spark, sf_dir: _x2.kmv_jaccard_workload(
+        spark, sf_dir
+    ),
 }
 
 

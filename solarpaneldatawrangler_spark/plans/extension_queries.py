@@ -807,13 +807,33 @@ def _and_all(cols):
     return out
 
 
+# q76-absorption fragment (r10): tokens with NULL text normalized —
+# the exact item relation the retired q76 sketched
+_HLL_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(COALESCE(text, '')), '\\s+'),"
+    " w -> len(w) > 0)"
+)
+
+
 def _q53_oracle_or_none() -> str | None:
+    from solarpaneldatawrangler_spark.operators.sketches import hll_sql
+
     values = _lang_rates_values_or_none()
     wvalues = _lang_rates_values_or_none(f"SUM(len({_SQL_TOKS}))")
     if values is None or wvalues is None:
         return None
+    hll_toks = f"""(
+        SELECT lang, unnest({_HLL_TOKS_SQL}) AS tok FROM documents
+    ) t"""
+    hll_est = hll_sql("tok", hll_toks, ["lang"])
     return f"""
     WITH trates(lang, lang_n, lang_rate) AS (VALUES {values}),
+    hll AS ({hll_est}),
+    hexact AS (
+        SELECT lang, COUNT(DISTINCT tok) AS lang_distinct_tok
+        FROM (SELECT lang, unnest({_HLL_TOKS_SQL}) AS tok FROM documents)
+        GROUP BY lang
+    ),
     twrates(lang, lang_wn, lang_wrate) AS (VALUES {wvalues}),
     scores AS (
         SELECT doc_id, lang,
@@ -869,12 +889,15 @@ def _q53_oracle_or_none() -> str | None:
            g.bullet_ok, g.ellipsis_ok, g.alpha_ok, g.stopword_ok,
            (g.words_ok AND g.mwl_ok AND g.hash_ok AND g.ellipsis_sym_ok
             AND g.bullet_ok AND g.ellipsis_ok AND g.alpha_ok
-            AND g.stopword_ok) AS gopher_ok
+            AND g.stopword_ok) AS gopher_ok,
+           h.hll_zeros, h.hll_est_r, hx.lang_distinct_tok
     FROM scores s
     JOIN trates t USING (lang)
     JOIN twrates w USING (lang)
     LEFT JOIN blm l ON l.doc_id = s.doc_id
     JOIN gflags g ON g.doc_id = s.doc_id
+    JOIN hll h ON h.lang = s.lang
+    JOIN hexact hx ON hx.lang = s.lang
     """
 
 
@@ -906,7 +929,16 @@ def _q53_oracle_or_none() -> str | None:
     "gopher_flags — Rae et al. 2021 Appendix A, hash and ellipsis "
     "symbol classes gated SEPARATELY per the paper) as eight boolean "
     "columns plus the conjunction gopher_ok, oracle via the shared "
-    "gopher_flags_sql builder.",
+    "gopher_flags_sql builder. ALSO MERGED (r10, absorbing retired "
+    "q76): per-lang HyperLogLog distinct-token cardinality "
+    "(operators.sketches, Flajolet et al. 2007 — md5-derived "
+    "bucket/rho, registers as ONE bounded groupBy-max so <= n_langs x "
+    "4096 rows ever shuffle at ANY corpus size, EXACT scaled-integer "
+    "harmonic fold making the approx sketch hash-checkable) riding "
+    "each doc row as hll_zeros / hll_est_r via the same per-lang "
+    "broadcast join the rate columns use; lang_distinct_tok (the "
+    "exact count) rides along so every row shows the sketch error. "
+    "Oracle via the shared hll_sql builder.",
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.curation import bigram_lm_score
@@ -943,11 +975,26 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_rate").alias("_wrate"),
     )
     lm = bigram_lm_score(docs)
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        hll_estimate,
+        hll_sketch,
+    )
+
+    toks = docs.select(
+        "lang",
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok"),
+    )
+    hll = hll_estimate(hll_sketch(toks, F.col("tok"), ["lang"]), ["lang"])
+    hexact = toks.groupBy("lang").agg(
+        F.countDistinct("tok").alias("lang_distinct_tok")
+    )
     docs = docs.withColumn("_g", gopher_flags(t))
     return (
         docs.join(F.broadcast(rates), "lang")
         .join(F.broadcast(wrates), "lang")
         .join(lm, "doc_id")
+        .join(F.broadcast(hll), "lang")
+        .join(F.broadcast(hexact), "lang")
         .select(
             "doc_id",
             "lang",
@@ -964,6 +1011,9 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
             _and_all(
                 [F.col(f"_g.{r}") for r in _GOPHER_RULES]
             ).alias("gopher_ok"),
+            "hll_zeros",
+            "hll_est_r",
+            "lang_distinct_tok",
         )
     )
 

@@ -556,42 +556,12 @@ _TOKENS_SQL = (
 )
 
 
-def _q76_oracle() -> str:
-    from solarpaneldatawrangler_spark.operators.sketches import hll_sql
+# retired q76 (HLL cardinality) — absorbed into q53_lang_id (r10) as
+# its per-lang hll_zeros / hll_est_r / lang_distinct_tok ride-along
+# columns (the same broadcast-by-lang join the rate columns use),
+# hash-gated there. Workload kept for bench's x_hll_card.
 
-    toks = f"""(
-        SELECT lang, unnest({_TOKENS_SQL}) AS tok FROM documents
-    ) t"""
-    exact = f"""
-        SELECT lang, COUNT(DISTINCT tok) AS exact_distinct
-        FROM (SELECT lang, unnest({_TOKENS_SQL}) AS tok FROM documents)
-        GROUP BY lang
-    """
-    return f"""
-    WITH est AS ({hll_sql('tok', toks, ['lang'])}),
-    exact AS ({exact})
-    SELECT lang, hll_zeros, hll_est_r, exact_distinct
-    FROM est JOIN exact USING (lang)
-    """
-
-
-@register(
-    "q76_hll_cardinality",
-    oracle=_q76_oracle(),
-    doc="HyperLogLog distinct-token cardinality per language "
-    "(operators.sketches, Flajolet et al. 2007): md5-derived "
-    "bucket/rho (pure integer+string ops — no float log2), registers "
-    "as ONE bounded groupBy-max (<= n_langs x 4096 rows ever shuffle, "
-    "corpus size notwithstanding — the constant-state profiling shape "
-    "for 100 TB), EXACT scaled-integer harmonic sum (order-"
-    "insensitive BIGINT fold), estimate rounded 4dp with the standard "
-    "linear-counting branch. The oracle replays the identical "
-    "algorithm via the shared hll_sql builder; exact_distinct rides "
-    "along so every artifact row SHOWS the sketch's error against "
-    "truth. Accuracy (~1.04/sqrt(4096)) is property-tested in "
-    "tests/test_sketches.py; mergeability (register-wise max) too.",
-)
-def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hll_cardinality_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.functions.text import tokens
     from solarpaneldatawrangler_spark.operators.sketches import (
         hll_estimate,
@@ -610,47 +580,13 @@ def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(exact, "lang")
 
 
-def _q77_oracle() -> str:
-    from solarpaneldatawrangler_spark.operators.sketches import cms_sql
+# retired q77 (Count-Min heavy hitters) — absorbed into
+# q13_distinct_round (r10) as its 'cms'-tagged sketch-panel rows,
+# hash-gated there. Workload kept for bench's x_cms_topk.
 
-    occ = f"(SELECT unnest({_TOKENS_SQL}) AS tok FROM documents)"
-    return f"""
-    WITH cms AS ({cms_sql('tok', occ)}),
-    exact AS (
-        SELECT tok, COUNT(*) AS exact_n
-        FROM {occ}
-        GROUP BY tok
-        ORDER BY exact_n DESC, tok ASC
-        LIMIT 20
-    ),
-    probes AS (
-        SELECT tok, exact_n, i,
-               ('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 8))::BIGINT
-                   % 1024 AS col
-        FROM exact CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)
-    )
-    SELECT p.tok, ANY_VALUE(p.exact_n) AS exact_n,
-           MIN(COALESCE(c.n, 0)) AS cms_n
-    FROM probes p LEFT JOIN cms c USING (i, col)
-    GROUP BY p.tok
-    """
-
-
-@register(
-    "q77_cms_heavy_hitters",
-    oracle=_q77_oracle(),
-    doc="Count-Min heavy hitters (operators.sketches, Cormode & "
-    "Muthukrishnan 2005): the 4x1024 counter grid built in ONE "
-    "bounded groupBy (explode-to-4-rows inside the scan stage; "
-    "partial agg collapses map-side, so the shuffle is <= 4096 rows "
-    "at ANY corpus size), probed for the top-20 exact tokens via a "
-    "broadcast join with per-token min. All-integer surfaces — "
-    "hash-exact across engines via the shared cms_sql builder; the "
-    "exact counts ride along so each row shows the sketch's "
-    "overestimate directly (cms_n >= exact_n always, a property "
-    "test pins it).",
-)
-def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+def cms_heavy_hitters_workload(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     from solarpaneldatawrangler_spark.functions.text import tokens
     from solarpaneldatawrangler_spark.operators.sketches import (
         cms_estimate,
@@ -671,84 +607,11 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, top, "tok")
 
 
-# retired q78 (Bloom membership) — absorbed into q61_binary_meta (r10)
-# as its maybe_seen/truly_seen columns (the admission family's fast
-# path over the same even-id corpus half), hash-gated there. Workload
-# kept for bench's x_bloom_membership (q82_workload idiom).
+# retired q79 (KMV distinct synopsis) — absorbed into
+# q13_distinct_round (r10) as its 'kmv'/'kmv_est' sketch-panel rows,
+# hash-gated there. Workload kept for bench's x_kmv_distinct.
 
-def bloom_membership_workload(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from solarpaneldatawrangler_spark.operators.sketches import (
-        bloom_build,
-        bloom_maybe_contains,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    item = F.coalesce(F.col("text"), F.lit(""))
-    members = docs.filter(F.col("doc_id") % 2 == 0).select(
-        item.alias("item")
-    )
-    bloom = bloom_build(members, F.col("item"))
-    probed = bloom_maybe_contains(
-        bloom, docs.select(item.alias("item")).distinct(), "item"
-    )
-    member_set = members.distinct().withColumn("truly_seen", F.lit(True))
-    return (
-        docs.select("doc_id", item.alias("item"))
-        .join(probed, "item")
-        .join(F.broadcast(member_set), "item", "left")
-        .select(
-            "doc_id",
-            "maybe_seen",
-            F.coalesce("truly_seen", F.lit(False)).alias("truly_seen"),
-        )
-    )
-
-
-def _q79_oracle() -> str:
-    from solarpaneldatawrangler_spark.operators.sketches import (
-        KMV_K,
-        _KMV_HASH_SPACE,
-        kmv_sql,
-    )
-
-    num = float((KMV_K - 1) * _KMV_HASH_SPACE)
-    return f"""
-    WITH sk AS ({kmv_sql("l_orderkey::VARCHAR", "lineitem")}),
-    est AS (
-        SELECT COUNT(h) AS kmv_n,
-               ROUND(CASE WHEN COUNT(h) < {KMV_K}
-                     THEN CAST(COUNT(h) AS DOUBLE)
-                     ELSE {num!r} / CAST(MAX(h) AS DOUBLE) END,
-                     4) AS kmv_est_r
-        FROM sk
-    ),
-    exact AS (
-        SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct
-        FROM lineitem
-    )
-    SELECT sk.rank, sk.h, est.kmv_n, est.kmv_est_r, exact.exact_distinct
-    FROM sk CROSS JOIN est CROSS JOIN exact
-    """
-
-
-@register(
-    "q79_kmv_distinct",
-    oracle=_q79_oracle(),
-    doc="KMV (k-minimum-values) distinct-count synopsis over order "
-    "keys (operators.sketches, Beyer et al. SIGMOD 2007): the k=256 "
-    "smallest distinct 32-bit md5 hashes — an ORDER-FREE set minimum, "
-    "hence exactly SQL-replayable AND losslessly mergeable across "
-    "shards (bottom-k of the union; pinned in test_sketches). "
-    "Estimator (k-1)*2^32/h_(k) with the small-set branch, exact "
-    "integers into one rounded double divide. Plan: hash in the scan, "
-    "distinct on the hash (map-side partial dedup), "
-    "TakeOrderedAndProject(k) — bounded state at any corpus size, and "
-    "the surviving hashes double as a uniform distinct-item sample. "
-    "exact_distinct rides along so every row shows the sketch error.",
-)
-def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmv_distinct_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.sketches import (
         kmv_estimate,
         kmv_sketch,
@@ -866,57 +729,12 @@ def range_join_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q82_agg(joined)
 
 
-# --- KMV sketch set operations ----------------------------------------------
+# --- KMV sketch set operations: retired q83 — absorbed into
+# q13_distinct_round (r10) as its 'kmv_jaccard*' sketch-panel rows
+# (same q50-diff snapshots, same normalized content), hash-gated
+# there. Workload kept for bench's x_kmv_jaccard.
 
-_Q83_NORM = (
-    "regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g')"
-)
-
-
-def _q83_oracle() -> str:
-    from solarpaneldatawrangler_spark.operators.sketches import (
-        kmv_jaccard_sql,
-        kmv_sql,
-    )
-
-    a = kmv_sql(_Q83_NORM, "documents WHERE doc_id % 3 != 0")
-    b = kmv_sql(_Q83_NORM, "documents WHERE doc_id % 4 != 0")
-    sketch = kmv_jaccard_sql(a, b)
-    return f"""
-    WITH sk AS ({sketch}),
-    oa AS (SELECT DISTINCT {_Q83_NORM} AS t FROM documents
-           WHERE doc_id % 3 != 0),
-    ob AS (SELECT DISTINCT {_Q83_NORM} AS t FROM documents
-           WHERE doc_id % 4 != 0),
-    ex AS (
-        SELECT COUNT(*) AS exact_union_n,
-               COUNT(*) FILTER (oa.t IS NOT NULL AND ob.t IS NOT NULL)
-                   AS exact_overlap_n
-        FROM oa FULL OUTER JOIN ob ON oa.t = ob.t
-    )
-    SELECT sk.*, ex.exact_union_n, ex.exact_overlap_n,
-           ROUND(ex.exact_overlap_n::DOUBLE / ex.exact_union_n, 6)
-               AS exact_jaccard_r
-    FROM sk CROSS JOIN ex
-    """
-
-
-@register(
-    "q83_kmv_jaccard",
-    oracle=_q83_oracle(),
-    doc="Sketch-space release overlap (operators.sketches.kmv_jaccard; "
-    "Beyer et al. 2007 §5 / the theta-sketch set-op idiom): the q81 "
-    "snapshots (doc_id % 3 != 0 vs % 4 != 0) compared by normalized "
-    "content — but from two 256-hash KMV synopses ALONE. Jaccard = "
-    "fraction of the bottom-k-of-union present in both sketches; "
-    "intersection = jaccard * union estimate. The q81 exact diff "
-    "costs a full-outer join per release pair; this answers 'how "
-    "much changed' from kilobyte sketches built once per release and "
-    "mergeable across shards — the data-card overlap matrix at 100 TB "
-    "is then driver-side arithmetic. Exact counts ride along to show "
-    "the sketch error, q79-style.",
-)
-def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmv_jaccard_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.sketches import (
         kmv_jaccard,
         kmv_sketch,
@@ -928,36 +746,9 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = docs.filter(F.col("doc_id") % 3 != 0).select(norm.alias("t"))
     new = docs.filter(F.col("doc_id") % 4 != 0).select(norm.alias("t"))
-    sk = kmv_jaccard(
+    return kmv_jaccard(
         kmv_sketch(old, F.col("t")), kmv_sketch(new, F.col("t"))
     )
-    oa = old.distinct().withColumn("_ia", F.lit(1))
-    ob = new.distinct().withColumn("_ib", F.lit(1))
-    exact = (
-        oa.join(ob, "t", "full")
-        .agg(
-            F.count(F.lit(1)).alias("exact_union_n"),
-            F.sum(
-                F.when(
-                    F.col("_ia").isNotNull() & F.col("_ib").isNotNull(), 1
-                ).otherwise(0)
-            ).alias("exact_overlap_n"),
-        )
-        .select(
-            "exact_union_n",
-            "exact_overlap_n",
-            F.round(
-                F.col("exact_overlap_n").cast("double")
-                / F.col("exact_union_n"),
-                6,
-            ).alias("exact_jaccard_r"),
-        )
-    )
-    return sk.crossJoin(F.broadcast(exact))
-
-
-# --- sequence packing (training-shard layout) --------------------------------
-
 
 
 # retired q84 (sequence packing) + q85 (stride-scheduled domain

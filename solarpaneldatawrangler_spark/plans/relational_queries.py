@@ -340,21 +340,249 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- A5/F5: round + distinct (solardb.py:169,188-190) -----------------------
+# + the r10 sketch panel (retired q77/q79/q83 absorbed; see the doc)
+
+# normalized-token / normalized-text fragments shared with the retired
+# sketch queries' semantics
+_SKETCH_TOKS_SQL = (
+    "list_filter(string_split_regex(lower(COALESCE(text, '')), '\\s+'),"
+    " w -> len(w) > 0)"
+)
+_SKETCH_NORM_SQL = (
+    "regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g')"
+)
+
+
+def _q13_oracle() -> str:
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        CMS_W,
+        KMV_K,
+        _KMV_HASH_SPACE,
+        cms_sql,
+        kmv_jaccard_sql,
+        kmv_sql,
+    )
+
+    num = float((KMV_K - 1) * _KMV_HASH_SPACE)
+    kj = kmv_jaccard_sql(
+        kmv_sql(_SKETCH_NORM_SQL, "documents WHERE doc_id % 3 != 0"),
+        kmv_sql(_SKETCH_NORM_SQL, "documents WHERE doc_id % 4 != 0"),
+    )
+    return f"""
+    WITH occ AS (
+        SELECT unnest({_SKETCH_TOKS_SQL}) AS tok FROM documents
+    ),
+    cms AS ({cms_sql('tok', 'occ')}),
+    cmsex AS (
+        SELECT tok, COUNT(*) AS exact_n
+        FROM occ GROUP BY tok
+        ORDER BY exact_n DESC, tok ASC
+        LIMIT 20
+    ),
+    cmspr AS (
+        SELECT tok, exact_n, i,
+               ('0x' || substr(md5(i::VARCHAR || ':' || tok), 1, 8))::BIGINT
+                   % {CMS_W} AS col
+        FROM cmsex CROSS JOIN (SELECT unnest([0,1,2,3]) AS i)
+    ),
+    cmsrows AS (
+        SELECT p.tok, ANY_VALUE(p.exact_n) AS exact_n,
+               MIN(COALESCE(c.n, 0)) AS cms_n
+        FROM cmspr p LEFT JOIN cms c USING (i, col)
+        GROUP BY p.tok
+    ),
+    kmvsk AS ({kmv_sql("l_orderkey::VARCHAR", "lineitem")}),
+    kmvest AS (
+        SELECT COUNT(h) AS kmv_n,
+               ROUND(CASE WHEN COUNT(h) < {KMV_K}
+                     THEN CAST(COUNT(h) AS DOUBLE)
+                     ELSE {num!r} / CAST(MAX(h) AS DOUBLE) END,
+                     4) AS kmv_est_r
+        FROM kmvsk
+    ),
+    kmvex AS (
+        SELECT COUNT(DISTINCT l_orderkey) AS exact_distinct FROM lineitem
+    ),
+    kj AS ({kj}),
+    kjoa AS (SELECT DISTINCT {_SKETCH_NORM_SQL} AS t FROM documents
+             WHERE doc_id % 3 != 0),
+    kjob AS (SELECT DISTINCT {_SKETCH_NORM_SQL} AS t FROM documents
+             WHERE doc_id % 4 != 0),
+    kjex AS (
+        SELECT COUNT(*) AS exact_union_n,
+               COUNT(*) FILTER (kjoa.t IS NOT NULL AND kjob.t IS NOT NULL)
+                   AS exact_overlap_n
+        FROM kjoa FULL OUTER JOIN kjob ON kjoa.t = kjob.t
+    ),
+    kjall AS (SELECT * FROM kj CROSS JOIN kjex)
+    SELECT 'distinct' AS method, event_type AS k,
+           CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
+           v AS v3
+    FROM (SELECT DISTINCT event_type, ROUND(value, 1) AS v
+          FROM events WHERE value IS NOT NULL)
+    UNION ALL
+    SELECT 'cms', tok, exact_n, cms_n, CAST(NULL AS DOUBLE) FROM cmsrows
+    UNION ALL
+    SELECT 'kmv', CAST(rank AS VARCHAR), h, CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM kmvsk
+    UNION ALL
+    SELECT 'kmv_est', '', kmv_n, exact_distinct, kmv_est_r
+    FROM kmvest CROSS JOIN kmvex
+    UNION ALL
+    SELECT 'kmv_jaccard', '', union_n, overlap_n, jaccard_r FROM kjall
+    UNION ALL
+    SELECT 'kmv_jaccard_est', '', exact_union_n, exact_overlap_n,
+           union_est_r
+    FROM kjall
+    UNION ALL
+    SELECT 'kmv_jaccard_inter', '', CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT), inter_est_r
+    FROM kjall
+    UNION ALL
+    SELECT 'kmv_jaccard_exact', '', CAST(NULL AS BIGINT),
+           CAST(NULL AS BIGINT),
+           ROUND(exact_overlap_n::DOUBLE / exact_union_n, 6)
+    FROM kjall
+    """
+
 
 @register(
     "q13_distinct_round",
-    oracle="""
-    SELECT DISTINCT event_type, ROUND(value, 1) AS v
-    FROM events WHERE value IS NOT NULL
-    """,
-    doc="A5 rounded-coordinate dedup of OSM nodes (solardb.py:169,188-190).",
+    oracle=_q13_oracle(),
+    doc="A5 rounded-coordinate dedup of OSM nodes (solardb.py:169,"
+    "188-190): 'distinct' rows. MERGED (r10, absorbing retired q77 + "
+    "q79 + q83 — the distinct/frequency SKETCH PANEL, every surface a "
+    "bounded-state synopsis of a distinct-or-count question): "
+    "'cms' rows = Count-Min heavy hitters (Cormode & Muthukrishnan "
+    "2005; 4x1024 grid built in ONE bounded groupBy, <= 4096 rows "
+    "shuffle at ANY corpus size, broadcast-probed for the top-20 exact "
+    "tokens — k=token, v1=exact count, v2=CMS estimate, overestimate "
+    "always). 'kmv' rows = the k=256 smallest distinct 32-bit md5 "
+    "hashes of order keys (Beyer et al. 2007 — order-free set minimum, "
+    "losslessly mergeable; k=rank, v1=hash) with one 'kmv_est' row "
+    "(v1=sketch size, v2=exact distinct riding along, v3=the (k-1)*2^32"
+    "/h_(k) estimate). 'kmv_jaccard*' rows = release overlap from two "
+    "KMV synopses ALONE (the theta-sketch set-op idiom over the q50 "
+    "diff snapshots): membership counts, jaccard, union/intersection "
+    "estimates, plus the exact counts as their own rows. All-integer "
+    "surfaces into rounded doubles — hash-exact via the shared "
+    "cms_sql/kmv_sql/kmv_jaccard_sql builders.",
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+    from solarpaneldatawrangler_spark.functions.text import tokens
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        cms_estimate,
+        cms_sketch,
+        kmv_estimate,
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    def row(method, k, v1, v2, v3):
+        return [
+            F.lit(method).alias("method"),
+            k.cast("string").alias("k"),
+            v1.cast("long").alias("v1"),
+            v2.cast("long").alias("v2"),
+            v3.cast("double").alias("v3"),
+        ]
+
+    null = F.lit(None)
+    distinct_rows = (
         _t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select("event_type", F.round("value", 1).alias("v"))
         .distinct()
+        .select(*row("distinct", F.col("event_type"), null, null, F.col("v")))
+    )
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
+    )
+    top = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("tok").asc())
+        .limit(20)
+    )
+    cms_rows = cms_estimate(cms_sketch(occ, F.col("tok")), top, "tok").select(
+        *row("cms", F.col("tok"), F.col("exact_n"), F.col("cms_n"), null)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sk = kmv_sketch(li, F.col("l_orderkey").cast("string"))
+    kmv_rows = sk.select(*row("kmv", F.col("rank"), F.col("h"), null, null))
+    exact_distinct = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_distinct")
+    )
+    kmv_est_rows = (
+        kmv_estimate(sk)
+        .crossJoin(F.broadcast(exact_distinct))
+        .select(
+            *row(
+                "kmv_est", F.lit(""), F.col("kmv_n"),
+                F.col("exact_distinct"), F.col("kmv_est_r"),
+            )
+        )
+    )
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.coalesce(F.col("text"), F.lit("")))), r"\s+", " "
+    )
+    old = docs.filter(F.col("doc_id") % 3 != 0).select(norm.alias("t"))
+    new = docs.filter(F.col("doc_id") % 4 != 0).select(norm.alias("t"))
+    kj = kmv_jaccard(
+        kmv_sketch(old, F.col("t")), kmv_sketch(new, F.col("t"))
+    )
+    oa = old.distinct().withColumn("_ia", F.lit(1))
+    ob = new.distinct().withColumn("_ib", F.lit(1))
+    kj_exact = oa.join(ob, "t", "full").agg(
+        F.count(F.lit(1)).alias("exact_union_n"),
+        F.sum(
+            F.when(
+                F.col("_ia").isNotNull() & F.col("_ib").isNotNull(), 1
+            ).otherwise(0)
+        ).alias("exact_overlap_n"),
+    )
+    kj_all = kj.crossJoin(F.broadcast(kj_exact))
+    kj_rows = (
+        kj_all.select(
+            *row(
+                "kmv_jaccard", F.lit(""), F.col("union_n"),
+                F.col("overlap_n"), F.col("jaccard_r"),
+            )
+        )
+        .unionByName(
+            kj_all.select(
+                *row(
+                    "kmv_jaccard_est", F.lit(""), F.col("exact_union_n"),
+                    F.col("exact_overlap_n"), F.col("union_est_r"),
+                )
+            )
+        )
+        .unionByName(
+            kj_all.select(
+                *row("kmv_jaccard_inter", F.lit(""), null, null,
+                     F.col("inter_est_r"))
+            )
+        )
+        .unionByName(
+            kj_all.select(
+                *row(
+                    "kmv_jaccard_exact", F.lit(""), null, null,
+                    F.round(
+                        F.col("exact_overlap_n").cast("double")
+                        / F.col("exact_union_n"),
+                        6,
+                    ),
+                )
+            )
+        )
+    )
+    return (
+        distinct_rows.unionByName(cms_rows)
+        .unionByName(kmv_rows)
+        .unionByName(kmv_est_rows)
+        .unionByName(kj_rows)
     )
 
 

@@ -78,14 +78,11 @@ _BNL_ALLOWED = {
     "q51_token_stats",
     "q52_quality_score",
     "q53_lang_id",
-    # q79's BNLs are the same 1-row idiom: the KMV estimate and the
-    # exact-distinct ride-along are single aggregate rows crossJoin-
-    # broadcast onto the 256-row sketch — keyless by construction
-    "q79_kmv_distinct",
-    # q83: kmv_jaccard's counts/estimate rows and the exact-overlap
-    # ride-along are all single-row aggregates crossJoin-broadcast
-    # together — the same keyless 1-row idiom; every input is k-bounded
-    "q83_kmv_jaccard",
+    # q13 (r10 sketch panel, absorbing q79/q83): the KMV estimate,
+    # exact-distinct, and jaccard counts/estimates are all single
+    # aggregate rows crossJoin-broadcast onto k-bounded sketches —
+    # the same keyless 1-row idiom
+    "q13_distinct_round",
 }
 
 
@@ -222,7 +219,11 @@ def test_kmv_and_quantile_plans_stay_bounded(spark, sf_dir):
     the window sort), and no cartesian anywhere."""
     from solarpaneldatawrangler_spark.plans import CATALOG
 
-    sk = CATALOG["q79_kmv_distinct"].fn(spark, sf_dir)
+    from solarpaneldatawrangler_spark.plans.extension_queries2 import (
+        kmv_distinct_workload,
+    )
+
+    sk = kmv_distinct_workload(spark, sf_dir)
     plan79 = sk._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan79, plan79
     assert "CartesianProduct" not in plan79, plan79
