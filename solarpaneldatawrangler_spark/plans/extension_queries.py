@@ -549,9 +549,58 @@ _MARKUP_TEXT_SQL = (
 )
 
 
-def _q52_oracle() -> str:
+# derived multi-line corpus for the C4 columns: each doc gains a mix of
+# keepable/droppable lines plus doc_id-dependent brace / lorem-ipsum
+# injections, replayed literally in the oracle
+def _c4_ltext_spark():
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"), F.lit(".\n"),
+        F.lit("too short.\n"),
+        F.lit("no terminal punctuation on this line at all\n"),
+        F.lit("this line mentions javascript rules and files today.\n"),
+        F.when(
+            d % 4 == 0,
+            F.lit("extra sentence one! extra sentence two? and three."),
+        ).otherwise(F.lit("plain extra line without terminal punct")),
+        F.lit("\n"),
+        F.when(d % 3 == 0, F.lit("has a { brace")).otherwise(
+            F.lit("no brace on this line")
+        ),
+        F.when(d % 5 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
+    )
+
+
+_C4_LTEXT_SQL = (
+    "text || '.' || chr(10) || 'too short.' || chr(10) || "
+    "'no terminal punctuation on this line at all' || chr(10) || "
+    "'this line mentions javascript rules and files today.' || chr(10) || "
+    "CASE WHEN doc_id % 4 = 0 THEN "
+    "'extra sentence one! extra sentence two? and three.' "
+    "ELSE 'plain extra line without terminal punct' END || chr(10) || "
+    "CASE WHEN doc_id % 3 = 0 THEN 'has a { brace' "
+    "ELSE 'no brace on this line' END || "
+    "CASE WHEN doc_id % 5 = 0 THEN ' lorem ipsum' ELSE '' END"
+)
+
+
+_DSIR_B = 512
+_DSIR_K = 100
+_DSIR_SEED = "0"
+_DSIR_T = 0.0
+
+
+def _q52_oracle_or_none() -> str | None:
+    """q52's oracle with the r10 C4 + DSIR merge columns. The DSIR
+    ratio table (dsir_ratios_for_dir at ORACLE_SF_DIR — the function
+    the Spark query also calls, the q67 trained-model contract)
+    replays as VALUES. Degrades to rows-only ONLY when the testdata
+    parquet is genuinely absent at import — narrowly caught and
+    announced on stderr (the q72/q53 demotion contract)."""
     from solarpaneldatawrangler_spark.functions.text import (
         MARKUP_TAG_RE,
+        c4_flags_sql,
+        c4_kept_lines_sql,
         dup_char_fraction_sql,
         dup_fraction_sql,
         lines_sql,
@@ -562,6 +611,26 @@ def _q52_oracle() -> str:
     from solarpaneldatawrangler_spark.operators.curation import (
         gopher_dup_ngram_sql,
     )
+    from solarpaneldatawrangler_spark.operators.dsir import (
+        dsir_features_sql,
+        dsir_ratios_for_dir,
+        dsir_ratios_values_sql,
+    )
+    from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
+
+    try:
+        ratios = dsir_ratios_for_dir(ORACLE_SF_DIR, n_buckets=_DSIR_B)
+    except FileNotFoundError as ex:
+        import sys
+
+        print(
+            "WARNING: q52_quality_score oracle demoted to rows-only — "
+            f"testdata absent at import ({ex})",
+            file=sys.stderr,
+        )
+        return None
+    dvalues = dsir_ratios_values_sql(ratios)
+    dfeats = dsir_features_sql("text", _DSIR_B)
 
     rtext = (
         "text || ' ' || substr(text, 1,"
@@ -614,6 +683,40 @@ def _q52_oracle() -> str:
         SELECT doc_id, string_agg(term, '|' ORDER BY rk) AS kw,
                MAX(CASE WHEN rk = 1 THEN s END) AS kw_score_r
         FROM kwrk WHERE rk <= 3 GROUP BY doc_id
+    ),
+    c4f AS (
+        SELECT doc_id,
+               {c4_flags_sql(f"({_C4_LTEXT_SQL})")},
+               md5(array_to_string(
+                   {c4_kept_lines_sql(f"({_C4_LTEXT_SQL})")}, chr(10)))
+                 AS clean_fp
+        FROM documents
+    ),
+    dratios(b, r) AS (VALUES {dvalues}),
+    dfeats AS (
+        SELECT doc_id, unnest({dfeats}) AS b FROM documents
+    ),
+    dw AS (
+        SELECT f.doc_id,
+               CAST(SUM(CAST(dratios.r AS DECIMAL(27,6))) AS DOUBLE) AS w,
+               COUNT(*) AS n
+        FROM dfeats f JOIN dratios USING (b) GROUP BY f.doc_id
+    ),
+    dkeys AS (
+        SELECT d.doc_id,
+               COALESCE(dw.n, 0) AS dsir_n,
+               COALESCE(dw.w, 0.0) AS dsir_w_r,
+               ROUND(COALESCE(dw.w, 0.0) + -ln(-ln(
+                   ((('0x' || substr(md5('{_DSIR_SEED}:' ||
+                        CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+                    / 4294967296.0))), 6) AS dsir_key_r,
+               (d.text IS NOT NULL AND COALESCE(dw.w, 0.0) >= {_DSIR_T})
+                   AS dsir_thr_kept
+        FROM documents d LEFT JOIN dw ON dw.doc_id = d.doc_id
+    ),
+    drk AS (
+        SELECT *, RANK() OVER (ORDER BY dsir_key_r DESC, doc_id) AS rnk
+        FROM dkeys
     )
     SELECT f.doc_id,
            ROUND(sw * 0.5 + (1.0 - pr) * 0.3
@@ -637,15 +740,22 @@ def _q52_oracle() -> str:
              AS tag_n,
            md5({strip_markup_sql("mtext")}) AS strip_fp,
            COALESCE(k.kw, '') AS kw,
-           COALESCE(k.kw_score_r, 0.0) AS kw_score_r
+           COALESCE(k.kw_score_r, 0.0) AS kw_score_r,
+           c4.has_brace, c4.has_lorem, c4.n_kept_lines, c4.n_sentences,
+           c4.c4_ok, c4.clean_fp,
+           dk.dsir_n, dk.dsir_w_r, dk.dsir_key_r,
+           dk.rnk <= {_DSIR_K} AS dsir_sel,
+           dk.dsir_thr_kept
     FROM feats f LEFT JOIN kwagg k USING (doc_id)
     LEFT JOIN ({gopher_dup_ngram_sql(rtext)}) rep ON rep.doc_id = f.doc_id
+    JOIN c4f c4 ON c4.doc_id = f.doc_id
+    JOIN drk dk ON dk.doc_id = f.doc_id
     """
 
 
 @register(
     "q52_quality_score",
-    oracle=_q52_oracle(),
+    oracle=_q52_oracle_or_none(),
     doc="Gopher/C4-style quality score: stopword ratio + punctuation ratio "
     "+ word-length gate, combined deterministically. Expression-only. "
     "MERGED (r7) with more curation gates on the same rows: "
@@ -671,7 +781,21 @@ def _q52_oracle() -> str:
     "fold), rep_d5..rep_d10 (dup-n-gram union char coverage via the "
     "Arrow-batched gopher_dup_ngram_char_fracs — the documented "
     "pandas-UDF exception), each oracle-replayed through the shared "
-    "SQL builders.",
+    "SQL builders. ALSO MERGED (r10, absorbing retired q71 + q72 + "
+    "q73 — the remaining document-quality gates): the C4 cleaning "
+    "battery (Raffel et al. 2020 §2.2) over a derived multi-line "
+    "corpus — has_brace / has_lorem / n_kept_lines / n_sentences / "
+    "c4_ok (functions.text.c4_doc_flags) and clean_fp = md5 of the "
+    "rebuilt cleaned text, pinning every line keep/drop decision "
+    "(zero shuffle, zero Python; shared c4_*_sql builders); and DSIR "
+    "importance resampling (Xie et al. 2023) — hashed unigram+bigram "
+    "features against a dir-fitted target-vs-raw ratio table (target "
+    "= doc_id % 7 == 0, the trained-model contract, replayed as "
+    "VALUES): dsir_n, dsir_w_r (exact decimal weight fold, projected "
+    "ONCE — the double-eval guard), dsir_key_r (6dp md5-Gumbel key), "
+    "dsir_sel (Gumbel-top-100 membership), and dsir_thr_kept (the "
+    "q73 threshold mode: the streaming `weight >= t` scan-side "
+    "verdict via operators.dsir.dsir_select_threshold).",
 )
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.functions.text import (
@@ -738,23 +862,51 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(strip_markup(mtext)).alias("strip_fp"),
     )
     kw = tfidf_keywords(docs, k=3, stopwords=EN_STOPWORDS)
-    return base.join(kw, "doc_id", "left").select(
-        "doc_id",
-        "quality",
-        "rep_lf",
-        "rep_lcf",
-        "rep_pf",
-        "rep_pcf",
-        "rep_top2",
-        "rep_top3",
-        *[F.col(f"_rep.d{n}").alias(f"rep_d{n}") for n in (5, 6, 7, 8, 9, 10)],
-        "clf_r",
-        "pii_n",
-        "red_fp",
-        "tag_n",
-        "strip_fp",
-        F.coalesce("kw", F.lit("")).alias("kw"),
-        F.coalesce("kw_score_r", F.lit(0.0)).alias("kw_score_r"),
+    from solarpaneldatawrangler_spark.operators.dsir import (
+        dsir_ratios_for_dir,
+        dsir_select_threshold,
+    )
+
+    c4 = c4_filter_workload(spark, sf_dir)
+    ratios = dsir_ratios_for_dir(sf_dir, n_buckets=_DSIR_B)
+    dsir = dsir_workload(spark, sf_dir, ratios=ratios)
+    thr_kept = dsir_select_threshold(docs, ratios, _DSIR_T).select(
+        "doc_id", F.lit(True).alias("dsir_thr_kept")
+    )
+    return (
+        base.join(kw, "doc_id", "left")
+        .join(c4, "doc_id")
+        .join(dsir, "doc_id")
+        .join(thr_kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            "rep_lf",
+            "rep_lcf",
+            "rep_pf",
+            "rep_pcf",
+            "rep_top2",
+            "rep_top3",
+            *[F.col(f"_rep.d{n}").alias(f"rep_d{n}") for n in (5, 6, 7, 8, 9, 10)],
+            "clf_r",
+            "pii_n",
+            "red_fp",
+            "tag_n",
+            "strip_fp",
+            F.coalesce("kw", F.lit("")).alias("kw"),
+            F.coalesce("kw_score_r", F.lit(0.0)).alias("kw_score_r"),
+            "has_brace",
+            "has_lorem",
+            "n_kept_lines",
+            "n_sentences",
+            "c4_ok",
+            "clean_fp",
+            "dsir_n",
+            "dsir_w_r",
+            "dsir_key_r",
+            F.col("sel").alias("dsir_sel"),
+            F.coalesce("dsir_thr_kept", F.lit(False)).alias("dsir_thr_kept"),
+        )
     )
 
 
@@ -2046,87 +2198,27 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- C4 cleaning battery (Raffel et al. 2020) -------------------------------
+# --- C4 cleaning battery + DSIR: retired q71/q72/q73 — absorbed into
+# q52_quality_score (r10) as ride-along per-doc columns (has_brace ..
+# clean_fp; dsir_n / dsir_w_r / dsir_key_r / dsir_sel / dsir_thr_kept),
+# hash-gated there. The workload builders stay as plain functions
+# shared by q52 and kept importable for tests (the q82_workload idiom);
+# bench's x_c4_filter / x_dsir time the operators directly.
 
-# derived multi-line corpus for the C4 columns: each doc gains a mix of
-# keepable/droppable lines plus doc_id-dependent brace / lorem-ipsum
-# injections, replayed literally in the oracle
-def _c4_ltext_spark():
-    d = F.col("doc_id")
-    return F.concat(
-        F.col("text"), F.lit(".\n"),
-        F.lit("too short.\n"),
-        F.lit("no terminal punctuation on this line at all\n"),
-        F.lit("this line mentions javascript rules and files today.\n"),
-        F.when(
-            d % 4 == 0,
-            F.lit("extra sentence one! extra sentence two? and three."),
-        ).otherwise(F.lit("plain extra line without terminal punct")),
-        F.lit("\n"),
-        F.when(d % 3 == 0, F.lit("has a { brace")).otherwise(
-            F.lit("no brace on this line")
-        ),
-        F.when(d % 5 == 0, F.lit(" lorem ipsum")).otherwise(F.lit("")),
-    )
-
-
-_C4_LTEXT_SQL = (
-    "text || '.' || chr(10) || 'too short.' || chr(10) || "
-    "'no terminal punctuation on this line at all' || chr(10) || "
-    "'this line mentions javascript rules and files today.' || chr(10) || "
-    "CASE WHEN doc_id % 4 = 0 THEN "
-    "'extra sentence one! extra sentence two? and three.' "
-    "ELSE 'plain extra line without terminal punct' END || chr(10) || "
-    "CASE WHEN doc_id % 3 = 0 THEN 'has a { brace' "
-    "ELSE 'no brace on this line' END || "
-    "CASE WHEN doc_id % 5 = 0 THEN ' lorem ipsum' ELSE '' END"
-)
-
-
-def _q71_oracle() -> str:
-    from solarpaneldatawrangler_spark.functions.text import (
-        c4_flags_sql,
-        c4_kept_lines_sql,
-    )
-
-    return f"""
-    SELECT doc_id,
-           {c4_flags_sql(f"({_C4_LTEXT_SQL})")},
-           md5(array_to_string(
-               {c4_kept_lines_sql(f"({_C4_LTEXT_SQL})")}, chr(10)))
-             AS clean_fp
-    FROM documents
-    """
-
-
-@register(
-    "q71_c4_filter",
-    oracle=_q71_oracle(),
-    doc="The C4 cleaning battery (Raffel et al. 2020 §2.2) over a "
-    "derived multi-line corpus: line-level rules (terminal "
-    "punctuation, >= 5 words, no 'javascript') as pure scan-side "
-    "expressions rebuilding the cleaned text, plus the document gates "
-    "('{' code-page rule, 'lorem ipsum', >= 3 sentences counted as "
-    "[.!?]+ runs in the CLEANED text). Hashed surfaces: has_brace / "
-    "has_lorem / n_kept_lines / n_sentences / c4_ok (functions.text."
-    "c4_doc_flags) and clean_fp = md5 of the rebuilt cleaned text — "
-    "pins every line keep/drop decision and the join order. Zero "
-    "shuffle, zero Python; oracle through the shared c4_*_sql "
-    "builders.",
-)
-def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c4_filter_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retired q71 body verbatim: the C4 battery over the derived
+    multi-line corpus. The kept-lines array is projected as a MULTI-
+    referenced alias in its own step: CollapseProject refuses to
+    inline a non-cheap alias referenced more than once, so the O(doc)
+    line filter runs ONCE per row instead of once per derived column
+    (struct fields would NOT achieve this — SimplifyExtractValueOps
+    rewrites GetStructField(CreateNamedStruct) back into per-field
+    copies; the HOF evaluates interpreted, so there is no codegen CSE
+    to fall back on)."""
     from solarpaneldatawrangler_spark.functions.text import c4_kept_lines
 
     docs = load_table(spark, sf_dir, "documents")
     lt = _c4_ltext_spark()
-    # the kept-lines array is projected as a MULTI-referenced alias in
-    # its own step: CollapseProject refuses to inline a non-cheap
-    # alias referenced more than once, so the O(doc) line filter runs
-    # ONCE per row instead of once per derived column (struct fields
-    # would NOT achieve this — SimplifyExtractValueOps rewrites
-    # GetStructField(CreateNamedStruct) back into per-field copies of
-    # the expression; the HOF evaluates interpreted, so there is no
-    # codegen CSE to fall back on)
     step = docs.select(
         "doc_id",
         lt.alias("_lt"),
@@ -2151,88 +2243,15 @@ def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- DSIR importance resampling (Xie et al. 2023) ---------------------------
-
-_DSIR_B = 512
-_DSIR_K = 100
-_DSIR_SEED = "0"
-
-
-def _q72_oracle_or_none() -> str | None:
-    """The fitted ratio table (dsir_ratios_for_dir at ORACLE_SF_DIR —
-    the function the Spark query also calls, the q67 trained-model
-    contract) replays as VALUES; features, the exact decimal weight
-    sum, the md5-Gumbel keys, and the top-k selection replay in plain
-    SQL. Degrades to rows-only ONLY when the testdata parquet is
-    genuinely absent at import — narrowly caught and announced on
-    stderr, so a demoted q72 is a visible event, never a silent one
-    (r8 review: a bare except here would let any import-order hiccup
-    quietly drop the hash check)."""
-    from solarpaneldatawrangler_spark.operators.dsir import (
-        dsir_features_sql,
-        dsir_ratios_for_dir,
-        dsir_ratios_values_sql,
-    )
-    from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
-
-    try:
-        ratios = dsir_ratios_for_dir(ORACLE_SF_DIR, n_buckets=_DSIR_B)
-    except FileNotFoundError as ex:
-        import sys
-
-        print(
-            "WARNING: q72_dsir oracle demoted to rows-only — testdata "
-            f"absent at import ({ex})",
-            file=sys.stderr,
-        )
-        return None
-    values = dsir_ratios_values_sql(ratios)
-    feats = dsir_features_sql("text", _DSIR_B)
-    return f"""
-    WITH ratios(b, r) AS (VALUES {values}),
-    feats AS (
-        SELECT doc_id, unnest({feats}) AS b FROM documents
-    ),
-    w AS (
-        SELECT f.doc_id,
-               CAST(SUM(CAST(ratios.r AS DECIMAL(27,6))) AS DOUBLE) AS w,
-               COUNT(*) AS n
-        FROM feats f JOIN ratios USING (b) GROUP BY f.doc_id
-    ),
-    keys AS (
-        SELECT d.doc_id,
-               COALESCE(w.n, 0) AS dsir_n,
-               COALESCE(w.w, 0.0) AS dsir_w_r,
-               ROUND(COALESCE(w.w, 0.0) + -ln(-ln(
-                   ((('0x' || substr(md5('{_DSIR_SEED}:' ||
-                        CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
-                    / 4294967296.0))), 6) AS dsir_key_r
-        FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
-    ),
-    rk AS (
-        SELECT *, RANK() OVER (ORDER BY dsir_key_r DESC, doc_id) AS rnk
-        FROM keys
-    )
-    SELECT doc_id, dsir_n, dsir_w_r, dsir_key_r,
-           rnk <= {_DSIR_K} AS sel
-    FROM rk
-    """
-
-
-@register(
-    "q72_dsir",
-    oracle=_q72_oracle_or_none(),
-    doc="DSIR importance resampling (Xie et al. 2023): hashed "
-    "unigram+bigram bag features, target-vs-raw log importance ratio "
-    "table fitted on the dir (target = doc_id % 7 == 0, the trained-"
-    "model oracle contract), per-doc weight as an exact DECIMAL fold "
-    "inside the scan, deterministic md5-Gumbel keys, and the Gumbel-"
-    "top-k selected set (TakeOrderedAndProject, bounded k). Hashed "
-    "surfaces: dsir_n (feature count), dsir_w_r (exact decimal weight "
-    "sum), dsir_key_r (6dp Gumbel key), sel (membership in the "
-    "selected 100).",
-)
-def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_workload(
+    spark: SparkSession, sf_dir: str, ratios=None
+) -> DataFrame:
+    """The retired q72 body verbatim: (doc_id, dsir_n, dsir_w_r,
+    dsir_key_r, sel). Two selects: dsir_key_r is built from the
+    dsir_w_r COLUMN, not the weight expression — the dsir_select
+    idiom, so the O(features) interpreted HOF fold runs ONCE per row
+    (embedding w in both output and key ran it twice; HOF subtrees
+    get no codegen CSE)."""
     from solarpaneldatawrangler_spark.operators.dsir import (
         dsir_features,
         dsir_gumbel_key,
@@ -2241,12 +2260,9 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    ratios = dsir_ratios_for_dir(sf_dir, n_buckets=_DSIR_B)
+    if ratios is None:
+        ratios = dsir_ratios_for_dir(sf_dir, n_buckets=_DSIR_B)
     t = F.col("text")
-    # two selects: dsir_key_r is built from the dsir_w_r COLUMN, not
-    # the weight expression — the dsir_select idiom, so the O(features)
-    # interpreted HOF fold runs ONCE per row (embedding w in both
-    # output and key ran it twice; HOF subtrees get no codegen CSE)
     scored = docs.select(
         "doc_id",
         F.size(dsir_features(t, _DSIR_B)).cast("long").alias("dsir_n"),
@@ -2266,78 +2282,4 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.join(top, "doc_id", "left").withColumn(
         "sel", F.coalesce("sel", F.lit(False))
-    )
-
-
-_DSIR_T = 0.0
-
-
-def _q73_oracle_or_none() -> str | None:
-    """Threshold-mode DSIR replay: same fitted ratio table and exact
-    DECIMAL weight as q72, selection = the streaming `w >= t` filter
-    instead of Gumbel-top-k. Same narrow missing-testdata demotion
-    contract as q72 (loud, FileNotFoundError only)."""
-    from solarpaneldatawrangler_spark.operators.dsir import (
-        dsir_features_sql,
-        dsir_ratios_for_dir,
-        dsir_ratios_values_sql,
-    )
-    from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
-
-    try:
-        ratios = dsir_ratios_for_dir(ORACLE_SF_DIR, n_buckets=_DSIR_B)
-    except FileNotFoundError as ex:
-        import sys
-
-        print(
-            "WARNING: q73_dsir_threshold oracle demoted to rows-only — "
-            f"testdata absent at import ({ex})",
-            file=sys.stderr,
-        )
-        return None
-    values = dsir_ratios_values_sql(ratios)
-    feats = dsir_features_sql("text", _DSIR_B)
-    return f"""
-    WITH ratios(b, r) AS (VALUES {values}),
-    feats AS (
-        SELECT doc_id, unnest({feats}) AS b FROM documents
-    ),
-    w AS (
-        SELECT f.doc_id,
-               CAST(SUM(CAST(ratios.r AS DECIMAL(27,6))) AS DOUBLE) AS w
-        FROM feats f JOIN ratios USING (b) GROUP BY f.doc_id
-    )
-    SELECT d.doc_id, COALESCE(w.w, 0.0) AS dsir_w
-    FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id
-    WHERE d.text IS NOT NULL AND COALESCE(w.w, 0.0) >= {_DSIR_T}
-    """
-
-
-@register(
-    "q73_dsir_threshold",
-    oracle=_q73_oracle_or_none(),
-    doc="Threshold-mode DSIR selection (r9, completing the published "
-    "recipe's deployment story): same fitted hashed-n-gram importance "
-    "weights as q72, but selection is the streaming `log-weight >= t` "
-    "scan-side filter — zero shuffle, no global order, the corpus-"
-    "sized-keep shape (operators.dsir.dsir_select_threshold). Hashed "
-    "surfaces: the surviving doc_ids and their exact decimal weights.",
-)
-def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from solarpaneldatawrangler_spark.operators.dsir import (
-        dsir_ratios_for_dir,
-        dsir_select_threshold,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    ratios = dsir_ratios_for_dir(sf_dir, n_buckets=_DSIR_B)
-    # EMPTY-text docs: zero features -> weight 0.0 on both sides (the
-    # oracle's LEFT JOIN COALESCE, the Spark fold over an empty
-    # array). NULL-text docs: Spark scores null -> filtered (the
-    # conservative-admission rule dsir_select_threshold documents), so
-    # the oracle carries an explicit text IS NOT NULL (review-caught:
-    # COALESCE alone would KEEP null-text docs at weight 0.0 and
-    # diverge on any corpus containing one)
-    return dsir_select_threshold(docs, ratios, _DSIR_T).select(
-        "doc_id", F.col("dsir_w")
     )

@@ -303,30 +303,33 @@ def test_curate_corpus_dsir_requires_k_or_threshold(spark):
         curate_corpus(raw, min_quality=0.0, dsir_target=target).count()
 
 
-def test_q72_q73_oracles_present_when_testdata_exists():
+def test_q52_dsir_oracle_present_when_testdata_exists():
     """When the oracle testdata exists (it does in this environment),
-    q72/q73 MUST carry a full hash oracle — a rows-only demotion is a
-    pipeline event, not a silent default (r8 judge item 4)."""
+    q52 — which carries the merged DSIR surface since r10 — MUST have
+    a full hash oracle including the DSIR columns; a rows-only
+    demotion is a pipeline event, not a silent default (r8 judge
+    item 4)."""
     import os
 
     from solarpaneldatawrangler_spark.plans import CATALOG
     from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
 
     assert os.path.exists(f"{ORACLE_SF_DIR}/documents.parquet")
-    assert CATALOG["q72_dsir"].oracle is not None
-    assert CATALOG["q73_dsir_threshold"].oracle is not None
+    oracle = CATALOG["q52_quality_score"].oracle
+    assert oracle is not None
+    assert "dsir_key_r" in oracle and "dsir_thr_kept" in oracle
 
 
-def test_q72_oracle_demotion_is_loud(monkeypatch, capsys):
-    """A missing testdata path demotes the q72 oracle to rows-only
+def test_q52_dsir_oracle_demotion_is_loud(monkeypatch, capsys):
+    """A missing testdata path demotes the q52 oracle to rows-only
     VISIBLY (stderr warning) and only on the narrow missing-file
     error — any other failure propagates."""
     from solarpaneldatawrangler_spark.plans import catalog as cat
     from solarpaneldatawrangler_spark.plans.extension_queries import (
-        _q72_oracle_or_none,
+        _q52_oracle_or_none,
     )
 
     monkeypatch.setattr(cat, "ORACLE_SF_DIR", "/nonexistent/sfX")
-    assert _q72_oracle_or_none() is None
+    assert _q52_oracle_or_none() is None
     err = capsys.readouterr().err
-    assert "q72_dsir oracle demoted to rows-only" in err
+    assert "q52_quality_score oracle demoted to rows-only" in err

@@ -464,18 +464,19 @@ def test_bloom_null_items_get_real_verdicts_both_engines(spark):
     assert got["other"] == rows["other"]
 
 
-def test_q73_oracle_excludes_null_text_like_spark_does():
+def test_q52_threshold_oracle_excludes_null_text_like_spark_does():
     """dsir_select_threshold drops NULL-text docs (null weight never
-    passes >= t); the q73 oracle must carry the matching text IS NOT
-    NULL — COALESCE alone would keep them at weight 0.0 and diverge
-    on any corpus containing one (review-caught)."""
+    passes >= t); the merged q52 oracle's dsir_thr_kept must carry
+    the matching text IS NOT NULL — COALESCE alone would keep them
+    at weight 0.0 and diverge on any corpus containing one
+    (review-caught; surface moved from retired q73 in r10)."""
     from solarpaneldatawrangler_spark.plans import CATALOG
 
-    oracle = CATALOG["q73_dsir_threshold"].oracle
+    oracle = CATALOG["q52_quality_score"].oracle
     if oracle is None:
         import pytest
 
-        pytest.skip("q73 oracle demoted (testdata absent)")
+        pytest.skip("q52 oracle demoted (testdata absent)")
     assert "text IS NOT NULL" in oracle
 
 
