@@ -1109,11 +1109,10 @@ def _pack_bench(spark, sf_dir):
 
 
 def _image_neardup_bench(spark, sf_dir):
-    """q86's workload: dHash in one Arrow stage, banded equi-join,
-    popcount verify — only (id, hash) rows shuffle."""
-    from solarpaneldatawrangler_spark.plans import CATALOG
-
-    return CATALOG["q86_image_neardup"].fn(spark, sf_dir)
+    """The image-dedup workload (q62's merged 'imagedup' half): dHash
+    in one Arrow stage, banded equi-join, popcount verify — only
+    (id, hash) rows shuffle."""
+    return _x2.image_neardup_workload(spark, sf_dir)
 
 
 def _mixture_bench(spark, sf_dir):

@@ -2015,11 +2015,46 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flatMap, exact pixel windows) -> 3x3 stitch (explode-to-center + "
     "applyInPandas, one shuffle, exact canvas paste) -> batched "
     "mean-pixel inference (iterator pandas UDF) -> count of positives "
-    "per zoom. Driver check is rows-only (pixel semantics aren't "
-    "SQL-expressible) but the output is pinned to an exact golden in "
-    "tests/test_operators_unit.py::test_q62_pixel_golden.",
+    "per zoom ('pipeline' rows: a=zoom, b=n_tiles, v=n_positive). "
+    "MERGED (r10, absorbing retired q86 — the other rows-only "
+    "multimodal surface): 'imagedup' rows (a=id_a, b=id_b, v=hamming) "
+    "carry image near-duplicate pairs (operators.multimodal."
+    "image_neardup_pairs, the LAION-style dedup step): dHash "
+    "perceptual hash per image (decode -> grayscale -> bilinear 8x9 -> "
+    "gradient sign bits, one BIGINT), 16-bit band equi-join "
+    "candidates, exact bit_count(XOR) verify — pixels read once in "
+    "one Arrow stage, only (id, 64-bit hash) rows shuffle; workload = "
+    "deterministic NumpyCodec images with 30 planted twins. Driver "
+    "check is rows-only (pixel semantics aren't SQL-expressible) but "
+    "both halves are pinned to exact goldens: test_operators_unit."
+    "test_q62_pixel_golden and tests/test_image_dedup.py's planted-"
+    "twin recall + zero-false-pair tests.",
 )
 def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from solarpaneldatawrangler_spark.plans.extension_queries2 import (
+        image_neardup_workload,
+    )
+
+    def tagged(method, a, b, v):
+        return [
+            F.lit(method).alias("method"),
+            a.cast("long").alias("a"),
+            b.cast("long").alias("b"),
+            v.cast("long").alias("v"),
+        ]
+
+    pipeline_rows = _q62_pipeline(spark, sf_dir).select(
+        *tagged(
+            "pipeline", F.col("zoom"), F.col("n_tiles"), F.col("n_positive")
+        )
+    )
+    imagedup_rows = image_neardup_workload(spark, sf_dir).select(
+        *tagged("imagedup", F.col("id_a"), F.col("id_b"), F.col("hamming"))
+    )
+    return pipeline_rows.unionByName(imagedup_rows)
+
+
+def _q62_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.multimodal import (
         NumpyCodec,
         classify_tiles,

@@ -760,26 +760,17 @@ def kmv_jaccard_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
 # already time the operators directly.
 
 
-# --- image near-duplicate dedup (perceptual hash) -----------------------------
+# --- image near-duplicate dedup: retired q86 — absorbed into
+# q62_multimodal_pipeline (r10) as its 'imagedup'-tagged row half (the
+# other rows-only multimodal surface; planted-twin goldens pin it in
+# test_image_dedup + test_operators_unit). Workload kept for q62 and
+# bench's x_image_neardup.
 
-@register(
-    "q86_image_neardup",
-    oracle=None,  # binary pixel decode is not SQL-expressible (q62's
-    # precedent); determinism is pinned instead by pixel goldens and
-    # planted-twin tests in tests/test_image_dedup.py
-    doc="Image near-duplicate pairs (operators.multimodal."
-    "image_neardup_pairs; the LAION-style image-dedup step): dHash "
-    "perceptual hash per image (decode -> grayscale -> bilinear 8x9 -> "
-    "horizontal gradient sign bits, one BIGINT), 16-bit band "
-    "equi-join candidates, exact bit_count(XOR) verify. Workload: "
-    "deterministic 40x40 NumpyCodec images seeded from the first 60 "
-    "doc ids, every odd doc reusing its even neighbor's seed — 30 "
-    "planted exact twins the probe must find (hamming 0) with zero "
-    "false pairs among the noise images. Rows-only by design; the "
-    "plan is the multimodal twin of q56/q63: pixels read once in one "
-    "Arrow stage, only (id, 64-bit hash) rows ever shuffle.",
-)
-def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+def image_neardup_workload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash + banded-Hamming image near-dup over deterministic 40x40
+    NumpyCodec images seeded from the first 60 doc ids, every odd doc
+    reusing its even neighbor's seed — 30 planted exact twins the
+    probe must find (hamming 0) with zero false pairs."""
     import pandas as pd
 
     from solarpaneldatawrangler_spark.operators.multimodal import (

@@ -184,7 +184,14 @@ def test_q62_pixel_golden(spark, sf_dir):
     from solarpaneldatawrangler_spark.plans import CATALOG
 
     rows = CATALOG["q62_multimodal_pipeline"].fn(spark, sf_dir).collect()
-    assert [(r.zoom, r.n_tiles, r.n_positive) for r in rows] == [(21, 500, 384)]
+    # 'pipeline' half: the r1-r9 golden, unchanged under the r10 tag
+    # schema (a=zoom, b=n_tiles, v=n_positive)
+    pipeline = [(r.a, r.b, r.v) for r in rows if r.method == "pipeline"]
+    assert pipeline == [(21, 500, 384)]
+    # 'imagedup' half (absorbed q86): the 30 planted even/odd twins and
+    # nothing else — recall + zero false pairs at hamming 0
+    dup = sorted((r.a, r.b, r.v) for r in rows if r.method == "imagedup")
+    assert dup == [(2 * i, 2 * i + 1, 0) for i in range(30)]
 
 
 def test_stratified_hash_sample(spark, sf_dir):
