@@ -795,7 +795,9 @@ def _q52_oracle_or_none() -> str | None:
     "ONCE — the double-eval guard), dsir_key_r (6dp md5-Gumbel key), "
     "dsir_sel (Gumbel-top-100 membership), and dsir_thr_kept (the "
     "q73 threshold mode: the streaming `weight >= t` scan-side "
-    "verdict via operators.dsir.dsir_select_threshold).",
+    "verdict, derived from the same weight column so the fold never "
+    "runs twice; operator parity with operators.dsir."
+    "dsir_select_threshold is pinned in test_dsir).",
 )
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.functions.text import (
@@ -862,22 +864,23 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(strip_markup(mtext)).alias("strip_fp"),
     )
     kw = tfidf_keywords(docs, k=3, stopwords=EN_STOPWORDS)
-    from solarpaneldatawrangler_spark.operators.dsir import (
-        dsir_ratios_for_dir,
-        dsir_select_threshold,
-    )
-
     c4 = c4_filter_workload(spark, sf_dir)
-    ratios = dsir_ratios_for_dir(sf_dir, n_buckets=_DSIR_B)
-    dsir = dsir_workload(spark, sf_dir, ratios=ratios)
-    thr_kept = dsir_select_threshold(docs, ratios, _DSIR_T).select(
-        "doc_id", F.lit(True).alias("dsir_thr_kept")
+    # dsir_thr_kept is derived from the ALREADY-COMPUTED weight column
+    # instead of a second dsir_select_threshold scan: the O(features)
+    # fold runs once per row total (the q72 double-eval guard, applied
+    # across operators). Null text scores a NULL weight -> kept=false,
+    # exactly dsir_select_threshold's conservative-admission rule —
+    # operator parity is pinned by tests/test_dsir.py::
+    # test_threshold_select_matches_filter_semantics and the merged
+    # oracle's (text IS NOT NULL AND w >= t) replay.
+    dsir = dsir_workload(spark, sf_dir).withColumn(
+        "dsir_thr_kept",
+        F.coalesce(F.col("dsir_w_r") >= F.lit(_DSIR_T), F.lit(False)),
     )
     return (
         base.join(kw, "doc_id", "left")
         .join(c4, "doc_id")
         .join(dsir, "doc_id")
-        .join(thr_kept, "doc_id", "left")
         .select(
             "doc_id",
             "quality",
@@ -905,7 +908,7 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dsir_w_r",
             "dsir_key_r",
             F.col("sel").alias("dsir_sel"),
-            F.coalesce("dsir_thr_kept", F.lit(False)).alias("dsir_thr_kept"),
+            "dsir_thr_kept",
         )
     )
 

@@ -607,6 +607,41 @@ def cms_heavy_hitters_workload(
     return cms_estimate(sketch, top, "tok")
 
 
+# retired q78 (Bloom membership) — absorbed into q61_binary_meta (r10)
+# as its maybe_seen/truly_seen columns (the admission family's fast
+# path over the same even-id corpus half), hash-gated there. Workload
+# kept for bench's x_bloom_membership (q82_workload idiom).
+
+def bloom_membership_workload(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from solarpaneldatawrangler_spark.operators.sketches import (
+        bloom_build,
+        bloom_maybe_contains,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    item = F.coalesce(F.col("text"), F.lit(""))
+    members = docs.filter(F.col("doc_id") % 2 == 0).select(
+        item.alias("item")
+    )
+    bloom = bloom_build(members, F.col("item"))
+    probed = bloom_maybe_contains(
+        bloom, docs.select(item.alias("item")).distinct(), "item"
+    )
+    member_set = members.distinct().withColumn("truly_seen", F.lit(True))
+    return (
+        docs.select("doc_id", item.alias("item"))
+        .join(probed, "item")
+        .join(F.broadcast(member_set), "item", "left")
+        .select(
+            "doc_id",
+            "maybe_seen",
+            F.coalesce("truly_seen", F.lit(False)).alias("truly_seen"),
+        )
+    )
+
+
 # retired q79 (KMV distinct synopsis) — absorbed into
 # q13_distinct_round (r10) as its 'kmv'/'kmv_est' sketch-panel rows,
 # hash-gated there. Workload kept for bench's x_kmv_distinct.
