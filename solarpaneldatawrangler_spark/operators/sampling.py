@@ -308,3 +308,116 @@ def hash_sample_quantiles_sql(
     SELECT {gsel} MAX(_n) AS sample_n, {qs}
     FROM ranked {f"GROUP BY {g}" if g else ""}
     """
+
+
+# --- A-ES weighted sampling without replacement (Efraimidis-Spirakis) --------
+
+def es_key(
+    weight: Column, id_col: Column, seed: str = "0", dp: int = 6
+) -> Column:
+    """The Efraimidis-Spirakis (2006) reservoir key, exponential form:
+    key = -ln(u) / w with u uniform in (0, 1) — the k SMALLEST keys are
+    a weighted sample WITHOUT replacement (inclusion probability
+    proportional to w, one pass, mergeable: the bottom-k of a union is
+    the bottom-k of the per-shard bottom-k's, the KMV argument).
+
+    u is md5-derived from (seed, id) — (h + 0.5) / 2^32, never exactly
+    0 or 1 — so the sample is a deterministic function of the DATA
+    (rerun/repartition/engine-invariant, the hash_bucket contract) and
+    replays exactly in SQL via ``es_key_sql``. Rounded to ``dp``
+    decimals BEFORE ranking with an id tiebreak (the q58 contract) so
+    both engines rank identical doubles.
+
+    Weights must be > 0; a NULL or non-positive weight yields a NULL
+    key (conservative: never sampled) rather than a wrong-signed one.
+    """
+    h = md5_long(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    w = weight.cast("double")
+    key = -F.log(u) / w
+    return F.round(F.when(w > 0, key), dp)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "0",
+) -> DataFrame:
+    """The k rows with the smallest A-ES keys — a deterministic
+    weighted sample without replacement. Plan: the key is a scan-side
+    expression; the selection compiles to TakeOrderedAndProject(k) —
+    bounded state at any corpus size, no full sort, no RNG state.
+    Adds ``es_key_r``."""
+    keyed = df.withColumn("es_key_r", es_key(weight, F.col(id_col), seed))
+    return (
+        keyed.filter(F.col("es_key_r").isNotNull())
+        .orderBy(F.col("es_key_r").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def es_key_sql(
+    weight_expr: str, id_expr: str, seed: str = "0", dp: int = 6
+) -> str:
+    """DuckDB replay of ``es_key`` — the shared-builder idiom."""
+    u = (
+        f"(CAST(('0x' || substr(md5('{seed}:' || ({id_expr})), 1, 8))"
+        f"::BIGINT AS DOUBLE) + 0.5) / 4294967296.0"
+    )
+    w = f"CAST(({weight_expr}) AS DOUBLE)"
+    return (
+        f"ROUND(CASE WHEN {w} > 0 THEN -ln({u}) / {w} END, {dp})"
+    )
+
+
+# --- deterministic train/valid/test split ------------------------------------
+
+def split_assign(
+    id_col: Column,
+    fractions: dict[str, float],
+    seed: str = "split",
+) -> Column:
+    """Split label from a hash bucket: the [0,1) line is carved into
+    consecutive intervals in SORTED label order, so the assignment is
+    a pure function of (seed, id) — the standard leakage-safe
+    train/valid/test split (a document lands in the same split in
+    every rerun, engine, and pipeline stage; join-stable with any
+    derived table). Fractions must sum to 1 (validated)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    h = md5_long(F.concat(F.lit(f"{seed}:"), id_col.cast("string")))
+    bucket = h.cast("double") / F.lit(4294967296.0)
+    labels = sorted(fractions)
+    expr = F.lit(labels[-1])
+    acc = 0.0
+    arms = []
+    for name in labels[:-1]:
+        acc += fractions[name]
+        arms.append((acc, name))
+    for cut, name in reversed(arms):
+        expr = F.when(bucket < F.lit(cut), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def split_assign_sql(
+    id_expr: str, fractions: dict[str, float], seed: str = "split"
+) -> str:
+    """DuckDB replay of ``split_assign`` — same sorted-label interval
+    carving, same literals."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bucket = (
+        f"(CAST(('0x' || substr(md5('{seed}:' || ({id_expr})), 1, 8))"
+        f"::BIGINT AS DOUBLE) / 4294967296.0)"
+    )
+    labels = sorted(fractions)
+    arms = []
+    acc = 0.0
+    for name in labels[:-1]:
+        acc += fractions[name]
+        arms.append(f"WHEN {bucket} < {acc!r} THEN '{name}'")
+    return f"CASE {' '.join(arms)} ELSE '{labels[-1]}' END"

@@ -970,13 +970,22 @@ _HLL_TOKS_SQL = (
 )
 
 
+# the deterministic train/valid/test carve the merged q53 split column
+# uses — the leakage-safe 90/5/5 standard
+_SPLIT_FRACTIONS = {"train": 0.9, "valid": 0.05, "test": 0.05}
+
+
 def _q53_oracle_or_none() -> str | None:
+    from solarpaneldatawrangler_spark.operators.sampling import (
+        split_assign_sql,
+    )
     from solarpaneldatawrangler_spark.operators.sketches import hll_sql
 
     values = _lang_rates_values_or_none()
     wvalues = _lang_rates_values_or_none(f"SUM(len({_SQL_TOKS}))")
     if values is None or wvalues is None:
         return None
+    split = split_assign_sql("s.doc_id", _SPLIT_FRACTIONS)
     hll_toks = f"""(
         SELECT lang, unnest({_HLL_TOKS_SQL}) AS tok FROM documents
     ) t"""
@@ -1045,7 +1054,8 @@ def _q53_oracle_or_none() -> str | None:
            (g.words_ok AND g.mwl_ok AND g.hash_ok AND g.ellipsis_sym_ok
             AND g.bullet_ok AND g.ellipsis_ok AND g.alpha_ok
             AND g.stopword_ok) AS gopher_ok,
-           h.hll_zeros, h.hll_est_r, hx.lang_distinct_tok
+           h.hll_zeros, h.hll_est_r, hx.lang_distinct_tok,
+           {split} AS split
     FROM scores s
     JOIN trates t USING (lang)
     JOIN twrates w USING (lang)
@@ -1093,12 +1103,18 @@ def _q53_oracle_or_none() -> str | None:
     "each doc row as hll_zeros / hll_est_r via the same per-lang "
     "broadcast join the rate columns use; lang_distinct_tok (the "
     "exact count) rides along so every row shows the sketch error. "
-    "Oracle via the shared hll_sql builder.",
+    "Oracle via the shared hll_sql builder. ALSO MERGED (r10b): the "
+    "deterministic train/valid/test split label (operators.sampling."
+    "split_assign, 90/5/5): the [0,1) hash line carved into sorted-"
+    "label intervals, a pure function of (seed, id) — leakage-safe, "
+    "rerun/engine-invariant, join-stable with any derived table; "
+    "oracle via the shared split_assign_sql builder.",
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.curation import bigram_lm_score
     from solarpaneldatawrangler_spark.operators.sampling import (
         hash_bucket,
+        split_assign,
         temperature_rates,
     )
 
@@ -1169,6 +1185,7 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_zeros",
             "hll_est_r",
             "lang_distinct_tok",
+            split_assign(F.col("doc_id"), _SPLIT_FRACTIONS).alias("split"),
         )
     )
 

@@ -191,13 +191,23 @@ def _q46_sample_exact() -> str:
 
 
 def _q46_oracle() -> str:
+    from solarpaneldatawrangler_spark.operators.sampling import es_key_sql
     from solarpaneldatawrangler_spark.plans.extension_queries import (
         _SQL_TOKS,
         _SW_LIST,
     )
 
+    eskey = es_key_sql("GREATEST(n_chars, 1)", "doc_id", seed="es")
     return f"""
-    WITH dq AS (
+    WITH wsample AS (
+        SELECT CAST(doc_id AS VARCHAR) AS key,
+               {eskey} AS median_r,
+               CAST(GREATEST(n_chars, 1) AS DOUBLE) AS m3
+        FROM documents
+        ORDER BY median_r ASC, doc_id ASC
+        LIMIT 50
+    ),
+    dq AS (
         SELECT lang,
                len({_SQL_TOKS}) AS nt,
                ROUND(
@@ -244,6 +254,11 @@ def _q46_oracle() -> str:
            CAST(NULL AS DOUBLE) AS m5
     FROM ({_q46_sample_est()}) est
     JOIN ({_q46_sample_exact()}) exact USING (l_returnflag)
+    UNION ALL
+    SELECT 'wsample' AS tag, key, median_r,
+           CAST(NULL AS DOUBLE) AS p90_r, m3,
+           CAST(NULL AS DOUBLE) AS m4, CAST(NULL AS DOUBLE) AS m5
+    FROM wsample
     """
 
 
@@ -268,7 +283,14 @@ def _q46_oracle() -> str:
     "and engines, so the sample percentile_disc is hash-checkable; the "
     "corpus-scale quantile shape: only the rate-bounded sample sorts). "
     "m3 = sample size, m4 = the rate=1.0 exact median riding along to "
-    "show sampling error.",
+    "show sampling error. ALSO MERGED (r10b): 'wsample'-tagged rows "
+    "carry an Efraimidis-Spirakis (2006) WEIGHTED sample without "
+    "replacement over documents (operators.sampling.weighted_sample, "
+    "weight = n_chars, k=50): key = -ln(u)/w with u md5-derived from "
+    "(seed, id) — deterministic, engine-replayable (shared es_key_sql "
+    "builder), mergeable (bottom-k of a union = bottom-k of per-shard "
+    "bottom-k's, the KMV argument), and the selection compiles to "
+    "TakeOrderedAndProject(k) — bounded state, no full sort, no RNG.",
 )
 def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.curation import (
@@ -276,6 +298,7 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from solarpaneldatawrangler_spark.operators.sampling import (
         hash_sample_quantiles,
+        weighted_sample,
     )
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -326,7 +349,27 @@ def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_q50").alias("m4"),
         F.lit(None).cast("double").alias("m5"),
     )
-    return price.unionByName(card).unionByName(sample)
+    docs = load_table(spark, sf_dir, "documents")
+    wsample = weighted_sample(
+        docs.select(
+            "doc_id",
+            F.greatest(F.col("n_chars"), F.lit(1)).alias("_w"),
+        ),
+        F.col("_w"),
+        k=50,
+        seed="es",
+    ).select(
+        F.lit("wsample").alias("tag"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("es_key_r").alias("median_r"),
+        F.lit(None).cast("double").alias("p90_r"),
+        F.col("_w").cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
+        F.lit(None).cast("double").alias("m5"),
+    )
+    return (
+        price.unionByName(card).unionByName(sample).unionByName(wsample)
+    )
 
 
 # --- U3/S13: ON-CONFLICT-IGNORE upsert (solardb.py:83-97) -------------------
