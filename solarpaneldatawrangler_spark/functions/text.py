@@ -800,3 +800,35 @@ def md5_long(s: Column) -> Column:
     MinHash variant. The production path uses xxhash64 (faster, JVM).
     """
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def sql_str_literal(s: str) -> str:
+    """A SQL string literal with embedded single quotes doubled
+    (o'reilly -> 'o''reilly') — the ONE escaping rule every *_sql
+    builder that interpolates caller-provided names/labels/seeds must
+    use; an unescaped arm is malformed SQL or, worse, a semantically
+    different expression than the Spark twin (review-caught in
+    mixture_case_sql, then again in split_assign_sql)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def norm_toks_sql(text_expr: str = "text") -> str:
+    """DuckDB fragment: whitespace tokens of lowercased text with NULL
+    normalized to '' first — the sketch/HLL item relation. ONE
+    definition shared by every plan module (the shared-builder idiom);
+    a second spelling of this fragment is how hash surfaces silently
+    drift apart."""
+    return (
+        f"list_filter(string_split_regex(lower(COALESCE({text_expr}, '')),"
+        " '\\s+'), w -> len(w) > 0)"
+    )
+
+
+def norm_text_sql(text_expr: str = "text") -> str:
+    """DuckDB fragment: whitespace-normalized lowercased text, NULL ->
+    '' — the exact-dedup / corpus-diff / KMV content normalization
+    (the Spark twin is functions.text.fingerprint's input)."""
+    return (
+        f"regexp_replace(trim(lower(COALESCE({text_expr}, ''))),"
+        " '\\s+', ' ', 'g')"
+    )

@@ -128,14 +128,11 @@ def mixture_case_sql(
     """The (weight_case, stride_case, lcm) SQL fragments replaying
     mixture_order's literal weight lookup — shared by the q85 oracle so
     the Spark CASE chain and the SQL CASE can never drift."""
+    from solarpaneldatawrangler_spark.functions.text import (
+        sql_str_literal as q,
+    )
+
     lcm = math.lcm(*(set(weights.values()) | {default_weight}))
-
-    def q(name: str) -> str:
-        # SQL string literal: double embedded quotes (o'reilly ->
-        # 'o''reilly') — the Spark CASE chain compares the raw name,
-        # so an unescaped arm would silently diverge from it
-        return "'" + name.replace("'", "''") + "'"
-
     w_arms = " ".join(
         f"WHEN {q(name)} THEN {weights[name]}" for name in sorted(weights)
     )

@@ -361,9 +361,14 @@ def weighted_sample(
 def es_key_sql(
     weight_expr: str, id_expr: str, seed: str = "0", dp: int = 6
 ) -> str:
-    """DuckDB replay of ``es_key`` — the shared-builder idiom."""
+    """DuckDB replay of ``es_key`` — the shared-builder idiom. The
+    seed interpolates as a properly escaped string literal
+    (sql_str_literal), matching the Spark twin on any seed."""
+    from solarpaneldatawrangler_spark.functions.text import sql_str_literal
+
+    seed_lit = sql_str_literal(f"{seed}:")
     u = (
-        f"(CAST(('0x' || substr(md5('{seed}:' || ({id_expr})), 1, 8))"
+        f"(CAST(('0x' || substr(md5({seed_lit} || ({id_expr})), 1, 8))"
         f"::BIGINT AS DOUBLE) + 0.5) / 4294967296.0"
     )
     w = f"CAST(({weight_expr}) AS DOUBLE)"
@@ -406,18 +411,27 @@ def split_assign_sql(
     id_expr: str, fractions: dict[str, float], seed: str = "split"
 ) -> str:
     """DuckDB replay of ``split_assign`` — same sorted-label interval
-    carving, same literals."""
+    carving, same literals. Labels and the seed interpolate as
+    properly escaped string literals (sql_str_literal — the
+    mixture_case_sql lesson), and the degenerate single-label input
+    ({label: 1.0}, which the Spark twin accepts) emits the bare
+    literal instead of an armless, unparseable CASE."""
+    from solarpaneldatawrangler_spark.functions.text import sql_str_literal
+
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1, got {total}")
+    seed_lit = sql_str_literal(f"{seed}:")
     bucket = (
-        f"(CAST(('0x' || substr(md5('{seed}:' || ({id_expr})), 1, 8))"
+        f"(CAST(('0x' || substr(md5({seed_lit} || ({id_expr})), 1, 8))"
         f"::BIGINT AS DOUBLE) / 4294967296.0)"
     )
     labels = sorted(fractions)
+    if len(labels) == 1:
+        return sql_str_literal(labels[0])
     arms = []
     acc = 0.0
     for name in labels[:-1]:
         acc += fractions[name]
-        arms.append(f"WHEN {bucket} < {acc!r} THEN '{name}'")
-    return f"CASE {' '.join(arms)} ELSE '{labels[-1]}' END"
+        arms.append(f"WHEN {bucket} < {acc!r} THEN {sql_str_literal(name)}")
+    return f"CASE {' '.join(arms)} ELSE {sql_str_literal(labels[-1])} END"

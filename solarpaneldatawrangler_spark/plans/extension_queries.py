@@ -63,10 +63,13 @@ from solarpaneldatawrangler_spark.operators.dedup import (  # noqa: E402
 
 # q81-absorption fragment (r10): the corpus-diff content fingerprint —
 # identical to the exact-dedup store fingerprint, NULL->'' first
-_DIFF_FP = (
-    "md5(regexp_replace(trim(lower(COALESCE(text, ''))), "
-    "'\\s+', ' ', 'g'))"
+# (normalization via the ONE shared builder so spellings can't drift)
+from solarpaneldatawrangler_spark.functions.text import (  # noqa: E402
+    norm_text_sql,
+    norm_toks_sql,
 )
+
+_DIFF_FP = f"md5({norm_text_sql()})"
 
 _PARA_CTES = f"""
     built AS (
@@ -963,11 +966,8 @@ def _and_all(cols):
 
 
 # q76-absorption fragment (r10): tokens with NULL text normalized —
-# the exact item relation the retired q76 sketched
-_HLL_TOKS_SQL = (
-    "list_filter(string_split_regex(lower(COALESCE(text, '')), '\\s+'),"
-    " w -> len(w) > 0)"
-)
+# the exact item relation the retired q76 sketched (shared builder)
+_HLL_TOKS_SQL = norm_toks_sql()
 
 
 # the deterministic train/valid/test carve the merged q53 split column
@@ -1061,8 +1061,8 @@ def _q53_oracle_or_none() -> str | None:
     JOIN twrates w USING (lang)
     LEFT JOIN blm l ON l.doc_id = s.doc_id
     JOIN gflags g ON g.doc_id = s.doc_id
-    JOIN hll h ON h.lang = s.lang
-    JOIN hexact hx ON hx.lang = s.lang
+    LEFT JOIN hll h ON h.lang = s.lang
+    LEFT JOIN hexact hx ON hx.lang = s.lang
     """
 
 
@@ -1164,8 +1164,12 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "lang")
         .join(F.broadcast(wrates), "lang")
         .join(lm, "doc_id")
-        .join(F.broadcast(hll), "lang")
-        .join(F.broadcast(hexact), "lang")
+        # LEFT: a lang whose every doc has NULL/whitespace-only text
+        # emits no token rows, so it is absent from the aggregates —
+        # an inner join would silently drop that lang's docs from the
+        # whole q53 output (review-caught coverage regression)
+        .join(F.broadcast(hll), "lang", "left")
+        .join(F.broadcast(hexact), "lang", "left")
         .select(
             "doc_id",
             "lang",
@@ -2226,19 +2230,20 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     item = F.coalesce(F.col("text"), F.lit(""))
     members = docs.filter(F.col("doc_id") % 2 == 0).select(item.alias("item"))
     bloom = bloom_build(members, F.col("item"))
+    # the probe attaches scan-side to the per-doc rows directly (the
+    # operator's own contract — zero join, zero shuffle); a
+    # distinct-then-join-back formulation would regroup the corpus on
+    # full document TEXT to evaluate a constant-size filter
+    # (review-caught anti-pattern carried from retired q78). Only the
+    # truly_seen ride-along pays a join, and it is a broadcast.
     probed = bloom_maybe_contains(
-        bloom, docs.select(item.alias("item")).distinct(), "item"
+        bloom, docs.select("doc_id", item.alias("item")), "item"
     )
     member_set = members.distinct().withColumn("truly_seen", F.lit(True))
-    bloom_cols = (
-        docs.select("doc_id", item.alias("item"))
-        .join(probed, "item")
-        .join(F.broadcast(member_set), "item", "left")
-        .select(
-            "doc_id",
-            "maybe_seen",
-            F.coalesce("truly_seen", F.lit(False)).alias("truly_seen"),
-        )
+    bloom_cols = probed.join(F.broadcast(member_set), "item", "left").select(
+        "doc_id",
+        "maybe_seen",
+        F.coalesce("truly_seen", F.lit(False)).alias("truly_seen"),
     )
     content = F.encode(F.col("text"), "UTF-8")
     return (

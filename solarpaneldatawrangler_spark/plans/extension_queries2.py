@@ -626,19 +626,16 @@ def bloom_membership_workload(
         item.alias("item")
     )
     bloom = bloom_build(members, F.col("item"))
+    # scan-side probe on the per-doc rows (zero join, zero shuffle) —
+    # the q61 formulation; only truly_seen pays a broadcast join
     probed = bloom_maybe_contains(
-        bloom, docs.select(item.alias("item")).distinct(), "item"
+        bloom, docs.select("doc_id", item.alias("item")), "item"
     )
     member_set = members.distinct().withColumn("truly_seen", F.lit(True))
-    return (
-        docs.select("doc_id", item.alias("item"))
-        .join(probed, "item")
-        .join(F.broadcast(member_set), "item", "left")
-        .select(
-            "doc_id",
-            "maybe_seen",
-            F.coalesce("truly_seen", F.lit(False)).alias("truly_seen"),
-        )
+    return probed.join(F.broadcast(member_set), "item", "left").select(
+        "doc_id",
+        "maybe_seen",
+        F.coalesce("truly_seen", F.lit(False)).alias("truly_seen"),
     )
 
 

@@ -343,14 +343,16 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
 # + the r10 sketch panel (retired q77/q79/q83 absorbed; see the doc)
 
 # normalized-token / normalized-text fragments shared with the retired
-# sketch queries' semantics
-_SKETCH_TOKS_SQL = (
-    "list_filter(string_split_regex(lower(COALESCE(text, '')), '\\s+'),"
-    " w -> len(w) > 0)"
+# sketch queries' semantics — via the ONE shared builder
+# (functions.text), so the tokenization/normalization spelling cannot
+# drift between plan modules (review-caught duplication)
+from solarpaneldatawrangler_spark.functions.text import (  # noqa: E402
+    norm_text_sql,
+    norm_toks_sql,
 )
-_SKETCH_NORM_SQL = (
-    "regexp_replace(trim(lower(COALESCE(text, ''))), '\\s+', ' ', 'g')"
-)
+
+_SKETCH_TOKS_SQL = norm_toks_sql()
+_SKETCH_NORM_SQL = norm_text_sql()
 
 
 def _q13_oracle() -> str:

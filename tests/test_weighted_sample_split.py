@@ -145,3 +145,48 @@ def test_split_fractions_must_sum_to_one():
         split_assign(F.lit(1), {"train": 0.5, "test": 0.4})
     with pytest.raises(ValueError, match="sum to 1"):
         split_assign_sql("r", {"train": 0.5, "test": 0.6})
+
+
+def test_split_sql_handles_quoted_labels_and_single_label(spark):
+    """Review-caught (the mixture_case_sql lesson, round 2): labels and
+    seeds with embedded quotes must emit escaped SQL literals, and the
+    degenerate {label: 1.0} input — which the Spark twin accepts —
+    must emit parseable SQL (a WHEN-less CASE is a syntax error)."""
+    con = duckdb.connect()
+    sql = split_assign_sql("r", {"train": 1.0})
+    assert con.execute(
+        f"SELECT {sql} FROM range(3) t(r)"
+    ).fetchall() == [("train",)] * 3
+
+    fr = {"tr'ain": 0.5, "b": 0.5}
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    spark_rows = {
+        r.doc_id: r.s
+        for r in docs.select(
+            "doc_id", split_assign(F.col("doc_id"), fr, seed="se'ed").alias("s")
+        ).collect()
+    }
+    duck = con.execute(
+        f"SELECT r, {split_assign_sql('r', fr, seed=chr(39).join(['se','ed']))}"
+        " FROM range(200) t(r)"
+    ).fetchall()
+    assert {d: s for d, s in duck} == spark_rows
+    assert "tr'ain" in set(spark_rows.values())
+
+
+def test_es_key_sql_quoted_seed_parity(spark):
+    con = duckdb.connect()
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 5 + 1).cast("double").alias("w")
+    )
+    spark_rows = {
+        r.doc_id: r.k
+        for r in docs.select(
+            "doc_id", es_key(F.col("w"), F.col("doc_id"), seed="o'seed").alias("k")
+        ).collect()
+    }
+    duck = con.execute(
+        f"SELECT r, {es_key_sql('r % 5 + 1', 'r', seed=chr(39).join(['o','seed']))}"
+        " FROM range(50) t(r)"
+    ).fetchall()
+    assert {d: k for d, k in duck} == spark_rows
