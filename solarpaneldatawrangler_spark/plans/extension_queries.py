@@ -971,7 +971,12 @@ _HLL_TOKS_SQL = norm_toks_sql()
 
 
 # the deterministic train/valid/test carve the merged q53 split column
-# uses — the leakage-safe 90/5/5 standard
+# uses — the leakage-safe 90/5/5 standard; q55's 'leak' audit rows use
+# the SAME carve, so the two surfaces can never disagree on membership
+from solarpaneldatawrangler_spark.operators.sampling import (  # noqa: E402
+    split_assign_sql,
+)
+
 _SPLIT_FRACTIONS = {"train": 0.9, "valid": 0.05, "test": 0.05}
 
 
@@ -1306,7 +1311,7 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q55_minhash_neardup",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
@@ -1368,6 +1373,10 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'cluster' AS method, id AS id_a, component AS id_b,
            CAST(NULL AS DOUBLE) AS jaccard
     FROM dcomp
+    UNION ALL
+    SELECT 'leak' AS method, id_a, id_b, jaccard FROM verified
+    WHERE {split_assign_sql('id_a', _SPLIT_FRACTIONS)}
+          != {split_assign_sql('id_b', _SPLIT_FRACTIONS)}
     """,
     doc="MinHash LSH near-dup pairs (16 hashes, 4 bands) + exact Jaccard "
     "verify, over documents augmented with planted duplicates. The banded "
@@ -1382,7 +1391,15 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     "'cluster' rows (member id_a -> component id_b — replayed in SQL as "
     "recursive-CTE reachability, the q40 idiom). Bench pins the q55 "
     "headline to the pure pair workload; x_dedup_clusters times the "
-    "cluster step.",
+    "cluster step. ALSO MERGED (r10b): the cross-split LEAKAGE AUDIT "
+    "— 'leak' rows are the verified near-dup pairs whose deterministic "
+    "train/valid/test labels (operators.sampling.split_assign, the "
+    "SAME 90/5/5 carve q53's split column uses) differ: the governance "
+    "check that a random document-level split leaks near-duplicate "
+    "content across the train/eval boundary (the reason production "
+    "splits run AFTER dedup, or split by cluster/url instead of doc). "
+    "Zero extra shuffle: a scan-side label expression and a filter "
+    "over the already-materialized pair relation.",
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.clustering import (
@@ -1417,7 +1434,15 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("id_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return pair_rows.unionByName(cluster_rows)
+    from solarpaneldatawrangler_spark.operators.sampling import split_assign
+
+    leak_rows = pairs.filter(
+        split_assign(F.col("id_a"), _SPLIT_FRACTIONS)
+        != split_assign(F.col("id_b"), _SPLIT_FRACTIONS)
+    ).select(
+        F.lit("leak").alias("method"), "id_a", "id_b", "jaccard"
+    )
+    return pair_rows.unionByName(cluster_rows).unionByName(leak_rows)
 
 
 # --- SimHash fingerprints ----------------------------------------------------

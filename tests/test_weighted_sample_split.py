@@ -190,3 +190,15 @@ def test_es_key_sql_quoted_seed_parity(spark):
         " FROM range(50) t(r)"
     ).fetchall()
     assert {d: k for d, k in duck} == spark_rows
+
+
+def test_weighted_sample_compiles_to_take_ordered(spark):
+    """The selection must be TakeOrderedAndProject(k) — bounded state,
+    never a global Sort of the corpus (the kmv_sketch plan contract)."""
+    docs = _docs(spark, 1000)
+    plan = (
+        weighted_sample(docs, F.col("w"), k=25)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
