@@ -150,6 +150,8 @@ def curate_corpus(
     shard_seed: str = "0",
     mix_weights: dict[str, int] | None = None,
     mix_default_weight: int = 1,
+    split_fractions: dict[str, float] | None = None,
+    split_seed: str = "split",
     with_report: bool = True,
 ) -> tuple[DataFrame, CurationReport | None]:
     """Run the full curation chain; returns (survivors, report).
@@ -198,7 +200,12 @@ def curate_corpus(
     (shard, shard_pos) training-shard assignment; ``mix_weights``
     appends the stride-scheduling ``mix_key`` (operators.mixing) over
     ``stratum_col`` as the final step — sorting the release by
-    (mix_key, stratum, id) IS the weighted training order.
+    (mix_key, stratum, id) IS the weighted training order;
+    ``split_fractions`` (r10) appends the deterministic train/valid/
+    test label AFTER every dedup stage, so near-duplicates cannot
+    straddle the train/eval boundary (operators.sampling.split_assign
+    — the q55 'leak' audit measures exactly that leakage on raw
+    corpora).
 
     Round-7b gates: ``strip_html`` rewrites the text through
     functions.text.strip_markup right after the URL gate (the gate needs
@@ -632,6 +639,21 @@ def curate_corpus(
         out = append_mix_key(
             out, mix_weights, default_weight=mix_default_weight,
             source_col=stratum_col, id_col=id_col,
+        )
+
+    # 11. split labels (optional, r10): the deterministic train/valid/
+    # test carve, appended LAST — after every dedup stage — so near-
+    # duplicates can no longer straddle the train/eval boundary (the
+    # leakage the q55 'leak' audit measures on raw corpora). Scan-side
+    # column, zero shuffle.
+    if split_fractions is not None:
+        from solarpaneldatawrangler_spark.operators.sampling import (
+            split_assign,
+        )
+
+        out = out.withColumn(
+            "split",
+            split_assign(F.col(id_col), split_fractions, seed=split_seed),
         )
 
     report = (

@@ -435,3 +435,28 @@ def test_curate_corpus_mix_stage(spark, sf_dir):
         for r in mixture_order(survivors, weights).collect()
     }
     assert {(r.doc_id, r.mix_key) for r in rows} == direct
+
+
+def test_curate_corpus_split_stage(spark, sf_dir):
+    """split_fractions appends the deterministic split label AFTER the
+    dedup stages (the leakage-safe ordering), matching a direct
+    split_assign on the same survivors, and composes with shards+mix."""
+    from solarpaneldatawrangler_spark.operators.sampling import split_assign
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    fr = {"train": 0.8, "valid": 0.1, "test": 0.1}
+    out, _ = curate_corpus(
+        docs, min_quality=0.0, n_shards=2,
+        split_fractions=fr, with_report=False,
+    )
+    rows = out.select("doc_id", "split").collect()
+    assert rows and set(r.split for r in rows) <= {"train", "valid", "test"}
+    direct = {
+        (r.doc_id, r.s)
+        for r in out.select(
+            "doc_id", split_assign(F.col("doc_id"), fr).alias("s")
+        ).collect()
+    }
+    assert {(r.doc_id, r.split) for r in rows} == direct
