@@ -1012,9 +1012,49 @@ def mixing_smoke():
     )
 
 
+
+
+def sampling_smoke():
+    """r10: A-ES weighted sampling + split labels at 50M rows — both
+    scan-side expressions; the sample's only stateful step is
+    TakeOrderedAndProject(k)."""
+    from solarpaneldatawrangler_spark.operators.sampling import (
+        split_assign,
+        weighted_sample,
+    )
+
+    spark = get_spark("scale-smoke-sampling")
+    docs = spark.range(50_000_000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 97 + 1).cast("double").alias("w"),
+    )
+
+    def es_run():
+        got = weighted_sample(docs, F.col("w"), k=1000).collect()
+        assert len(got) == 1000
+        return 50_000_000
+
+    timed("A-ES weighted_sample top-1000 of 50M (TakeOrdered)", es_run)
+
+    def split_run():
+        fr = {"train": 0.9, "valid": 0.05, "test": 0.05}
+        counts = (
+            docs.select(split_assign(F.col("doc_id"), fr).alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        got = {r.s: r.n for r in counts}
+        assert abs(got["train"] / 50_000_000 - 0.9) < 0.001, got
+        return 50_000_000
+
+    timed("split_assign 50M rows (scan-side carve + count)", split_run)
+
+
 if __name__ == "__main__":
     main()
     sketches_smoke()
     diff_smoke()
     range_join_smoke()
     mixing_smoke()
+    sampling_smoke()
