@@ -981,9 +981,6 @@ _SPLIT_FRACTIONS = {"train": 0.9, "valid": 0.05, "test": 0.05}
 
 
 def _q53_oracle_or_none() -> str | None:
-    from solarpaneldatawrangler_spark.operators.sampling import (
-        split_assign_sql,
-    )
     from solarpaneldatawrangler_spark.operators.sketches import hll_sql
 
     values = _lang_rates_values_or_none()

@@ -550,12 +550,6 @@ def _q75_bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 # --- mergeable sketches: HLL cardinality + Count-Min heavy hitters ----------
 
-_TOKENS_SQL = (
-    "list_filter(string_split_regex(lower(COALESCE(text, '')), '\\s+'),"
-    " w -> len(w) > 0)"
-)
-
-
 # retired q76 (HLL cardinality) — absorbed into q53_lang_id (r10) as
 # its per-lang hll_zeros / hll_est_r / lang_distinct_tok ride-along
 # columns (the same broadcast-by-lang join the rate columns use),
