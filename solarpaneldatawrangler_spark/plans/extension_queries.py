@@ -1458,8 +1458,17 @@ def _q56_oracle() -> str:
     from solarpaneldatawrangler_spark.operators.mixing import (
         mixture_case_sql,
     )
+    from solarpaneldatawrangler_spark.operators.packing import (
+        balanced_shards_sql,
+    )
 
     w_case, s_case, _ = mixture_case_sql(_MIX_WEIGHTS)
+    bal_sql = balanced_shards_sql(
+        f"CAST(COALESCE(len({_PACK_TOKS}), 0) AS BIGINT)",
+        "doc_id",
+        _PACK_SHARDS,
+        "documents",
+    )
     return f"""
     WITH RECURSIVE tk AS (
         SELECT doc_id, unnest({_SQL_TOKS}) AS t FROM documents
@@ -1522,6 +1531,10 @@ def _q56_oracle() -> str:
                pack_offset
         FROM pkpacked
     ),
+    bal AS (
+        SELECT id AS doc_id, bal_shard
+        FROM ({bal_sql}) b
+    ),
     mx AS (
         SELECT doc_id, source,
                CAST(ROW_NUMBER() OVER (
@@ -1535,11 +1548,13 @@ def _q56_oracle() -> str:
     )
     SELECT sh.doc_id, sh.simhash, pos.shard, pos.shard_pos,
            pk.pack_ntok, pk.pack_shard, pk.pack_id, pk.pack_offset,
-           mx.source, mx.mix_rank, mx.mix_weight, mx.mix_key
+           mx.source, mx.mix_rank, mx.mix_weight, mx.mix_key,
+           bal.bal_shard
     FROM sh
     JOIN pos ON pos.doc_id = sh.doc_id
     JOIN pk ON pk.doc_id = sh.doc_id
     JOIN mx ON mx.doc_id = sh.doc_id
+    JOIN bal ON bal.doc_id = sh.doc_id
     """
 
 
@@ -1562,8 +1577,15 @@ def _q56_oracle() -> str:
     "mix_key pin stride-scheduled domain mixing (operators.mixing."
     "mixture_order, Waldspurger 1994 — exact integer virtual-time "
     "keys, every prefix holds each source within O(1) of its target "
-    "share; oracle via the shared mixture_case_sql builder). Hashed "
-    "surfaces: simhash; (shard, shard_pos); pack_*; mix_*.",
+    "share; oracle via the shared mixture_case_sql builder). ALSO "
+    "MERGED (r10b): bal_shard — snake-draft WEIGHT-BALANCED sharding "
+    "(operators.packing.balanced_shards): rank by (token count desc, "
+    "id), deal rank r to shard r%N on even rounds and reversed on odd "
+    "— equal row counts AND shard token-mass spread bounded by "
+    "~w_max (property-tested), the no-straggler layout for "
+    "data-parallel readers; map-only under rank_col at scale, shared "
+    "balanced_shards_sql oracle. Hashed surfaces: simhash; (shard, "
+    "shard_pos); pack_*; mix_*; bal_shard.",
 )
 def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.curation import shuffle_shards
@@ -1594,8 +1616,21 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("weight").alias("mix_weight"),
         "mix_key",
     )
+    from solarpaneldatawrangler_spark.operators.packing import (
+        balanced_shards,
+    )
+
+    # weight = the SAME token count pack_sequences computed (pack_ntok)
+    bal = balanced_shards(
+        pack.select("doc_id", "pack_ntok"),
+        _PACK_SHARDS,
+        weight_col="pack_ntok",
+    ).select("doc_id", "bal_shard")
     return (
-        sh.join(shards, "doc_id").join(pack, "doc_id").join(mix, "doc_id")
+        sh.join(shards, "doc_id")
+        .join(pack, "doc_id")
+        .join(mix, "doc_id")
+        .join(bal, "doc_id")
     )
 
 

@@ -202,3 +202,55 @@ def test_weighted_sample_compiles_to_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_balanced_shards_properties_and_sql_parity(spark):
+    """Snake-draft balanced sharding (operators/packing.balanced_shards):
+    equal shard row counts (within 1), shard weight-mass spread bounded
+    by ~2x the max item weight (full blocks telescope to w_max - w_min;
+    one partial block adds <= w_max), rank_col path parity with the
+    window path, and the DuckDB replay via balanced_shards_sql."""
+    import duckdb
+
+    from solarpaneldatawrangler_spark.operators.packing import (
+        balanced_shards,
+        balanced_shards_sql,
+    )
+
+    n, shards = 1003, 8
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 37) % 211 + 1).cast("long").alias("w"),
+    )
+    got = balanced_shards(docs, shards, weight_col="w").collect()
+    by_shard: dict[int, list[int]] = {}
+    for r in got:
+        by_shard.setdefault(r.bal_shard, []).append(r.w)
+    assert set(by_shard) == set(range(shards))
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) - min(sizes) <= 1
+    masses = [sum(v) for v in by_shard.values()]
+    assert max(masses) - min(masses) <= 2 * 211, masses
+
+    # rank_col path (map-only at scale) matches the window path
+    from pyspark.sql import Window
+
+    ranked = docs.withColumn(
+        "r",
+        F.row_number().over(Window.orderBy(F.col("w").desc(), "doc_id")) - 1,
+    )
+    via_rank = {
+        r.doc_id: r.bal_shard
+        for r in balanced_shards(
+            ranked, shards, weight_col="w", rank_col="r"
+        ).collect()
+    }
+    assert via_rank == {r.doc_id: r.bal_shard for r in got}
+
+    # DuckDB replay
+    duck = duckdb.connect().execute(
+        "SELECT id, bal_shard FROM ("
+        + balanced_shards_sql("(r * 37) % 211 + 1", "r", shards, "range(1003) t(r)")
+        + ")"
+    ).fetchall()
+    assert {d: s for d, s in duck} == {r.doc_id: r.bal_shard for r in got}
