@@ -1050,6 +1050,26 @@ def sampling_smoke():
 
     timed("split_assign 50M rows (scan-side carve + count)", split_run)
 
+    def bal_run():
+        from solarpaneldatawrangler_spark.operators.packing import (
+            balanced_shards,
+        )
+
+        # rank_col path (the corpus-scale contract): map-only, the
+        # ordinal rides the ingest — here id doubles as the rank
+        ranked = docs.withColumn("r", F.col("doc_id"))
+        out = (
+            balanced_shards(ranked, 64, weight_col="w", rank_col="r")
+            .groupBy("bal_shard")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("mass"))
+            .collect()
+        )
+        assert len(out) == 64
+        return 50_000_000
+
+    timed("balanced_shards 50M rows into 64 shards (rank_col, map-only)",
+          bal_run)
+
 
 if __name__ == "__main__":
     main()
