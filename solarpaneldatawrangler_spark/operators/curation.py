@@ -1028,3 +1028,88 @@ def corpus_data_card(
             "dup_frac_r",
         )
     )
+
+
+# --- URL canonicalization + first-seen URL dedup (r10) -----------------------
+
+# query parameters stripped by canonicalization: pure tracking noise
+# whose presence splits one logical page into many crawl keys
+_TRACKING_PARAM_RE = "^(utm_|fbclid=|gclid=)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical dedup key for a URL — the stage-0 dedup of every web
+    corpus pipeline (one logical page is crawled under dozens of
+    tracking-decorated spellings; URL dedup runs before any content
+    hash because it needs no text at all). Deterministic, pure
+    expressions, exactly replayed by ``canonical_url_sql``:
+
+    1. trim + lowercase (aggressive: the whole URL — this is a dedup
+       KEY, not a fetchable address);
+    2. drop the fragment (#... never reaches the server);
+    3. drop tracking query params (utm_*, fbclid, gclid) and empty
+       params, keeping the rest in their original order;
+    4. drop a trailing '/' on the path part.
+
+    The array ops run interpreted (HOF), but over ONE short string per
+    row — the documented small/exact-context exception.
+    """
+    u = F.regexp_replace(F.lower(F.trim(url)), "#.*$", "")
+    has_q = F.instr(u, "?") > 0
+    base = F.regexp_replace(F.substring_index(u, "?", 1), "/$", "")
+    query = F.when(has_q, F.substring_index(u, "?", -1)).otherwise(F.lit(""))
+    kept = F.array_join(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+        ),
+        "&",
+    )
+    return F.when(
+        has_q & (kept != ""), F.concat(base, F.lit("?"), kept)
+    ).otherwise(base)
+
+
+def canonical_url_sql(url_expr: str) -> str:
+    """DuckDB replay of ``canonical_url`` — the shared-builder idiom
+    (same rule order, same regexes)."""
+    u = f"regexp_replace(lower(trim({url_expr})), '#.*$', '')"
+    base = (
+        f"regexp_replace(CASE WHEN position('?' IN {u}) > 0 "
+        f"THEN substr({u}, 1, position('?' IN {u}) - 1) "
+        f"ELSE {u} END, '/$', '')"
+    )
+    query = (
+        f"CASE WHEN position('?' IN {u}) > 0 "
+        f"THEN substr({u}, position('?' IN {u}) + 1) ELSE '' END"
+    )
+    kept = (
+        f"array_to_string(list_filter(string_split({query}, '&'), "
+        f"p -> len(p) > 0 AND NOT regexp_matches(p, '{_TRACKING_PARAM_RE}')"
+        f"), '&')"
+    )
+    return (
+        f"CASE WHEN {kept} <> '' THEN {base} || '?' || {kept} "
+        f"ELSE {base} END"
+    )
+
+
+def url_first_seen(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """First-seen verdict per CANONICAL URL: adds ``canon_url`` and
+    ``url_first`` (this row has the min id for its canonical key —
+    the deterministic keep rule, exactly exact_dedup's). Plan: one
+    map-side-combinable groupBy(canon).min(id) broadcast-joined back
+    when small, shuffled otherwise — a 32-byte-key join; document
+    text never moves (URL dedup is the cheapest dedup precisely
+    because it reads only the URL column)."""
+    keyed = docs.withColumn("canon_url", canonical_url(F.col(url_col)))
+    keepers = keyed.groupBy("canon_url").agg(
+        F.min(id_col).alias("_keep_id")
+    )
+    return keyed.join(keepers, "canon_url").withColumn(
+        "url_first", F.col(id_col) == F.col("_keep_id")
+    ).drop("_keep_id")

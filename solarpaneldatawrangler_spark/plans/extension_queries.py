@@ -541,6 +541,16 @@ _URL_TEXT_SQL = (
 _URL_BLOCKLIST = ["example1.com", "blog2.example0.com", "www3.blog4.example2.com"]
 _URL_BL_SQL = ", ".join(f"'{b}'" for b in _URL_BLOCKLIST)
 
+# tracking-decorated derived URL for the merged q54 canonicalization
+# columns (r10b): mixed-case host, trailing path slash, utm/fbclid
+# tracking params, a real param, and a fragment — 105 canonical keys
+# over the corpus, so the first-seen dedup verdict has real collisions
+_CANON_URL_SQL = (
+    "'https://Track' || (doc_id % 3) || '.Example.com/p' || (doc_id % 5)"
+    " || '/?utm_source=x&id=' || (doc_id % 7) || '&fbclid=abc#frag'"
+    " || (doc_id % 2)"
+)
+
 
 # markup-wrapped derived text for the merged q52 strip columns (the
 # driver documents carry no HTML, so both engines wrap the text in the
@@ -1204,6 +1214,24 @@ _SQL_SHINGLES = (
     "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
 )
 
+def _q54_canon_ctes() -> str:
+    from solarpaneldatawrangler_spark.operators.curation import (
+        canonical_url_sql,
+    )
+
+    return f"""
+    ucanon AS (
+        SELECT doc_id, {canonical_url_sql(_CANON_URL_SQL)} AS canon_url
+        FROM documents
+    ),
+    ufirst AS (
+        SELECT doc_id, canon_url,
+               doc_id = MIN(doc_id) OVER (PARTITION BY canon_url)
+                   AS url_first
+        FROM ucanon
+    )"""
+
+
 @register(
     "q54_minhash_signature",
     oracle=f"""
@@ -1244,10 +1272,13 @@ _SQL_SHINGLES = (
                COALESCE(hosts[1], '') AS url_host,
                (b.doc_id IS NOT NULL) AS url_blocked
         FROM uh LEFT JOIN ublocked b USING (doc_id)
-    )
+    ),
+    {_q54_canon_ctes()}
     SELECT sig.doc_id, sig.hash_idx, sig.min_hash,
-           f.n_urls, f.url_host, f.url_blocked
+           f.n_urls, f.url_host, f.url_blocked,
+           uf.canon_url, uf.url_first
     FROM sig JOIN uflags f ON f.doc_id = sig.doc_id
+    JOIN ufirst uf ON uf.doc_id = sig.doc_id
     """,
     doc="MinHash signature (8 perms) over distinct 3-word shingles; "
     "md5-derived universal hashes so any engine reproduces it. Production "
@@ -1257,8 +1288,18 @@ _SQL_SHINGLES = (
     "URL-injected corpus (the driver documents cite no URLs) — "
     "url_blocked pins host extraction AND the subdomain suffix-chain "
     "blocklist match (a.b.example.com blocked by entry example.com). "
-    "Hashed surfaces: (hash_idx, min_hash) = minhash_from_shingle_rows; "
-    "(n_urls, url_host, url_blocked) = curation.doc_url_flags.",
+    "ALSO MERGED (r10b): URL canonicalization + first-seen URL dedup "
+    "(operators.curation.canonical_url / url_first_seen — the stage-0 "
+    "dedup of every web pipeline, run before any content hash because "
+    "it reads only the URL column): lowercase, fragment dropped, "
+    "utm_*/fbclid/gclid tracking params stripped, trailing slash "
+    "normalized, then a deterministic min-id first-seen verdict per "
+    "canonical key over a tracking-decorated derived URL (105 "
+    "colliding keys — real dup structure). Hashed surfaces: "
+    "(hash_idx, min_hash) = minhash_from_shingle_rows; (n_urls, "
+    "url_host, url_blocked) = curation.doc_url_flags; (canon_url, "
+    "url_first) = canonical_url + url_first_seen via the shared "
+    "canonical_url_sql builder.",
 )
 def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.curation import doc_url_flags
@@ -1301,7 +1342,22 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_host",
         "url_blocked",
     )
-    return sig_rows.join(F.broadcast(flags), "doc_id")
+    from solarpaneldatawrangler_spark.operators.curation import (
+        url_first_seen,
+    )
+
+    curl = F.concat(
+        F.lit("https://Track"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(".Example.com/p"), (F.col("doc_id") % 5).cast("string"),
+        F.lit("/?utm_source=x&id="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&fbclid=abc#frag"), (F.col("doc_id") % 2).cast("string"),
+    )
+    first = url_first_seen(
+        docs.select("doc_id", curl.alias("url"))
+    ).select("doc_id", "canon_url", "url_first")
+    return sig_rows.join(F.broadcast(flags), "doc_id").join(
+        F.broadcast(first), "doc_id"
+    )
 
 
 # --- MinHash LSH near-dup pairs ---------------------------------------------

@@ -475,3 +475,58 @@ def test_verify_corpus_jsonl_all_null_column(spark, tmp_path):
     out = str(tmp_path / "rel_nulls")
     write_corpus_jsonl(df, out, n_shards=2)
     assert verify_corpus_jsonl(spark, out) is True
+
+
+def test_canonical_url_rules_and_sql_parity(spark):
+    """URL canonicalization (operators/curation.canonical_url, r10):
+    lowercase, fragment dropped, tracking params stripped (order of
+    survivors preserved), trailing path slash normalized, '?' dropped
+    when no params survive — and the DuckDB twin emits byte-identical
+    keys for every case."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.curation import (
+        canonical_url,
+        canonical_url_sql,
+        url_first_seen,
+    )
+
+    cases = [
+        ("https://Example.COM/Path/?utm_source=x&id=3&fbclid=z#frag",
+         "https://example.com/path?id=3"),
+        ("http://a.com/p?utm_medium=email&gclid=123",
+         "http://a.com/p"),
+        ("https://a.com/p?b=2&a=1", "https://a.com/p?b=2&a=1"),
+        ("https://a.com/", "https://a.com"),
+        ("https://a.com/p#only-frag", "https://a.com/p"),
+        ("  https://a.com/p?x=1  ", "https://a.com/p?x=1"),
+        ("https://a.com/p?utm_a=1&&x=2", "https://a.com/p?x=2"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r.i: r.c for r in df.select(
+        "i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+    values = ", ".join(
+        f"({i}, '{u}')" for i, (u, _) in enumerate(cases)
+    )
+    duck = duckdb.connect().execute(
+        f"SELECT i, {canonical_url_sql('url')} FROM (VALUES {values}) "
+        "t(i, url)"
+    ).fetchall()
+    assert {i: c for i, c in duck} == got
+
+    # first-seen verdict: min id per canonical key wins
+    dup = spark.createDataFrame(
+        [(1, "https://A.com/p?utm_x=1"), (2, "https://a.com/p/"),
+         (3, "https://a.com/q")],
+        "doc_id long, url string",
+    )
+    first = {r.doc_id: (r.canon_url, r.url_first)
+             for r in url_first_seen(dup).collect()}
+    assert first[1] == ("https://a.com/p", True)
+    assert first[2] == ("https://a.com/p", False)
+    assert first[3] == ("https://a.com/q", True)
