@@ -1033,8 +1033,12 @@ def corpus_data_card(
 # --- URL canonicalization + first-seen URL dedup (r10) -----------------------
 
 # query parameters stripped by canonicalization: pure tracking noise
-# whose presence splits one logical page into many crawl keys
-_TRACKING_PARAM_RE = "^(utm_|fbclid=|gclid=)"
+# whose presence splits one logical page into many crawl keys.
+# Matches the param NAME whether valued or valueless ('fbclid=abc' AND
+# bare 'fbclid' — redirectors emit both; review-caught: requiring '='
+# let the valueless spelling escape the key) without ever matching a
+# mere prefix ('fbclidx=1' survives).
+_TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid)(=|$)"
 
 
 def canonical_url(url: Column) -> Column:
@@ -1052,12 +1056,24 @@ def canonical_url(url: Column) -> Column:
     4. drop a trailing '/' on the path part.
 
     The array ops run interpreted (HOF), but over ONE short string per
-    row — the documented small/exact-context exception.
+    row — the documented small/exact-context exception. NULL input
+    canonicalizes as '' (the repo-wide NULL->'' key contract, the
+    _store_fingerprint rule), so null-URL rows keep flowing instead of
+    vanishing through NULL join keys. The query is everything after
+    the FIRST '?' (a second literal '?' inside a query string is legal
+    and stays part of the last parameter — review-caught: taking the
+    LAST '?' silently dropped params and diverged from the SQL twin).
     """
-    u = F.regexp_replace(F.lower(F.trim(url)), "#.*$", "")
+    u = F.regexp_replace(
+        F.lower(F.trim(F.coalesce(url.cast("string"), F.lit("")))),
+        "#.*$",
+        "",
+    )
     has_q = F.instr(u, "?") > 0
     base = F.regexp_replace(F.substring_index(u, "?", 1), "/$", "")
-    query = F.when(has_q, F.substring_index(u, "?", -1)).otherwise(F.lit(""))
+    query = F.when(
+        has_q, u.substr(F.instr(u, "?") + 1, F.length(u))
+    ).otherwise(F.lit(""))
     kept = F.array_join(
         F.filter(
             F.split(query, "&"),
@@ -1072,8 +1088,12 @@ def canonical_url(url: Column) -> Column:
 
 def canonical_url_sql(url_expr: str) -> str:
     """DuckDB replay of ``canonical_url`` — the shared-builder idiom
-    (same rule order, same regexes)."""
-    u = f"regexp_replace(lower(trim({url_expr})), '#.*$', '')"
+    (same rule order, same regexes, same NULL->'' and first-'?'
+    contracts)."""
+    u = (
+        f"regexp_replace(lower(trim(COALESCE({url_expr}, ''))),"
+        " '#.*$', '')"
+    )
     base = (
         f"regexp_replace(CASE WHEN position('?' IN {u}) > 0 "
         f"THEN substr({u}, 1, position('?' IN {u}) - 1) "
@@ -1101,11 +1121,14 @@ def url_first_seen(
 ) -> DataFrame:
     """First-seen verdict per CANONICAL URL: adds ``canon_url`` and
     ``url_first`` (this row has the min id for its canonical key —
-    the deterministic keep rule, exactly exact_dedup's). Plan: one
-    map-side-combinable groupBy(canon).min(id) broadcast-joined back
-    when small, shuffled otherwise — a 32-byte-key join; document
-    text never moves (URL dedup is the cheapest dedup precisely
-    because it reads only the URL column)."""
+    the deterministic keep rule, exactly exact_dedup's). NULL URLs
+    canonicalize to '' (one shared key), so every input row survives
+    with its columns added — a stage-0 dedup must never silently DROP
+    rows through NULL join keys (review-caught). Plan: one map-side-
+    combinable groupBy(canon).min(id) broadcast-joined back when
+    small, shuffled otherwise — a 32-byte-key join; document text
+    never moves (URL dedup is the cheapest dedup precisely because it
+    reads only the URL column)."""
     keyed = docs.withColumn("canon_url", canonical_url(F.col(url_col)))
     keepers = keyed.groupBy("canon_url").agg(
         F.min(id_col).alias("_keep_id")

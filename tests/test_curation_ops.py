@@ -503,6 +503,16 @@ def test_canonical_url_rules_and_sql_parity(spark):
         ("https://a.com/p#only-frag", "https://a.com/p"),
         ("  https://a.com/p?x=1  ", "https://a.com/p?x=1"),
         ("https://a.com/p?utm_a=1&&x=2", "https://a.com/p?x=2"),
+        # second literal '?' stays inside the query (first-'?' split;
+        # a LAST-'?' split dropped a=1 and diverged from the SQL twin)
+        ("https://a.com/p?a=1?b=2", "https://a.com/p?a=1?b=2"),
+        # valueless tracking params are stripped like valued ones,
+        # and near-name params survive
+        ("https://a.com/p?fbclid", "https://a.com/p"),
+        ("https://a.com/p?utm_x&id=1", "https://a.com/p?id=1"),
+        ("https://a.com/p?fbclidx=1", "https://a.com/p?fbclidx=1"),
+        # NULL canonicalizes as '' (the repo NULL->'' key contract)
+        (None, ""),
     ]
     df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
                                "i long, url string")
@@ -511,7 +521,8 @@ def test_canonical_url_rules_and_sql_parity(spark):
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (cases[i][0], got[i])
     values = ", ".join(
-        f"({i}, '{u}')" for i, (u, _) in enumerate(cases)
+        f"({i}, " + ("NULL" if u is None else "'" + u.replace("'", "''") + "'") + ")"
+        for i, (u, _) in enumerate(cases)
     )
     duck = duckdb.connect().execute(
         f"SELECT i, {canonical_url_sql('url')} FROM (VALUES {values}) "
@@ -519,14 +530,17 @@ def test_canonical_url_rules_and_sql_parity(spark):
     ).fetchall()
     assert {i: c for i, c in duck} == got
 
-    # first-seen verdict: min id per canonical key wins
+    # first-seen verdict: min id per canonical key wins; NULL URLs
+    # share the '' key and every row SURVIVES (no NULL-join-key loss)
     dup = spark.createDataFrame(
         [(1, "https://A.com/p?utm_x=1"), (2, "https://a.com/p/"),
-         (3, "https://a.com/q")],
+         (3, "https://a.com/q"), (4, None), (5, None)],
         "doc_id long, url string",
     )
     first = {r.doc_id: (r.canon_url, r.url_first)
              for r in url_first_seen(dup).collect()}
+    assert len(first) == 5
     assert first[1] == ("https://a.com/p", True)
     assert first[2] == ("https://a.com/p", False)
     assert first[3] == ("https://a.com/q", True)
+    assert first[4] == ("", True) and first[5] == ("", False)
