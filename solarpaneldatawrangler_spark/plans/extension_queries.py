@@ -1067,7 +1067,12 @@ def _q53_oracle_or_none() -> str | None:
             AND g.bullet_ok AND g.ellipsis_ok AND g.alpha_ok
             AND g.stopword_ok) AS gopher_ok,
            h.hll_zeros, h.hll_est_r, hx.lang_distinct_tok,
-           {split} AS split
+           {split} AS split,
+           GREATEST(s_en, s_es, s_fr, s_de)
+             - GREATEST(LEAST(s_en, s_es), LEAST(s_en, s_fr),
+                        LEAST(s_en, s_de), LEAST(s_es, s_fr),
+                        LEAST(s_es, s_de), LEAST(s_fr, s_de))
+             AS lang_margin
     FROM scores s
     JOIN trates t USING (lang)
     JOIN twrates w USING (lang)
@@ -1120,7 +1125,12 @@ def _q53_oracle_or_none() -> str | None:
     "split_assign, 90/5/5): the [0,1) hash line carved into sorted-"
     "label intervals, a pure function of (seed, id) — leakage-safe, "
     "rerun/engine-invariant, join-stable with any derived table; "
-    "oracle via the shared split_assign_sql builder.",
+    "oracle via the shared split_assign_sql builder. AND lang_margin "
+    "— the lang-ID CONFIDENCE gate signal (top marker score minus "
+    "runner-up; low margin = ambiguous doc, the rows a production "
+    "pipeline routes to a heavier classifier): runner-up computed as "
+    "the max of pairwise mins, a pure 4-way expression identical in "
+    "both engines.",
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.operators.curation import bigram_lm_score
@@ -1202,6 +1212,14 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_est_r",
             "lang_distinct_tok",
             split_assign(F.col("doc_id"), _SPLIT_FRACTIONS).alias("split"),
+            (
+                F.greatest(s_en, s_es, s_fr, s_de)
+                - F.greatest(
+                    F.least(s_en, s_es), F.least(s_en, s_fr),
+                    F.least(s_en, s_de), F.least(s_es, s_fr),
+                    F.least(s_es, s_de), F.least(s_fr, s_de),
+                )
+            ).alias("lang_margin"),
         )
     )
 
