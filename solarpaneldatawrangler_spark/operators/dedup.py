@@ -21,6 +21,8 @@ oracle-checked variants.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -811,21 +813,148 @@ def _sweep_old_gens(spark, path: str, keep: int, retain: int = 1) -> None:
             fs.delete(jvm.org.apache.hadoop.fs.Path(p), True)
 
 
+# Object stores whose FileSystem.createNewFile is CHECK-THEN-CREATE
+# (a HEAD followed by an unconditional PUT), so the single-marker
+# lease below can double-acquire under a race. ABFS, HDFS, viewfs and
+# the local FS give an atomic create-fail-if-exists and stay on the
+# marker path.
+_OBJECT_STORE_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "oss", "cos", "cosn", "swift",
+     "wasb", "wasbs"}
+)
+_CLAIMS_DIR = "_LEASE_CLAIMS"
+
+# claim name the THIS-process mutator holds per store path (the
+# acquire/release call sites predate claims mode and pass only the
+# path, so the token rides module state; one mutator per path per
+# process is the store contract anyway — a second in-process acquire
+# on the same path loses the election against the first's live claim)
+_HELD_CLAIMS: dict[str, str] = {}
+
+
+def _path_scheme(path: str) -> str:
+    head, sep, _rest = path.partition("://")
+    return head.lower() if sep else ""
+
+
+def _lease_mode(path: str) -> str:
+    """'claims' on object stores (or when forced via
+    SPARK_GRAFT_LEASE_MODE for tests), else 'marker'."""
+    forced = os.environ.get("SPARK_GRAFT_LEASE_MODE")
+    if forced in ("claims", "marker"):
+        return forced
+    return (
+        "claims" if _path_scheme(path) in _OBJECT_STORE_SCHEMES
+        else "marker"
+    )
+
+
+def _claims_write(spark, path: str) -> str:
+    """Phase 1 of the claims election: PUT one uniquely-named,
+    time-ordered claim file (unconditional single-object create —
+    atomic on every store). Returns the claim name."""
+    import time as _time
+    import uuid as _uuid
+
+    fs, hpath, jvm = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        fs.mkdirs(hpath)
+    claim = f"{_time.time_ns():020d}-{_uuid.uuid4().hex}"
+    cpath = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{_CLAIMS_DIR}/{claim}"
+    )
+    fs.create(cpath, False).close()
+    return claim
+
+
+def _claims_elect(spark, path: str, claim: str) -> bool:
+    """Phase 2: list the claims dir; the lexicographically-smallest
+    live claim (oldest time_ns prefix) holds the lease. A loser
+    deletes its own claim before returning False so it never blocks
+    the winner's successor."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    cdir = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{_CLAIMS_DIR}"
+    )
+    claims = sorted(
+        n
+        for n in (st.getPath().getName() for st in fs.listStatus(cdir))
+        # checksum/metadata sidecars (.crc on the local FS) are not
+        # claims — and "." sorts before the digit prefix, so an
+        # unfiltered sidecar would win every election
+        if not n.startswith((".", "_"))
+    )
+    if claims and claims[0] == claim:
+        return True
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{path.rstrip('/')}/{_CLAIMS_DIR}/{claim}"
+        ),
+        False,
+    )
+    return False
+
+
+def _acquire_lease_claims(spark, path: str) -> None:
+    """Object-store-safe lease: lexicographic-claims election (the
+    ZooKeeper lock recipe reduced to PUT/LIST/DELETE, the only
+    primitives a plain object store gives atomically). Each contender
+    PUTs a unique time_ns-prefixed claim, waits a settle window, then
+    LISTs — smallest claim wins, losers delete their claim and raise.
+    Unlike the marker's createNewFile (check-then-create on S3A: two
+    racers both pass the check and both "acquire"), two racers here
+    both land claims and the LIST gives every contender the same
+    total order, so exactly one proceeds.
+
+    Correctness window: a contender whose PUT is not yet visible to
+    an earlier contender's LIST can split the election — bounded by
+    PUT-visibility delay plus inter-node clock skew. S3/GCS/ABFS list
+    their own writes strongly since 2020, so the settle window
+    (SPARK_GRAFT_LEASE_SETTLE_MS, default 0) only needs to cover
+    clock skew between mutator drivers; set it to your NTP bound
+    (e.g. 500) for multi-driver production stores."""
+    import time as _time
+
+    # a marker left by a marker-mode mutator (or a dead one) on the
+    # same path still means "held" — never split-brain across modes
+    fs, _, jvm = _hadoop_fs(spark, path)
+    if fs.exists(
+        jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_LEASE_MARK}")
+    ):
+        raise RuntimeError(
+            f"store {path} is being mutated by another job ({_LEASE_MARK} "
+            "held) — if a CRASHED job left it, clear it with "
+            "operators.dedup.clear_lease after confirming the job is dead"
+        )
+    claim = _claims_write(spark, path)
+    settle_ms = int(os.environ.get("SPARK_GRAFT_LEASE_SETTLE_MS", "0"))
+    if settle_ms > 0:
+        _time.sleep(settle_ms / 1000.0)
+    if not _claims_elect(spark, path, claim):
+        raise RuntimeError(
+            f"store {path} is being mutated by another job (older "
+            f"{_CLAIMS_DIR} claim live) — a concurrent append/maintenance "
+            "would silently lose admission state; if a CRASHED job left "
+            "its claim, clear it with operators.dedup.clear_lease after "
+            "confirming the job is dead"
+        )
+    _HELD_CLAIMS[path.rstrip("/")] = claim
+
+
 def _acquire_lease(spark, path: str) -> None:
-    """Take the store's maintenance/ingest lease: one atomic
-    createNewFile of the ``_LEASE`` marker. Raises when another
+    """Take the store's maintenance/ingest lease. Raises when another
     mutator holds it — the caller must NOT proceed (see the mutual-
     exclusion comment above _GEN_PREFIX).
 
-    FILESYSTEM CONTRACT: the guarantee holds only where
-    FileSystem.createNewFile is an atomic create-fail-if-exists —
-    local FS, HDFS, ABFS. On eventually-checked object stores (plain
-    S3A is check-then-create) two concurrent mutators can BOTH
-    "acquire" the lease and race silently — the exact lost-append
-    this mechanism exists to prevent. Deployments whose store path is
-    on such a store must front it with a conditional-write primitive
-    (S3 If-None-Match PUT, a DynamoDB/S3Guard-style lock, or a
-    rename-based lock dir) instead of relying on this marker."""
+    Two mechanisms behind one interface, selected by the path's FS
+    scheme: atomic-create stores (local, HDFS, ABFS, viewfs) use one
+    createNewFile of the ``_LEASE`` marker; object stores whose
+    createNewFile is check-then-create (S3A, GCS, ...) use the
+    claims-dir election in _acquire_lease_claims, which needs only
+    unconditional PUT + LIST + DELETE to serialize mutators."""
+    if _lease_mode(path) == "claims":
+        _acquire_lease_claims(spark, path)
+        return
     fs, hpath, jvm = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         fs.mkdirs(hpath)
@@ -844,6 +973,14 @@ def _acquire_lease(spark, path: str) -> None:
 
 def _release_lease(spark, path: str) -> None:
     fs, _, jvm = _hadoop_fs(spark, path)
+    claim = _HELD_CLAIMS.pop(path.rstrip("/"), None)
+    if claim is not None:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{path.rstrip('/')}/{_CLAIMS_DIR}/{claim}"
+            ),
+            False,
+        )
     fs.delete(
         jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_LEASE_MARK}"),
         False,
@@ -851,10 +988,22 @@ def _release_lease(spark, path: str) -> None:
 
 
 def clear_lease(spark, path: str) -> None:
-    """Operator action: remove a stale ``_LEASE`` left by a DEAD
-    mutator (process crash — exception paths release their own lease).
-    Never call while the owning job may still be alive."""
-    _release_lease(spark, path)
+    """Operator action: remove a stale lease left by a DEAD mutator
+    (process crash — exception paths release their own lease): the
+    ``_LEASE`` marker AND any orphaned claim files. Never call while
+    the owning job may still be alive."""
+    fs, _, jvm = _hadoop_fs(spark, path)
+    _HELD_CLAIMS.pop(path.rstrip("/"), None)
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_LEASE_MARK}"),
+        False,
+    )
+    fs.delete(
+        jvm.org.apache.hadoop.fs.Path(
+            f"{path.rstrip('/')}/{_CLAIMS_DIR}"
+        ),
+        True,
+    )
 
 
 def _write_fp_meta(spark, gen_path: str, n_buckets: int) -> None:

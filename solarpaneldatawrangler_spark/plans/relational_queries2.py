@@ -98,7 +98,7 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(source) AS INT) AS g1,
            CAST(GROUPING(lang) AS INT) AS g2,
            CAST(NULL AS DOUBLE) AS sum_dec,
-           SUM(n_chars) AS sum_int,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_int,
            COUNT(*) AS n
     FROM documents
     GROUP BY ROLLUP(source, lang)

@@ -47,6 +47,19 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str, rtol: float = 1e-9) ->
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     for c in got.columns:
         g, w = got[c], want[c]
+        # Driver-fidelity guard: the driver hashes values as rendered, so an
+        # integral column on one side vs float on the other (e.g. DuckDB
+        # HUGEINT -> fetchdf float64, the q24/r10 regression) hashes
+        # 2279 vs 2279.0 and goes red even when isclose passes. Fail the
+        # mirror on any int-vs-float dtype-kind divergence.
+        gk, wk = g.dtype.kind, w.dtype.kind
+        if ("f" in (gk, wk)) and (gk in "iu" or wk in "iu"):
+            raise AssertionError(
+                f"{name}: col {c} dtype-kind divergence spark={g.dtype} "
+                f"oracle={w.dtype} — integral vs float hashes differ on the "
+                f"driver (HUGEINT/float64 class); cast the oracle SQL "
+                f"(e.g. CAST(... AS BIGINT)) or the Spark column so kinds agree"
+            )
         if g.dtype.kind == "f" or w.dtype.kind == "f":
             for i, (a, b) in enumerate(zip(g, w)):
                 if pd.isna(a) and pd.isna(b):

@@ -944,3 +944,107 @@ def test_damaged_fp_meta_raises_instead_of_guessing(spark, tmp_path):
 
     with pytest.raises(ValueError, match="no\\s+n_buckets meta"):
         _wfs(batch, store, mode="append")
+
+
+def test_claims_lease_election_serializes_racers(spark, tmp_path, monkeypatch):
+    """Object-store-safe lease (r11): on stores whose createNewFile is
+    CHECK-THEN-CREATE (S3A, GCS), the marker lease double-acquires
+    under a race — this test drives that exact interleave (both
+    contenders complete their write before either checks the other's)
+    against the claims election and asserts exactly ONE wins. The
+    election needs only unconditional PUT + LIST + DELETE, all atomic
+    on plain object stores."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _claims_elect,
+        _claims_write,
+    )
+
+    store = str(tmp_path / "claims_race")
+
+    # the hazardous interleave: A and B both land their lease write
+    # BEFORE either runs its membership check. With the marker lease
+    # this is the double-acquire (both exists-checks saw nothing, both
+    # unconditional PUTs succeed); with claims both files coexist and
+    # the LIST gives both contenders the same total order.
+    a = _claims_write(spark, store)
+    b = _claims_write(spark, store)
+    assert a < b  # time_ns-prefixed: the earlier contender orders first
+    wins = [_claims_elect(spark, store, a), _claims_elect(spark, store, b)]
+    assert wins == [True, False]  # exactly one winner, deterministic
+
+    # the loser's claim is gone — it never blocks the winner's successor
+    claims_dir = os.path.join(store, "_LEASE_CLAIMS")
+    live = [f for f in os.listdir(claims_dir) if not f.startswith(".")]
+    assert live == [a]  # (.crc checksum sidecars are not claims)
+
+    # reversed election order (loser lists first) picks the SAME winner
+    store2 = str(tmp_path / "claims_race2")
+    a2 = _claims_write(spark, store2)
+    b2 = _claims_write(spark, store2)
+    assert [
+        _claims_elect(spark, store2, b2),
+        _claims_elect(spark, store2, a2),
+    ] == [False, True]
+
+
+def test_claims_lease_mode_end_to_end(spark, tmp_path, monkeypatch):
+    """Full mutator flow with the claims lease forced on (as an
+    s3a://-rooted store would select it): acquire/release bracket the
+    write, a concurrent contender raises LOUDLY and leaves the holder
+    intact, release frees the path, and clear_lease sweeps orphans
+    after a simulated process death."""
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_MODE", "claims")
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _acquire_lease,
+        _release_lease,
+        clear_lease,
+        incremental_new_docs,
+        write_fingerprint_store,
+    )
+
+    store = str(tmp_path / "fp_claims")
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(5)], "doc_id long, text string"
+    )
+    write_fingerprint_store(docs, store)  # acquires + releases claims
+    claims_dir = os.path.join(store, "_LEASE_CLAIMS")
+
+    def live_claims():
+        return [f for f in os.listdir(claims_dir) if not f.startswith(".")]
+
+    assert live_claims() == []  # released
+
+    _acquire_lease(spark, store)  # concurrent mutator holds a claim
+    batch = spark.createDataFrame(
+        [(99, "new doc")], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="claim"):
+        write_fingerprint_store(batch, store, mode="append")
+    # the loser's failed acquire didn't evict the holder
+    assert len(live_claims()) == 1
+    # probes stay lease-free under claims mode too
+    assert incremental_new_docs(batch, store).count() == 1
+
+    _release_lease(spark, store)
+    write_fingerprint_store(batch, store, mode="append")
+    assert incremental_new_docs(batch, store).count() == 0
+
+    # simulated process death: claim file survives, clear_lease sweeps
+    _acquire_lease(spark, store)
+    import solarpaneldatawrangler_spark.operators.dedup as _d
+
+    _d._HELD_CLAIMS.clear()  # the owning process is gone
+    with pytest.raises(RuntimeError, match="claim"):
+        _acquire_lease(spark, store)
+    clear_lease(spark, store)
+    _acquire_lease(spark, store)  # service restored
+    _release_lease(spark, store)
+
+    # a marker left by a marker-mode mutator on the same path still
+    # reads as held — no split-brain across lease modes
+    open(os.path.join(store, "_LEASE"), "w").close()
+    with pytest.raises(RuntimeError, match="_LEASE"):
+        _acquire_lease(spark, store)
+    clear_lease(spark, store)
+    _acquire_lease(spark, store)
+    _release_lease(spark, store)

@@ -36,3 +36,21 @@ def test_entry_smoke(spark):
     names = set(e.queries())
     oracles = e.oracle_sql()
     assert set(oracles) <= names
+
+
+def test_compare_fails_on_int_vs_float_dtype_divergence(spark):
+    """Mirror-fidelity regression (r10's q24 red): DuckDB HUGEINT
+    reaches pandas as float64, so the driver hashed oracle 2279.0
+    against Spark's long 2279 while the mirror's isclose path stayed
+    green. compare() must now FAIL on any integral-vs-float dtype-kind
+    divergence, making that class locally reproducible."""
+    import pandas as pd
+
+    got = spark.createDataFrame([(1, 10), (2, 20)], "k int, v long")
+    # what fetchdf renders for a HUGEINT column: float64, values equal
+    want_float = pd.DataFrame({"k": [1, 2], "v": [10.0, 20.0]})
+    with pytest.raises(AssertionError, match="dtype-kind divergence"):
+        compare(got, want_float, "hugeint_regression")
+    # kind-matched sides still pass
+    want_int = pd.DataFrame({"k": [1, 2], "v": [10, 20]})
+    compare(got, want_int, "hugeint_regression_ok")
