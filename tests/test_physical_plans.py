@@ -259,3 +259,46 @@ def test_rollup_is_single_pass(spark, sf_dir):
     assert plan.count("Expand") == 2, plan
     assert plan.count("Exchange") == 2, plan
     assert plan.count("Union") == 1, plan
+
+
+def test_r10_scan_side_surfaces_add_no_exchange(spark, sf_dir):
+    """The r10 ride-along surfaces claim to be PURE scan-side
+    expressions — split_assign (hash-line carve), canonical_url
+    (string pipeline), lang_margin (4-way max arithmetic) — so adding
+    them to a base projection must introduce ZERO new Exchange: at
+    100 TB a merge that silently added a shuffle would dominate the
+    query it rides. balanced_shards under a precomputed rank_col is
+    likewise map-only (pure arithmetic on the rank)."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.curation import canonical_url
+    from solarpaneldatawrangler_spark.operators.packing import balanced_shards
+    from solarpaneldatawrangler_spark.operators.sampling import split_assign
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def n_exchanges(df) -> int:
+        return df._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange"
+        )
+
+    base = docs.select("doc_id", "source")
+    assert n_exchanges(base) == 0
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        split_assign(
+            F.col("doc_id"), {"train": 0.9, "valid": 0.05, "test": 0.05}
+        ).alias("split"),
+        canonical_url(
+            F.concat(F.lit("https://Ex.com/p/"), F.col("doc_id"))
+        ).alias("canon"),
+    )
+    assert n_exchanges(enriched) == 0  # ride-alongs are free
+
+    ranked = docs.select(
+        "doc_id", F.col("n_chars").cast("long").alias("w")
+    ).withColumn("rnk", F.lit(0) + F.col("doc_id"))
+    sharded = balanced_shards(ranked, 8, weight_col="w", rank_col="rnk")
+    assert n_exchanges(sharded) == n_exchanges(ranked)  # map-only deal
