@@ -1048,3 +1048,37 @@ def test_claims_lease_mode_end_to_end(spark, tmp_path, monkeypatch):
     clear_lease(spark, store)
     _acquire_lease(spark, store)
     _release_lease(spark, store)
+
+
+def test_claims_election_n_contenders_exactly_one_winner(spark, tmp_path):
+    """Five racing mutators, three election orders (in claim order,
+    reversed, interleaved-with-writes): exactly one wins — always the
+    oldest claim — and every loser's claim is cleaned up."""
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _claims_elect,
+        _claims_write,
+    )
+
+    def live(store):
+        d = os.path.join(store, "_LEASE_CLAIMS")
+        return [f for f in os.listdir(d) if not f.startswith(".")]
+
+    # all claims land before any election, two list orders
+    for i, order in enumerate([lambda c: c, lambda c: c[::-1]]):
+        store = str(tmp_path / f"race{i}")
+        claims = [_claims_write(spark, store) for _ in range(5)]
+        assert claims == sorted(claims)  # time_ns prefix is monotone
+        wins = {c: _claims_elect(spark, store, c) for c in order(claims)}
+        assert [c for c, w in wins.items() if w] == [claims[0]]
+        assert live(store) == [claims[0]]
+
+    # interleaved: writes and elections alternate — each later
+    # contender finds the live winner and loses; the winner's claim
+    # survives every later election
+    store = str(tmp_path / "race_interleaved")
+    first = _claims_write(spark, store)
+    assert _claims_elect(spark, store, first)
+    for _ in range(4):
+        c = _claims_write(spark, store)
+        assert not _claims_elect(spark, store, c)
+    assert live(store) == [first]

@@ -54,3 +54,34 @@ def test_compare_fails_on_int_vs_float_dtype_divergence(spark):
     # kind-matched sides still pass
     want_int = pd.DataFrame({"k": [1, 2], "v": [10, 20]})
     compare(got, want_int, "hugeint_regression_ok")
+
+
+def test_no_oracle_column_types_as_hugeint(sf_dir):
+    """Static sweep of every catalog oracle (the ADVICE alternative to
+    the dtype-kind guard): DESCRIBE each oracle's result in DuckDB and
+    fail on any HUGEINT (INT128) column. HUGEINT is what un-cast
+    SUM(BIGINT) produces, it reaches pandas as float64, and the driver
+    then hashes x.0 against Spark's long x — the r10 q24 red. The
+    dtype-kind guard catches the divergence at compare time; this
+    catches the un-cast aggregate at the SQL level even where the
+    paired Spark column happens to be float too."""
+    import duckdb
+
+    from tests.oracle_harness import STAR_TABLES
+
+    con = duckdb.connect()
+    for t in STAR_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    offenders = []
+    for name in ORACLE_QUERIES:
+        desc = con.execute(f"DESCRIBE {CATALOG[name].oracle}").fetchall()
+        for col, typ, *_ in desc:
+            if "HUGEINT" in typ.upper():
+                offenders.append(f"{name}.{col}: {typ}")
+    assert not offenders, (
+        "oracle columns typed HUGEINT (cast the aggregate, e.g. "
+        f"CAST(SUM(x) AS BIGINT)): {offenders}"
+    )
