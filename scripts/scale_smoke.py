@@ -1071,6 +1071,57 @@ def sampling_smoke():
           bal_run)
 
 
+def multimodal_smoke():
+    """r11: Lanczos upsample through the Arrow path at volume — 20k
+    64x64 RGB tiles (generated DISTRIBUTED inside mapInPandas, pixels
+    seeded per tile id) resampled 2x with the windowed-sinc kernel.
+    Map-only: zero shuffle; throughput is NumPy convolution + Arrow
+    transfer, which is the whole point of batching pixels per tile
+    instead of per pixel."""
+    import numpy as np
+    import pandas as pd
+
+    spark = get_spark("scale-smoke")
+    from solarpaneldatawrangler_spark.operators.multimodal import (
+        NumpyCodec,
+        upsample_tiles,
+    )
+
+    codec = NumpyCodec()
+    n = 20_000
+
+    def gen(batches):
+        for pdf in batches:
+            content = [
+                codec.encode(
+                    np.random.default_rng(int(i))
+                    .integers(0, 256, (64, 64, 3))
+                    .astype(np.uint8)
+                )
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "column": pdf["id"] % 4000,
+                    "row": pdf["id"] // 4000,
+                    "zoom": 21,
+                    "content": content,
+                }
+            )
+
+    tiles = spark.range(n).repartition(32).mapInPandas(
+        gen, "column long, row long, zoom int, content binary"
+    )
+
+    def run():
+        out = upsample_tiles(tiles, factor=2, codec=codec, mode="lanczos")
+        return out.select(F.length("content").alias("b")).agg(
+            F.count(F.lit(1)), F.min("b"), F.max("b")
+        ).collect()[0][0]
+
+    timed("lanczos upsample 20k 64x64 tiles -> 128x128 (map-only)", run)
+
+
 if __name__ == "__main__":
     main()
     sketches_smoke()
@@ -1078,3 +1129,4 @@ if __name__ == "__main__":
     range_join_smoke()
     mixing_smoke()
     sampling_smoke()
+    multimodal_smoke()
