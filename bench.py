@@ -1643,6 +1643,17 @@ def main() -> None:
         out_dir = os.path.join(repo, "bench_out")
         os.makedirs(out_dir, exist_ok=True)
         out_path = os.path.join(out_dir, f"r{rnd:02d}.json")
+        # clobber guard (review-caught): a casual smaller-sf smoke run
+        # must not overwrite the round's committed full-sf record —
+        # same-or-bigger sf wins the canonical name, smaller sf gets a
+        # suffixed file
+        try:
+            with open(out_path) as fh:
+                prev_sf = json.load(fh).get("sf")
+            if prev_sf is not None and sf is not None and sf < prev_sf:
+                out_path = os.path.join(out_dir, f"r{rnd:02d}_sf{sf}.json")
+        except (OSError, ValueError):
+            pass
         with open(out_path, "w") as fh:
             json.dump(full, fh, indent=1)
         print(f"# full record: {out_path}", file=sys.stderr)

@@ -906,13 +906,16 @@ def _acquire_lease_claims(spark, path: str) -> None:
     both land claims and the LIST gives every contender the same
     total order, so exactly one proceeds.
 
-    Correctness window: a contender whose PUT is not yet visible to
-    an earlier contender's LIST can split the election — bounded by
-    PUT-visibility delay plus inter-node clock skew. S3/GCS/ABFS list
-    their own writes strongly since 2020, so the settle window
-    (SPARK_GRAFT_LEASE_SETTLE_MS, default 0) only needs to cover
-    clock skew between mutator drivers; set it to your NTP bound
-    (e.g. 500) for multi-driver production stores."""
+    Correctness window: time_ns gives no server-assigned total order
+    (unlike ZooKeeper sequence nodes) — a contender whose clock runs
+    BEHIND can PUT a smaller claim after an earlier contender's LIST,
+    splitting the election. The settle sleep between PUT and LIST
+    closes it: with settle >= (inter-driver clock skew +
+    PUT-visibility delay), every claim that can order before ours is
+    visible by the time we LIST. Default 250 ms
+    (SPARK_GRAFT_LEASE_SETTLE_MS) covers NTP-disciplined fleets;
+    raise it to your actual skew bound for multi-driver stores, or
+    set 0 only where a single driver mutates the store."""
     import time as _time
 
     # a marker left by a marker-mode mutator (or a dead one) on the
@@ -927,10 +930,41 @@ def _acquire_lease_claims(spark, path: str) -> None:
             "operators.dedup.clear_lease after confirming the job is dead"
         )
     claim = _claims_write(spark, path)
-    settle_ms = int(os.environ.get("SPARK_GRAFT_LEASE_SETTLE_MS", "0"))
+    settle_ms = int(os.environ.get("SPARK_GRAFT_LEASE_SETTLE_MS", "250"))
     if settle_ms > 0:
         _time.sleep(settle_ms / 1000.0)
-    if not _claims_elect(spark, path, claim):
+    try:
+        # re-check the marker AFTER our claim landed (Dekker symmetry
+        # with the marker path's post-create claims check: each side
+        # writes its own flag then checks the other's, so in any
+        # interleave at least one backs out; both backing out is safe)
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(
+                f"{path.rstrip('/')}/{_LEASE_MARK}"
+            )
+        ):
+            raise RuntimeError(
+                f"store {path} is being mutated by another job "
+                f"({_LEASE_MARK} held) — if a CRASHED job left it, clear "
+                "it with operators.dedup.clear_lease after confirming "
+                "the job is dead"
+            )
+        won = _claims_elect(spark, path, claim)
+    except Exception:
+        # a transient list failure must not orphan our claim — an
+        # orphan wins every future election and wedges all mutators
+        # until a manual clear_lease
+        try:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    f"{path.rstrip('/')}/{_CLAIMS_DIR}/{claim}"
+                ),
+                False,
+            )
+        except Exception:  # noqa: BLE001
+            pass
+        raise
+    if not won:
         raise RuntimeError(
             f"store {path} is being mutated by another job (older "
             f"{_CLAIMS_DIR} claim live) — a concurrent append/maintenance "
@@ -969,18 +1003,41 @@ def _acquire_lease(spark, path: str) -> None:
             "with operators.dedup.clear_lease after confirming the job "
             "is dead"
         )
+    # cross-mode guard (review-caught): a claims-mode mutator (forced
+    # via env, or a scheme alias) writes no marker, so the marker
+    # create alone cannot see it — check for live claims and back out
+    cdir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_CLAIMS_DIR}")
+    try:
+        live = fs.exists(cdir) and any(
+            not st.getPath().getName().startswith((".", "_"))
+            for st in fs.listStatus(cdir)
+        )
+    except Exception:  # noqa: BLE001 — back out on ANY doubt
+        fs.delete(mark, False)
+        raise
+    if live:
+        fs.delete(mark, False)
+        raise RuntimeError(
+            f"store {path} is being mutated by another job (live "
+            f"{_CLAIMS_DIR} claim) — if a CRASHED job left its claim, "
+            "clear it with operators.dedup.clear_lease after confirming "
+            "the job is dead"
+        )
 
 
 def _release_lease(spark, path: str) -> None:
     fs, _, jvm = _hadoop_fs(spark, path)
     claim = _HELD_CLAIMS.pop(path.rstrip("/"), None)
     if claim is not None:
+        # claims-mode release: delete ONLY our claim — a concurrent
+        # marker-mode mutator's _LEASE is not ours to remove
         fs.delete(
             jvm.org.apache.hadoop.fs.Path(
                 f"{path.rstrip('/')}/{_CLAIMS_DIR}/{claim}"
             ),
             False,
         )
+        return
     fs.delete(
         jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_LEASE_MARK}"),
         False,

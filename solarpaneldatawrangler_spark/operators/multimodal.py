@@ -250,7 +250,11 @@ def _lanczos_weights(in_size: int, out_size: int, a: int = 3):
     (windowed-sinc) weights for one axis — PIL's resample algorithm
     (half-pixel centers; when downsampling the kernel is stretched by
     the scale factor so it averages, not aliases; weights normalized to
-    sum 1 so DC is preserved exactly; edges replicate via index clip).
+    sum 1 so DC is preserved exactly; at borders out-of-range taps are
+    DROPPED and the surviving in-bounds window renormalized — PIL's
+    edge rule, review-caught: clip-replicating instead hands negative
+    sinc lobes to the border pixel and diverges from PIL by several
+    uint8 steps on high-contrast borders).
     Returns (idx[out_size, k], w[out_size, k])."""
     scale = in_size / out_size
     fscale = max(scale, 1.0)
@@ -261,6 +265,8 @@ def _lanczos_weights(in_size: int, out_size: int, a: int = 3):
     idx = left[:, None] + np.arange(k)[None, :]
     x = (idx - centers[:, None]) / fscale
     w = np.sinc(x) * np.sinc(x / a) * (np.abs(x) < a)
+    w = w * ((idx >= 0) & (idx < in_size))
+    # every window contains its center tap, so the sum is never zero
     w = w / w.sum(axis=1, keepdims=True)
     return np.clip(idx, 0, in_size - 1), w
 
@@ -270,11 +276,11 @@ def lanczos_resize(arr: np.ndarray, out_h: int, out_w: int, a: int = 3) -> np.nd
     Image.resize(..., LANCZOS) (/root/reference/imagery.py:99-100)
     re-expressed without an imaging dependency: windowed-sinc kernel,
     half-pixel sample centers, scale-stretched support on downsample,
-    replicate edges, per-pixel weight normalization (PIL's
-    ResampleHorizontal/Vertical convolution in float64 instead of
-    PIL's int32 fixed-point — values may differ from PIL by the
-    fixed-point quantum, i.e. ±1 ulp of uint8). Identity-size resize
-    is exact (sinc hits integer zeros)."""
+    PIL's border rule (out-of-range taps dropped, surviving window
+    renormalized), per-pixel weight normalization. The convolution
+    runs in float64 where PIL uses int32 fixed-point coefficients, so
+    values may differ from PIL by the fixed-point quantum (~±1 uint8
+    step). Identity-size resize is exact (sinc hits integer zeros)."""
     h, w, _c = arr.shape
     iy, wy = _lanczos_weights(h, out_h, a)
     ix, wx = _lanczos_weights(w, out_w, a)

@@ -1082,3 +1082,43 @@ def test_claims_election_n_contenders_exactly_one_winner(spark, tmp_path):
         c = _claims_write(spark, store)
         assert not _claims_elect(spark, store, c)
     assert live(store) == [first]
+
+
+def test_marker_mode_backs_out_when_claims_live(spark, tmp_path, monkeypatch):
+    """Cross-mode Dekker symmetry (review-caught): a marker-mode
+    mutator must NOT acquire while a claims-mode mutator holds a live
+    claim — it creates its marker, sees the claim, backs out (marker
+    removed) and raises. And a claims-mode release must delete only
+    its own claim, never a marker-mode mutator's _LEASE."""
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_SETTLE_MS", "0")
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _acquire_lease,
+        _release_lease,
+    )
+
+    store = str(tmp_path / "cross_mode")
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_MODE", "claims")
+    _acquire_lease(spark, store)  # claims-mode holder
+
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_MODE", "marker")
+    with pytest.raises(RuntimeError, match="claim"):
+        _acquire_lease(spark, store)
+    # the probe marker was backed out, not left to wedge the store
+    assert not os.path.exists(os.path.join(store, "_LEASE"))
+
+    # marker-mode holder + claims release: the claim holder's release
+    # must not delete the other mode's marker
+    _acquire_lease(spark, store2 := str(tmp_path / "cross_mode2"))
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_MODE", "claims")
+    with pytest.raises(RuntimeError, match="_LEASE"):
+        _acquire_lease(spark, store2)
+    assert os.path.exists(os.path.join(store2, "_LEASE"))  # holder intact
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_MODE", "marker")
+    _release_lease(spark, store2)
+
+    # claims holder releases; marker mode can then acquire
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_MODE", "claims")
+    _release_lease(spark, store)
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_MODE", "marker")
+    _acquire_lease(spark, store)
+    _release_lease(spark, store)

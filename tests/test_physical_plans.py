@@ -264,7 +264,7 @@ def test_rollup_is_single_pass(spark, sf_dir):
 def test_r10_scan_side_surfaces_add_no_exchange(spark, sf_dir):
     """The r10 ride-along surfaces claim to be PURE scan-side
     expressions — split_assign (hash-line carve), canonical_url
-    (string pipeline), lang_margin (4-way max arithmetic) — so adding
+    (string pipeline) — so adding
     them to a base projection must introduce ZERO new Exchange: at
     100 TB a merge that silently added a shuffle would dominate the
     query it rides. balanced_shards under a precomputed rank_col is
