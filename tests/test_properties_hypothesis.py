@@ -284,3 +284,40 @@ def test_span_removal_matches_naive_coverage(spark, docs, k):
         assert got[i]["n_tokens"] == len(toks)
         assert got[i]["n_removed"] == sum(covered)
         assert got[i]["n_dup_grams"] == n_dup
+
+
+@given(
+    in_size=st.integers(min_value=1, max_value=200),
+    out_size=st.integers(min_value=1, max_value=200),
+    a=st.sampled_from([2, 3]),
+)
+@settings(max_examples=200, deadline=None)
+def test_lanczos_weights_invariants(in_size, out_size, a):
+    """_lanczos_weights for ANY (in, out, a): rows sum to exactly-ish 1
+    (DC preservation), every index in range (safe gather), the window
+    straddles each output center, and same-size is one-hot at the
+    center tap (identity resize). These hold for up AND down scaling
+    including the 1-pixel degenerate axes."""
+    import numpy as np
+
+    from solarpaneldatawrangler_spark.operators.multimodal import (
+        _lanczos_weights,
+    )
+
+    idx, w = _lanczos_weights(in_size, out_size, a)
+    assert idx.shape == w.shape and idx.shape[0] == out_size
+    assert np.allclose(w.sum(axis=1), 1.0, atol=1e-12)
+    assert idx.min() >= 0 and idx.max() < in_size
+    scale = in_size / out_size
+    centers = (np.arange(out_size) + 0.5) * scale - 0.5
+    # the nearest in-bounds pixel to each center carries nonzero weight
+    near = np.clip(np.rint(centers).astype(int), 0, in_size - 1)
+    hit = (idx == near[:, None]) & (np.abs(w) > 1e-15)
+    assert hit.any(axis=1).all()
+    if in_size == out_size:
+        # identity: exactly one tap per row, weight 1, at pixel i
+        nz = np.abs(w) > 1e-12
+        assert (nz.sum(axis=1) == 1).all()
+        picked = idx[nz]
+        assert np.array_equal(picked, np.arange(in_size))
+        assert np.allclose(w[nz], 1.0)
