@@ -1288,6 +1288,77 @@ EXTRA = {
 }
 
 
+# the driver tail-captures only ~2.6 KB of stdout; r7 and r10 both
+# lost the parsed headline by letting the one JSON line outgrow it.
+# The budget leaves headroom for errors/staleness lists on a bad run.
+STDOUT_LINE_BUDGET = 2000
+
+
+def _compact_stdout_line(
+    *,
+    total,
+    timings,
+    cold_total,
+    extra_total,
+    n_queries,
+    catalog_hash,
+    correctness_stale,
+    errors,
+    cpu_canary,
+    repeats,
+    sf,
+) -> str:
+    """The ONE stdout JSON line the driver parses — headline totals,
+    per-headline warm timings, gate metadata. Everything bulky
+    (extras, cold per-query, io stats, loads) lives on the stderr
+    detail line and in bench_out/r{N}.json. Unit-tested to stay under
+    STDOUT_LINE_BUDGET so the capture-window contract is executable,
+    not a comment."""
+    line = json.dumps(
+        {
+            "metric": "headline_query_total_runtime",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            **(
+                {"value_cold": round(cold_total, 3)}
+                if cold_total is not None
+                else {}
+            ),
+            "extra_value": round(extra_total, 3),
+            "n_queries": n_queries,
+            "catalog_hash": catalog_hash,
+            **(
+                {"correctness_stale": correctness_stale[:10]}
+                if correctness_stale
+                else {}
+            ),
+            **(
+                {"errors": {k: v[:60] for k, v in list(errors.items())[:8]}}
+                if errors
+                else {}
+            ),
+            "cpu_canary": cpu_canary,
+            "repeats": repeats,
+            "sf": sf,
+        }
+    )
+    if len(line) > STDOUT_LINE_BUDGET:  # belt-and-braces: drop optionals
+        line = json.dumps(
+            {
+                "metric": "headline_query_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "n_queries": n_queries,
+                "catalog_hash": catalog_hash,
+                "truncated": True,
+                "sf": sf,
+            }
+        )
+    return line
+
+
 def main() -> None:
     sf_dir = sf_dir_from_env()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
@@ -1660,34 +1731,18 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         print(f"# bench_out write failed: {ex}", file=sys.stderr)
     print(
-        json.dumps(
-            {
-                "metric": "headline_query_total_runtime",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                **(
-                    {"value_cold": round(cold_total, 3)}
-                    if cold_timings
-                    else {}
-                ),
-                "extra_value": round(extra_total, 3),
-                "n_queries": len(cat_names),
-                "catalog_hash": catalog_hash,
-                **(
-                    {"correctness_stale": correctness_stale}
-                    if correctness_stale
-                    else {}
-                ),
-                **(
-                    {"errors": {k: v[:80] for k, v in errors.items()}}
-                    if errors
-                    else {}
-                ),
-                "cpu_canary": cpu_canary,
-                "repeats": repeats,
-                "sf": sf,
-            }
+        _compact_stdout_line(
+            total=total,
+            timings=timings,
+            cold_total=cold_total if cold_timings else None,
+            extra_total=extra_total,
+            n_queries=len(cat_names),
+            catalog_hash=catalog_hash,
+            correctness_stale=correctness_stale,
+            errors=errors,
+            cpu_canary=cpu_canary,
+            repeats=repeats,
+            sf=sf,
         )
     )
 

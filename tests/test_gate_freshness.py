@@ -62,3 +62,49 @@ def test_registered_queries_missing_from_artifact_warn():
             UserWarning,
             stacklevel=1,
         )
+
+
+def test_bench_stdout_line_fits_capture_window():
+    """The capture-window contract as a test (r7 and r10 both lost the
+    parsed headline to line growth): the compact stdout line, built
+    with the real HEADLINE set and worst-ish metadata (staleness list,
+    error map, cold total), must stay under STDOUT_LINE_BUDGET, and
+    the budget itself under the driver's ~2.6 KB window."""
+    import json
+
+    import bench
+
+    assert bench.STDOUT_LINE_BUDGET <= 2400
+    timings = {name: 123.456 for name in bench.HEADLINE}
+    line = bench._compact_stdout_line(
+        total=9999.999,
+        timings=timings,
+        cold_total=9999.999,
+        extra_total=9999.999,
+        n_queries=50,
+        catalog_hash="e6bbd0e3967a",
+        correctness_stale=[f"q{i:02d}_some_query_name" for i in range(12)],
+        errors={f"probe_{i}": "X" * 300 for i in range(10)},
+        cpu_canary={"jvm_s": 0.241, "py_s": 0.199},
+        repeats=3,
+        sf=0.1,
+    )
+    assert len(line) <= bench.STDOUT_LINE_BUDGET, len(line)
+    parsed = json.loads(line)
+    assert parsed["value"] == 9999.999 and parsed["queries"] == timings
+
+    # the happy path (no errors, nothing stale) is far inside the budget
+    happy = bench._compact_stdout_line(
+        total=8.015,
+        timings={k: round(v, 3) for k, v in timings.items()},
+        cold_total=6.461,
+        extra_total=74.422,
+        n_queries=50,
+        catalog_hash="e6bbd0e3967a",
+        correctness_stale=[],
+        errors={},
+        cpu_canary={"jvm_s": 0.326, "py_s": 0.27},
+        repeats=3,
+        sf=0.1,
+    )
+    assert len(happy) < 1000, len(happy)
