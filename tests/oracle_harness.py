@@ -38,7 +38,19 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def compare(spark_df, oracle_df: pd.DataFrame, name: str, rtol: float = 1e-9) -> None:
+def compare(
+    spark_df,
+    oracle_df: pd.DataFrame,
+    name: str,
+    rtol: float = 1e-9,
+    strict: bool = False,
+) -> None:
+    """``strict=True`` replicates the DRIVER's exactness: float cells
+    must be bit-identical (repr-equal) across engines, no isclose — an
+    r11 full-catalog sweep proved every hashed query IS cell-exact at
+    sf0.01, so the catalog mirror runs strict and a future query that
+    silently leans on tolerance fails locally before the driver sees
+    it. Non-catalog goldens keep the tolerant default."""
     got = _normalize(spark_df.toPandas())
     want = _normalize(oracle_df)
     assert list(got.columns) == list(want.columns), (
@@ -63,6 +75,14 @@ def compare(spark_df, oracle_df: pd.DataFrame, name: str, rtol: float = 1e-9) ->
         if g.dtype.kind == "f" or w.dtype.kind == "f":
             for i, (a, b) in enumerate(zip(g, w)):
                 if pd.isna(a) and pd.isna(b):
+                    continue
+                if strict:
+                    assert repr(a) == repr(b), (
+                        f"{name}: col {c} row {i}: {a!r} != {b!r} — "
+                        "engines diverge in float BITS; the driver's "
+                        "exact value hash would go red. Make the query "
+                        "engine-exact (round/cast in BOTH engines)"
+                    )
                     continue
                 assert a is not None and b is not None and math.isclose(
                     float(a), float(b), rel_tol=rtol, abs_tol=1e-12

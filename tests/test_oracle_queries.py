@@ -17,7 +17,7 @@ def test_oracle_match(spark, sf_dir, name):
     spec = CATALOG[name]
     got = spec.fn(spark, sf_dir)
     want = run_oracle(spec.oracle, sf_dir)
-    compare(got, want, name)
+    compare(got, want, name, strict=True)  # mirror == driver exactness
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
