@@ -17,11 +17,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# bench mode: persist star tables in memory — one materialization, then
-# every query reads columnar cache instead of re-scanning parquet
-# (correctness runs leave this off so scan-level plan shapes are intact)
-os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
-
 from solarpaneldatawrangler_spark.plans import CATALOG  # noqa: E402
 from solarpaneldatawrangler_spark.plans import extension_queries2 as _x2  # noqa: E402
 from solarpaneldatawrangler_spark.session import get_spark, sf_dir_from_env  # noqa: E402
@@ -1360,6 +1355,16 @@ def _compact_stdout_line(
 
 
 def main() -> None:
+    # bench mode: persist star tables in memory — one materialization,
+    # then every query reads columnar cache instead of re-scanning
+    # parquet (correctness runs leave this off so scan-level plan
+    # shapes stay intact). Set HERE, not at module import: tests that
+    # import bench for its constants must not flip session-global
+    # caching for every later test in the suite (an import-time
+    # setdefault did exactly that — plan-shape tests downstream of the
+    # first bench import saw InMemoryTableScan instead of the parquet
+    # scan they assert on).
+    os.environ.setdefault("SPARK_GRAFT_CACHE_TABLES", "1")
     sf_dir = sf_dir_from_env()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     spark = get_spark("spark-wrangler-bench")

@@ -702,6 +702,13 @@ def remove_boilerplate_paragraphs(
 # after confirming the dead job (readers were never at risk: the
 # half-written generation carries no _COMMITTED marker).
 #
+# Two lease mechanisms behind one interface, selected by path scheme
+# (r11): atomic-create filesystems use the ``_LEASE`` marker; object
+# stores whose createNewFile is check-then-create (S3A, GCS) use a
+# lexicographic-claims election under ``_LEASE_CLAIMS/`` — see
+# _acquire_lease / _acquire_lease_claims for the protocol, its Dekker
+# cross-mode check, and the clock-skew settle window.
+#
 # Probes vs maintenance: a probe that resolved _current_gen just
 # before a compaction commits could have its files deleted mid-scan —
 # so the sweep RETAINS the newest superseded committed generation for
