@@ -137,7 +137,10 @@ def _headline_fn(name: str):
 def _cc_snake(spark, sf_dir):
     """Connected-components worst case: one 1000-cell snake (a single
     path graph, diameter 999) — maximizes pointer-jumping rounds, the
-    iterative operator's true cost driver."""
+    iterative operator's true cost driver. local_max_nodes=0 PINS the
+    distributed loop (r11 added size-aware routing that would solve
+    1000 nodes driver-locally): this extra measures the iterative
+    plan's scheduler-bound cost, which is what survives at 100 TB."""
     from pyspark.sql import functions as F
 
     from solarpaneldatawrangler_spark.operators.clustering import connected_components
@@ -145,7 +148,7 @@ def _cc_snake(spark, sf_dir):
     cells = spark.range(1000).select(
         F.col("id").alias("column"), F.lit(0).alias("row")
     )
-    return connected_components(cells)
+    return connected_components(cells, local_max_nodes=0)
 
 
 def _minhash_bands8(spark, sf_dir):

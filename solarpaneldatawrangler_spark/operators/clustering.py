@@ -28,17 +28,74 @@ from pyspark.sql import functions as F
 from solarpaneldatawrangler_spark.operators.grid import neighbor_edges, pack_cell
 
 
+# node-count cutoff for the driver-local union-find strategy below —
+# the CC analog of Spark's size-aware broadcast-join selection. 100k
+# nodes collect as ~3 MB of longs; the local solve is near-linear
+# (path compression) and replaces dozens of scheduler-bound loop
+# stages with one job + one broadcast join-back. Above the cutoff the
+# distributed pointer-jumping loop runs, exactly as before.
+LOCAL_CC_MAX_NODES = 100_000
+
+
+def _local_min_labels(
+    ids: list[int], edge_pairs: list[tuple[int, int]]
+) -> list[tuple[int, int]]:
+    """Driver-local exact connected components: union-find with
+    union-by-min, so every root IS its component's minimum id — the
+    same label the distributed min-label loop converges to, making the
+    two strategies bit-identical. Bounded by LOCAL_CC_MAX_NODES at the
+    call sites (the anti-pattern sweep's 'bounded driver state' rule)."""
+    parent = {i: i for i in ids}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return [(i, find(i)) for i in ids]
+
+
+def _labels_df_from_local(spark, rows: list[tuple[int, int]]) -> DataFrame:
+    import pandas as pd
+
+    if not rows:
+        return spark.createDataFrame([], "id long, label long")
+    pdf = pd.DataFrame(rows, columns=["id", "label"])
+    return spark.createDataFrame(pdf)
+
+
 def connected_components(
     tiles: DataFrame,
     col_name: str = "column",
     row_name: str = "row",
     max_iterations: int = 50,
+    local_max_nodes: int = LOCAL_CC_MAX_NODES,
 ) -> DataFrame:
     """Label each tile with cluster_id = min packed cell id reachable via
     4-adjacency. Returns (column, row, cluster_id).
 
     Isolated tiles keep their own id — matching the reference, where
     every positive tile gets a cluster (a singleton one if no neighbors).
+
+    Size-aware strategy (r11, the broadcast-join analogy): when the
+    edge-connected active set fits the driver (``local_max_nodes``,
+    default LOCAL_CC_MAX_NODES; pass 0 to force the distributed loop),
+    the component solve is ONE bounded collect + a local union-find +
+    a broadcast join-back — labels bit-identical to the loop's, at a
+    fraction of its dozens of scheduler-bound stages. Above the cutoff
+    (or at 100 TB) the pointer-jumping min-label loop runs unchanged;
+    scripts/scale_smoke.py's 5M-cell probe and the bench snake extras
+    (local_max_nodes=0) keep the iterative path measured.
     """
     cells = tiles.select(F.col(col_name), F.col(row_name)).dropDuplicates(
         [col_name, row_name]
@@ -63,7 +120,14 @@ def connected_components(
         col_name, row_name, F.col("id").alias("cluster_id")
     )
 
-    labels = _min_label_loop(active, edges, max_iterations)
+    if local_max_nodes and active.count() <= local_max_nodes:
+        ids = [r[0] for r in active.select("id").collect()]
+        pairs = [(r[0], r[1]) for r in edges.select("src", "dst").collect()]
+        labels = _labels_df_from_local(
+            tiles.sparkSession, _local_min_labels(ids, pairs)
+        )
+    else:
+        labels = _min_label_loop(active, edges, max_iterations)
 
     clustered = active.join(labels, "id").select(
         col_name, row_name, F.col("label").alias("cluster_id")
@@ -76,6 +140,7 @@ def connected_components_edges(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iterations: int = 50,
+    local_max_nodes: int = LOCAL_CC_MAX_NODES,
 ) -> DataFrame:
     """Generic connected components over an undirected edge list of long
     ids — the same pointer-jumping min-label loop as the grid operator,
@@ -105,7 +170,21 @@ def connected_components_edges(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    labels = _min_label_loop(nodes, sym, max_iterations)
+    # size-aware routing (see connected_components): arbitrary graphs
+    # gate on EDGES too — a dense near-dup cluster can carry O(n^2)
+    # pairs over few nodes, and the collect must stay bounded
+    if (
+        local_max_nodes
+        and nodes.count() <= local_max_nodes
+        and sym.count() <= 8 * local_max_nodes
+    ):
+        ids = [r[0] for r in nodes.collect()]
+        pairs = [(r[0], r[1]) for r in sym.collect()]
+        labels = _labels_df_from_local(
+            edges.sparkSession, _local_min_labels(ids, pairs)
+        )
+    else:
+        labels = _min_label_loop(nodes, sym, max_iterations)
     return labels.select("id", F.col("label").alias("component"))
 
 

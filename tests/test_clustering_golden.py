@@ -43,3 +43,66 @@ def test_cc_labels_deterministic(spark):
     # label = min packed id = 5 * 2^32 + 5
     expected = 5 * 4294967296 + 5
     assert set(out.values()) == {expected}
+
+
+def test_cc_strategies_agree_and_local_routing(spark):
+    """The r11 size-aware routing (driver-local union-find under
+    LOCAL_CC_MAX_NODES, distributed min-label loop above / when pinned
+    with local_max_nodes=0) must be BIT-IDENTICAL on the same graph —
+    same components, same min-id labels — on the golden shapes plus a
+    diameter-200 snake (the pointer-jumping stress shape) and a random
+    sparse grid. Also true for connected_components_edges, including
+    its edge-count gate."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.clustering import (
+        connected_components_edges,
+    )
+
+    rng = random.Random(11)
+    grids = [
+        [(100, 100), (0, 0), (0, 1), (1, 0), (1, 1), (50, 50), (51, 51)],
+        [(i, 0) for i in range(200)],  # snake, diameter 199
+        list({(rng.randrange(40), rng.randrange(40)) for _ in range(300)}),
+    ]
+    for cells in grids:
+        df = spark.createDataFrame(cells, "column long, row long")
+        local = sorted(
+            map(tuple, connected_components(df).collect())
+        )  # default: local path (n << LOCAL_CC_MAX_NODES)
+        loop = sorted(
+            map(tuple, connected_components(df, local_max_nodes=0).collect())
+        )
+        assert local == loop and local
+
+    pairs = [(1, 2), (2, 3), (10, 11), (20, 20)] + [
+        (rng.randrange(50), rng.randrange(50)) for _ in range(60)
+    ]
+    edf = spark.createDataFrame(pairs, "src long, dst long")
+    a = sorted(map(tuple, connected_components_edges(edf).collect()))
+    b = sorted(
+        map(
+            tuple,
+            connected_components_edges(edf, local_max_nodes=0).collect(),
+        )
+    )
+    assert a == b and a
+
+
+def test_local_min_labels_pure():
+    """The union-find itself: min-id roots, path compression, isolated
+    nodes self-labeled, duplicate/reversed edges harmless."""
+    from solarpaneldatawrangler_spark.operators.clustering import (
+        _local_min_labels,
+    )
+
+    ids = [7, 3, 9, 1, 5]
+    out = dict(_local_min_labels(ids, [(7, 9), (9, 3), (3, 7), (7, 3)]))
+    assert out == {7: 3, 9: 3, 3: 3, 1: 1, 5: 5}
+    # long chain unioned in worst order still yields global min
+    ids = list(range(100))
+    chain = [(i + 1, i) for i in range(99)]
+    out = dict(_local_min_labels(ids, chain))
+    assert set(out.values()) == {0}
