@@ -1009,6 +1009,26 @@ def _bpe_train_dist_bench(spark, sf_dir):
     from solarpaneldatawrangler_spark.sources.star import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # local_max_words=0 pins the distributed pair-count loop (r11 added
+    # vocabulary-size routing that would train sf0.1's small vocab
+    # driver-locally): this extra measures the loop that survives at
+    # 100 TB vocabularies; x_bpe_train_local measures the routed path.
+    merges = train_bpe_merges_distributed(docs, n_merges=24, local_max_words=0)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "idx int, a string, b string"
+    )
+
+
+def _bpe_train_local_bench(spark, sf_dir):
+    """The size-aware twin of x_bpe_train_dist: same corpus, same 24
+    merges, default routing — the word table fits the driver so the
+    whole training is one corpus pass + an in-memory solve."""
+    from solarpaneldatawrangler_spark.operators.bpe import (
+        train_bpe_merges_distributed,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     merges = train_bpe_merges_distributed(docs, n_merges=24)
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)], "idx int, a string, b string"
@@ -1230,6 +1250,7 @@ EXTRA = {
     "x_bpe_encode": _bpe_encode_bench,
     "x_data_card": _data_card_bench,
     "x_bpe_train_dist": _bpe_train_dist_bench,
+    "x_bpe_train_local": _bpe_train_local_bench,
     "x_clf_big_model": _clf_big_model_bench,
     "x_rep_battery": _rep_battery_bench,
     "x_c4_filter": _c4_filter_bench,

@@ -57,6 +57,16 @@ def train_bpe_merges(
     for t in texts:
         for w in (t or "").lower().split():
             freq[w] += 1
+    return _train_from_counts(freq, n_merges)
+
+
+def _train_from_counts(
+    freq: Counter, n_merges: int
+) -> list[tuple[str, str]]:
+    """The trainer's core over a (word -> count) table — shared by the
+    in-memory sample trainer above and the distributed trainer's
+    small-vocabulary fast path (the word table IS the model input;
+    where it came from doesn't change a single tie-break)."""
     states = {w: _word_state(w) for w in freq}
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -83,10 +93,19 @@ def train_bpe_merges(
     return merges
 
 
+# vocabulary-size cutoff for the driver-local training fast path in
+# train_bpe_merges_distributed — the size-aware strategy shared with
+# clustering.LOCAL_CC_MAX_NODES: 200k distinct (word, n) rows collect
+# as a few MB; below it the 24-iteration pair-count loop is pure
+# scheduler overhead vs one in-memory solve with identical tie-breaks.
+LOCAL_BPE_MAX_WORDS = 200_000
+
+
 def train_bpe_merges_distributed(
     df: DataFrame,
     n_merges: int = 64,
     text_col: str = "text",
+    local_max_words: int = LOCAL_BPE_MAX_WORDS,
 ) -> list[tuple[str, str]]:
     """Learn BPE merges from the WHOLE corpus — the 100 TB trainer that
     removes ``bpe_merges_for_dir``'s sample bound, in the
@@ -148,6 +167,20 @@ def train_bpe_merges_distributed(
     )
 
     try:
+        # size-aware routing (the clustering LOCAL_CC_MAX_NODES
+        # analogy, r11): the word table — not the corpus — is the
+        # model input, so when the DISTINCT vocabulary fits the driver
+        # the whole training runs in memory via the exact same
+        # _train_from_counts core the sample trainer uses; tie-breaks,
+        # early-stop, everything identical (consistency-tested). At
+        # 100 TB vocabularies (URL/typo heavy tails) the iterative
+        # pair-count loop runs unchanged; pass local_max_words=0 to
+        # pin it (the bench extra does, to keep the loop measured).
+        if local_max_words and words.count() <= local_max_words:
+            freq: Counter[str] = Counter(
+                {r["w"]: int(r["n"]) for r in words.collect()}
+            )
+            return _train_from_counts(freq, n_merges)
         return _bpe_merge_loop(words, n_merges)
     finally:
         # the checkpointed word table is loop-internal state: release

@@ -97,11 +97,17 @@ def test_distributed_trainer_matches_driver_trainer(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").filter(
         "doc_id < 300"
     ).select("doc_id", "text")
-    got = train_bpe_merges_distributed(docs.repartition(7), n_merges=24)
+    # r11 size-aware routing: the default routes this small vocabulary
+    # driver-locally; local_max_words=0 pins the distributed pair-count
+    # loop. BOTH must equal the driver trainer — three-way identity.
+    got_local = train_bpe_merges_distributed(docs.repartition(7), n_merges=24)
+    got_loop = train_bpe_merges_distributed(
+        docs.repartition(7), n_merges=24, local_max_words=0
+    )
     texts = [r["text"] for r in docs.collect()]
     want = train_bpe_merges(texts, n_merges=24)
-    assert got == want
-    assert len(got) == 24  # the corpus has at least 24 learnable merges
+    assert got_local == got_loop == want
+    assert len(want) == 24  # the corpus has at least 24 learnable merges
 
 
 def test_distributed_trainer_early_stop_and_repartition_invariance(spark):
@@ -118,8 +124,14 @@ def test_distributed_trainer_early_stop_and_repartition_invariance(spark):
 
     rows = [(i, "banana band bandit " + f"u{i}") for i in range(40)]
     docs = spark.createDataFrame(rows, "doc_id int, text string")
-    one = train_bpe_merges_distributed(docs.coalesce(1), n_merges=10)
-    many = train_bpe_merges_distributed(docs.repartition(13), n_merges=10)
+    # pin the LOOP for the partition-invariance claim (the local route
+    # collapses partitioning by construction)
+    one = train_bpe_merges_distributed(
+        docs.coalesce(1), n_merges=10, local_max_words=0
+    )
+    many = train_bpe_merges_distributed(
+        docs.repartition(13), n_merges=10, local_max_words=0
+    )
     assert one == many == train_bpe_merges(
         [t for _, t in rows], n_merges=10
     )
