@@ -1003,20 +1003,11 @@ def _bpe_train_dist_bench(spark, sf_dir):
     + 24 narrow partial-pair-count iterations with driver-side merge
     state. Returns the learned merge table as a DataFrame so the
     standard count() trigger times the full loop."""
-    from solarpaneldatawrangler_spark.operators.bpe import (
-        train_bpe_merges_distributed,
-    )
-    from solarpaneldatawrangler_spark.sources.star import load_table
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # local_max_words=0 pins the distributed pair-count loop (r11 added
     # vocabulary-size routing that would train sf0.1's small vocab
     # driver-locally): this extra measures the loop that survives at
     # 100 TB vocabularies; x_bpe_train_local measures the routed path.
-    merges = train_bpe_merges_distributed(docs, n_merges=24, local_max_words=0)
-    return spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)], "idx int, a string, b string"
-    )
+    return _bpe_train_bench(spark, sf_dir, local_max_words=0)
 
 
 def _bpe_train_local_bench(spark, sf_dir):
@@ -1024,12 +1015,22 @@ def _bpe_train_local_bench(spark, sf_dir):
     merges, default routing — the word table fits the driver so the
     whole training is one corpus pass + an in-memory solve."""
     from solarpaneldatawrangler_spark.operators.bpe import (
+        LOCAL_BPE_MAX_WORDS,
+    )
+
+    return _bpe_train_bench(spark, sf_dir, local_max_words=LOCAL_BPE_MAX_WORDS)
+
+
+def _bpe_train_bench(spark, sf_dir, local_max_words):
+    from solarpaneldatawrangler_spark.operators.bpe import (
         train_bpe_merges_distributed,
     )
     from solarpaneldatawrangler_spark.sources.star import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    merges = train_bpe_merges_distributed(docs, n_merges=24)
+    merges = train_bpe_merges_distributed(
+        docs, n_merges=24, local_max_words=local_max_words
+    )
     return spark.createDataFrame(
         [(i, a, b) for i, (a, b) in enumerate(merges)], "idx int, a string, b string"
     )

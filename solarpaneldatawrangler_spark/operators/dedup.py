@@ -844,6 +844,44 @@ def _path_scheme(path: str) -> str:
     return head.lower() if sep else ""
 
 
+def _marker_path(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{_LEASE_MARK}"
+    )
+
+
+def _claim_path(jvm, path: str, claim: str):
+    return jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{_CLAIMS_DIR}/{claim}"
+    )
+
+
+def _live_claims(fs, jvm, path: str) -> list[str]:
+    """Sorted live claim names under the store's claims dir. Filters
+    checksum/metadata sidecars (.crc on the local FS) — they are not
+    claims, and '.' sorts before the digit prefix, so an unfiltered
+    sidecar would win every election."""
+    cdir = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{_CLAIMS_DIR}"
+    )
+    if not fs.exists(cdir):
+        return []
+    return sorted(
+        n
+        for n in (st.getPath().getName() for st in fs.listStatus(cdir))
+        if not n.startswith((".", "_"))
+    )
+
+
+def _held_error(path: str, what: str) -> RuntimeError:
+    return RuntimeError(
+        f"store {path} is being mutated by another job ({what}) — a "
+        "concurrent append/maintenance would silently lose admission "
+        "state; if a CRASHED job left it, clear it with "
+        "operators.dedup.clear_lease after confirming the job is dead"
+    )
+
+
 def _lease_mode(path: str) -> str:
     """'claims' on object stores (or when forced via
     SPARK_GRAFT_LEASE_MODE for tests), else 'marker'."""
@@ -867,10 +905,7 @@ def _claims_write(spark, path: str) -> str:
     if not fs.exists(hpath):
         fs.mkdirs(hpath)
     claim = f"{_time.time_ns():020d}-{_uuid.uuid4().hex}"
-    cpath = jvm.org.apache.hadoop.fs.Path(
-        f"{path.rstrip('/')}/{_CLAIMS_DIR}/{claim}"
-    )
-    fs.create(cpath, False).close()
+    fs.create(_claim_path(jvm, path, claim), False).close()
     return claim
 
 
@@ -880,25 +915,10 @@ def _claims_elect(spark, path: str, claim: str) -> bool:
     deletes its own claim before returning False so it never blocks
     the winner's successor."""
     fs, _, jvm = _hadoop_fs(spark, path)
-    cdir = jvm.org.apache.hadoop.fs.Path(
-        f"{path.rstrip('/')}/{_CLAIMS_DIR}"
-    )
-    claims = sorted(
-        n
-        for n in (st.getPath().getName() for st in fs.listStatus(cdir))
-        # checksum/metadata sidecars (.crc on the local FS) are not
-        # claims — and "." sorts before the digit prefix, so an
-        # unfiltered sidecar would win every election
-        if not n.startswith((".", "_"))
-    )
+    claims = _live_claims(fs, jvm, path)
     if claims and claims[0] == claim:
         return True
-    fs.delete(
-        jvm.org.apache.hadoop.fs.Path(
-            f"{path.rstrip('/')}/{_CLAIMS_DIR}/{claim}"
-        ),
-        False,
-    )
+    fs.delete(_claim_path(jvm, path, claim), False)
     return False
 
 
@@ -928,14 +948,8 @@ def _acquire_lease_claims(spark, path: str) -> None:
     # a marker left by a marker-mode mutator (or a dead one) on the
     # same path still means "held" — never split-brain across modes
     fs, _, jvm = _hadoop_fs(spark, path)
-    if fs.exists(
-        jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_LEASE_MARK}")
-    ):
-        raise RuntimeError(
-            f"store {path} is being mutated by another job ({_LEASE_MARK} "
-            "held) — if a CRASHED job left it, clear it with "
-            "operators.dedup.clear_lease after confirming the job is dead"
-        )
+    if fs.exists(_marker_path(jvm, path)):
+        raise _held_error(path, f"{_LEASE_MARK} held")
     claim = _claims_write(spark, path)
     settle_ms = int(os.environ.get("SPARK_GRAFT_LEASE_SETTLE_MS", "250"))
     if settle_ms > 0:
@@ -945,40 +959,20 @@ def _acquire_lease_claims(spark, path: str) -> None:
         # with the marker path's post-create claims check: each side
         # writes its own flag then checks the other's, so in any
         # interleave at least one backs out; both backing out is safe)
-        if fs.exists(
-            jvm.org.apache.hadoop.fs.Path(
-                f"{path.rstrip('/')}/{_LEASE_MARK}"
-            )
-        ):
-            raise RuntimeError(
-                f"store {path} is being mutated by another job "
-                f"({_LEASE_MARK} held) — if a CRASHED job left it, clear "
-                "it with operators.dedup.clear_lease after confirming "
-                "the job is dead"
-            )
+        if fs.exists(_marker_path(jvm, path)):
+            raise _held_error(path, f"{_LEASE_MARK} held")
         won = _claims_elect(spark, path, claim)
     except Exception:
         # a transient list failure must not orphan our claim — an
         # orphan wins every future election and wedges all mutators
         # until a manual clear_lease
         try:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    f"{path.rstrip('/')}/{_CLAIMS_DIR}/{claim}"
-                ),
-                False,
-            )
+            fs.delete(_claim_path(jvm, path, claim), False)
         except Exception:  # noqa: BLE001
             pass
         raise
     if not won:
-        raise RuntimeError(
-            f"store {path} is being mutated by another job (older "
-            f"{_CLAIMS_DIR} claim live) — a concurrent append/maintenance "
-            "would silently lose admission state; if a CRASHED job left "
-            "its claim, clear it with operators.dedup.clear_lease after "
-            "confirming the job is dead"
-        )
+        raise _held_error(path, f"older {_CLAIMS_DIR} claim live")
     _HELD_CLAIMS[path.rstrip("/")] = claim
 
 
@@ -999,37 +993,20 @@ def _acquire_lease(spark, path: str) -> None:
     fs, hpath, jvm = _hadoop_fs(spark, path)
     if not fs.exists(hpath):
         fs.mkdirs(hpath)
-    mark = jvm.org.apache.hadoop.fs.Path(
-        f"{path.rstrip('/')}/{_LEASE_MARK}"
-    )
+    mark = _marker_path(jvm, path)
     if not fs.createNewFile(mark):
-        raise RuntimeError(
-            f"store {path} is being mutated by another job ({_LEASE_MARK} "
-            "held) — a concurrent append/maintenance would silently lose "
-            "admission state; if a CRASHED job left the lease, clear it "
-            "with operators.dedup.clear_lease after confirming the job "
-            "is dead"
-        )
+        raise _held_error(path, f"{_LEASE_MARK} held")
     # cross-mode guard (review-caught): a claims-mode mutator (forced
     # via env, or a scheme alias) writes no marker, so the marker
     # create alone cannot see it — check for live claims and back out
-    cdir = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_CLAIMS_DIR}")
     try:
-        live = fs.exists(cdir) and any(
-            not st.getPath().getName().startswith((".", "_"))
-            for st in fs.listStatus(cdir)
-        )
+        live = _live_claims(fs, jvm, path)
     except Exception:  # noqa: BLE001 — back out on ANY doubt
         fs.delete(mark, False)
         raise
     if live:
         fs.delete(mark, False)
-        raise RuntimeError(
-            f"store {path} is being mutated by another job (live "
-            f"{_CLAIMS_DIR} claim) — if a CRASHED job left its claim, "
-            "clear it with operators.dedup.clear_lease after confirming "
-            "the job is dead"
-        )
+        raise _held_error(path, f"live {_CLAIMS_DIR} claim")
 
 
 def _release_lease(spark, path: str) -> None:
@@ -1038,17 +1015,9 @@ def _release_lease(spark, path: str) -> None:
     if claim is not None:
         # claims-mode release: delete ONLY our claim — a concurrent
         # marker-mode mutator's _LEASE is not ours to remove
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(
-                f"{path.rstrip('/')}/{_CLAIMS_DIR}/{claim}"
-            ),
-            False,
-        )
+        fs.delete(_claim_path(jvm, path, claim), False)
         return
-    fs.delete(
-        jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_LEASE_MARK}"),
-        False,
-    )
+    fs.delete(_marker_path(jvm, path), False)
 
 
 def clear_lease(spark, path: str) -> None:
@@ -1058,10 +1027,7 @@ def clear_lease(spark, path: str) -> None:
     the owning job may still be alive."""
     fs, _, jvm = _hadoop_fs(spark, path)
     _HELD_CLAIMS.pop(path.rstrip("/"), None)
-    fs.delete(
-        jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{_LEASE_MARK}"),
-        False,
-    )
+    fs.delete(_marker_path(jvm, path), False)
     fs.delete(
         jvm.org.apache.hadoop.fs.Path(
             f"{path.rstrip('/')}/{_CLAIMS_DIR}"
