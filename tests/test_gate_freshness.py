@@ -107,4 +107,32 @@ def test_bench_stdout_line_fits_capture_window():
         repeats=3,
         sf=0.1,
     )
-    assert len(happy) < 1000, len(happy)
+    assert len(happy) < 1100, len(happy)
+    # the self-describing cold key (r12 judge item 4) rides both lines
+    assert json.loads(happy)["cold_means"].startswith("cache-off")
+
+
+def test_bench_record_path_clobber_guard(tmp_path):
+    """bench_out routing (r12 ADVICE): the canonical r{N}.json is only
+    taken/overwritten by a strictly-larger sf; unknown sf (dir name
+    without 'sf') and equal-sf reruns land in suffixed files; an
+    unreadable existing record is protected."""
+    import json
+
+    import bench
+
+    d = str(tmp_path)
+    # no canonical yet: known sf takes the canonical name, unknown never
+    assert bench._record_path(d, 12, 0.01).endswith("r12.json")
+    assert bench._record_path(d, 12, None).endswith("r12_unknown.json")
+    # canonical exists at sf=0.01
+    with open(tmp_path / "r12.json", "w") as fh:
+        json.dump({"sf": 0.01}, fh)
+    assert bench._record_path(d, 12, 0.1).endswith("r12.json")  # larger
+    assert bench._record_path(d, 12, 0.01).endswith("r12_sf0.01.json")
+    assert bench._record_path(d, 12, 0.001).endswith("r12_sf0.001.json")
+    assert bench._record_path(d, 12, None).endswith("r12_unknown.json")
+    # unreadable canonical is protected from any overwrite
+    with open(tmp_path / "r12.json", "w") as fh:
+        fh.write("{corrupt")
+    assert bench._record_path(d, 12, 10.0).endswith("r12_sf10.0.json")

@@ -179,8 +179,9 @@ def test_codec_pixel_golden_slice_stitch_upsample(spark):
 def test_q62_pixel_golden(spark, sf_dir):
     # q62 runs real pixels through the NumpyCodec seam; its aggregate is
     # fully deterministic (sha-keystream pixels, ordered doc take) so the
-    # output is pinned exactly — the pixel-level golden backing the
-    # rows-only driver check
+    # output is pinned exactly — the pixel-level golden under the r12
+    # VALUES-oracle driver hash (this test pins literal values a mirror
+    # bug could never shift)
     from solarpaneldatawrangler_spark.plans import CATALOG
 
     rows = CATALOG["q62_multimodal_pipeline"].fn(spark, sf_dir).collect()
@@ -192,6 +193,13 @@ def test_q62_pixel_golden(spark, sf_dir):
     # nothing else — recall + zero false pairs at hamming 0
     dup = sorted((r.a, r.b, r.v) for r in rows if r.method == "imagedup")
     assert dup == [(2 * i, 2 * i + 1, 0) for i in range(30)]
+    # 'tilefp' half (r12): one 60-bit md5 fingerprint per stitched tile,
+    # positive and distinct per coordinate (canvases differ); the exact
+    # values are pinned by the q62 VALUES oracle in test_oracle_queries
+    fps = [(r.a, r.b, r.v) for r in rows if r.method == "tilefp"]
+    assert len(fps) == 500
+    assert all(v >= 0 for _, _, v in fps)
+    assert len({(a, b) for a, b, _ in fps}) == 500
 
 
 def test_stratified_hash_sample(spark, sf_dir):
