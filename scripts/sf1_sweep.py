@@ -1,0 +1,240 @@
+"""Whole-catalog sf1.0 scale sweep (r12, judge item 2): run ALL 50
+catalog queries at 10x the bench volume — strict correctness mirror
+(every oracle, driver exactness) plus warm/cache-off bench timings —
+and commit the evidence at bench_out/r12_sf1.json.
+
+Data: /root/testdata tops out at sf0.1 (read-only), so `generate`
+builds sf1.0 into {repo}/testdata_sf1 (gitignored) as 10 replicas of
+sf0.1 with every id-domain column shifted by replica*10_000_000 — a
+uniform shift preserves every intra-replica equi-join and FK chain
+while keeping replicas disjoint (all base keys < 10M, asserted).
+nation/region stay fixed (TPC-H semantics: dims don't scale).
+documents.text gets an injective per-word replica suffix for r>0
+(word -> word || 'g{r}'): within-replica shingle/fingerprint structure
+is EXACTLY preserved (injective token map), cross-replica near-dup
+clusters are not fabricated, so dedup surfaces scale linearly instead
+of exploding into 10-clone clusters; n_chars is recomputed
+(== length(text) in the base data, asserted at generation).
+
+Correctness: SPARK_GRAFT_ORACLE_SF_DIR is exported BEFORE importing
+the package, so every data-dependent VALUES oracle (q67 centroids,
+q53 rate tables, q52 DSIR ratios, BPE merges, q62 pixel mirror)
+retrains against the sf1 dir — the same contract the driver gate uses
+at sf0.01. Comparison is tests/oracle_harness.compare(strict=True):
+bit-identical floats, dtype-kind divergence fatal.
+
+Usage (from the repo root):
+    python scripts/sf1_sweep.py generate
+    python scripts/sf1_sweep.py correctness
+    python scripts/sf1_sweep.py bench
+    python scripts/sf1_sweep.py all
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1_DIR = os.path.join(REPO, "testdata_sf1")
+BASE_DIR = "/root/testdata/sf0.1"
+REPLICAS = 10
+K = 10_000_000
+RECORD = os.path.join(REPO, "bench_out", "r12_sf1.json")
+
+# id-domain columns shifted by replica*K (uniform shift: every equi-join
+# and FK chain inside a replica is preserved verbatim)
+ID_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_VERBATIM = ["region", "nation"]
+
+
+def generate(force: bool = False) -> None:
+    import duckdb
+
+    if os.path.isdir(SF1_DIR):
+        if not force:
+            print(f"# {SF1_DIR} exists — skipping (use --force to regen)")
+            return
+        shutil.rmtree(SF1_DIR)
+    os.makedirs(SF1_DIR)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {min(os.cpu_count() or 8, 16)}")
+
+    def src(t):
+        return f"read_parquet('{BASE_DIR}/{t}.parquet')"
+
+    # precondition: the uniform shift must keep replicas disjoint
+    for t, cols in ID_COLS.items():
+        for c in cols:
+            mx = con.execute(f"SELECT max({c}) FROM {src(t)}").fetchone()[0]
+            assert mx < K, f"{t}.{c} max {mx} >= shift {K}"
+    bad = con.execute(
+        f"SELECT count(*) FROM {src('documents')} WHERE n_chars != length(text)"
+    ).fetchone()[0]
+    assert bad == 0, "base documents break n_chars == length(text)"
+
+    for t in COPY_VERBATIM:
+        con.execute(
+            f"COPY (SELECT * FROM {src(t)}) TO '{SF1_DIR}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        print(f"# {t}: copied verbatim")
+
+    for t, idcols in ID_COLS.items():
+        cols = [
+            r[0]
+            for r in con.execute(f"DESCRIBE SELECT * FROM {src(t)}").fetchall()
+        ]
+        proj = ", ".join(
+            f"{c} + r.r * {K} AS {c}" if c in idcols else c for c in cols
+        )
+        con.execute(
+            f"COPY (SELECT {proj} FROM {src(t)} CROSS JOIN range({REPLICAS}) r(r)) "
+            f"TO '{SF1_DIR}/{t}.parquet' (FORMAT PARQUET)"
+        )
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SF1_DIR}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"# {t}: {n} rows")
+
+    # documents: id shift + injective per-word replica suffix for r>0
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + r.r * {K} AS doc_id,
+                 CASE WHEN r.r = 0 THEN text
+                      ELSE regexp_replace(text, '(\\S+)',
+                                          '\\1g' || CAST(r.r AS VARCHAR), 'g')
+                 END AS text,
+                 lang, source,
+                 length(CASE WHEN r.r = 0 THEN text
+                        ELSE regexp_replace(text, '(\\S+)',
+                                            '\\1g' || CAST(r.r AS VARCHAR), 'g')
+                        END) AS n_chars
+          FROM {src('documents')} CROSS JOIN range({REPLICAS}) r(r)
+        ) TO '{SF1_DIR}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{SF1_DIR}/documents.parquet')"
+    ).fetchone()[0]
+    print(f"# documents: {n} rows")
+    print(f"# generated {SF1_DIR}")
+
+
+def correctness() -> dict:
+    # MUST precede any package import: oracle strings are built at
+    # import time against this dir
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF1_DIR
+    sys.path.insert(0, REPO)
+    from solarpaneldatawrangler_spark.plans import CATALOG
+    from solarpaneldatawrangler_spark.session import get_spark
+    from tests.oracle_harness import compare, run_oracle
+
+    spark = get_spark("sf1-sweep")
+    out: dict = {"n": len(CATALOG), "green": 0, "rows_only": 0,
+                 "failed": {}, "per_query_sec": {}, "rows": {}}
+    for name in sorted(CATALOG):
+        spec = CATALOG[name]
+        t0 = time.monotonic()
+        try:
+            df = spec.fn(spark, SF1_DIR)
+            if spec.oracle is None:
+                n = df.count()
+                out["rows_only"] += 1
+                out["rows"][name] = n
+                status = f"rows-only ({n} rows)"
+            else:
+                want = run_oracle(spec.oracle, SF1_DIR)
+                compare(df, want, name, strict=True)
+                out["green"] += 1
+                out["rows"][name] = int(len(want))
+                status = f"GREEN ({len(want)} rows)"
+        except Exception as ex:  # noqa: BLE001 — sweep must finish
+            out["failed"][name] = f"{type(ex).__name__}: {ex}"[:400]
+            status = f"FAILED: {type(ex).__name__}"
+        dt = time.monotonic() - t0
+        out["per_query_sec"][name] = round(dt, 3)
+        print(f"# {name}: {status} in {dt:.1f}s", flush=True)
+    print(
+        f"# correctness @ sf1: {out['green']} green / "
+        f"{out['rows_only']} rows-only / {len(out['failed'])} failed "
+        f"of {out['n']}"
+    )
+    return out
+
+
+def bench() -> dict:
+    """Run bench.py at the sf1 dir and return its full record. The
+    canonical bench_out/r{N}.json is snapshotted and restored — the
+    sweep's record belongs ONLY in r12_sf1.json."""
+    out_dir = os.path.join(REPO, "bench_out")
+    before = {
+        f: open(os.path.join(out_dir, f), "rb").read()
+        for f in os.listdir(out_dir)
+    } if os.path.isdir(out_dir) else {}
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF1_DIR)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=7200,
+    )
+    sys.stderr.write(proc.stderr[-4000:])
+    record_path = None
+    for line in proc.stderr.splitlines():
+        if line.startswith("# full record: "):
+            record_path = line.split(": ", 1)[1].strip()
+    assert proc.returncode == 0, f"bench rc={proc.returncode}"
+    assert record_path and os.path.exists(record_path), "no bench record"
+    with open(record_path) as fh:
+        rec = json.load(fh)
+    # undo any bench_out churn this run caused; r12_sf1.json is ours
+    after = set(os.listdir(out_dir))
+    for f in after - set(before):
+        os.remove(os.path.join(out_dir, f))
+    for f, blob in before.items():
+        p = os.path.join(out_dir, f)
+        if not os.path.exists(p) or open(p, "rb").read() != blob:
+            with open(p, "wb") as fh:
+                fh.write(blob)
+    return rec
+
+
+def main() -> None:
+    what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    force = "--force" in sys.argv
+    record: dict = {}
+    if os.path.exists(RECORD):
+        with open(RECORD) as fh:
+            record = json.load(fh)
+    record.setdefault("sf", 1.0)
+    record["sf_dir"] = SF1_DIR
+    record["generated_from"] = (
+        f"{BASE_DIR} x{REPLICAS} replicas, ids shifted by replica*{K}, "
+        "documents text word-suffixed per replica (see scripts/sf1_sweep.py)"
+    )
+    if what in ("generate", "all"):
+        generate(force=force)
+    if what in ("correctness", "all"):
+        record["correctness"] = correctness()
+    if what in ("bench", "all"):
+        record["bench"] = bench()
+    if what in ("correctness", "bench", "all"):
+        os.makedirs(os.path.dirname(RECORD), exist_ok=True)
+        with open(RECORD, "w") as fh:
+            json.dump(record, fh, indent=1)
+        print(f"# wrote {RECORD}")
+
+
+if __name__ == "__main__":
+    main()

@@ -177,9 +177,14 @@ def train_bpe_merges_distributed(
         # pair-count loop runs unchanged; pass local_max_words=0 to
         # pin it (the bench extra does, to keep the loop measured).
         if local_max_words and words.count() <= local_max_words:
-            freq: Counter[str] = Counter(
-                {r["w"]: int(r["n"]) for r in words.collect()}
+            from solarpaneldatawrangler_spark.operators.clustering import (
+                _assert_bounded_collect,
             )
+
+            rows = _assert_bounded_collect(
+                words.collect(), local_max_words, "BPE vocab"
+            )
+            freq: Counter[str] = Counter({r["w"]: int(r["n"]) for r in rows})
             return _train_from_counts(freq, n_merges)
         return _bpe_merge_loop(words, n_merges)
     finally:

@@ -38,7 +38,14 @@ CATALOG: dict[str, QuerySpec] = {}
 # Oracle strings are built at import time, so any oracle that embeds
 # data-dependent literals (q67's trained centroids) must train on this
 # dir — and is only meaningful when the gate runs against it.
-ORACLE_SF_DIR = "/root/testdata/sf0.01"
+# Env-overridable (r12) so scripts/sf1_sweep.py can rebuild every
+# data-dependent oracle against a scaled dir and run the strict mirror
+# there; the driver never sets it, so gate behavior is unchanged.
+import os as _os
+
+ORACLE_SF_DIR = _os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):

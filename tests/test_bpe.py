@@ -135,3 +135,42 @@ def test_distributed_trainer_early_stop_and_repartition_invariance(spark):
     assert one == many == train_bpe_merges(
         [t for _, t in rows], n_merges=10
     )
+
+
+def test_bpe_routing_boundary_just_over_threshold(spark):
+    """Size-aware routing boundary (r12, mirroring
+    test_cc_strategies_agree_and_local_routing): a vocabulary exactly
+    AT local_max_words takes the driver-local route, one word OVER
+    takes the distributed pair-count loop — and both produce the
+    identical merge table either side of the cutoff. Also pins the
+    collect-site bound guard: the local route can never collect more
+    than local_max_words rows."""
+    from solarpaneldatawrangler_spark.operators.bpe import (
+        train_bpe_merges,
+        train_bpe_merges_distributed,
+    )
+
+    # corpus with exactly 12 distinct words (vocab == 12): 'pa pb'
+    # repeats so at least one merge is learnable
+    texts = ["pa pb pa pb", "pa pb w1 w2 w3", "w4 w5 w6 w7 w8 w9 w10"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    want = train_bpe_merges(texts, n_merges=6)
+    assert want  # non-vacuous: the corpus has learnable merges
+
+    at = train_bpe_merges_distributed(docs, n_merges=6, local_max_words=12)
+    over = train_bpe_merges_distributed(docs, n_merges=6, local_max_words=11)
+    assert at == over == want
+
+    # the bound guard itself: a collect that exceeds its declared
+    # bound fails loudly (unit-level, no Spark needed)
+    from solarpaneldatawrangler_spark.operators.clustering import (
+        _assert_bounded_collect,
+    )
+
+    assert _assert_bounded_collect([1, 2, 3], 3, "probe") == [1, 2, 3]
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError, match="over its 2 bound"):
+        _assert_bounded_collect([1, 2, 3], 2, "probe")

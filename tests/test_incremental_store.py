@@ -954,6 +954,7 @@ def test_claims_lease_election_serializes_racers(spark, tmp_path, monkeypatch):
     against the claims election and asserts exactly ONE wins. The
     election needs only unconditional PUT + LIST + DELETE, all atomic
     on plain object stores."""
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_SETTLE_MS", "0")
     from solarpaneldatawrangler_spark.operators.dedup import (
         _claims_elect,
         _claims_write,
@@ -993,6 +994,7 @@ def test_claims_lease_mode_end_to_end(spark, tmp_path, monkeypatch):
     write, a concurrent contender raises LOUDLY and leaves the holder
     intact, release frees the path, and clear_lease sweeps orphans
     after a simulated process death."""
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_SETTLE_MS", "0")
     monkeypatch.setenv("SPARK_GRAFT_LEASE_MODE", "claims")
     from solarpaneldatawrangler_spark.operators.dedup import (
         _acquire_lease,
@@ -1050,10 +1052,13 @@ def test_claims_lease_mode_end_to_end(spark, tmp_path, monkeypatch):
     _release_lease(spark, store)
 
 
-def test_claims_election_n_contenders_exactly_one_winner(spark, tmp_path):
+def test_claims_election_n_contenders_exactly_one_winner(
+    spark, tmp_path, monkeypatch
+):
     """Five racing mutators, three election orders (in claim order,
     reversed, interleaved-with-writes): exactly one wins — always the
     oldest claim — and every loser's claim is cleaned up."""
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_SETTLE_MS", "0")
     from solarpaneldatawrangler_spark.operators.dedup import (
         _claims_elect,
         _claims_write,
@@ -1122,3 +1127,156 @@ def test_marker_mode_backs_out_when_claims_live(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_LEASE_MODE", "marker")
     _acquire_lease(spark, store)
     _release_lease(spark, store)
+
+
+def test_claims_lease_backdated_clock_cannot_steal(
+    spark, tmp_path, monkeypatch
+):
+    """The r11 ADVICE failure mode, closed (r12): a contender whose
+    clock runs arbitrarily BEHIND the holder's PUTs a claim that
+    orders lexicographically before the holder's — under a purely
+    time-ordered election it would 'win' and both mutators would
+    proceed. The _LEASE_WON marker makes the holder visible state:
+    the backdated contender defers unconditionally, at ANY skew, with
+    settle=0 (no timing assumption on list-after-write stores)."""
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_SETTLE_MS", "0")
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_MODE", "claims")
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _HELD_CLAIMS,
+        _acquire_lease,
+        _claims_write,
+        _lease_key,
+        _release_lease,
+    )
+
+    store = str(tmp_path / "backdate")
+    _acquire_lease(spark, store)  # holder A: claim + won marker live
+    a_claim = _HELD_CLAIMS[_lease_key(store)]
+
+    # contender B's clock runs one hour behind
+    monkeypatch.setenv(
+        "SPARK_GRAFT_LEASE_CLOCK_SKEW_NS", str(-3_600 * 10**9)
+    )
+    with pytest.raises(RuntimeError, match="claim"):
+        _acquire_lease(spark, store)
+    # the steal vector was REAL: B's claims do order before A's
+    probe = _claims_write(spark, str(tmp_path / "backdate_probe"))
+    assert probe < a_claim
+    # holder intact: A's token, claim file and won marker all survive
+    assert _HELD_CLAIMS.get(_lease_key(store)) == a_claim
+    assert len(os.listdir(os.path.join(store, "_LEASE_CLAIMS"))) >= 1
+    assert os.path.exists(os.path.join(store, "_LEASE_WON", a_claim))
+
+    monkeypatch.delenv("SPARK_GRAFT_LEASE_CLOCK_SKEW_NS")
+    _release_lease(spark, store)
+    assert not os.path.exists(os.path.join(store, "_LEASE_WON", a_claim))
+    _acquire_lease(spark, store)  # path serviceable after release
+    _release_lease(spark, store)
+
+
+def test_claims_lease_skew_boundary_mid_election(
+    spark, tmp_path, monkeypatch
+):
+    """Both interleaves of a backdated claim landing MID-election
+    (before vs after the incumbent publishes its winner marker): in
+    each, at most one contender wins — the split the r11 time-ordered
+    protocol allowed past the settle window cannot happen."""
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_SETTLE_MS", "0")
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _claims_elect,
+        _claims_write,
+    )
+
+    back = str(-3_600 * 10**9)
+
+    # interleave 1: B's backdated claim lands BEFORE A's election LIST
+    # -> A loses the plain election, B wins. One winner.
+    store = str(tmp_path / "mid1")
+    a = _claims_write(spark, store)
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_CLOCK_SKEW_NS", back)
+    b = _claims_write(spark, store)
+    monkeypatch.delenv("SPARK_GRAFT_LEASE_CLOCK_SKEW_NS")
+    assert b < a  # backdated orders first despite arriving second
+    wins = [_claims_elect(spark, store, a), _claims_elect(spark, store, b)]
+    assert wins == [False, True]
+
+    # interleave 2: A completes its election (won marker published)
+    # BEFORE B's backdated claim lands -> B defers on the marker.
+    store = str(tmp_path / "mid2")
+    a = _claims_write(spark, store)
+    assert _claims_elect(spark, store, a)
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_CLOCK_SKEW_NS", back)
+    b = _claims_write(spark, store)
+    monkeypatch.delenv("SPARK_GRAFT_LEASE_CLOCK_SKEW_NS")
+    assert b < a
+    assert not _claims_elect(spark, store, b)
+    live = [
+        f
+        for f in os.listdir(os.path.join(store, "_LEASE_CLAIMS"))
+        if not f.startswith(".")
+    ]
+    assert live == [a]  # loser cleaned up, holder intact
+
+
+def test_claims_release_without_token_raises(spark, tmp_path, monkeypatch):
+    """r12 ADVICE: a claims-mode release with no process-local token
+    (different process, module reload, path spelled differently than
+    at acquire) used to silently no-op — the live claim then wins
+    every future election and wedges all mutators. It now raises; and
+    spelling variants (doubled slashes, trailing slash) are
+    normalized so they find the token instead of tripping the guard."""
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_SETTLE_MS", "0")
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_MODE", "claims")
+    from solarpaneldatawrangler_spark.operators.dedup import (
+        _HELD_CLAIMS,
+        _acquire_lease,
+        _lease_key,
+        _release_lease,
+        clear_lease,
+    )
+
+    store = str(tmp_path / "release_guard")
+    _acquire_lease(spark, store)
+    _HELD_CLAIMS.clear()  # simulate a different process / module reload
+    with pytest.raises(RuntimeError, match="holds no claim token"):
+        _release_lease(spark, store)
+    # the orphan is operator territory; clear_lease restores service
+    clear_lease(spark, store)
+    _acquire_lease(spark, store)
+
+    # spelling robustness: doubled slashes + trailing slash still
+    # resolve to the held token (release succeeds, claim gone)
+    sloppy = store.replace(str(tmp_path), f"{tmp_path}//") + "/"
+    assert _lease_key(sloppy) == _lease_key(store)
+    _release_lease(spark, sloppy)
+    live = [
+        f
+        for f in os.listdir(os.path.join(store, "_LEASE_CLAIMS"))
+        if not f.startswith(".")
+    ]
+    assert live == []
+
+    # object-store spellings normalize too (scheme kept, dup slashes
+    # in the path part collapsed, scheme's own // preserved)
+    assert _lease_key("s3a://bucket//x/y/") == _lease_key("s3a://bucket/x/y")
+
+
+def test_claims_default_settle_warns_once_on_object_store(monkeypatch):
+    """r12 ADVICE: engaging the claims lease on a multi-driver-capable
+    object store with the DEFAULT settle window warns loudly (once per
+    scheme); explicit settle or non-object-store paths stay quiet."""
+    import warnings
+
+    import solarpaneldatawrangler_spark.operators.dedup as d
+
+    monkeypatch.delenv("SPARK_GRAFT_LEASE_SETTLE_MS", raising=False)
+    monkeypatch.setattr(d, "_WARNED_CLAIMS_SCHEMES", set())
+    with pytest.warns(UserWarning, match="default settle window"):
+        d._maybe_warn_claims_defaults("s3a://bucket/store")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        d._maybe_warn_claims_defaults("s3a://bucket/store")  # once per scheme
+        d._maybe_warn_claims_defaults("/local/path")  # not an object store
+        monkeypatch.setenv("SPARK_GRAFT_LEASE_SETTLE_MS", "2000")
+        monkeypatch.setattr(d, "_WARNED_CLAIMS_SCHEMES", set())
+        d._maybe_warn_claims_defaults("gs://bucket/store")  # explicit bound
