@@ -450,6 +450,55 @@ def hashed_linear_score_sql(
     )
 
 
+def hashed_linear_score_r6(text: Column, n_buckets: int = 1 << 18) -> Column:
+    """The pseudo-weight hashed_linear_score rounded to 6dp with
+    ENGINE-EXACT integer arithmetic (r12; found by the sf1.0 sweep):
+    Spark's F.round goes through BigDecimal HALF_UP on the double while
+    DuckDB's ROUND multiplies by 1e6 in doubles, and a score landing
+    near a 6dp tie (num/(512*len) with the tie not binary-representable)
+    rounds differently per engine. Since every pseudo-weight is an
+    integer numerator over 512, the score is the exact rational
+    num/(512*len) — so round-half-away-from-zero at 6dp is the pure
+    integer expression sign * ((2e6*|num| + 512*len) // (1024*len)),
+    identical in any engine. Numerator bound: |num| <= 504*len, so the
+    dividend stays far inside int64 for any real document."""
+    toks = tokens(F.coalesce(text, F.lit("")))
+    num = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc
+        + ((md5_long(t) % n_buckets) % _W_MOD - _W_SHIFT).cast("long"),
+    )
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    a = F.lit(2_000_000).cast("long") * F.abs(num) + F.lit(512) * n_tok
+    b = F.lit(1024).cast("long") * n_tok
+    # exact integer floor(a/b): strip the remainder first — the double
+    # division then divides an exact multiple (< 2^53) and is exact
+    q = ((a - F.pmod(a, b)) / b).cast("long")
+    signed = F.when(num < 0, -q).otherwise(q)
+    return signed.cast("double") / F.lit(1_000_000.0)
+
+
+def hashed_linear_score_r6_sql(text_expr: str, n_buckets: int = 1 << 18) -> str:
+    """DuckDB twin of hashed_linear_score_r6 — same integer numerator
+    fold, same half-away-from-zero integer rounding, same final /1e6."""
+    toks = (
+        f"list_filter(string_split_regex(lower({text_expr}), '\\s+'),"
+        " t -> len(t) > 0)"
+    )
+    n = (
+        f"((('0x' || substr(md5(t), 1, 8))::BIGINT % {n_buckets})"
+        f" % {_W_MOD}) - {_W_SHIFT}"
+    )
+    num = f"COALESCE(list_sum(list_transform({toks}, t -> {n})), 0)"
+    ln = f"GREATEST(len({toks}), 1)"
+    return (
+        f"(CASE WHEN ({num}) < 0 THEN -1 ELSE 1 END)"
+        f" * ((2000000 * abs({num}) + 512 * ({ln})) // (1024 * ({ln})))"
+        f" / 1000000.0"
+    )
+
+
 # --- Gopher dup-n-gram character coverage (the UDF half of the
 # --- repetition battery) ----------------------------------------------------
 

@@ -21,6 +21,7 @@ from solarpaneldatawrangler_spark.functions.text import (
     tokens,
 )
 from solarpaneldatawrangler_spark.operators.curation import (
+    hashed_linear_score_r6_sql,
     hashed_linear_score_sql,
 )
 from solarpaneldatawrangler_spark.operators.dedup import (
@@ -664,7 +665,7 @@ def _q52_oracle_or_none() -> str | None:
               / GREATEST(length(text), 1) AS pr,
             CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum') AS DOUBLE)
               / GREATEST(len({_SQL_TOKS}), 1) AS mwl,
-            {hashed_linear_score_sql("text")} AS clf,
+            {hashed_linear_score_r6_sql("text")} AS clf,
             {dup_fraction_sql(rep_lines)} AS rep_lf,
             {dup_char_fraction_sql(rep_lines)} AS rep_lcf,
             {dup_fraction_sql(rep_paras)} AS rep_pf,
@@ -743,7 +744,7 @@ def _q52_oracle_or_none() -> str | None:
            COALESCE(rep.d8, 0.0) AS rep_d8,
            COALESCE(rep.d9, 0.0) AS rep_d9,
            COALESCE(rep.d10, 0.0) AS rep_d10,
-           ROUND(clf, 6) AS clf_r,
+           clf AS clf_r,
            CAST(len(regexp_extract_all(ptext, '{_PII_EMAIL_RE2}'))
                 + len(regexp_extract_all(ptext, '{_PII_IP_RE2}')) AS BIGINT)
              AS pii_n,
@@ -772,9 +773,12 @@ def _q52_oracle_or_none() -> str | None:
     doc="Gopher/C4-style quality score: stopword ratio + punctuation ratio "
     "+ word-length gate, combined deterministically. Expression-only. "
     "MERGED (r7) with more curation gates on the same rows: "
-    "clf_r = operators.curation.hashed_linear_score (the fastText "
+    "clf_r = operators.curation.hashed_linear_score_r6 (the fastText "
     "hashed-bag-of-words linear architecture, pseudo-weights in exact "
-    "binary fractions so the fold is order-independent and engine-exact); "
+    "binary fractions so the fold is order-independent, with the 6dp "
+    "rounding done in pure integer arithmetic — r12, after the sf1 "
+    "sweep caught a rounding-tie where BigDecimal HALF_UP and DuckDB's "
+    "double ROUND disagree); "
     "a PII scrub audit over a PII-injected derived text — pii_n match "
     "count plus red_fp = md5 of the redacted text (pins every redaction "
     "span; functions.text.redact_pii with the RE2-safe pattern set); "
@@ -827,7 +831,7 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from solarpaneldatawrangler_spark.operators.curation import (
         gopher_dup_ngram_char_fracs,
-        hashed_linear_score,
+        hashed_linear_score_r6,
     )
     from solarpaneldatawrangler_spark.operators.ranking import tfidf_keywords
 
@@ -870,7 +874,10 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_ngram_char_fraction(rtext, 2).alias("rep_top2"),
         top_ngram_char_fraction(rtext, 3).alias("rep_top3"),
         gopher_dup_ngram_char_fracs(rtext).alias("_rep"),
-        F.round(hashed_linear_score(F.col("text")), 6).alias("clf_r"),
+        # r12: integer-exact 6dp rounding (sf1 sweep caught a 6dp
+        # rounding-tie where BigDecimal HALF_UP and DuckDB's double
+        # ROUND disagree by one ulp-of-1e-6)
+        hashed_linear_score_r6(F.col("text")).alias("clf_r"),
         pii_count(ptext, patterns=PII_PATTERNS_RE2).cast("long").alias("pii_n"),
         F.md5(redact_pii(ptext, patterns=PII_PATTERNS_RE2)).alias("red_fp"),
         markup_tag_count(mtext).cast("long").alias("tag_n"),

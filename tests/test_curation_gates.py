@@ -128,6 +128,73 @@ def test_hashed_linear_matches_duckdb(spark, sf_dir):
     compare(got, want, "hashed_linear")
 
 
+def test_hashed_linear_r6_integer_exact_rounding(spark, sf_dir):
+    """r12 (found by the sf1.0 sweep): a pseudo-weight score landing
+    near a 6dp tie rounds differently through Spark's BigDecimal
+    HALF_UP vs DuckDB's double ROUND. hashed_linear_score_r6 does the
+    rounding in pure integer arithmetic in BOTH engines, so the tie
+    case is exact by construction.
+
+    Three pins: (a) strict Spark==DuckDB parity on real docs PLUS a
+    synthetic near-tie corpus; (b) the integer formula equals
+    Decimal-exact round-half-away-from-zero of num/(512*len) across a
+    numerator sweep that includes exact ties; (c) r6 agrees with the
+    unrounded score to within 5e-7 (it IS a 6dp rounding)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from solarpaneldatawrangler_spark.operators.curation import (
+        hashed_linear_score_r6,
+        hashed_linear_score_r6_sql,
+    )
+
+    # (a) engine parity, strict, on real + adversarial docs: many-token
+    # docs push num/(512*len) onto fine rationals near 6dp ties
+    docs = load_table(spark, sf_dir, "documents").limit(200).select(
+        "doc_id", "text"
+    )
+    adv = spark.createDataFrame(
+        [(10_000_000 + i, " ".join(f"w{j}g{i}" for j in range(i + 1)))
+         for i in range(60)]
+        + [(10_000_100, ""), (10_000_101, None)],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(adv)
+    got = both.select(
+        "doc_id", hashed_linear_score_r6(F.col("text")).alias("clf_r")
+    )
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("docs_pd", both.toPandas())
+    want = con.execute(
+        f"SELECT doc_id, {hashed_linear_score_r6_sql('text')} AS clf_r"
+        " FROM docs_pd"
+    ).fetchdf()
+    compare(got, want, "hashed_linear_r6", strict=True)
+
+    # (b) the integer rounding formula == Decimal half-away-from-zero
+    # on the exact rational, including EXACT tie numerators
+    for ln in (1, 3, 250, 997):
+        for num in (0, 1, -1, 8360, -8360, 504 * ln, -504 * ln,
+                    32 * ln, 32 * ln + 1, -(32 * ln), 167 * ln):
+            q = (2_000_000 * abs(num) + 512 * ln) // (1024 * ln)
+            mine = (-q if num < 0 else q) / 1_000_000.0
+            exact = float(
+                (Decimal(num) / (Decimal(512) * ln)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+            assert mine == exact, (num, ln, mine, exact)
+
+    # (c) r6 is a genuine 6dp rounding of the unrounded score
+    joined = both.select(
+        hashed_linear_score_r6(F.col("text")).alias("r6"),
+        hashed_linear_score(F.col("text")).alias("raw"),
+    ).collect()
+    for r in joined:
+        assert abs(r.r6 - r.raw) <= 5.0e-7 + 1e-12, (r.r6, r.raw)
+
+
 def test_hashed_linear_real_weights_reference(spark):
     """Trained-weights path vs a Python reference on a tiny model."""
     nb = 8
