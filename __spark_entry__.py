@@ -3,8 +3,9 @@
 entry(spark)   — flagship query (O1 priority scan) on sf0.001.
 queries()      — every implemented operator from SURVEY.md §2, keyed by
                  catalog name (solarpaneldatawrangler_spark.plans).
-oracle_sql()   — matching DuckDB SQL per query (None-oracle queries are
-                 omitted: the driver records a rows-only check for them).
+oracle_sql()   — matching DuckDB SQL per query (None-oracle queries
+                 would be omitted and get a rows-only driver check;
+                 as of r12 every catalog entry carries an oracle).
 """
 
 from __future__ import annotations
