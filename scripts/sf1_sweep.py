@@ -75,8 +75,9 @@ def generate(force: bool = False) -> None:
     def src(t):
         return f"read_parquet('{BASE_DIR}/{t}.parquet')"
 
-    # precondition: the uniform shift must keep replicas disjoint
-    for t, cols in ID_COLS.items():
+    # precondition: the uniform shift must keep replicas disjoint —
+    # including documents.doc_id, which is shifted in its own block
+    for t, cols in {**ID_COLS, "documents": ["doc_id"]}.items():
         for c in cols:
             mx = con.execute(f"SELECT max({c}) FROM {src(t)}").fetchone()[0]
             assert mx < K, f"{t}.{c} max {mx} >= shift {K}"
@@ -185,33 +186,45 @@ def bench() -> dict:
         for f in os.listdir(out_dir)
     } if os.path.isdir(out_dir) else {}
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF1_DIR)
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, cwd=REPO, capture_output=True, text=True, timeout=7200,
-    )
-    sys.stderr.write(proc.stderr[-4000:])
-    record_path = None
-    for line in proc.stderr.splitlines():
-        if line.startswith("# full record: "):
-            record_path = line.split(": ", 1)[1].strip()
-    assert proc.returncode == 0, f"bench rc={proc.returncode}"
-    assert record_path and os.path.exists(record_path), "no bench record"
-    with open(record_path) as fh:
-        rec = json.load(fh)
-    # undo any bench_out churn this run caused; r12_sf1.json is ours
-    after = set(os.listdir(out_dir))
-    for f in after - set(before):
-        os.remove(os.path.join(out_dir, f))
-    for f, blob in before.items():
-        p = os.path.join(out_dir, f)
-        if not os.path.exists(p) or open(p, "rb").read() != blob:
-            with open(p, "wb") as fh:
-                fh.write(blob)
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=7200,
+        )
+        sys.stderr.write(proc.stderr[-4000:])
+        record_path = None
+        for line in proc.stderr.splitlines():
+            if line.startswith("# full record: "):
+                record_path = line.split(": ", 1)[1].strip()
+        assert proc.returncode == 0, f"bench rc={proc.returncode}"
+        assert record_path and os.path.exists(record_path), "no bench record"
+        with open(record_path) as fh:
+            rec = json.load(fh)
+    finally:
+        # undo any bench_out churn this run caused — also on a failed
+        # or timed-out bench (review-caught: the subprocess clobbers
+        # bench_out BEFORE the asserts run); r12_sf1.json is ours
+        if os.path.isdir(out_dir):
+            after = set(os.listdir(out_dir))
+            for f in after - set(before):
+                os.remove(os.path.join(out_dir, f))
+            for f, blob in before.items():
+                p = os.path.join(out_dir, f)
+                if not os.path.exists(p) or open(p, "rb").read() != blob:
+                    with open(p, "wb") as fh:
+                        fh.write(blob)
     return rec
 
 
 def main() -> None:
     what = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if what not in ("generate", "correctness", "bench", "all"):
+        # review-caught: 'sf1_sweep.py --force' used to parse
+        # what='--force', match no stage, and exit 0 having done nothing
+        sys.exit(
+            f"unknown stage {what!r} — usage: sf1_sweep.py "
+            "[generate|correctness|bench|all] [--force]"
+        )
     force = "--force" in sys.argv
     record: dict = {}
     if os.path.exists(RECORD):

@@ -177,11 +177,11 @@ def train_bpe_merges_distributed(
         # pair-count loop runs unchanged; pass local_max_words=0 to
         # pin it (the bench extra does, to keep the loop measured).
         if local_max_words and words.count() <= local_max_words:
-            from solarpaneldatawrangler_spark.operators.clustering import (
-                _assert_bounded_collect,
+            from solarpaneldatawrangler_spark.operators.guards import (
+                assert_bounded_collect,
             )
 
-            rows = _assert_bounded_collect(
+            rows = assert_bounded_collect(
                 words.collect(), local_max_words, "BPE vocab"
             )
             freq: Counter[str] = Counter({r["w"]: int(r["n"]) for r in rows})

@@ -460,8 +460,13 @@ def hashed_linear_score_r6(text: Column, n_buckets: int = 1 << 18) -> Column:
     integer numerator over 512, the score is the exact rational
     num/(512*len) — so round-half-away-from-zero at 6dp is the pure
     integer expression sign * ((2e6*|num| + 512*len) // (1024*len)),
-    identical in any engine. Numerator bound: |num| <= 504*len, so the
-    dividend stays far inside int64 for any real document."""
+    identical in any engine. Numerator bound: |num| <= 504*len <=
+    504 * 2^31, so the dividend a = 2e6*|num| + 512*len stays inside
+    int64 for any representable token array; the floor division goes
+    through DECIMAL (review-caught: a double division is only exact
+    below 2^53, i.e. docs under ~9M tokens — DECIMAL division of the
+    remainder-stripped exact multiple is exact at ANY int64 size,
+    matching DuckDB's HUGEINT `//`)."""
     toks = tokens(F.coalesce(text, F.lit("")))
     num = F.aggregate(
         toks,
@@ -472,9 +477,13 @@ def hashed_linear_score_r6(text: Column, n_buckets: int = 1 << 18) -> Column:
     n_tok = F.greatest(F.size(toks), F.lit(1)).cast("long")
     a = F.lit(2_000_000).cast("long") * F.abs(num) + F.lit(512) * n_tok
     b = F.lit(1024).cast("long") * n_tok
-    # exact integer floor(a/b): strip the remainder first — the double
-    # division then divides an exact multiple (< 2^53) and is exact
-    q = ((a - F.pmod(a, b)) / b).cast("long")
+    # exact integer floor(a/b): strip the remainder (pmod is exact on
+    # longs), then divide the exact multiple in DECIMAL — the quotient
+    # is a whole number, so the decimal result carries it exactly at
+    # any int64 magnitude and the long cast is lossless (a double
+    # division here would silently lose exactness past 2^53)
+    m = (a - F.pmod(a, b)).cast("decimal(38,0)")
+    q = (m / b.cast("decimal(38,0)")).cast("long")
     signed = F.when(num < 0, -q).otherwise(q)
     return signed.cast("double") / F.lit(1_000_000.0)
 

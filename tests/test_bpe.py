@@ -165,12 +165,12 @@ def test_bpe_routing_boundary_just_over_threshold(spark):
 
     # the bound guard itself: a collect that exceeds its declared
     # bound fails loudly (unit-level, no Spark needed)
-    from solarpaneldatawrangler_spark.operators.clustering import (
-        _assert_bounded_collect,
+    from solarpaneldatawrangler_spark.operators.guards import (
+        assert_bounded_collect,
     )
 
-    assert _assert_bounded_collect([1, 2, 3], 3, "probe") == [1, 2, 3]
+    assert assert_bounded_collect([1, 2, 3], 3, "probe") == [1, 2, 3]
     import pytest as _pytest
 
     with _pytest.raises(AssertionError, match="over its 2 bound"):
-        _assert_bounded_collect([1, 2, 3], 2, "probe")
+        assert_bounded_collect([1, 2, 3], 2, "probe")

@@ -22,54 +22,58 @@ PKG = os.path.join(os.path.dirname(__file__), "..", "solarpaneldatawrangler_spar
 
 DRIVER_MATERIALIZERS = ("collect", "toPandas", "collectAsMap", "toLocalIterator")
 
-# (relpath-within-package, enclosing function, method) -> why bounded
-ALLOWLIST: dict[tuple[str, str, str], str] = {
+# (relpath-within-package, enclosing function, method) ->
+#   (allowed call-site COUNT, why bounded)
+# The count makes the grant per-SITE, not per-function (review-caught):
+# a new collect added inside an already-allowlisted function changes
+# the count and fails the lint, instead of riding the existing grant.
+ALLOWLIST: dict[tuple[str, str, str], tuple[int, str]] = {
     ("operators/bpe.py", "train_bpe_merges_distributed", "collect"):
-        "size-aware route, <= local_max_words rows, guard-asserted",
+        (1, "size-aware route, <= local_max_words rows, guard-asserted"),
     ("operators/bpe.py", "_bpe_merge_loop", "collect"):
-        "per-iteration PARTIAL pair counts, bounded by symbol vocab^2",
+        (1, "per-iteration PARTIAL pair counts, bounded by symbol vocab^2"),
     ("operators/clustering.py", "connected_components", "collect"):
-        "size-aware route, <= local_max_nodes / 4x edges, guard-asserted",
+        (2, "size-aware route, <= local_max_nodes / 4x edges, guard-asserted"),
     ("operators/clustering.py", "connected_components_edges", "collect"):
-        "size-aware route, <= local_max_nodes / 8x edges, guard-asserted",
+        (2, "size-aware route, <= local_max_nodes / 8x edges, guard-asserted"),
     ("operators/clustering.py", "_min_label_loop", "collect"):
-        "1-row convergence probe (count of changed labels)",
+        (1, "1-row convergence probe (count of changed labels)"),
     ("operators/curation.py", "train_hashed_linear", "collect"):
-        "model state: hashed feature-weight partials, <= 2^bits rows",
+        (1, "model state: hashed feature-weight partials, <= 2^bits rows"),
     ("operators/curation.py", "write_corpus_jsonl", "collect"):
-        "per-partition file MANIFEST (one row per task), not corpus rows",
+        (1, "per-partition file MANIFEST (one row per task), not corpus rows"),
     ("operators/curation.py", "verify_corpus_jsonl", "collect"):
-        "per-file checksum rows (one per shard), not corpus rows",
+        (1, "per-file checksum rows (one per shard), not corpus rows"),
     ("operators/dedup.py", "_read_fp_meta", "collect"):
-        "store meta: one n_buckets row",
+        (1, "store meta: one n_buckets row"),
     ("operators/dedup.py", "incremental_new_docs", "collect"):
-        "bucket ids of the PROBE batch (<= n_buckets distinct), for pruning",
+        (1, "bucket ids of the PROBE batch (<= n_buckets distinct)"),
     ("operators/dedup.py", "_read_gen_meta", "collect"):
-        "store meta: one row per generation",
+        (1, "store meta: one row per generation"),
     ("operators/dsir.py", "bucket_counts", "collect"):
-        "model state: <= n_buckets hashed-ngram rows",
+        (1, "model state: <= n_buckets hashed-ngram rows"),
     ("operators/pq.py", "pq_adc_topk", "collect"):
-        "bounded query set (ANN contract: queries fit the driver)",
+        (1, "bounded query set (ANN contract: queries fit the driver)"),
     ("operators/pq.py", "ivfpq_topk", "collect"):
-        "bounded query set (ANN contract)",
+        (1, "bounded query set (ANN contract)"),
     ("operators/sampling.py", "temperature_rates", "collect"):
-        "model state: one rate row per language/domain",
+        (1, "model state: one rate row per language/domain"),
     ("operators/similarity.py", "brute_force_topk", "collect"):
-        "bounded query set (exact control arm of ANN)",
+        (1, "bounded query set (exact control arm of ANN)"),
     ("operators/similarity.py", "lsh_bucketed_topk", "collect"):
-        "bounded query set + hyperplane model rows",
+        (2, "bounded query set + hyperplane model rows"),
     ("operators/similarity.py", "lsh_neardup_pairs", "collect"):
-        "hyperplane model rows (n_tables x dim)",
+        (1, "hyperplane model rows (n_tables x dim)"),
     ("operators/similarity.py", "train_ivf_centroids", "collect"):
-        "model state: k centroid rows",
+        (1, "model state: k centroid rows"),
     ("operators/similarity.py", "ivf_topk", "collect"):
-        "bounded query set + k centroids",
+        (1, "bounded query set + k centroids"),
     ("operators/similarity.py", "kmeans_fit", "collect"):
-        "model state: k centroid partials per iteration",
+        (2, "model state: k centroid partials per iteration"),
     ("operators/sketches.py", "bloom_maybe_contains", "collect"):
-        "sketch state: the bloom bitset rows (m/64 longs)",
+        (1, "sketch state: the bloom bitset rows (m/64 longs)"),
     ("sources/bucketed.py", "bucket_spec", "collect"):
-        "table meta: one bucket-spec row",
+        (1, "table meta: one bucket-spec row"),
 }
 
 
@@ -109,6 +113,8 @@ def _sites() -> list[tuple[str, str, str, int]]:
 
 
 def test_every_driver_collect_is_allowlisted():
+    from collections import Counter
+
     sites = _sites()
     assert sites, "AST sweep found nothing — the walker is broken"
     unknown = [
@@ -118,6 +124,19 @@ def test_every_driver_collect_is_allowlisted():
         "collect/toPandas sites NOT on the bounded allowlist (a new "
         "driver materialization needs an explicit boundedness argument "
         f"in tests/test_collect_allowlist.py): {unknown}"
+    )
+    # per-SITE counting: a second collect inside an allowlisted
+    # function must not ride the function's existing grant
+    counts = Counter((s[0], s[1], s[2]) for s in sites)
+    drifted = {
+        k: (n, ALLOWLIST[k][0])
+        for k, n in counts.items()
+        if n != ALLOWLIST[k][0]
+    }
+    assert not drifted, (
+        "allowlisted functions changed their collect call-site count "
+        "(actual, allowed) — re-review boundedness and update the "
+        f"allowlist: {drifted}"
     )
 
 
