@@ -60,20 +60,28 @@ ID_COLS = {
 COPY_VERBATIM = ["region", "nation"]
 
 
-def generate(force: bool = False) -> None:
+def generate(
+    force: bool = False,
+    base_dir: str = BASE_DIR,
+    out_dir: str = SF1_DIR,
+    replicas: int = REPLICAS,
+) -> None:
+    """Parameterized (r12 review) so tests/test_sf1_generation.py can
+    drive the exact production recipe from sf0.001 into a tmp dir and
+    assert its invariants in CI."""
     import duckdb
 
-    if os.path.isdir(SF1_DIR):
+    if os.path.isdir(out_dir):
         if not force:
-            print(f"# {SF1_DIR} exists — skipping (use --force to regen)")
+            print(f"# {out_dir} exists — skipping (use --force to regen)")
             return
-        shutil.rmtree(SF1_DIR)
-    os.makedirs(SF1_DIR)
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
     con = duckdb.connect()
     con.execute(f"SET threads TO {min(os.cpu_count() or 8, 16)}")
 
     def src(t):
-        return f"read_parquet('{BASE_DIR}/{t}.parquet')"
+        return f"read_parquet('{base_dir}/{t}.parquet')"
 
     # precondition: the uniform shift must keep replicas disjoint —
     # including documents.doc_id, which is shifted in its own block
@@ -88,7 +96,7 @@ def generate(force: bool = False) -> None:
 
     for t in COPY_VERBATIM:
         con.execute(
-            f"COPY (SELECT * FROM {src(t)}) TO '{SF1_DIR}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY (SELECT * FROM {src(t)}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
         print(f"# {t}: copied verbatim")
 
@@ -101,11 +109,11 @@ def generate(force: bool = False) -> None:
             f"{c} + r.r * {K} AS {c}" if c in idcols else c for c in cols
         )
         con.execute(
-            f"COPY (SELECT {proj} FROM {src(t)} CROSS JOIN range({REPLICAS}) r(r)) "
-            f"TO '{SF1_DIR}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY (SELECT {proj} FROM {src(t)} CROSS JOIN range({replicas}) r(r)) "
+            f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
         )
         n = con.execute(
-            f"SELECT count(*) FROM read_parquet('{SF1_DIR}/{t}.parquet')"
+            f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
         ).fetchone()[0]
         print(f"# {t}: {n} rows")
 
@@ -123,15 +131,15 @@ def generate(force: bool = False) -> None:
                         ELSE regexp_replace(text, '(\\S+)',
                                             '\\1g' || CAST(r.r AS VARCHAR), 'g')
                         END) AS n_chars
-          FROM {src('documents')} CROSS JOIN range({REPLICAS}) r(r)
-        ) TO '{SF1_DIR}/documents.parquet' (FORMAT PARQUET)
+          FROM {src('documents')} CROSS JOIN range({replicas}) r(r)
+        ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
         """
     )
     n = con.execute(
-        f"SELECT count(*) FROM read_parquet('{SF1_DIR}/documents.parquet')"
+        f"SELECT count(*) FROM read_parquet('{out_dir}/documents.parquet')"
     ).fetchone()[0]
     print(f"# documents: {n} rows")
-    print(f"# generated {SF1_DIR}")
+    print(f"# generated {out_dir}")
 
 
 def correctness() -> dict:
