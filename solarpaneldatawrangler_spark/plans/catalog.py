@@ -46,6 +46,20 @@ import os as _os
 ORACLE_SF_DIR = _os.environ.get(
     "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
 )
+if "SPARK_GRAFT_ORACLE_SF_DIR" in _os.environ:
+    # loud one-liner (r12 ADVICE): a leaked override silently retrains
+    # every data-dependent VALUES oracle against a different dir and
+    # turns the gate red with no indication of why — make a red gate
+    # immediately attributable to the non-default oracle dir
+    import sys as _sys
+
+    print(
+        "NOTICE: SPARK_GRAFT_ORACLE_SF_DIR override active — "
+        f"data-dependent oracles train on {ORACLE_SF_DIR!r}, not the "
+        "default /root/testdata/sf0.01; a red correctness gate run "
+        "against a different sf dir is expected, not a regression",
+        file=_sys.stderr,
+    )
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):

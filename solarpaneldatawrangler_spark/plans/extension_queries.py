@@ -2281,12 +2281,19 @@ def _q62_oracle_or_none() -> str | None:
 
     try:
         rows = _q62_expected_rows(ORACLE_SF_DIR)
-    except FileNotFoundError as ex:
+    except (OSError, ImportError, ValueError) as ex:
+        # r12 ADVICE: this mirror runs a parquet read + ~500 md5s +
+        # 60 bilinear resizes at package import — demote to rows-only
+        # on ANY plausible environment failure (missing testdata ->
+        # FileNotFoundError/OSError, corrupt parquet ->
+        # pyarrow.ArrowInvalid which subclasses ValueError, missing
+        # pyarrow -> ImportError) rather than aborting every import
+        # of the plans package over one query's oracle
         import sys
 
         print(
             "WARNING: q62_multimodal_pipeline oracle demoted to rows-only "
-            f"— testdata absent at import ({ex})",
+            f"— mirror unavailable at import ({type(ex).__name__}: {ex})",
             file=sys.stderr,
         )
         return None
