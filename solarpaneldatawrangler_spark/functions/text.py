@@ -12,6 +12,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from solarpaneldatawrangler_spark.functions.rounding import (
+    round_ratio_half_away,
+    round_ratio_half_away_sql,
+)
+
 # Small multilingual stopword marker sets for the n-gram language-ID
 # heuristic. Deliberately tiny and deterministic — this is a heuristic
 # scorer, not a model.
@@ -99,13 +104,31 @@ def quality_score(text: Column) -> Column:
     """Composite document quality in [0,1]: rewards stopword presence and
     moderate word length, penalizes punctuation soup. Deterministic,
     expression-only — the shape of a Gopher/C4-style quality rule.
-    """
-    sw = stopword_ratio(text)
-    pr = punct_ratio(text)
-    mwl = mean_word_length(text)
-    length_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    score = sw * F.lit(0.5) + (F.lit(1.0) - pr) * F.lit(0.3) + length_ok * F.lit(0.2)
-    return F.round(score, 6)
+
+    r13 (exact-rational closure, DESIGN.md rounding policy): the score
+    is the exact rational (5*a*d + 3*b*(d-c) + 2*b*d*e) / (10*b*d)
+    with a = stopword count, b = max(token count, 1), c = punct chars,
+    d = max(char count, 1), e = the word-length gate — so the 6dp
+    rounding runs in pure integer arithmetic (round_ratio_half_away),
+    identical in any engine; the gate itself is the integer compare
+    2*b <= sum_token_chars <= 12*b (equivalent to the old double
+    mwl in [2,12] everywhere the division is representable, and exact
+    at the boundary where it is not)."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    a = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
+    b = F.greatest(F.size(toks), F.lit(1)).cast("long")
+    c = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("long")
+    d = F.greatest(F.length(text), F.lit(1)).cast("long")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
+    )
+    e = F.when(
+        (sum_len >= 2 * b) & (sum_len <= 12 * b), F.lit(1).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    num = F.lit(5).cast("long") * a * d + F.lit(3).cast("long") * b * (d - c) \
+        + F.lit(2).cast("long") * b * d * e
+    return round_ratio_half_away(num, F.lit(10).cast("long") * b * d, 6)
 
 
 # the Gopher quality-filter rule set (Rae et al. 2021, "Scaling
@@ -284,15 +307,16 @@ def duplicate_line_fraction(text: Column) -> Column:
     docs). Boilerplate-heavy scrapes (nav menus, cookie banners) score
     high. Pure expressions — runs inside the scan at 100 TB."""
     ls = nonempty_lines(text)
-    return F.round(
-        F.when(
-            F.size(ls) >= 1,
-            F.lit(1.0)
-            - F.size(F.array_distinct(ls)).cast("double")
-            / F.size(ls).cast("double"),
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
+    # exact-rational 6dp rounding (r13): (total - distinct) / total in
+    # pure integer arithmetic, engine-identical at decimal ties
+    return F.when(
+        F.size(ls) >= 1,
+        round_ratio_half_away(
+            (F.size(ls) - F.size(F.array_distinct(ls))).cast("long"),
+            F.size(ls).cast("long"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
 
 
 def paragraphs_array(text: Column) -> Column:
@@ -316,15 +340,14 @@ def duplicate_paragraph_fraction(text: Column) -> Column:
     are repeats of an earlier paragraph (1 - distinct/total; 0 for
     paragraph-less docs)."""
     ps = paragraphs_array(text)
-    return F.round(
-        F.when(
-            F.size(ps) >= 1,
-            F.lit(1.0)
-            - F.size(F.array_distinct(ps)).cast("double")
-            / F.size(ps).cast("double"),
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
+    return F.when(
+        F.size(ps) >= 1,
+        round_ratio_half_away(
+            (F.size(ps) - F.size(F.array_distinct(ps))).cast("long"),
+            F.size(ps).cast("long"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
 
 
 def _dup_char_fraction(arr: Column) -> Column:
@@ -341,13 +364,9 @@ def _dup_char_fraction(arr: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + F.length(x),
     )
-    return F.round(
-        F.when(
-            tot >= 1,
-            F.lit(1.0) - dis.cast("double") / tot.cast("double"),
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
+    return F.when(
+        tot >= 1, round_ratio_half_away(tot - dis, tot, 6)
+    ).otherwise(F.lit(0.0))
 
 
 def duplicate_line_char_fraction(text: Column) -> Column:
@@ -398,12 +417,9 @@ def top_ngram_char_fraction(text: Column, n: int = 2) -> Column:
     denom = F.aggregate(
         toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
     ) + F.greatest(F.size(toks) - 1, F.lit(0))
-    return F.round(
-        F.when(
-            denom >= 1, best.cast("double") / denom.cast("double")
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
+    return F.when(
+        denom >= 1, round_ratio_half_away(best, denom, 6)
+    ).otherwise(F.lit(0.0))
 
 
 # Rae et al. 2021 Table A1 thresholds for the repetition battery:
@@ -570,22 +586,20 @@ def paragraphs_sql(text_expr: str) -> str:
 
 
 def dup_fraction_sql(arr_expr: str) -> str:
-    """DuckDB replay of the 1 - distinct/total repetition fraction."""
-    return (
-        f"ROUND(CASE WHEN len({arr_expr}) >= 1 THEN 1.0 - "
-        f"CAST(len(list_distinct({arr_expr})) AS DOUBLE) / len({arr_expr}) "
-        "ELSE 0.0 END, 6)"
-    )
+    """DuckDB replay of the (total - distinct) / total repetition
+    fraction — integer-exact 6dp rounding (r13), matching the Spark
+    side's round_ratio_half_away."""
+    num = f"len({arr_expr}) - len(list_distinct({arr_expr}))"
+    r = round_ratio_half_away_sql(num, f"len({arr_expr})", 6, assume_nonneg=True)
+    return f"(CASE WHEN len({arr_expr}) >= 1 THEN {r} ELSE 0.0 END)"
 
 
 def dup_char_fraction_sql(arr_expr: str) -> str:
-    """DuckDB replay of _dup_char_fraction."""
+    """DuckDB replay of _dup_char_fraction (integer-exact 6dp, r13)."""
     tot = f"list_sum(list_transform({arr_expr}, x -> len(x)))"
     dis = f"list_sum(list_transform(list_distinct({arr_expr}), x -> len(x)))"
-    return (
-        f"ROUND(CASE WHEN COALESCE({tot}, 0) >= 1 THEN 1.0 - "
-        f"CAST({dis} AS DOUBLE) / {tot} ELSE 0.0 END, 6)"
-    )
+    r = round_ratio_half_away_sql(f"({tot}) - ({dis})", tot, 6, assume_nonneg=True)
+    return f"(CASE WHEN COALESCE({tot}, 0) >= 1 THEN {r} ELSE 0.0 END)"
 
 
 def top_ngram_char_fraction_sql(text_expr: str, n: int) -> str:
@@ -596,8 +610,7 @@ def top_ngram_char_fraction_sql(text_expr: str, n: int) -> str:
         f"list_filter(string_split_regex(lower({text_expr}), '\\s+'),"
         " t -> len(t) > 0)"
     )
-    return f"""
-      ROUND(COALESCE((
+    num = f"""COALESCE((
         SELECT MAX(cnt * len(g)) FROM (
             SELECT array_to_string(list_slice(t.toks, CAST(u.i AS INT),
                        CAST(u.i AS INT) + {n - 1}), ' ') AS g,
@@ -605,10 +618,33 @@ def top_ngram_char_fraction_sql(text_expr: str, n: int) -> str:
             FROM (SELECT {toks} AS toks) t,
                  LATERAL UNNEST(range(1, len(t.toks) - {n} + 2)) AS u(i)
             GROUP BY g
-        )), 0) / GREATEST(
-            list_sum(list_transform({toks}, x -> len(x)))
-              + GREATEST(len({toks}) - 1, 0), 1), 6)
-    """
+        )), 0)"""
+    den = (
+        f"GREATEST(list_sum(list_transform({toks}, x -> len(x)))"
+        f" + GREATEST(len({toks}) - 1, 0), 1)"
+    )
+    # integer-exact 6dp (r13) — matches the Spark fold's rounding; the
+    # Spark side emits 0.0 for token-less docs, where num=0/den=1 -> 0.0
+    return round_ratio_half_away_sql(num, den, 6, assume_nonneg=True)
+
+
+def quality_score_sql(text_expr: str, toks_expr: str, sw_list: str) -> str:
+    """DuckDB replay of quality_score (integer-exact 6dp, r13): the
+    same (5*a*d + 3*b*(d-c) + 2*b*d*e) / (10*b*d) rational with the
+    same integer word-length gate, rounded via the shared HUGEINT
+    helper. ``toks_expr`` / ``sw_list`` are the caller's canonical
+    tokenizer / stopword-list SQL (they live with the oracle builders,
+    not here, to keep one tokenizer contract per query)."""
+    a = f"len(list_filter({toks_expr}, t -> list_contains({sw_list}, t)))"
+    b = f"GREATEST(len({toks_expr}), 1)"
+    c = f"length(regexp_replace({text_expr}, '[A-Za-z0-9\\s]', '', 'g'))"
+    d = f"GREATEST(length({text_expr}), 1)"
+    s = f"COALESCE(list_sum(list_transform({toks_expr}, t -> len(t))), 0)"
+    e = f"(CASE WHEN ({s}) >= 2*({b}) AND ({s}) <= 12*({b}) THEN 1 ELSE 0 END)"
+    num = f"5*({a})*({d}) + 3*({b})*(({d}) - ({c})) + 2*({b})*({d})*{e}"
+    return round_ratio_half_away_sql(
+        num, f"10*({b})*({d})", 6, assume_nonneg=True
+    )
 
 
 def repeated_ngram_fraction(text: Column, n: int = 2) -> Column:
@@ -616,15 +652,14 @@ def repeated_ngram_fraction(text: Column, n: int = 2) -> Column:
     repeats (1 - distinct/total). Degenerate generated text ("the the
     the ...") scores near 1; normal prose near 0."""
     gs = word_ngrams(text, n)
-    return F.round(
-        F.when(
-            F.size(gs) >= 1,
-            F.lit(1.0)
-            - F.size(F.array_distinct(gs)).cast("double")
-            / F.size(gs).cast("double"),
-        ).otherwise(F.lit(0.0)),
-        6,
-    )
+    return F.when(
+        F.size(gs) >= 1,
+        round_ratio_half_away(
+            (F.size(gs) - F.size(F.array_distinct(gs))).cast("long"),
+            F.size(gs).cast("long"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
 
 
 # PII patterns, deliberately conservative (favor precision — corpus

@@ -30,6 +30,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from solarpaneldatawrangler_spark.functions.rounding import (
+    round_ratio_half_away,
+    round_ratio_half_away_py,
+    round_ratio_half_away_sql,
+)
 from solarpaneldatawrangler_spark.functions.text import md5_long, tokens
 
 # RE2-safe (no lookarounds): works identically as a Java regex (Spark)
@@ -565,9 +570,10 @@ def gopher_dup_ngram_char_fracs(text: Column) -> Column:
                     if cnt[g] >= 2:
                         covered[i : i + n] = b"\x01" * n
                 num = sum(l for l, c in zip(lens, covered) if c)
-                # explicit half-up (Python round() is half-even; the
-                # oracle replays FLOOR(x*1e6 + 0.5)/1e6)
-                out.append(math.floor(num / total * 1e6 + 0.5) / 1e6)
+                # integer-exact half-away 6dp (r13): unbounded-int
+                # arithmetic, the same rule as round_ratio_half_away
+                # and its SQL twin — no double drift near ties
+                out.append(round_ratio_half_away_py(num, total, 6))
             rows.append(out)
         return pd.DataFrame(rows, columns=[f"d{n}" for n in ns])
 
@@ -607,9 +613,14 @@ c{n} AS (
                THEN len(t.tok) ELSE 0 END) AS num
     FROM trows t GROUP BY t.doc_id
 )""")
+    # integer-exact 6dp (r13): same round_ratio_half_away arithmetic as
+    # the UDF's Python twin — num/total is an exact rational of counts
     sels = ",\n           ".join(
-        f"COALESCE(FLOOR(CAST(c{n}.num AS DOUBLE) / tt.total * 1000000 + 0.5)"
-        f" / 1000000, 0.0) AS d{n}"
+        "COALESCE("
+        + round_ratio_half_away_sql(
+            f"c{n}.num", "tt.total", 6, assume_nonneg=True
+        )
+        + f", 0.0) AS d{n}"
         for n in GOPHER_DUP_NGRAM_NS
     )
     joins = "\n    ".join(
@@ -1046,9 +1057,12 @@ def corpus_data_card(
     base = docs.select(
         F.col(stratum_col).alias("_s"),
         F.size(tokens(F.col(text_col))).alias("_nt"),
-        F.round(quality_score(F.col(text_col)), 6).alias("_q"),
+        # quality_score is already integer-exact 6dp (r13); carry the
+        # integer numerator k = q*1e6 alongside so the mean rounds in
+        # pure integer arithmetic too (ROUND recovers k losslessly)
+        quality_score(F.col(text_col)).alias("_q"),
         fp.alias("_fp"),
-    )
+    ).withColumn("_q6", F.round(F.col("_q") * 1e6).cast("long"))
     copies = base.groupBy("_fp").agg(F.count(F.lit(1)).alias("_nc"))
     joined = base.join(copies, "_fp")
     if approx:
@@ -1063,14 +1077,14 @@ def corpus_data_card(
             F.round(p50.cast("double"), 4).alias("median_tokens_r"),
             F.round(p90.cast("double"), 4).alias("p90_tokens_r"),
             F.count(F.lit(1)).cast("double").alias("n_docs"),
-            F.round(
-                F.sum(F.col("_q").cast("decimal(18,6)")).cast("double")
-                / F.count(F.lit(1)),
+            round_ratio_half_away(
+                F.sum("_q6"),
+                F.lit(1_000_000).cast("long") * F.count(F.lit(1)),
                 6,
             ).alias("mean_quality_r"),
-            F.round(
-                F.sum((F.col("_nc") > 1).cast("int")).cast("double")
-                / F.count(F.lit(1)),
+            round_ratio_half_away(
+                F.sum((F.col("_nc") > 1).cast("long")),
+                F.count(F.lit(1)),
                 6,
             ).alias("dup_frac_r"),
             F.grouping("_s").alias("_g"),

@@ -25,6 +25,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from solarpaneldatawrangler_spark.functions.rounding import (
+    round_ratio_half_away,
+)
 from solarpaneldatawrangler_spark.operators.dedup import winnowing_fingerprints
 
 
@@ -134,7 +137,9 @@ def _per_doc_overlap(
     )
     return per_doc.withColumn(
         "shared_frac",
-        F.round(F.col("n_shared") / F.col("n_fps"), 6),  # n_fps >= 1 here
+        # integer-exact 6dp (r13): n_shared/n_fps is an exact count
+        # ratio; n_fps >= 1 here
+        round_ratio_half_away(F.col("n_shared"), F.col("n_fps"), 6),
     )
 
 

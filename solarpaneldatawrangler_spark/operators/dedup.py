@@ -1796,10 +1796,24 @@ def minhash_cross_dup_pairs(
             c_sh.select(F.col("id").alias("corpus_id"), F.col("shingles").alias("sh_b")),
             "corpus_id",
         )
-        .withColumn("jaccard", ngram_jaccard(F.col("sh_a"), F.col("sh_b")))
+        # carry the exact integer intersect/union counts (r13): callers
+        # that hash a ROUNDED jaccard (q57) round the rational n/d in
+        # pure integer arithmetic instead of re-rounding the double;
+        # jaccard itself is the identical IEEE divide of those counts
+        .withColumn(
+            "jacc_n",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long"),
+        )
+        .withColumn(
+            "jacc_d", F.size(F.array_union("sh_a", "sh_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("jacc_n").cast("double") / F.col("jacc_d").cast("double"),
+        )
     )
     return verified.filter(F.col("jaccard") >= jaccard_threshold).select(
-        "batch_id", "corpus_id", "jaccard"
+        "batch_id", "corpus_id", "jaccard", "jacc_n", "jacc_d"
     )
 
 

@@ -39,6 +39,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from solarpaneldatawrangler_spark.functions.rounding import (
+    round_ratio_half_away,
+    round_ratio_half_away_sql,
+)
 from solarpaneldatawrangler_spark.functions.text import md5_long
 
 HLL_P = 12
@@ -135,12 +139,24 @@ def hll_estimate(
     )
     raw = F.lit(_HLL_NUM) / s_int.cast("double")
     zcol = F.lit(HLL_M) - F.col("_n")
+    # r13: the raw branch is the exact rational fn / (fd * s) where
+    # fn/fd = _HLL_NUM.as_integer_ratio() (the double constant IS a
+    # dyadic rational) — 4dp-rounded in pure integer arithmetic. The
+    # linear-counting branch (ln) stays the catalog's documented
+    # transcendental residual; the branch CONDITION stays the double
+    # divide (same IEEE op in both engines).
+    fn, fd = _HLL_NUM.as_integer_ratio()
+    raw_r4 = round_ratio_half_away(F.lit(fn), s_int * F.lit(fd), 4)
     est = F.when(
         (raw <= F.lit(2.5 * HLL_M)) & (zcol > 0),
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zcol.cast("double")),
-    ).otherwise(raw)
+        F.round(
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / zcol.cast("double")),
+            4,
+        ),
+    ).otherwise(raw_r4)
     return per.select(
-        *group_cols, zeros, F.round(est, 4).alias("hll_est_r")
+        *group_cols, zeros, est.alias("hll_est_r")
     )
 
 
@@ -174,11 +190,15 @@ def hll_sql(
         FROM regs {gby}
     )
     SELECT {gsel} ({m} - n) AS hll_zeros,
-           ROUND(CASE WHEN ({_HLL_NUM!r} / CAST(s + ({m} - n) * {1 << (scale + 1)}::BIGINT AS DOUBLE)) <= {2.5 * HLL_M!r}
+           CASE WHEN ({_HLL_NUM!r} / CAST(s + ({m} - n) * {1 << (scale + 1)}::BIGINT AS DOUBLE)) <= {2.5 * HLL_M!r}
                        AND ({m} - n) > 0
-                 THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - n AS DOUBLE))
-                 ELSE {_HLL_NUM!r} / CAST(s + ({m} - n) * {1 << (scale + 1)}::BIGINT AS DOUBLE)
-                 END, 4) AS hll_est_r
+                 THEN ROUND({float(m)!r} * ln({float(m)!r} / CAST({m} - n AS DOUBLE)), 4)
+                 ELSE {round_ratio_half_away_sql(
+                     str(_HLL_NUM.as_integer_ratio()[0]),
+                     f"(s + ({m} - n) * {1 << (scale + 1)}::BIGINT)"
+                     f" * {_HLL_NUM.as_integer_ratio()[1]}",
+                     4, assume_nonneg=True)}
+                 END AS hll_est_r
     FROM folded
     """
 
@@ -584,18 +604,17 @@ def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
     """One row (kmv_n, kmv_est_r): the unbiased estimator
     (k-1) * 2^32 / h_(k) when the sketch is full, else the sketch IS
     the distinct set (est = row count) — the standard small-set rule.
-    Exact-integer inputs into one IEEE double divide, rounded 4dp,
-    so both engines produce the identical literal."""
+    r13: the full-sketch branch is the exact rational (k-1)*2^32 /
+    h_(k), so its 4dp rounding runs in pure integer arithmetic
+    (round_ratio_half_away) — engine-identical at decimal ties."""
     return sketch.agg(
         F.count("h").alias("kmv_n"),
-        F.round(
-            F.when(
-                F.count("h") < k, F.count("h").cast("double")
-            ).otherwise(
-                F.lit(float((k - 1) * _KMV_HASH_SPACE))
-                / F.max("h").cast("double")
-            ),
-            4,
+        F.when(
+            F.count("h") < k, F.count("h").cast("double")
+        ).otherwise(
+            round_ratio_half_away(
+                F.lit((k - 1) * _KMV_HASH_SPACE), F.max("h"), 4
+            )
         ).alias("kmv_est_r"),
     )
 
@@ -647,18 +666,21 @@ def kmv_jaccard(a: DataFrame, b: DataFrame, k: int = KMV_K) -> DataFrame:
         ).alias("overlap_n"),
     )
     est = kmv_estimate(u, k)
+    # r13 integer-exact roundings: jaccard is the count ratio
+    # overlap/union; inter_est multiplies it by the already-4dp-exact
+    # union estimate q/1e4 (ROUND(est*1e4) recovers q losslessly), so
+    # inter = overlap*q / (union*1e4) — one exact rational each. The
+    # GREATEST(union, 1) guard only changes the never-exercised
+    # empty-union case (0/0 NaN -> 0.0, both engines).
+    un = F.greatest(F.col("union_n"), F.lit(1).cast("long"))
+    q4 = F.round(F.col("kmv_est_r") * 1e4).cast("long")
     return counts.crossJoin(F.broadcast(est)).select(
         "union_n",
         "overlap_n",
-        F.round(
-            F.col("overlap_n").cast("double") / F.col("union_n"), 6
-        ).alias("jaccard_r"),
+        round_ratio_half_away(F.col("overlap_n"), un, 6).alias("jaccard_r"),
         F.col("kmv_est_r").alias("union_est_r"),
-        F.round(
-            F.col("overlap_n").cast("double")
-            / F.col("union_n")
-            * F.col("kmv_est_r"),
-            4,
+        round_ratio_half_away(
+            F.col("overlap_n") * q4, un * F.lit(10_000).cast("long"), 4
         ).alias("inter_est_r"),
     )
 
@@ -689,14 +711,20 @@ def kmv_jaccard_sql(a_cte: str, b_cte: str, k: int = KMV_K) -> str:
     ),
     est AS (
         SELECT CASE WHEN union_n < {k} THEN union_n::DOUBLE
-                    ELSE {float((k - 1) * _KMV_HASH_SPACE)} / h_k::DOUBLE
-               END AS raw_est, *
+                    ELSE {round_ratio_half_away_sql(
+                        str((k - 1) * _KMV_HASH_SPACE), "h_k", 4,
+                        assume_nonneg=True)}
+               END AS est_r, *
         FROM counts
     )
     SELECT union_n, overlap_n,
-           ROUND(overlap_n::DOUBLE / union_n, 6) AS jaccard_r,
-           ROUND(raw_est, 4) AS union_est_r,
-           ROUND(overlap_n::DOUBLE / union_n * ROUND(raw_est, 4), 4)
-               AS inter_est_r
+           {round_ratio_half_away_sql(
+               "overlap_n", "GREATEST(union_n, 1)", 6,
+               assume_nonneg=True)} AS jaccard_r,
+           est_r AS union_est_r,
+           {round_ratio_half_away_sql(
+               "overlap_n * CAST(ROUND(est_r * 10000) AS BIGINT)",
+               "GREATEST(union_n, 1) * 10000", 4,
+               assume_nonneg=True)} AS inter_est_r
     FROM est
     """

@@ -10,6 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from solarpaneldatawrangler_spark.functions.rounding import (
+    round_ratio_half_away,
+    round_ratio_half_away_sql,
+)
 from solarpaneldatawrangler_spark.functions.text import (
     gopher_flags,
     gopher_flags_sql,
@@ -404,8 +408,11 @@ def _q51_oracle_or_none() -> str | None:
            len({_SQL_TOKS}) AS n_tokens,
            len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
            length(text) AS n_chars_actual,
-           ROUND(CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum') AS DOUBLE)
-                 / GREATEST(len({_SQL_TOKS}), 1), 6) AS mean_word_len,
+           {round_ratio_half_away_sql(
+               "COALESCE(list_sum(list_transform("
+               + _SQL_TOKS + ", t -> len(t))), 0)",
+               "GREATEST(len(" + _SQL_TOKS + "), 1)",
+               6, assume_nonneg=True)} AS mean_word_len,
            bm.bm25_r,
            COALESCE(ch.n_chunks, 0) AS n_chunks,
            COALESCE(ch.chunk_tok_sum, 0) AS chunk_tok_sum,
@@ -465,7 +472,19 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens": F.size(tokens(F.col("text"))),
             "n_bpe_tokens": F.size(bpe),
             "n_chars_actual": F.length("text"),
-            "mean_word_len": F.round(mean_word_length(F.col("text")), 6),
+            # r13: sum(token chars)/max(n_tokens,1) is an exact
+            # rational — 6dp rounds in pure integer arithmetic
+            "mean_word_len": round_ratio_half_away(
+                F.aggregate(
+                    tokens(F.col("text")),
+                    F.lit(0).cast("long"),
+                    lambda acc, t: acc + F.length(t).cast("long"),
+                ),
+                F.greatest(F.size(tokens(F.col("text"))), F.lit(1)).cast(
+                    "long"
+                ),
+                6,
+            ),
         },
     )
     chagg = (
@@ -619,6 +638,7 @@ def _q52_oracle_or_none() -> str | None:
         dup_fraction_sql,
         lines_sql,
         paragraphs_sql,
+        quality_score_sql,
         strip_markup_sql,
         top_ngram_char_fraction_sql,
     )
@@ -659,12 +679,7 @@ def _q52_oracle_or_none() -> str | None:
     return f"""
     WITH feats AS (
         SELECT doc_id,
-            CAST(len(list_filter({_SQL_TOKS}, t -> list_contains({_SW_LIST}, t))) AS DOUBLE)
-              / GREATEST(len({_SQL_TOKS}), 1) AS sw,
-            CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-              / GREATEST(length(text), 1) AS pr,
-            CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum') AS DOUBLE)
-              / GREATEST(len({_SQL_TOKS}), 1) AS mwl,
+            {quality_score_sql("text", _SQL_TOKS, _SW_LIST)} AS quality,
             {hashed_linear_score_r6_sql("text")} AS clf,
             {dup_fraction_sql(rep_lines)} AS rep_lf,
             {dup_char_fraction_sql(rep_lines)} AS rep_lcf,
@@ -733,9 +748,7 @@ def _q52_oracle_or_none() -> str | None:
         FROM dkeys
     )
     SELECT f.doc_id,
-           ROUND(sw * 0.5 + (1.0 - pr) * 0.3
-                 + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.0 END) * 0.2,
-                 6) AS quality,
+           f.quality,
            f.rep_lf, f.rep_lcf, f.rep_pf, f.rep_pcf,
            f.rep_top2, f.rep_top3,
            COALESCE(rep.d5, 0.0) AS rep_d5,
@@ -1723,7 +1736,24 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tests/test_incremental_store.py oracles)
 _CROSS_THR = 0.1
 
-_CROSS_CTES = r"""
+# r13: the xcross / xstore hashed jaccards round their exact rationals
+# (intersect/union counts; agreeing-components/16) via the shared
+# integer helper — the WHERE thresholds keep the raw double compare
+_XCROSS_R6 = round_ratio_half_away_sql(
+    "len(list_intersect(sa.shingles, sb.shingles))",
+    "GREATEST(len(list_distinct(list_concat(sa.shingles, sb.shingles))), 1)",
+    6,
+    assume_nonneg=True,
+)
+_XSTORE_R6 = round_ratio_half_away_sql(
+    "len(list_filter(range(1, 17),"
+    " i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]))",
+    "16",
+    6,
+    assume_nonneg=True,
+)
+
+_CROSS_CTES = rf"""
     xsides AS (
         SELECT doc_id, text, doc_id % 2 = 1 AS is_batch FROM documents
     ),
@@ -1760,9 +1790,7 @@ _CROSS_CTES = r"""
     ),
     xcross AS (
         SELECT p.id_a, p.id_b,
-               ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-                 / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6)
-                   AS jaccard
+               {_XCROSS_R6} AS jaccard
         FROM xpairs p
         JOIN xsh sa ON sa.doc_id = p.id_a
         JOIN xsh sb ON sb.doc_id = p.id_b
@@ -1775,9 +1803,7 @@ _CROSS_CTES = r"""
     ),
     xstore AS (
         SELECT p.id_a, p.id_b,
-               ROUND(CAST(len(list_filter(range(1, 17),
-                       i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]))
-                     AS DOUBLE) / 16.0, 6) AS jaccard
+               {_XSTORE_R6} AS jaccard
         FROM xpairs p
         JOIN xsig sa ON sa.doc_id = p.id_a
         JOIN xsig sb ON sb.doc_id = p.id_b
@@ -1829,8 +1855,10 @@ def _q57_sig_store(spark: SparkSession, sf_dir: str) -> str:
         FROM documents
     )
     SELECT 'adjacent' AS method, a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+           {round_ratio_half_away_sql(
+               "len(list_intersect(a.grams, b.grams))",
+               "GREATEST(len(list_distinct(list_concat(a.grams, b.grams))), 1)",
+               6, assume_nonneg=True)} AS jaccard
     FROM adjsh a JOIN adjsh b ON b.doc_id = a.doc_id + 1
     UNION ALL
     SELECT 'cross' AS method, id_a, id_b, jaccard FROM xcross
@@ -1867,13 +1895,26 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_distinct(char_ngrams(F.col("text"), 3)).alias("grams")
     )
     a, b = sh.alias("a"), sh.alias("b")
+    # r13: every hashed jaccard here rounds the exact rational
+    # intersect/union in pure integer arithmetic (round_ratio_half_away)
     adjacent = (
         a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
         .select(
             F.lit("adjacent").alias("method"),
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.round(ngram_jaccard(F.col("a.grams"), F.col("b.grams")), 6).alias("jaccard"),
+            round_ratio_half_away(
+                F.size(
+                    F.array_intersect(F.col("a.grams"), F.col("b.grams"))
+                ).cast("long"),
+                F.greatest(
+                    F.size(
+                        F.array_union(F.col("a.grams"), F.col("b.grams"))
+                    ),
+                    F.lit(1),
+                ).cast("long"),
+                6,
+            ).alias("jaccard"),
         )
     )
     slim = docs.select("doc_id", "text")
@@ -1886,7 +1927,9 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("cross").alias("method"),
         F.col("batch_id").alias("id_a"),
         F.col("corpus_id").alias("id_b"),
-        F.round("jaccard", 6).alias("jaccard"),
+        round_ratio_half_away(
+            F.col("jacc_n"), F.greatest(F.col("jacc_d"), F.lit(1).cast("long")), 6
+        ).alias("jaccard"),
     )
     storep = minhash_cross_dup_pairs_store(
         slim.filter(F.col("doc_id") % 2 == 1),
@@ -1896,7 +1939,13 @@ def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("store").alias("method"),
         F.col("batch_id").alias("id_a"),
         F.col("corpus_id").alias("id_b"),
-        F.round("est_jaccard", 6).alias("jaccard"),
+        # est_jaccard = matches/16 exactly; ROUND(est*16) recovers the
+        # integer match count losslessly for the exact 6dp rounding
+        round_ratio_half_away(
+            F.round(F.col("est_jaccard") * 16).cast("long"),
+            F.lit(16).cast("long"),
+            6,
+        ).alias("jaccard"),
     )
     return adjacent.unionByName(cross).unionByName(storep)
 

@@ -8,6 +8,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from solarpaneldatawrangler_spark.functions.rounding import (
+    round_ratio_half_away,
+)
 from solarpaneldatawrangler_spark.operators.relational import (
     dedup_by_key,
     exact_sum,
@@ -365,7 +368,10 @@ def _q13_oracle() -> str:
         kmv_sql,
     )
 
-    num = float((KMV_K - 1) * _KMV_HASH_SPACE)
+    from solarpaneldatawrangler_spark.functions.rounding import (
+        round_ratio_half_away_sql,
+    )
+
     kj = kmv_jaccard_sql(
         kmv_sql(_SKETCH_NORM_SQL, "documents WHERE doc_id % 3 != 0"),
         kmv_sql(_SKETCH_NORM_SQL, "documents WHERE doc_id % 4 != 0"),
@@ -396,10 +402,11 @@ def _q13_oracle() -> str:
     kmvsk AS ({kmv_sql("l_orderkey::VARCHAR", "lineitem")}),
     kmvest AS (
         SELECT COUNT(h) AS kmv_n,
-               ROUND(CASE WHEN COUNT(h) < {KMV_K}
-                     THEN CAST(COUNT(h) AS DOUBLE)
-                     ELSE {num!r} / CAST(MAX(h) AS DOUBLE) END,
-                     4) AS kmv_est_r
+               CASE WHEN COUNT(h) < {KMV_K}
+                    THEN CAST(COUNT(h) AS DOUBLE)
+                    ELSE {round_ratio_half_away_sql(
+                        str((KMV_K - 1) * _KMV_HASH_SPACE), "MAX(h)", 4,
+                        assume_nonneg=True)} END AS kmv_est_r
         FROM kmvsk
     ),
     kmvex AS (
@@ -444,7 +451,9 @@ def _q13_oracle() -> str:
     UNION ALL
     SELECT 'kmv_jaccard_exact', '', CAST(NULL AS BIGINT),
            CAST(NULL AS BIGINT),
-           ROUND(exact_overlap_n::DOUBLE / exact_union_n, 6)
+           {round_ratio_half_away_sql(
+               "exact_overlap_n", "GREATEST(exact_union_n, 1)", 6,
+               assume_nonneg=True)}
     FROM kjall
     """
 
@@ -571,9 +580,11 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
             kj_all.select(
                 *row(
                     "kmv_jaccard_exact", F.lit(""), null, null,
-                    F.round(
-                        F.col("exact_overlap_n").cast("double")
-                        / F.col("exact_union_n"),
+                    round_ratio_half_away(
+                        F.col("exact_overlap_n"),
+                        F.greatest(
+                            F.col("exact_union_n"), F.lit(1).cast("long")
+                        ),
                         6,
                     ),
                 )

@@ -191,6 +191,10 @@ def _q46_sample_exact() -> str:
 
 
 def _q46_oracle() -> str:
+    from solarpaneldatawrangler_spark.functions.rounding import (
+        round_ratio_half_away_sql,
+    )
+    from solarpaneldatawrangler_spark.functions.text import quality_score_sql
     from solarpaneldatawrangler_spark.operators.sampling import es_key_sql
     from solarpaneldatawrangler_spark.plans.extension_queries import (
         _SQL_TOKS,
@@ -198,6 +202,18 @@ def _q46_oracle() -> str:
     )
 
     eskey = es_key_sql("GREATEST(n_chars, 1)", "doc_id", seed="es")
+    # integer-exact 6dp data-card roundings (r13): mean quality is the
+    # rational sum(q*1e6)/(1e6*n) — each q is k/1e6 exactly, and
+    # ROUND(q*1e6) recovers k losslessly (double round-trip, k < 2^52);
+    # the dup fraction is the plain count ratio
+    _mean_q6 = round_ratio_half_away_sql(
+        "SUM(CAST(ROUND(d.q * 1000000) AS BIGINT))",
+        "1000000 * COUNT(*)", 6, assume_nonneg=True,
+    )
+    _dup_frac6 = round_ratio_half_away_sql(
+        "SUM(CASE WHEN c.nc > 1 THEN 1 ELSE 0 END)",
+        "COUNT(*)", 6, assume_nonneg=True,
+    )
     return f"""
     WITH wsample AS (
         SELECT CAST(doc_id AS VARCHAR) AS key,
@@ -210,16 +226,7 @@ def _q46_oracle() -> str:
     dq AS (
         SELECT lang,
                len({_SQL_TOKS}) AS nt,
-               ROUND(
-                   CAST(len(list_filter({_SQL_TOKS}, t -> list_contains({_SW_LIST}, t))) AS DOUBLE)
-                     / GREATEST(len({_SQL_TOKS}), 1) * 0.5
-                   + (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                       / GREATEST(length(text), 1)) * 0.3
-                   + (CASE WHEN
-                        CAST(list_aggregate(list_transform({_SQL_TOKS}, t -> len(t)), 'sum') AS DOUBLE)
-                          / GREATEST(len({_SQL_TOKS}), 1) BETWEEN 2.0 AND 12.0
-                      THEN 1.0 ELSE 0.0 END) * 0.2,
-                   6) AS q,
+               {quality_score_sql("text", _SQL_TOKS, _SW_LIST)} AS q,
                md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
         FROM documents
     ),
@@ -230,10 +237,8 @@ def _q46_oracle() -> str:
                ROUND(quantile_cont(d.nt, 0.5), 4) AS median_r,
                ROUND(quantile_cont(d.nt, 0.9), 4) AS p90_r,
                CAST(COUNT(*) AS DOUBLE) AS m3,
-               ROUND(CAST(SUM(CAST(d.q AS DECIMAL(18,6))) AS DOUBLE)
-                     / COUNT(*), 6) AS m4,
-               ROUND(CAST(SUM(CASE WHEN c.nc > 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                     / COUNT(*), 6) AS m5
+               {_mean_q6} AS m4,
+               {_dup_frac6} AS m5
         FROM dq d JOIN fpc c USING (fp)
         GROUP BY ROLLUP(d.lang)
     )

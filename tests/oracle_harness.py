@@ -50,8 +50,14 @@ def compare(
     r11 full-catalog sweep proved every hashed query IS cell-exact at
     sf0.01, so the catalog mirror runs strict and a future query that
     silently leans on tolerance fails locally before the driver sees
-    it. Non-catalog goldens keep the tolerant default."""
-    got = _normalize(spark_df.toPandas())
+    it. Non-catalog goldens keep the tolerant default.
+
+    ``spark_df`` may be a pre-collected pandas DataFrame (r13: the sf1
+    sweep times the Spark collect separately from the oracle replay, so
+    it collects first and hands the pandas frame here)."""
+    got = _normalize(
+        spark_df if isinstance(spark_df, pd.DataFrame) else spark_df.toPandas()
+    )
     want = _normalize(oracle_df)
     assert list(got.columns) == list(want.columns), (
         f"{name}: column mismatch {list(got.columns)} vs {list(want.columns)}"

@@ -9,6 +9,10 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from solarpaneldatawrangler_spark.functions.rounding import (
+    round_ratio_half_away_sql as _rrha_sql,
+)
+
 BENCH_SENTENCES = [
     "the quick brown fox jumps over the lazy dog near the river bank",
     "solar panels convert sunlight into electricity through photovoltaic cells",
@@ -88,8 +92,9 @@ def test_contamination_scores_match_duckdb(spark):
             GROUP BY d.id
         )
         SELECT doc_id, COALESCE(n_fps, 0), COALESCE(n_shared, 0),
-               ROUND(COALESCE(n_shared, 0)::DOUBLE
-                     / GREATEST(COALESCE(n_fps, 0), 1), 6)
+               {_rrha_sql("COALESCE(n_shared, 0)",
+                          "GREATEST(COALESCE(n_fps, 0), 1)", 6,
+                          assume_nonneg=True)}
         FROM docs_t LEFT JOIN totals ON totals.id = docs_t.doc_id
     """).fetchall()
     expect = {r[0]: (r[1], r[2], r[3]) for r in oracle}

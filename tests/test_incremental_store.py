@@ -160,7 +160,9 @@ pairs AS (
 )
 SELECT p.batch_id, p.corpus_id,
        CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+         / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard,
+       len(list_intersect(sa.shingles, sb.shingles)) AS jacc_n,
+       len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jacc_d
 FROM pairs p
 JOIN sh sa ON sa.doc_id = p.batch_id
 JOIN sh sb ON sb.doc_id = p.corpus_id
