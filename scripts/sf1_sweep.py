@@ -75,7 +75,6 @@ ID_COLS = {
     "part": ["p_partkey"],
     "supplier": ["s_suppkey"],
     "events": ["event_id", "user_id"],
-    "embeddings": ["vec_id"],
 }
 COPY_VERBATIM = ["region", "nation"]
 
@@ -105,7 +104,9 @@ def generate(
 
     # precondition: the uniform shift must keep replicas disjoint —
     # including documents.doc_id, which is shifted in its own block
-    for t, cols in {**ID_COLS, "documents": ["doc_id"]}.items():
+    for t, cols in {
+        **ID_COLS, "documents": ["doc_id"], "embeddings": ["vec_id"],
+    }.items():
         for c in cols:
             mx = con.execute(f"SELECT max({c}) FROM {src(t)}").fetchone()[0]
             assert mx < K, f"{t}.{c} max {mx} >= shift {K}"
@@ -136,6 +137,37 @@ def generate(
             f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
         ).fetchone()[0]
         print(f"# {t}: {n} rows")
+
+    # embeddings: id shift + per-replica deterministic SIGN FLIP of the
+    # vector components for r>0 (r13; the sf10 probe caught the clone
+    # artifact). diag(±1) is orthogonal, so every intra-replica cosine
+    # / norm / dot is EXACTLY preserved (sign flip of a float is exact)
+    # while cross-replica clones are decorrelated — without it, every
+    # vector has `replicas` exact copies and near-dup pair counts grow
+    # quadratically in replicas instead of linearly (a data artifact,
+    # not an engine cost: q63 at 100 replicas returned 23.9M pairs).
+    sgn = (
+        "(CASE WHEN (('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' ||"
+        " CAST(i AS VARCHAR)), 1, 8))::BIGINT % 2) = 0"
+        " THEN CAST(1 AS FLOAT) ELSE CAST(-1 AS FLOAT) END)"
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id + r.r * {K} AS vec_id,
+                 CASE WHEN r.r = 0 THEN embedding
+                      ELSE list_transform(range(1, len(embedding) + 1),
+                               i -> embedding[i] * {sgn})
+                 END AS embedding,
+                 label
+          FROM {src('embeddings')} CROSS JOIN range({replicas}) r(r)
+        ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{out_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    print(f"# embeddings: {n} rows (sign-flip decorrelated)")
 
     # documents: id shift + injective per-word replica suffix for r>0
     con.execute(

@@ -28,7 +28,7 @@ def gen_dir(tmp_path_factory):
 
 def _con(gen_dir):
     con = duckdb.connect()
-    for t in list(ID_COLS) + COPY_VERBATIM + ["documents"]:
+    for t in list(ID_COLS) + COPY_VERBATIM + ["documents", "embeddings"]:
         con.execute(
             f"CREATE VIEW base_{t} AS SELECT * FROM read_parquet('{BASE}/{t}.parquet')"
         )
@@ -40,7 +40,7 @@ def _con(gen_dir):
 
 def test_row_counts_and_dims(gen_dir):
     con = _con(gen_dir)
-    for t in list(ID_COLS) + ["documents"]:
+    for t in list(ID_COLS) + ["documents", "embeddings"]:
         nb = con.execute(f"SELECT count(*) FROM base_{t}").fetchone()[0]
         ng = con.execute(f"SELECT count(*) FROM gen_{t}").fetchone()[0]
         assert ng == N_REP * nb, t
@@ -52,7 +52,9 @@ def test_row_counts_and_dims(gen_dir):
 
 def test_replica_zero_is_verbatim_and_keys_disjoint(gen_dir):
     con = _con(gen_dir)
-    for t, cols in {**ID_COLS, "documents": ["doc_id"]}.items():
+    for t, cols in {
+        **ID_COLS, "documents": ["doc_id"], "embeddings": ["vec_id"],
+    }.items():
         key = cols[0]
         # replica 0 rows == base rows, byte-for-byte
         diff = con.execute(
@@ -137,7 +139,7 @@ def test_generate_skips_existing_and_rejects_oversize_keys(
     big = tmp_path / "badbase"
     big.mkdir()
     con = duckdb.connect()
-    for t in list(ID_COLS) + COPY_VERBATIM + ["documents"]:
+    for t in list(ID_COLS) + COPY_VERBATIM + ["documents", "embeddings"]:
         con.execute(
             f"COPY (SELECT * FROM read_parquet('{BASE}/{t}.parquet')) "
             f"TO '{big}/{t}.parquet' (FORMAT PARQUET)"
@@ -151,3 +153,44 @@ def test_generate_skips_existing_and_rejects_oversize_keys(
     with pytest.raises(AssertionError, match="doc_id"):
         generate(base_dir=str(big), out_dir=str(tmp_path / "badout"),
                  replicas=N_REP)
+
+
+def test_embeddings_transform_invariants(gen_dir):
+    """r13 (the sf10 probe's clone-artifact fix): replica r>0 vectors
+    are component sign-flips of the base — diag(±1) is orthogonal, so
+    every intra-replica cosine/norm/dot is EXACTLY preserved, while
+    cross-replica exact clones are gone (no fabricated near-dup
+    clusters growing quadratically in replicas)."""
+    con = _con(gen_dir)
+    # schema preserved: element type stays FLOAT
+    typ = con.execute(
+        "DESCRIBE SELECT embedding FROM gen_embeddings"
+    ).fetchall()[0][1]
+    assert typ == "FLOAT[]"
+    # per-replica: |component| pattern identical to base (sign flip
+    # only), so norms are bit-identical
+    bad = con.execute(
+        f"""SELECT count(*) FROM gen_embeddings g
+        JOIN base_embeddings b ON b.vec_id = g.vec_id % {K}
+        WHERE list_transform(g.embedding, x -> abs(x))
+              != list_transform(b.embedding, x -> abs(x))"""
+    ).fetchone()[0]
+    assert bad == 0, "sign-flip transform changed a component magnitude"
+    # replica 0 verbatim
+    drift = con.execute(
+        f"""SELECT count(*) FROM gen_embeddings g
+        JOIN base_embeddings b ON b.vec_id = g.vec_id
+        WHERE g.vec_id < {K} AND g.embedding != b.embedding"""
+    ).fetchone()[0]
+    assert drift == 0
+    # cross-replica clones are decorrelated: no identical embedding
+    # spans two replicas (within-replica base duplicates are preserved
+    # by design). 64 md5-seeded signs per replica -> accidental
+    # identical-pattern odds ~2^-64 per replica pair.
+    dup = con.execute(
+        f"""SELECT count(*) FROM (
+            SELECT embedding FROM gen_embeddings
+            GROUP BY embedding
+            HAVING count(DISTINCT vec_id // {K}) > 1)"""
+    ).fetchone()[0]
+    assert dup == 0, "an embedding is cloned verbatim across replicas"
