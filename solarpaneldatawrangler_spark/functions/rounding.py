@@ -46,17 +46,34 @@ _DEC = "decimal(38,0)"
 def round_ratio_half_away(num: Column, den: Column, dp: int) -> Column:
     """Exact round-half-away-from-zero of the rational num/den at dp
     decimals, as a DOUBLE. ``num`` may be negative; ``den`` must be a
-    positive integer column (callers guard with GREATEST(..., 1))."""
+    positive integer column (callers guard with GREATEST(..., 1)).
+
+    Two value-identical arithmetic paths, chosen per row (r13 bench:
+    decimal ops in a scan-hot fraction cost ~25% on the q52 pinned
+    workload): when 2*10^dp*|num| + den provably stays under 2^53
+    (|num| and den each under 2^52/(2*10^dp)), everything runs in
+    int64 and the final exact-multiple division runs in DOUBLE —
+    exact, because an IEEE divide of a <2^53 exact multiple by its
+    <2^53 divisor is the correctly-rounded integer quotient. Wider
+    rows (huge docs, cardinality estimates) take the decimal(38,0)
+    route. Both compute the same floor((2p|n|+d)/(2d))."""
     p = 10**dp
-    n = F.abs(num).cast(_DEC)
-    d = den.cast(_DEC)
-    a = F.lit(2 * p).cast(_DEC) * n + d
-    b = F.lit(2).cast(_DEC) * d
-    # exact integer floor(a/b): strip the remainder (pmod is exact on
-    # decimals), then divide the exact multiple — whole-number quotient,
-    # carried exactly by the decimal result at any int128-ish magnitude
-    m = a - F.pmod(a, b)
-    q = (m / b).cast("long")
+    lim = F.lit((1 << 52) // (2 * p))
+    n_l = F.abs(num).cast("long")
+    d_l = den.cast("long")
+    # fast path: all-long, exact double divide
+    a_l = F.lit(2 * p).cast("long") * n_l + d_l
+    b_l = F.lit(2).cast("long") * d_l
+    q_fast = ((a_l - F.pmod(a_l, b_l)) / b_l).cast("long")
+    # wide path: decimal(38,0) — pmod strips the remainder, the exact
+    # multiple divides to a whole-number decimal at any int128-ish
+    # magnitude (a double division is only exact below 2^53)
+    n_w = n_l.cast(_DEC)
+    d_w = d_l.cast(_DEC)
+    a_w = F.lit(2 * p).cast(_DEC) * n_w + d_w
+    b_w = F.lit(2).cast(_DEC) * d_w
+    q_wide = ((a_w - F.pmod(a_w, b_w)) / b_w).cast("long")
+    q = F.when((n_l < lim) & (d_l < lim), q_fast).otherwise(q_wide)
     signed = F.when(num < 0, -q).otherwise(q)
     return signed.cast("double") / F.lit(float(p))
 

@@ -126,6 +126,34 @@ def test_spark_wide_decimal_path(spark):
     assert df.collect()[0].r == expected(n, d, 6) == 0.5
 
 
+def test_fast_and_wide_paths_agree_across_boundary(spark):
+    """The per-row int64 fast path and the decimal wide path must be
+    value-identical; probe pairs straddling the 2^52/(2*10^dp) limit
+    so both branches execute (including exact ties on each side)."""
+    dp = 6
+    lim = (1 << 52) // (2 * 10**dp)
+    cases = [
+        (lim - 1, lim - 1, dp),          # fast, q at scale
+        (lim - 3, 2 * (lim - 3), dp),    # fast, exact .5 tie
+        (lim + 1, lim - 1, dp),          # wide via num
+        (lim - 1, lim + 1, dp),          # wide via den
+        (lim + 5, 2 * (lim + 5), dp),    # wide, exact .5 tie
+        (3 * (lim + 9), 2_000_000 * (lim + 9), dp),  # wide, tie at 1.5e-6
+    ]
+    df = spark.createDataFrame(
+        [(i, n, d) for i, (n, d, _) in enumerate(cases)],
+        "i int, num long, den long",
+    )
+    got = {
+        r.i: r.r
+        for r in df.select(
+            "i", round_ratio_half_away(F.col("num"), F.col("den"), dp).alias("r")
+        ).collect()
+    }
+    for i, (n, d, dpx) in enumerate(cases):
+        assert got[i] == expected(n, d, dpx), (n, d, got[i])
+
+
 def test_null_propagation(spark):
     df = spark.range(1).select(
         round_ratio_half_away(
