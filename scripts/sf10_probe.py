@@ -20,7 +20,7 @@ over the result (the bench.py contract — no driver payload collect at
 100x volume).
 
 Usage: python scripts/sf10_probe.py [generate|run|all] [--force]
-Record: bench_out/r13_sf10.json
+Record: bench_out/r{round}_sf10.json (round inferred from BENCH_r*.json)
 """
 
 from __future__ import annotations
@@ -38,7 +38,17 @@ SF10_DIR = os.path.join(REPO, "testdata_sf10")
 BASE_DIR = "/root/testdata/sf0.1"
 WARM_DIR = "/root/testdata/sf0.01"
 REPLICAS = 100
-RECORD = os.path.join(REPO, "bench_out", "r13_sf10.json")
+def _current_round() -> int:
+    prior = [
+        int(f[len("BENCH_r"):-len(".json")])
+        for f in os.listdir(REPO)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+        and f[len("BENCH_r"):-len(".json")].isdigit()
+    ]
+    return (max(prior) if prior else 0) + 1
+
+
+RECORD = os.path.join(REPO, "bench_out", f"r{_current_round():02d}_sf10.json")
 FLOOR_S = 5.0
 EXTRA = [
     "q55_minhash_neardup",
@@ -141,6 +151,39 @@ def run() -> dict:
                 "the gate query freezes n_lists/n_planes for oracle "
                 "VALUES stability"
             )
+            # r13 ADVICE: the record itself must show the gate query's
+            # FROZEN-knob behavior (quadratic by construction at this
+            # volume — N²/n_lists with n_lists pinned), not just
+            # DESIGN.md. Measured under the same protocol; informational
+            # (the headline pass count rules the documented deployment
+            # parameterization, and that intent is explicit here).
+            if os.environ.get("SPARK_GRAFT_SF10_FROZEN", "1") == "1":
+                try:
+                    gate_fn = bench._headline_fn(name)
+                    gate_fn(spark, WARM_DIR).count()
+                    t0 = time.monotonic()
+                    gate_fn(spark, BASE_DIR).count()
+                    f_sf01 = round(time.monotonic() - t0, 3)
+                    t0 = time.monotonic()
+                    pq["frozen_rows_sf10"] = gate_fn(spark, SF10_DIR).count()
+                    pq["frozen_spark_s"] = round(time.monotonic() - t0, 3)
+                    fscaled = REPLICAS * f_sf01
+                    pq["frozen_spark_s_sf01"] = f_sf01
+                    pq["frozen_scaled_ratio"] = (
+                        round(pq["frozen_spark_s"] / fscaled, 4)
+                        if fscaled > 0
+                        else None
+                    )
+                    pq["frozen_under_2x"] = bool(
+                        pq["frozen_spark_s"] <= max(2 * fscaled, FLOOR_S)
+                    )
+                    print(
+                        f"# {name} FROZEN knobs: {pq['frozen_spark_s']}s "
+                        f"(ratio {pq['frozen_scaled_ratio']})",
+                        flush=True,
+                    )
+                except Exception as ex:  # noqa: BLE001 — probe must finish
+                    pq["frozen_error"] = f"{type(ex).__name__}: {ex}"[:400]
         try:
             fn(spark, WARM_DIR).count()  # untimed warmup
             t0 = time.monotonic()

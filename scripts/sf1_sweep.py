@@ -57,7 +57,19 @@ SF1_DIR = os.path.join(REPO, "testdata_sf1")
 BASE_DIR = "/root/testdata/sf0.1"
 REPLICAS = 10
 K = 10_000_000
-RECORD = os.path.join(REPO, "bench_out", "r13_sf1.json")
+def _current_round() -> int:
+    """Next round number, inferred like bench.py: max BENCH_r*.json + 1
+    (so each round's sweep record names itself without a manual bump)."""
+    prior = [
+        int(f[len("BENCH_r"):-len(".json")])
+        for f in os.listdir(REPO)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+        and f[len("BENCH_r"):-len(".json")].isdigit()
+    ]
+    return (max(prior) if prior else 0) + 1
+
+
+RECORD = os.path.join(REPO, "bench_out", f"r{_current_round():02d}_sf1.json")
 WARM_DIR = "/root/testdata/sf0.01"  # driver-gate scale: all 50 proven green
 # absolute floor for the 2x volume-scaled rule: a plan whose sf0.1 time
 # is ~50 ms has a volume-scaled budget of ~1 s, which fixed session
@@ -217,18 +229,25 @@ def correctness() -> dict:
         pq: dict = {}
         out["per_query"][name] = pq
         try:
+            # rows-only queries (no oracle) never need their values on
+            # the driver — time a count() so the sweep's driver-memory
+            # profile stays bounded (r13 ADVICE; the sf10 probe already
+            # does this). Oracled queries need toPandas for compare.
+            def trigger(df):
+                return df.count() if spec.oracle is None else df.toPandas()
+
             # untimed warmup: one-time artifact training + codegen
-            spec.fn(spark, WARM_DIR).toPandas()
+            trigger(spec.fn(spark, WARM_DIR))
             t0 = time.monotonic()
-            spec.fn(spark, BASE_DIR).toPandas()
+            trigger(spec.fn(spark, BASE_DIR))
             pq["spark_s_sf01"] = round(time.monotonic() - t0, 3)
             t0 = time.monotonic()
-            got = spec.fn(spark, SF1_DIR).toPandas()
+            got = trigger(spec.fn(spark, SF1_DIR))
             pq["spark_s"] = round(time.monotonic() - t0, 3)
             if spec.oracle is None:
                 out["rows_only"] += 1
-                out["rows"][name] = int(len(got))
-                status = f"rows-only ({len(got)} rows)"
+                out["rows"][name] = int(got)
+                status = f"rows-only ({got} rows)"
             else:
                 t0 = time.monotonic()
                 want = run_oracle(spec.oracle, SF1_DIR)

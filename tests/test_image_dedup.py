@@ -83,3 +83,43 @@ def test_neardup_plan_is_banded_equijoin(spark):
 def test_dhash_rejects_oversized():
     with pytest.raises(ValueError, match="fit 64 bits"):
         image_dhash(None, hash_size=9)
+
+
+def test_q62_oracle_demotes_on_corrupt_parquet(tmp_path, monkeypatch, capsys):
+    """r13 VERDICT item 5 (the q62-demotion test): the import-time
+    numpy-mirror oracle runs a parquet read at package import — a
+    CORRUPT documents.parquet (pyarrow ArrowInvalid, a ValueError
+    subclass) must demote q62 to rows-only with a loud stderr notice,
+    not abort every import of the plans package. A missing dir
+    (FileNotFoundError/OSError) demotes the same way."""
+    from solarpaneldatawrangler_spark.plans import catalog as cat
+    from solarpaneldatawrangler_spark.plans.extension_queries import (
+        _q62_oracle_or_none,
+    )
+
+    corrupt = tmp_path / "sfX"
+    corrupt.mkdir()
+    (corrupt / "documents.parquet").write_bytes(b"not a parquet file")
+    monkeypatch.setattr(cat, "ORACLE_SF_DIR", str(corrupt))
+    assert _q62_oracle_or_none() is None
+    err = capsys.readouterr().err
+    assert "q62_multimodal_pipeline oracle demoted to rows-only" in err
+
+    monkeypatch.setattr(cat, "ORACLE_SF_DIR", "/nonexistent/sfY")
+    assert _q62_oracle_or_none() is None
+    assert "demoted to rows-only" in capsys.readouterr().err
+
+
+def test_q62_oracle_present_when_testdata_exists():
+    """With healthy oracle testdata (this environment), q62 MUST carry
+    its full VALUES hash oracle — demotion is for broken environments
+    only (the q52 idiom)."""
+    import os
+
+    from solarpaneldatawrangler_spark.plans import CATALOG
+    from solarpaneldatawrangler_spark.plans.catalog import ORACLE_SF_DIR
+
+    assert os.path.exists(f"{ORACLE_SF_DIR}/documents.parquet")
+    oracle = CATALOG["q62_multimodal_pipeline"].oracle
+    assert oracle is not None
+    assert "tilefp" in oracle and "imagedup" in oracle

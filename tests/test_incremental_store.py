@@ -1439,3 +1439,67 @@ def test_lease_ttl_marker_mode_reap_and_heartbeat(
     # ownership guard: heartbeating a lease we don't hold raises
     with pytest.raises(RuntimeError, match="holds no lease"):
         heartbeat_lease(spark, store)
+
+
+def test_claims_acquire_transient_failure_leaves_no_orphans(
+    spark, tmp_path, monkeypatch
+):
+    """r13 VERDICT item 5 (the lease-path test): a transient LIST
+    failure in the confirm phase — after the winner marker is already
+    PUBLISHED — must not orphan the claim OR the _LEASE_WON marker
+    (either orphan would win/block every future election and wedge all
+    mutators until a manual clear_lease). The acquire raises, both
+    files are gone, and the very next acquire succeeds."""
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_SETTLE_MS", "0")
+    import solarpaneldatawrangler_spark.operators.dedup as _d
+
+    store = str(tmp_path / "claims_transient")
+    real_live_won = _d._live_won
+    calls = {"n": 0}
+
+    def flaky_live_won(fs, jvm, path):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the confirm-phase re-LIST
+            raise RuntimeError("injected transient LIST failure")
+        return real_live_won(fs, jvm, path)
+
+    monkeypatch.setattr(_d, "_live_won", flaky_live_won)
+    with pytest.raises(RuntimeError, match="injected transient"):
+        _d._acquire_lease_claims(spark, store)
+    assert calls["n"] == 2  # the failure really hit the confirm phase
+
+    def live(sub):
+        d = os.path.join(store, sub)
+        if not os.path.isdir(d):
+            return []
+        return [f for f in os.listdir(d) if not f.startswith(".")]
+
+    assert live("_LEASE_CLAIMS") == []  # claim cleaned up
+    assert live("_LEASE_WON") == []  # published winner marker cleaned up
+
+    monkeypatch.setattr(_d, "_live_won", real_live_won)
+    _d._acquire_lease_claims(spark, store)  # service needs no clear_lease
+    _d._release_lease(spark, store)
+
+
+def test_claims_defer_error_names_live_holder(spark, tmp_path, monkeypatch):
+    """r13 VERDICT item 5: an acquire that defers to a live _LEASE_WON
+    holder must NAME the holder marker in its error — the operator
+    diagnosing a wedge should look at the holder, not hunt for an
+    older claim."""
+    monkeypatch.setenv("SPARK_GRAFT_LEASE_SETTLE_MS", "0")
+    import solarpaneldatawrangler_spark.operators.dedup as _d
+
+    store = str(tmp_path / "claims_holder")
+    holder = _d._claims_write(spark, store)
+    assert _d._claims_elect(spark, store, holder)  # holder published
+
+    with pytest.raises(RuntimeError) as exc:
+        _d._acquire_lease_claims(spark, store)
+    msg = str(exc.value)
+    assert "_LEASE_WON" in msg and holder in msg
+    # the failed acquire did not evict the live holder
+    won_dir = os.path.join(store, "_LEASE_WON")
+    assert [f for f in os.listdir(won_dir) if not f.startswith(".")] == [
+        holder
+    ]
