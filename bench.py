@@ -1384,6 +1384,7 @@ def _compact_stdout_line(
     sf,
     fresh_total=None,
     q58_dist=None,
+    exec_total=None,
 ) -> str:
     """The ONE stdout JSON line the driver parses — headline totals,
     per-headline warm timings, gate metadata. Everything bulky
@@ -1423,6 +1424,13 @@ def _compact_stdout_line(
                 # movement is judged against the spread, not one min
                 {"q58_dist": q58_dist}
                 if q58_dist
+                else {}
+            ),
+            **(
+                # honest executor cost (r14): noop-sink pass — see
+                # the full record's means.value_exec
+                {"value_exec": round(exec_total, 3)}
+                if exec_total is not None
                 else {}
             ),
             "extra_value": round(extra_total, 3),
@@ -1604,6 +1612,47 @@ def main() -> None:
             print(f"# q58_dist: {q58_dist}", file=sys.stderr)
         except Exception as ex:  # noqa: BLE001
             errors["q58_dist"] = f"{type(ex).__name__}: {ex}"[:300]
+
+    # honest-materialization pass (r14, the q52-regression lesson):
+    # the legacy "value" series times fn().count(), which (a) includes
+    # DataFrame BUILD+analysis — driver-side py4j work, re-paid every
+    # repeat — and (b) lets Catalyst prune any column the count never
+    # needs, so a pure-projection workload (q52 quality scan, q30
+    # deg2num) collapses to a zero-column metadata count (ReadSchema
+    # struct<>, verified by explain) and its expression changes never
+    # reach an executor. The r13 'q52 +30% warm / 2x cold' flag was
+    # exactly this: integer-exact rounding grew the EXPRESSION TREE,
+    # count() pruned it, and the regression lived entirely in plan
+    # build+analysis (bench_out/r14_q52_ab.json separates the two).
+    # queries_exec times a noop-sink write of the PRE-BUILT frame —
+    # every column evaluated on executors, zero driver collect — and
+    # queries_build isolates construction+analysis, so future rounds
+    # can attribute movement to driver, plan, or executor in one diff.
+    # "value" keeps its count() definition for series comparability.
+    exec_timings: dict[str, float] = {}
+    build_timings: dict[str, float] = {}
+    for name in HEADLINE:
+        try:
+            fn = _headline_fn(name)
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.schema  # force analysis
+            build_timings[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(max(repeats, 1)):
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            exec_timings[name] = round(best, 3)
+        except Exception as ex:  # noqa: BLE001
+            errors[f"exec:{name}"] = f"{type(ex).__name__}: {ex}"[:300]
+    if exec_timings:
+        print(
+            f"# exec (noop-sink) total: {sum(exec_timings.values()):.3f}s, "
+            f"build total: {sum(build_timings.values()):.3f}s",
+            file=sys.stderr,
+        )
+    snap_load("exec_end")
 
     # build the IVF store BEFORE the timed extras: with repeats=1 the
     # first (only) timed repeat of x_ivf_store_pruned would otherwise
@@ -1885,6 +1934,15 @@ def main() -> None:
             if fresh_headline
             else {}
         ),
+        **(
+            {
+                "value_exec": round(sum(exec_timings.values()), 3),
+                "queries_exec": exec_timings,
+                "queries_build": build_timings,
+            }
+            if exec_timings
+            else {}
+        ),
         **({"q58_dist": q58_dist} if q58_dist else {}),
         # key semantics (r12, judge item 4 — r11's cold<warm confusion):
         # warm/cold totals are warm-JVM best-of-N differing only in
@@ -1900,6 +1958,13 @@ def main() -> None:
             "fresh_jvm_startup_s",
             "q58_dist": "raw sorted within-session distribution of 8 "
             "extra q58 reps under headline (cached) conditions",
+            "value_exec": "honest executor cost (r14): noop-sink write "
+            "of each pre-built headline frame, warm JVM + cached "
+            "tables, best-of-N — every column evaluated, no count() "
+            "column pruning, build excluded (queries_build carries "
+            "it). 'value' keeps the legacy count() definition for "
+            "round-over-round comparability; pure-projection entries "
+            "there (q52, q30) are plan-build + metadata-count only.",
         },
         "extra_value": round(extra_total, 3),
         "extra_queries": {k: round(v, 3) for k, v in extra_timings.items()},
@@ -1962,6 +2027,9 @@ def main() -> None:
                 else None
             ),
             q58_dist=q58_dist or None,
+            exec_total=(
+                sum(exec_timings.values()) if exec_timings else None
+            ),
         ),
         out_path,
     )

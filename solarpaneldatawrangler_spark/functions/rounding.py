@@ -14,14 +14,21 @@ exact-rational column in the catalog rounds identically in any engine:
     round_half_away(num/den, dp)
       = sign(num) * floor((2*10^dp*|num| + den) / (2*den)) / 10^dp
 
-computed in pure integer arithmetic on both sides — Spark in
-decimal(38,0) (wide enough for every catalog numerator: the largest,
-quality_score's 5*sw_num*chars + ... over 10*toks*chars, stays under
-10^21 << 10^38), DuckDB in HUGEINT (int128). The floor division strips
-the remainder with pmod first and divides the exact multiple, so the
-decimal quotient is a whole number carried exactly at any magnitude
-(the hashed_linear_score_r6 lesson: a double division is only exact
-below 2^53).
+computed in pure integer arithmetic on both sides. Input domain
+(r14, correcting the r13 docstring): the Spark helper ingests num/den
+through ``.cast('long')`` — and quality_score builds its numerator in
+int64 arithmetic upstream — so |num| and den must stay under 2^63.
+Past that, Spark (non-ANSI) wraps silently while the DuckDB twin's
+BIGINT ingest raises: callers own the bound. It is comfortable for
+every catalog column — the largest numerator, quality_score's
+5*a*d + 3*b*(d-c) + 2*b*d*e, needs a ~1.4 GB document to reach 2^63.
+What the decimal(38,0) widening actually protects is the INTERMEDIATE
+2*10^dp*|num| + den product (which overflows int64 ~10^3 earlier than
+the inputs do); DuckDB's HUGEINT (int128) does the same job there.
+The floor division strips the remainder with pmod first and divides
+the exact multiple, so the decimal quotient is a whole number carried
+exactly at any in-domain magnitude (the hashed_linear_score_r6
+lesson: a double division is only exact below 2^53).
 
 The rounded result is returned as DOUBLE = integer/10^dp — exactly the
 type/rendering the driver hashes today, so converting a column changes
@@ -48,32 +55,31 @@ def round_ratio_half_away(num: Column, den: Column, dp: int) -> Column:
     decimals, as a DOUBLE. ``num`` may be negative; ``den`` must be a
     positive integer column (callers guard with GREATEST(..., 1)).
 
-    Two value-identical arithmetic paths, chosen per row (r13 bench:
-    decimal ops in a scan-hot fraction cost ~25% on the q52 pinned
-    workload): when 2*10^dp*|num| + den provably stays under 2^53
-    (|num| and den each under 2^52/(2*10^dp)), everything runs in
-    int64 and the final exact-multiple division runs in DOUBLE —
-    exact, because an IEEE divide of a <2^53 exact multiple by its
-    <2^53 divisor is the correctly-rounded integer quotient. Wider
-    rows (huge docs, cardinality estimates) take the decimal(38,0)
-    route. Both compute the same floor((2p|n|+d)/(2d))."""
+    Single decimal(38,0) arithmetic path (r14). r13 shipped a hybrid
+    with a per-row int64 fast path claimed to save ~25% on scan-hot
+    count ratios; the bench-context A/B (bench_out/r14_q52_ab.json,
+    full q52 plan, warm + cache-off, interleaved best-of-5, value
+    hashes identical) measured the opposite — the fast path never won:
+      exec  (agg(sum(quality)) over sf0.1 docs, warm):
+        decimal-only 0.425s  <  int64-only 0.431s  <  hybrid 0.470s
+      plan build+analysis (the driver-side cost the pinned .count()
+      workload actually times — its scan prunes to ReadSchema<>):
+        decimal-only 0.142s  <  hybrid 0.203s
+    The hybrid's dual expression tree + per-row CASE cost more than
+    decimal arithmetic ever did, so the fast path is deleted. (An
+    eval-once higher-order-function binding was also measured and
+    rejected: lambda interpretation cost ~1.5x the duplicated
+    sub-expressions it saved.)
+
+    pmod strips the remainder first and the exact multiple divides to
+    a whole-number decimal at any in-domain magnitude (a double
+    division is only exact below 2^53) — floor((2p|n|+d)/(2d))."""
     p = 10**dp
-    lim = F.lit((1 << 52) // (2 * p))
-    n_l = F.abs(num).cast("long")
-    d_l = den.cast("long")
-    # fast path: all-long, exact double divide
-    a_l = F.lit(2 * p).cast("long") * n_l + d_l
-    b_l = F.lit(2).cast("long") * d_l
-    q_fast = ((a_l - F.pmod(a_l, b_l)) / b_l).cast("long")
-    # wide path: decimal(38,0) — pmod strips the remainder, the exact
-    # multiple divides to a whole-number decimal at any int128-ish
-    # magnitude (a double division is only exact below 2^53)
-    n_w = n_l.cast(_DEC)
-    d_w = d_l.cast(_DEC)
+    n_w = F.abs(num).cast("long").cast(_DEC)
+    d_w = den.cast("long").cast(_DEC)
     a_w = F.lit(2 * p).cast(_DEC) * n_w + d_w
     b_w = F.lit(2).cast(_DEC) * d_w
-    q_wide = ((a_w - F.pmod(a_w, b_w)) / b_w).cast("long")
-    q = F.when((n_l < lim) & (d_l < lim), q_fast).otherwise(q_wide)
+    q = ((a_w - F.pmod(a_w, b_w)) / b_w).cast("long")
     signed = F.when(num < 0, -q).otherwise(q)
     return signed.cast("double") / F.lit(float(p))
 

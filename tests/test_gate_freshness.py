@@ -90,10 +90,12 @@ def test_bench_stdout_line_fits_capture_window():
         sf=0.1,
         fresh_total=9999.999,
         q58_dist=[123.456] * 8,
+        exec_total=9999.999,
     )
     assert len(line) <= bench.STDOUT_LINE_BUDGET, len(line)
     parsed = json.loads(line)
     assert parsed["value"] == 9999.999 and parsed["queries"] == timings
+    assert parsed["value_exec"] == 9999.999
 
     # the happy path (no errors, nothing stale) is far inside the budget
     happy = bench._compact_stdout_line(

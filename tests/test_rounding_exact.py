@@ -126,10 +126,13 @@ def test_spark_wide_decimal_path(spark):
     assert df.collect()[0].r == expected(n, d, 6) == 0.5
 
 
-def test_fast_and_wide_paths_agree_across_boundary(spark):
-    """The per-row int64 fast path and the decimal wide path must be
-    value-identical; probe pairs straddling the 2^52/(2*10^dp) limit
-    so both branches execute (including exact ties on each side)."""
+def test_exact_across_int64_magnitude_boundary(spark):
+    """Probe pairs straddling the 2^52/(2*10^dp) magnitude where r13's
+    deleted int64 fast path used to switch over (r14: single decimal
+    path — bench_out/r14_q52_ab.json measured the hybrid slower in both
+    build and exec, so the branch is gone; this keeps the boundary
+    magnitudes, including exact .5 ties on each side, as a value
+    regression net)."""
     dp = 6
     lim = (1 << 52) // (2 * 10**dp)
     cases = [
