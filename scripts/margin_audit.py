@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Residual rounding-tie margin audit across scales (r13 VERDICT
+item 3): runs tests/margin_harness.audit at sf0.01, sf0.1 and sf1.0
+(the sweep-generated dir, if present) and records the per-column
+minimum margins in bench_out/r{N}_margin.json. The pytest floor
+(tests/test_rounding_margin.py) is set from this record's minimum.
+
+Usage: python scripts/margin_audit.py [sf_dir ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from solarpaneldatawrangler_spark.session import get_spark  # noqa: E402
+from tests.margin_harness import audit  # noqa: E402
+
+
+def _round_tag() -> str:
+    prior = [
+        int(f[len("BENCH_r"):-len(".json")])
+        for f in os.listdir(REPO)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+        and f[len("BENCH_r"):-len(".json")].isdigit()
+    ]
+    return f"r{(max(prior) if prior else 0) + 1:02d}"
+
+
+def main() -> None:
+    dirs = sys.argv[1:] or [
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        os.path.join(REPO, "testdata_sf1"),
+    ]
+    spark = get_spark("margin-audit")
+    rec: dict = {"metric": "residual_margin_ulps", "scales": {}}
+    for d in dirs:
+        if not os.path.isdir(d):
+            print(f"# skip {d} (absent)", file=sys.stderr)
+            continue
+        got = audit(spark, d)
+        rec["scales"][d] = got
+        worst = min(
+            (v["margin_ulps"] for v in got.values()
+             if v["margin_ulps"] is not None),
+            default=None,
+        )
+        print(f"# {d}: worst margin {worst}", flush=True)
+    per_key: dict = {}
+    for scale in rec["scales"].values():
+        for k, v in scale.items():
+            cur = per_key.get(k)
+            if v["margin_ulps"] is not None and (
+                cur is None or v["margin_ulps"] < cur
+            ):
+                per_key[k] = v["margin_ulps"]
+    rec["min_margin_per_key"] = {
+        k: round(v, 2) for k, v in sorted(per_key.items())
+    }
+    rec["min_margin_overall"] = (
+        round(min(per_key.values()), 2) if per_key else None
+    )
+    out = os.path.join(REPO, "bench_out", f"{_round_tag()}_margin.json")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    with open(out, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    print(json.dumps({"min_margin_overall": rec["min_margin_overall"],
+                      "record": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -427,7 +427,21 @@ def _q13_oracle() -> str:
     SELECT 'distinct' AS method, event_type AS k,
            CAST(NULL AS BIGINT) AS v1, CAST(NULL AS BIGINT) AS v2,
            v AS v3
-    FROM (SELECT DISTINCT event_type, ROUND(value, 1) AS v
+    FROM (SELECT DISTINCT event_type,
+                 -- r14 mechanism hardening: Spark's F.round on a DOUBLE
+                 -- rounds the SHORTEST-REPR decimal of the double
+                 -- (BigDecimal.valueOf semantics, verified against the
+                 -- engine on the 300 nearest-boundary values); the
+                 -- events.value distribution is saturated with
+                 -- 2-decimal literals sitting 0.125-0.5 ulp from the
+                 -- 1dp boundary, where DuckDB's ROUND(DOUBLE) only
+                 -- agrees by data luck. VARCHAR cast = shortest repr
+                 -- in DuckDB too, so rounding the DECIMAL parse of it
+                 -- replays Spark's mechanism by construction
+                 -- (tests/margin_harness.py checks EVERY value at
+                 -- every scale; bench_out/r14_margin.json).
+                 CAST(ROUND(CAST(CAST(value AS VARCHAR)
+                                 AS DECIMAL(28,14)), 1) AS DOUBLE) AS v
           FROM events WHERE value IS NOT NULL)
     UNION ALL
     SELECT 'cms', tok, exact_n, cms_n, CAST(NULL AS DOUBLE) FROM cmsrows

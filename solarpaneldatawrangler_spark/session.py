@@ -38,8 +38,14 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # SPARK_GRAFT_MASTER (r14): lets the local-cluster smoke run the
+    # same engine on REAL separate executor JVMs (e.g.
+    # "local-cluster[2,4,2048]") — flushes single-JVM assumptions
+    # (py4j planner probes, localCheckpoint executor-loss semantics)
+    # without touching any call site. Default unchanged: local[N].
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

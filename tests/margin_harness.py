@@ -1,0 +1,330 @@
+"""Tie-proximity audit for the RESIDUAL rounded columns (r13 VERDICT
+item 3).
+
+DESIGN.md's §r13 rounding inventory closes the exact-rational class by
+construction and leaves ~10 hashed columns as "residual": their
+unrounded value comes from the SAME IEEE op sequence in both engines
+(ln / sqrt / atan / stored doubles / quantile interpolation), so a
+cross-engine divergence requires the true value to land within ~1 ulp
+of a .5 boundary at the rounded digit. That was ASSERTED measure-zero;
+this module MEASURES it: for every residual column, the minimum
+distance of any value to a .5 rounding boundary, expressed in ulps of
+the unrounded double at the rounded digit —
+
+    margin_ulps(x, dp) = |frac(|x| * 10^dp) - 1/2|  /  (ulp(|x|) * 10^dp)
+
+i.e. how many representable-double steps x sits away from the nearest
+boundary. A margin of N means every engine whose ln/sqrt differs from
+Spark's by < N ulps rounds identically — the honest version of the
+"mirrored IEEE ops" argument.
+
+Mechanics: the unrounded values are obtained from the ENGINE itself by
+monkeypatching pyspark.sql.functions.round to identity and re-running
+the residual catalog queries (every residual column is rounded via
+F.round; the integer-exact helper never routes through it, so the
+patch is exactly the residual surface). The patch is measurement-only:
+selection/ranking downstream of a rounded value may shift slightly,
+which audits a superset-ish sample of the same value distribution.
+
+Exactness: candidates from a vectorized float prefilter are re-checked
+with Fraction arithmetic (exact binary rational of the double), so the
+reported minimum is exact, not a float estimate.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import numpy as np
+
+# (key, catalog query, column, dp, optional pandas query filter)
+# mirrors the DESIGN.md §r13 inventory's "residual" rows
+SPEC: list[dict] = [
+    {"key": "q22.running_avg", "q": "q22_running_avg",
+     "col": "running_avg", "dp": 9},
+    {"key": "q46.price.median_r", "q": "q46_percentiles",
+     "col": "median_r", "dp": 4, "where": "tag == 'price'"},
+    {"key": "q46.price.p90_r", "q": "q46_percentiles",
+     "col": "p90_r", "dp": 4, "where": "tag == 'price'"},
+    {"key": "q46.card.p90_tokens_r", "q": "q46_percentiles",
+     "col": "p90_r", "dp": 4, "where": "tag == 'card'"},
+    {"key": "q46.wsample.es_key_r", "q": "q46_percentiles",
+     "col": "median_r", "dp": 6, "where": "tag == 'wsample'"},
+    {"key": "q31.lat", "q": "q31_num2deg", "col": "lat", "dp": 9},
+    {"key": "q31.ring_lat", "q": "q31_num2deg", "col": "ring_lat",
+     "dp": 9},
+    {"key": "q52.kw_score_r", "q": "q52_quality_score",
+     "col": "kw_score_r", "dp": 6},
+    {"key": "q52.dsir_key_r", "q": "q52_quality_score",
+     "col": "dsir_key_r", "dp": 6},
+    {"key": "q51.bm25_r", "q": "q51_token_stats", "col": "bm25_r",
+     "dp": 6},
+    {"key": "q53.hll_est_r", "q": "q53_lang_id", "col": "hll_est_r",
+     "dp": 4},
+    {"key": "q58.cosine_sim_r", "q": "q58_ann_bruteforce",
+     "col": "cosine_sim_r", "dp": 4},
+    {"key": "q58.neighbor_norm", "q": "q58_ann_bruteforce",
+     "col": "neighbor_norm", "dp": 4},
+    {"key": "q59.lsh.score_r", "q": "q59_ann_lsh", "col": "score_r",
+     "dp": 4, "where": "method == 'lsh'"},
+    {"key": "q59.pq.score_r", "q": "q59_ann_lsh", "col": "score_r",
+     "dp": 4, "where": "method == 'pq'"},
+    {"key": "q63.cos_r", "q": "q63_embedding_neardup", "col": "cos_r",
+     "dp": 4},
+    {"key": "q67.cosine_sim_r", "q": "q67_ivf_ann",
+     "col": "cosine_sim_r", "dp": 4},
+]
+
+
+def exact_margin_ulps(x: float, dp: int) -> float:
+    """Exact distance (in ulps of x at the rounded digit) of x to the
+    nearest .5 rounding boundary, via Fraction arithmetic on the
+    double's exact binary value."""
+    p = 10 ** dp
+    fx = Fraction(abs(x)) * p
+    fr = fx - math.floor(fx)
+    d = abs(fr - Fraction(1, 2))
+    u = Fraction(math.ulp(abs(x))) * p
+    return float(d / u) if u > 0 else math.inf
+
+
+def min_margin_ulps(values, dp: int, n_exact: int = 256):
+    """Minimum tie margin over a value array: vectorized float
+    prefilter picks the n_exact nearest-to-boundary candidates, the
+    Fraction pass makes the reported minimum exact. Returns
+    (min_margin, n_finite_values)."""
+    a = np.asarray(values, dtype=np.float64)
+    a = a[np.isfinite(a)]
+    if a.size == 0:
+        return None, 0
+    p = 10.0 ** dp
+    y = np.abs(a) * p
+    f = y - np.floor(y)
+    d = np.abs(f - 0.5)
+    ulp = np.spacing(np.abs(a)) * p
+    approx = np.where(ulp > 0, d / np.maximum(ulp, 1e-320), np.inf)
+    idx = np.argsort(approx)[: min(n_exact, a.size)]
+    best = min(exact_margin_ulps(float(a[i]), dp) for i in idx)
+    return best, int(a.size)
+
+
+class _IdentityRound:
+    """Context manager: pyspark.sql.functions.round -> identity (the
+    unrounded value flows through with the same name/alias). Scoped so
+    a failure can never leak the patch into later tests."""
+
+    def __enter__(self):
+        import pyspark.sql.functions as SF
+
+        self._orig = SF.round
+
+        def identity(col, scale=0):
+            return SF.col(col) if isinstance(col, str) else col
+
+        SF.round = identity
+        return self
+
+    def __exit__(self, *exc):
+        import pyspark.sql.functions as SF
+
+        SF.round = self._orig
+        return False
+
+
+def unrounded_pdf(spark, qname: str, sf_dir: str):
+    """Build+run a catalog query with F.round patched to identity;
+    returns the result as pandas (bounded: every catalog result is
+    driver-gate collected at this scale already)."""
+    from solarpaneldatawrangler_spark.plans import CATALOG
+
+    with _IdentityRound():
+        df = CATALOG[qname].fn(spark, sf_dir)
+        return df.toPandas()
+
+
+def exact_tie_count_and_product_margin(values, dp: int, n_exact: int = 256):
+    """The STORED-double threat model differs from the transcendental
+    one: the unrounded value is bit-identical in both engines (it comes
+    off the same parquet), so libm drift is impossible — the only
+    divergence channel is the SCALED product. Spark rounds the exact
+    decimal expansion of the double (BigDecimal HALF_UP = away from
+    zero); DuckDB rounds the IEEE product x*10^dp (one correctly-
+    rounded multiply, then away-from-zero). They can disagree only if
+    the product's <= 0.5-ulp rounding error crosses the .5 boundary.
+
+    Two regimes therefore:
+    - EXACT tie (frac(exact x*10^dp) == 1/2): then x*10^dp is the
+      representable value k+0.5, the IEEE product is exact, both
+      engines see the same number and both round away from zero —
+      SAFE BY CONSTRUCTION (sf0.01 data has such ties: values like
+      1.25; the gate is green with them present). Counted, not scored.
+    - near-tie: risk iff distance < ~0.5 ulp of the PRODUCT; margin is
+      reported in product ulps.
+
+    Returns (min_margin_product_ulps_over_non_ties, n, n_exact_ties).
+    """
+    a = np.asarray(values, dtype=np.float64)
+    a = a[np.isfinite(a)]
+    if a.size == 0:
+        return None, 0, 0
+    p = 10.0 ** dp
+    y = np.abs(a) * p
+    f = y - np.floor(y)
+    d = np.abs(f - 0.5)
+    ulp_y = np.spacing(y)
+    approx = d / np.maximum(ulp_y, 1e-320)
+    idx = np.argsort(approx)[: min(n_exact, a.size)]
+    ties = 0
+    best = math.inf
+    pF = 10 ** dp
+    for i in idx:
+        x = float(a[i])
+        fx = Fraction(abs(x)) * pF
+        fr = fx - math.floor(fx)
+        dist = abs(fr - Fraction(1, 2))
+        if dist == 0:
+            ties += 1
+            continue
+        u = Fraction(math.ulp(float(fx))) if float(fx) > 0 else Fraction(1)
+        best = min(best, float(dist / u))
+    # ties can exceed the exact-pass candidate window: count them all
+    # exactly (an exact tie has f == 0.5 in floats too — the scaled
+    # product of a tie is representable, so the prefilter sees 0.5)
+    all_ties = int(np.count_nonzero(f == 0.5))
+    return (None if best is math.inf else best), int(a.size), all_ties
+
+
+def spark_round_double_model(x: float, dp: int) -> float:
+    """Spark's F.round semantics on a DOUBLE, exactly: BigDecimal
+    .valueOf(double) parses the SHORTEST round-trip decimal repr (NOT
+    the exact binary expansion), then setScale(dp, HALF_UP). Python's
+    repr() is the same shortest-unique decimal, so this model is
+    engine-exact — verified against F.round on the 300 nearest-boundary
+    events values (0 mismatches; see bench_out/r14_margin.json notes).
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-dp)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _events_value_margin(spark, sf_dir: str):
+    """q13's 'distinct' rows round the STORED events.value double at
+    1dp. This class cannot be cleared by a ulp floor: the data is
+    2-decimal literals, which sit 0.125-0.5 ulp from the 1dp boundary
+    BY CONSTRUCTION (min product-margin 0.125 at every scale, ~10%
+    exact ties). Exact ties are safe (both engines see the identical
+    representable k+0.5 product and round away from zero); the
+    near-tie values are cleared by MECHANISM EQUALITY instead, checked
+    exhaustively here: Spark rounds the shortest-repr decimal
+    (spark_round_double_model), and q13's oracle (r14-hardened:
+    ROUND(CAST(CAST(value AS VARCHAR) AS DECIMAL(28,14)), 1)) replays
+    the same mechanism in DuckDB — every value must agree. The raw
+    ROUND(DOUBLE) divergence count is reported for context (it agreed
+    on all live data, but only by luck; the hardened form is what the
+    gate runs)."""
+    import duckdb
+
+    vals = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("value").toPandas()["value"].to_numpy()
+    )
+    vals = vals[np.isfinite(vals)]
+    m, n, ties = exact_tie_count_and_product_margin(vals, 1)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT value,
+               CAST(ROUND(CAST(CAST(value AS VARCHAR)
+                          AS DECIMAL(28,14)), 1) AS DOUBLE) AS hard,
+               ROUND(value, 1) AS raw
+        FROM (SELECT DISTINCT value
+              FROM read_parquet('{sf_dir}/events.parquet')
+              WHERE value IS NOT NULL AND isfinite(value))
+        """
+    ).fetchall()
+    mism_hard = mism_raw = 0
+    for x, hard, raw in rows:
+        m_model = spark_round_double_model(float(x), 1)
+        mism_hard += m_model != hard
+        mism_raw += m_model != raw
+    return {
+        "margin_ulps": m, "n": n, "dp": 1, "exact_ties_safe": ties,
+        "mechanism_mismatches": mism_hard,
+        "raw_round_double_mismatches_info": mism_raw,
+    }
+
+
+def _lm_logp_margin(spark, sf_dir: str):
+    """q53's lm_sum_r is an exact decimal sum of per-bigram
+    logp = ln(c_big+1) - ln(c_ctx+V) values rounded at 6dp — the
+    residual op. Audit the per-bigram values via the distinct integer
+    (c_big+1, c_ctx+V) pairs, with the subtraction evaluated by the
+    ENGINE (same ln as production)."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.functions.text import tokens
+    from solarpaneldatawrangler_spark.operators.curation import bigram_rows
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    rows = bigram_rows(docs).localCheckpoint(eager=False)
+    ctx = rows.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    big = rows.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_big"))
+    v = docs.select(F.explode(tokens(F.col("text"))).alias("t")).agg(
+        F.count_distinct("t").alias("V")
+    )
+    # all pairs that appear in scoring: probe==train here (q53 scores
+    # the corpus against itself), so (c_big+1, c_ctx+V) over the
+    # trained bigram table covers every scored pair
+    pairs = (
+        big.join(ctx, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            (F.col("c_big") + 1).alias("a"),
+            (F.col("c_ctx") + F.col("V")).alias("b"),
+        )
+        .distinct()
+        .select((F.log("a") - F.log("b")).alias("logp"))
+        .toPandas()["logp"].to_numpy()
+    )
+    return min_margin_ulps(pairs, 6)
+
+
+SPECIAL = {
+    "q13.events_value": _events_value_margin,
+    "q53.lm_logp": _lm_logp_margin,
+}
+
+
+def audit(spark, sf_dir: str) -> dict:
+    """Run the full residual-margin audit at one sf_dir. Returns
+    {key: {"margin_ulps": float, "n": int, "dp": int}}. Raises if a
+    spec'd column is missing (a rename must not silently shrink the
+    audit)."""
+    out: dict = {}
+    by_query: dict[str, list[dict]] = {}
+    for s in SPEC:
+        by_query.setdefault(s["q"], []).append(s)
+    for qname, specs in sorted(by_query.items()):
+        pdf = unrounded_pdf(spark, qname, sf_dir)
+        for s in specs:
+            sub = pdf.query(s["where"]) if "where" in s else pdf
+            if s["col"] not in sub.columns:
+                raise AssertionError(
+                    f"margin audit: column {s['col']!r} missing from "
+                    f"{qname} — update SPEC with the rename"
+                )
+            m, n = min_margin_ulps(sub[s["col"]].to_numpy(), s["dp"])
+            out[s["key"]] = {"margin_ulps": m, "n": n, "dp": s["dp"]}
+    for key, fn in SPECIAL.items():
+        got = fn(spark, sf_dir)
+        if isinstance(got, dict):
+            out[key] = got
+        else:
+            m, n = got
+            out[key] = {"margin_ulps": m, "n": n, "dp": 6}
+    return out
