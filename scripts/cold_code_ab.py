@@ -37,13 +37,14 @@ from solarpaneldatawrangler_spark.session import get_spark
 spark = get_spark("cold-code-ab")
 spark.read.parquet({sf_dir!r} + "/lineitem.parquet").count()
 import bench
-for name in bench.HEADLINE:          # untimed warmup (codegen/JIT)
+names = [n for n in bench.HEADLINE if not {only!r} or n in {only!r}]
+for name in names:                   # untimed warmup (codegen/JIT)
     bench._headline_fn(name)(spark, {sf_dir!r}).count()
 qt = {{}}
-for name in bench.HEADLINE:
+for name in names:
     fn = bench._headline_fn(name)
     best = float("inf")
-    for _ in range(3):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_AB_REPEATS", "3"))):
         t0 = time.perf_counter()
         fn(spark, {sf_dir!r}).count()
         best = min(best, time.perf_counter() - t0)
@@ -55,9 +56,10 @@ print("COLD_AB " + json.dumps({{"queries": qt,
 """
 
 
-def run_child(tree: str, sf_dir: str) -> dict:
+def run_child(tree: str, sf_dir: str, only: str = "") -> dict:
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD.format(tree=tree, sf_dir=sf_dir)],
+        [sys.executable, "-c",
+         _CHILD.format(tree=tree, sf_dir=sf_dir, only=only)],
         capture_output=True, text=True, timeout=1200, cwd=tree,
     )
     for line in out.stdout.splitlines():
@@ -70,13 +72,14 @@ def run_child(tree: str, sf_dir: str) -> dict:
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     r12 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/r12tree"
+    only = sys.argv[3] if len(sys.argv) > 3 else ""  # comma-joined subset
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     rec: dict = {"arms": {"r13": REPO, "r12": r12}, "reps": reps,
-                 "runs": []}
+                 "only": only or None, "runs": []}
     for i in range(reps):
         for arm, tree in (("r12", r12), ("r13", REPO)):
             t0 = time.time()
-            r = run_child(tree, sf_dir)
+            r = run_child(tree, sf_dir, only)
             r.update(arm=arm, rep=i,
                      total=round(sum(r["queries"].values()), 3))
             rec["runs"].append(r)
@@ -95,7 +98,8 @@ def main() -> None:
                  / max(rec["r12_per_query_best"][q], 1e-9), 3)
         for q in rec["r13_per_query_best"]
     }
-    out = os.path.join(REPO, "bench_out", "r14_cold_code_ab.json")
+    suffix = "_subset" if only else ""
+    out = os.path.join(REPO, "bench_out", f"r14_cold_code_ab{suffix}.json")
     with open(out, "w") as fh:
         json.dump(rec, fh, indent=1)
     print(json.dumps({k: v for k, v in rec.items() if k != "runs"}))

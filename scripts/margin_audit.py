@@ -52,8 +52,17 @@ def main() -> None:
         )
         print(f"# {d}: worst margin {worst}", flush=True)
     per_key: dict = {}
+    mechanism_gated: dict = {}
     for scale in rec["scales"].values():
         for k, v in scale.items():
+            if "mechanism_mismatches" in v:
+                # the stored-double class: sub-ulp margins by
+                # construction, cleared by exhaustive mechanism
+                # equality, not by a floor — aggregated separately
+                mechanism_gated[k] = (
+                    mechanism_gated.get(k, 0) + v["mechanism_mismatches"]
+                )
+                continue
             cur = per_key.get(k)
             if v["margin_ulps"] is not None and (
                 cur is None or v["margin_ulps"] < cur
@@ -65,11 +74,13 @@ def main() -> None:
     rec["min_margin_overall"] = (
         round(min(per_key.values()), 2) if per_key else None
     )
+    rec["mechanism_gated_total_mismatches"] = mechanism_gated
     out = os.path.join(REPO, "bench_out", f"{_round_tag()}_margin.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as fh:
         json.dump(rec, fh, indent=1)
     print(json.dumps({"min_margin_overall": rec["min_margin_overall"],
+                      "mechanism_gated": rec["mechanism_gated_total_mismatches"],
                       "record": out}))
 
 
