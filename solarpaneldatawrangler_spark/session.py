@@ -64,4 +64,37 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if not master.startswith("local["):
+        _ship_package(spark)
     return spark
+
+
+_SHIPPED_APP_IDS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to executor python workers (r14, caught by
+    the local-cluster smoke): in local[*] the workers inherit the
+    driver's sys.path, but on ANY multi-process master — local-cluster
+    and real clusters alike — executor-spawned python workers cannot
+    import solarpaneldatawrangler_spark, so every pandas-UDF closure
+    that references a module function dies with ModuleNotFoundError
+    (q51/q52/q59... — the Arrow paths). addPyFile of a package zip is
+    the standard --py-files deployment story and works on every
+    cluster manager; idempotent per Spark application."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APP_IDS:
+        return
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    d = tempfile.mkdtemp(prefix="spark_graft_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(d, "solarpaneldatawrangler_spark_pkg"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir="solarpaneldatawrangler_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_APP_IDS.add(app_id)
