@@ -98,3 +98,37 @@ def _ship_package(spark: SparkSession) -> None:
     )
     spark.sparkContext.addPyFile(zip_path)
     _SHIPPED_APP_IDS.add(app_id)
+
+
+def prewarm(spark: SparkSession) -> None:
+    """One-time per-JVM warmup for deployments (r14, VERDICT item 7).
+
+    A fresh JVM's first real query pays whole-stage-codegen compiler
+    warmup, JIT, parquet-reader, broadcast and shuffle infra setup on
+    top of its own plan+scan: measured on q01 at sf0.1, the first run
+    costs 2.451s vs 0.341s converged, and running THIS generic warmup
+    first (4.7s, synthetic data only — no user table touched) cuts the
+    first real query to 0.785s (-68%); the residual is the query's own
+    plan codegen + scan, which no generic warmup can pay in advance
+    (bench_out/r14_fresh_warmup.json, best-of-3 interleaved arms).
+    On a real cluster this runs once per executor lifetime, amortized
+    across every query that follows; the bench's value_fresh_jvm pass
+    deliberately does NOT call it — that series measures the raw
+    first-run a deployment pays without it."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    spark.range(2_000_000).selectExpr("sum(id * 3 + 1)").collect()
+    d = tempfile.mkdtemp(prefix="spark_graft_prewarm_")
+    try:
+        spark.range(1000).select(
+            F.col("id"), (F.col("id") % 7).alias("k")
+        ).write.mode("overwrite").parquet(d)
+        small = spark.read.parquet(d)
+        dim = spark.range(7).select(F.col("id").alias("k"))
+        small.join(F.broadcast(dim), "k").groupBy("k").count().collect()
+        small.repartition(8, "k").groupBy("k").count().collect()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

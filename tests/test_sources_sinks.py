@@ -194,3 +194,16 @@ def test_nominatim_parse_first_polygonal(spark):
 
     city = out.select(F.col("display_name").alias("name"), "rings")
     assert "rings" in normalize_polygons(city).columns
+
+
+def test_prewarm_runs_and_touches_no_user_tables(spark, tmp_path):
+    """session.prewarm is the documented per-JVM deployment warmup
+    (bench_out/r14_fresh_warmup.json: first real query 2.451s -> 0.785s
+    after it); it must run cleanly and leave no artifacts behind."""
+    import glob
+
+    from solarpaneldatawrangler_spark.session import prewarm
+
+    before = set(glob.glob("/tmp/spark_graft_prewarm_*"))
+    prewarm(spark)
+    assert set(glob.glob("/tmp/spark_graft_prewarm_*")) == before
