@@ -28,6 +28,9 @@ DRIVER_MATERIALIZERS = ("collect", "toPandas", "collectAsMap", "toLocalIterator"
 # a new collect added inside an already-allowlisted function changes
 # the count and fails the lint, instead of riding the existing grant.
 ALLOWLIST: dict[tuple[str, str, str], tuple[int, str]] = {
+    ("session.py", "prewarm", "collect"):
+        (3, "one-time per-JVM warmup: 1-row agg + two 7-row counts on "
+            "synthetic data, never user tables (r14, VERDICT item 7)"),
     ("operators/bpe.py", "train_bpe_merges_distributed", "collect"):
         (1, "size-aware route, <= local_max_words rows, guard-asserted"),
     ("operators/bpe.py", "_bpe_merge_loop", "collect"):
