@@ -8,7 +8,7 @@ window, join and agg still producing identical hashed results when the
 pre-AQE shuffle fan-out is 60x wider.
 
 Usage: python scripts/highpartitions_smoke.py
-Record: bench_out/r13_partitions2000.json
+Record: bench_out/r{round}_partitions2000.json (round from BENCH_r*.json)
 """
 
 from __future__ import annotations
@@ -23,7 +23,19 @@ sys.path.insert(0, REPO)
 
 GATE_DIR = "/root/testdata/sf0.01"
 PARTITIONS = 2000
-RECORD = os.path.join(REPO, "bench_out", "r13_partitions2000.json")
+def _current_round() -> int:
+    prior = [
+        int(f[len("BENCH_r"):-len(".json")])
+        for f in os.listdir(REPO)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+        and f[len("BENCH_r"):-len(".json")].isdigit()
+    ]
+    return (max(prior) if prior else 0) + 1
+
+
+RECORD = os.path.join(
+    REPO, "bench_out", f"r{_current_round():02d}_partitions2000.json"
+)
 
 
 def main() -> None:
