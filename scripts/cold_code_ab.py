@@ -72,6 +72,12 @@ def run_child(tree: str, sf_dir: str, only: str = "") -> dict:
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     r12 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/r12tree"
+    if not os.path.isdir(r12):
+        # reproduce-friendly: materialize the r12 arm on demand
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "add", r12, "fd07af6"],
+            check=True,
+        )
     only = sys.argv[3] if len(sys.argv) > 3 else ""  # comma-joined subset
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     rec: dict = {"arms": {"r13": REPO, "r12": r12}, "reps": reps,
