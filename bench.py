@@ -1480,6 +1480,31 @@ def _emit_final(compact_line: str, out_path: str | None) -> None:
     print(compact_line)
 
 
+def current_round() -> int:
+    """THE round tag for bench_out records — single definition (r15,
+    ADVICE: this was copy-pasted into five scripts, and max+1 mislabels
+    any probe re-run AFTER the round's BENCH_r{N}.json lands).
+
+    Resolution order:
+      1. $SPARK_GRAFT_ROUND — explicit override; set it when re-running
+         a probe for a round whose BENCH record already exists.
+      2. max existing BENCH_r*.json + 1 — during a round this equals
+         the in-flight round number (the driver writes BENCH_r{N}.json
+         only after the round ends).
+    """
+    env = os.environ.get("SPARK_GRAFT_ROUND")
+    if env:
+        return int(env)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    prior = [
+        int(f[len("BENCH_r"):-len(".json")])
+        for f in os.listdir(repo)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+        and f[len("BENCH_r"):-len(".json")].isdigit()
+    ]
+    return (max(prior) if prior else 0) + 1
+
+
 def _record_path(out_dir: str, rnd: int, sf: float | None) -> str:
     """Where this run's full record lands. Clobber guard (r11 review +
     r12 ADVICE): the canonical r{N}.json is the round's committed
@@ -1994,13 +2019,7 @@ def main() -> None:
     out_path: str | None = None
     try:
         repo = os.path.dirname(os.path.abspath(__file__))
-        prior = [
-            int(f[len("BENCH_r"):-len(".json")])
-            for f in os.listdir(repo)
-            if f.startswith("BENCH_r") and f.endswith(".json")
-            and f[len("BENCH_r"):-len(".json")].isdigit()
-        ]
-        rnd = (max(prior) if prior else 0) + 1
+        rnd = current_round()
         out_dir = os.path.join(repo, "bench_out")
         os.makedirs(out_dir, exist_ok=True)
         out_path = _record_path(out_dir, rnd, sf)

@@ -23,18 +23,10 @@ sys.path.insert(0, REPO)
 
 GATE_DIR = "/root/testdata/sf0.01"
 PARTITIONS = 2000
-def _current_round() -> int:
-    prior = [
-        int(f[len("BENCH_r"):-len(".json")])
-        for f in os.listdir(REPO)
-        if f.startswith("BENCH_r") and f.endswith(".json")
-        and f[len("BENCH_r"):-len(".json")].isdigit()
-    ]
-    return (max(prior) if prior else 0) + 1
-
+from bench import current_round  # noqa: E402 — shared round tag (r15 ADVICE)
 
 RECORD = os.path.join(
-    REPO, "bench_out", f"r{_current_round():02d}_partitions2000.json"
+    REPO, "bench_out", f"r{current_round():02d}_partitions2000.json"
 )
 
 

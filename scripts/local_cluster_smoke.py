@@ -33,13 +33,9 @@ os.environ.setdefault("SPARK_DRIVER_MEM", "8g")  # leave room for executors
 
 
 def _round_tag() -> str:
-    prior = [
-        int(f[len("BENCH_r"):-len(".json")])
-        for f in os.listdir(REPO)
-        if f.startswith("BENCH_r") and f.endswith(".json")
-        and f[len("BENCH_r"):-len(".json")].isdigit()
-    ]
-    return f"r{(max(prior) if prior else 0) + 1:02d}"
+    from bench import current_round  # shared round tag (r15 ADVICE)
+
+    return f"r{current_round():02d}"
 
 
 def main() -> None:

