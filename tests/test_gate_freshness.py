@@ -90,12 +90,18 @@ def test_bench_stdout_line_fits_capture_window():
         sf=0.1,
         fresh_total=9999.999,
         q58_dist=[123.456] * 8,
-        exec_total=9999.999,
+        exec_total=8888.888,
+        exec_timings=timings,
+        fresh_prewarmed_total=9999.999,
+        certified=False,
     )
     assert len(line) <= bench.STDOUT_LINE_BUDGET, len(line)
     parsed = json.loads(line)
-    assert parsed["value"] == 9999.999 and parsed["queries"] == timings
-    assert parsed["value_exec"] == 9999.999
+    # r15 promotion: the primary value/queries ARE the exec series
+    assert parsed["metric"] == "headline_query_exec_runtime"
+    assert parsed["value"] == 8888.888 and parsed["queries"] == timings
+    assert parsed["value_warm_count"] == 9999.999  # legacy continuity
+    assert parsed["certified"] is False
 
     # the happy path (no errors, nothing stale) is far inside the budget
     happy = bench._compact_stdout_line(
@@ -112,14 +118,40 @@ def test_bench_stdout_line_fits_capture_window():
         sf=0.1,
         fresh_total=21.309,
         q58_dist=[0.508, 0.517, 0.546, 0.584, 0.606, 0.633, 0.663, 0.694],
+        exec_total=3.318,
+        exec_timings={k: round(v, 3) for k, v in timings.items()},
+        fresh_prewarmed_total=17.2,
+        certified=True,
     )
-    assert len(happy) < 1300, len(happy)
+    assert len(happy) < 1600, len(happy)
+    hp = json.loads(happy)
     # the self-describing cold key (r12 judge item 4) rides both lines
-    assert json.loads(happy)["cold_means"].startswith("cache-off")
+    assert hp["cold_means"].startswith("cache-off")
     # the r13 keys ride the parsed line: true-deployment total and the
-    # q58 variance pin
-    assert json.loads(happy)["value_fresh_jvm"] == 21.309
-    assert len(json.loads(happy)["q58_dist"]) == 8
+    # q58 variance pin; r15 adds the prewarmed arm + certification flag
+    assert hp["value_fresh_jvm"] == 21.309
+    assert hp["value_fresh_jvm_prewarmed"] == 17.2
+    assert hp["certified"] is True
+    assert len(hp["q58_dist"]) == 8
+    assert hp["value"] == 3.318 and hp["series"].startswith("exec")
+
+    # exec pass failed entirely -> legacy fallback, self-described
+    fb = bench._compact_stdout_line(
+        total=8.015,
+        timings={k: round(v, 3) for k, v in timings.items()},
+        cold_total=None,
+        extra_total=1.0,
+        n_queries=50,
+        catalog_hash="e6bbd0e3967a",
+        correctness_stale=[],
+        errors={},
+        cpu_canary={"jvm_s": 0.326, "py_s": 0.27},
+        repeats=3,
+        sf=0.1,
+    )
+    fbp = json.loads(fb)
+    assert fbp["metric"] == "headline_query_total_runtime"
+    assert fbp["value"] == 8.015 and "value_warm_count" not in fbp
 
 
 def test_bench_emits_exactly_one_parseable_record(capsys):
