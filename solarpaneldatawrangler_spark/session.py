@@ -89,21 +89,30 @@ def _ship_package(spark: SparkSession) -> None:
     import tempfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    d = tempfile.mkdtemp(prefix="spark_graft_pyfiles_")
-    try:
-        zip_path = shutil.make_archive(
-            os.path.join(d, "solarpaneldatawrangler_spark_pkg"),
-            "zip",
-            root_dir=os.path.dirname(pkg_dir),
-            base_dir="solarpaneldatawrangler_spark",
-        )
-        spark.sparkContext.addPyFile(zip_path)
-    finally:
-        # addPyFile COPIES the zip into Spark's own temp root, so the
-        # staging dir is garbage the moment the call returns — without
-        # this, long-lived hosts leak one package zip per application
-        # (r15, ADVICE).
-        shutil.rmtree(d, ignore_errors=True)
+    # Stage the zip inside the SparkContext's OWN per-app temp dir (r15;
+    # Utils.createTempDir registers a JVM shutdown hook that removes it,
+    # so nothing leaks per application). It must NOT be deleted eagerly:
+    # the driver's file server serves addPyFile content FROM THE
+    # REGISTERED PATH for the app's whole lifetime — deleting it after
+    # the call broke every executor fetch with "Stream .../pkg.zip was
+    # not found" (caught by the r15 fault-injection smoke; executors
+    # retried 4x and failed the stage).
+    d = getattr(spark.sparkContext, "_temp_dir", None)
+    cleanup_at_exit = False
+    if not d or not os.path.isdir(d):
+        d = tempfile.mkdtemp(prefix="spark_graft_pyfiles_")
+        cleanup_at_exit = True
+    zip_path = shutil.make_archive(
+        os.path.join(d, "solarpaneldatawrangler_spark_pkg"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir="solarpaneldatawrangler_spark",
+    )
+    spark.sparkContext.addPyFile(zip_path)
+    if cleanup_at_exit:
+        import atexit
+
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
     _SHIPPED_APP_IDS.add(app_id)
 
 
