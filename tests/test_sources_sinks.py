@@ -207,3 +207,10 @@ def test_prewarm_runs_and_touches_no_user_tables(spark, tmp_path):
     before = set(glob.glob("/tmp/spark_graft_prewarm_*"))
     prewarm(spark)
     assert set(glob.glob("/tmp/spark_graft_prewarm_*")) == before
+    # r15 (ADVICE): an explicit shared warmup_dir — the multi-machine
+    # path, where a driver-local tempdir would be unreachable from
+    # executors — is used for the parquet phase and left in place
+    # (caller-owned storage)
+    d = str(tmp_path / "prewarm_shared")
+    prewarm(spark, warmup_dir=d)
+    assert glob.glob(d + "/*.parquet")
