@@ -82,7 +82,14 @@ def run() -> dict:
 
     from solarpaneldatawrangler_spark.session import get_spark
 
-    spark = get_spark("sf10-probe")
+    # 600s network/heartbeat window (r15): the frozen q63 control arm
+    # intentionally runs multi-minute quadratic straggler tasks, and a
+    # driver GC / co-tenant CPU-starve pause past the default 120s
+    # killed the whole context mid-probe (HeartbeatReceiver removed
+    # the local executor; every later arm died with it)
+    spark = get_spark(
+        "sf10-probe", extra_conf={"spark.network.timeout": "600s"}
+    )
     out: dict = {
         "sf": 10.0,
         "sf_dir": SF10_DIR,
