@@ -1574,29 +1574,11 @@ def _emit_final(compact_line: str, out_path: str | None) -> None:
     print(compact_line)
 
 
-def current_round() -> int:
-    """THE round tag for bench_out records — single definition (r15,
-    ADVICE: this was copy-pasted into five scripts, and max+1 mislabels
-    any probe re-run AFTER the round's BENCH_r{N}.json lands).
-
-    Resolution order:
-      1. $SPARK_GRAFT_ROUND — explicit override; set it when re-running
-         a probe for a round whose BENCH record already exists.
-      2. max existing BENCH_r*.json + 1 — during a round this equals
-         the in-flight round number (the driver writes BENCH_r{N}.json
-         only after the round ends).
-    """
-    env = os.environ.get("SPARK_GRAFT_ROUND")
-    if env:
-        return int(env)
-    repo = os.path.dirname(os.path.abspath(__file__))
-    prior = [
-        int(f[len("BENCH_r"):-len(".json")])
-        for f in os.listdir(repo)
-        if f.startswith("BENCH_r") and f.endswith(".json")
-        and f[len("BENCH_r"):-len(".json")].isdigit()
-    ]
-    return (max(prior) if prior else 0) + 1
+# the round-tag helper lives in the dependency-free roundtag module
+# (r15: scripts that must set env BEFORE the package imports — e.g.
+# sf1_sweep's ORACLE_SF_DIR — cannot import bench for it; bench
+# re-exports for its own use and back-compat)
+from roundtag import current_round  # noqa: E402
 
 
 def _record_path(out_dir: str, rnd: int, sf: float | None) -> str:

@@ -23,7 +23,7 @@ sys.path.insert(0, REPO)
 
 GATE_DIR = "/root/testdata/sf0.01"
 PARTITIONS = 2000
-from bench import current_round  # noqa: E402 — shared round tag (r15 ADVICE)
+from roundtag import current_round  # noqa: E402 — dependency-free (r15)
 
 RECORD = os.path.join(
     REPO, "bench_out", f"r{current_round():02d}_partitions2000.json"

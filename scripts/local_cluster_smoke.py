@@ -33,7 +33,7 @@ os.environ.setdefault("SPARK_DRIVER_MEM", "8g")  # leave room for executors
 
 
 def _round_tag() -> str:
-    from bench import current_round  # shared round tag (r15 ADVICE)
+    from roundtag import current_round  # dependency-free (r15)
 
     return f"r{current_round():02d}"
 

@@ -22,7 +22,7 @@ from tests.margin_harness import audit  # noqa: E402
 
 
 def _round_tag() -> str:
-    from bench import current_round  # shared round tag (r15 ADVICE)
+    from roundtag import current_round  # dependency-free (r15)
 
     return f"r{current_round():02d}"
 

@@ -38,7 +38,7 @@ SF10_DIR = os.path.join(REPO, "testdata_sf10")
 BASE_DIR = "/root/testdata/sf0.1"
 WARM_DIR = "/root/testdata/sf0.01"
 REPLICAS = 100
-from bench import current_round  # noqa: E402 — shared round tag (r15 ADVICE)
+from roundtag import current_round  # noqa: E402 — dependency-free (r15)
 
 RECORD = os.path.join(REPO, "bench_out", f"r{current_round():02d}_sf10.json")
 FLOOR_S = 5.0

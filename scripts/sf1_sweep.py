@@ -58,7 +58,10 @@ BASE_DIR = "/root/testdata/sf0.1"
 REPLICAS = 10
 K = 10_000_000
 sys.path.insert(0, REPO)
-from bench import current_round  # noqa: E402 — shared round tag (r15 ADVICE)
+# roundtag, NOT bench (r15 post-mortem): importing bench here imported
+# the whole package BEFORE correctness() exports ORACLE_SF_DIR, so every
+# data-dependent VALUES oracle trained at sf0.01 (7/50 strict failures)
+from roundtag import current_round  # noqa: E402
 
 RECORD = os.path.join(REPO, "bench_out", f"r{current_round():02d}_sf1.json")
 WARM_DIR = "/root/testdata/sf0.01"  # driver-gate scale: all 50 proven green
