@@ -140,11 +140,21 @@ def q63_deployment_knobs(n: int) -> dict:
     knobs instead of inheriting a small-scale freeze."""
     import math
 
+    sample_cap = max(16, min(n, 50_000))
     return {
-        "n_lists": max(16, n // 125),
+        # n//125 alone outgrows the bounded k-means training sample
+        # past n ~ 6.25M (sample_cap tops out at 50k) and _lloyd
+        # rightly refuses n_lists > training vectors — r16 ADVICE:
+        # clamp to sample_cap//4 so every centroid trains on >= 4
+        # sample vectors. Past the clamp point (n > ~1.56M) cluster
+        # sizes grow ~n/12500 instead of staying constant; the
+        # per-cluster pairwise term degrades gracefully (linear in n
+        # per cluster), and a deployment that needs constant cluster
+        # sizes beyond that raises sample_cap with executor memory.
+        "n_lists": max(16, min(n // 125, sample_cap // 4)),
         "n_planes": max(8, math.ceil(math.log2(max(n, 2) / 50))),
         "n_tables": 6,
-        "sample_cap": max(16, min(n, 50_000)),
+        "sample_cap": sample_cap,
     }
 
 

@@ -116,6 +116,16 @@ def _ship_package(spark: SparkSession) -> None:
     _SHIPPED_APP_IDS.add(app_id)
 
 
+def _is_single_host_master(master: str) -> bool:
+    """True for masters whose driver and executors share one
+    filesystem: bare ``local``, ``local[N]``/``local[*]``, and
+    ``local-cluster[n,c,m]`` (separate JVMs, same host). Everything
+    else (spark://, yarn, k8s://, mesos) is multi-machine."""
+    return master == "local" or master.startswith(
+        ("local[", "local-cluster[")
+    )
+
+
 def prewarm(spark: SparkSession, warmup_dir: str | None = None) -> None:
     """One-time per-JVM warmup for deployments (r14, VERDICT item 7).
 
@@ -153,8 +163,11 @@ def prewarm(spark: SparkSession, warmup_dir: str | None = None) -> None:
     base.join(F.broadcast(dim), "k").groupBy("k").count().collect()
     base.repartition(8, "k").groupBy("k").count().collect()
 
-    master = spark.sparkContext.master
-    single_host = master.startswith(("local[", "local-cluster["))
+    # bare "local" (single thread, no bracket) is just as single-host
+    # as local[N]/local-cluster[...] — r16 ADVICE: startswith alone
+    # misclassified it as multi-machine and silently skipped the
+    # parquet-reader warmup phase
+    single_host = _is_single_host_master(spark.sparkContext.master)
     made_tmp = False
     if warmup_dir is None and single_host:
         warmup_dir = tempfile.mkdtemp(prefix="spark_graft_prewarm_")

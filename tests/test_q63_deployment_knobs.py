@@ -205,3 +205,22 @@ def test_deployment_knobs_recall_floor(knob_sets, method, floor):
         f"recall (> slack {SCALED_VS_FROZEN_SLACK}) — the deployment "
         "parameterization no longer stands in for the gate's frozen one"
     )
+
+
+def test_knob_formula_clamps_n_lists_to_training_sample():
+    """r16 ADVICE: n//125 outgrows the 50k-capped k-means training
+    sample past n ~ 6.25M and _lloyd rightly raises; the formula must
+    clamp so every advertised parameterization is trainable, with >= 4
+    sample vectors per centroid."""
+    from solarpaneldatawrangler_spark.operators.similarity import (
+        q63_deployment_knobs,
+    )
+
+    for n in (1_000, 100_000, 1_562_500, 6_250_000, 50_000_000, 10**9):
+        k = q63_deployment_knobs(n)
+        assert k["n_lists"] * 4 <= k["sample_cap"], (n, k)
+        assert k["n_lists"] >= 16
+    # below the clamp point the original n/125 scaling is unchanged
+    assert q63_deployment_knobs(200_000)["n_lists"] == 1600
+    # at and past the clamp point it pins to sample_cap//4
+    assert q63_deployment_knobs(50_000_000)["n_lists"] == 12_500

@@ -214,3 +214,17 @@ def test_prewarm_runs_and_touches_no_user_tables(spark, tmp_path):
     d = str(tmp_path / "prewarm_shared")
     prewarm(spark, warmup_dir=d)
     assert glob.glob(d + "/*.parquet")
+
+
+def test_single_host_master_classification():
+    """r16 ADVICE: bare 'local' (no bracket) is a valid single-host
+    master and must get the parquet warmup phase; real cluster masters
+    must not (a driver-local tempdir is unreachable from executors)."""
+    from solarpaneldatawrangler_spark.session import _is_single_host_master
+
+    for m in ("local", "local[1]", "local[*]", "local[32]",
+              "local-cluster[2,4,2048]"):
+        assert _is_single_host_master(m), m
+    for m in ("spark://host:7077", "yarn", "k8s://https://host:443",
+              "mesos://host:5050", "localhost:7077"):
+        assert not _is_single_host_master(m), m
