@@ -1725,8 +1725,21 @@ def _banded_keys(
     # partitions from lineage, while localCheckpoint blocks die with
     # their executor and fail the job. CacheManager keys entries by
     # canonicalized plan, so identical rebuilds share one entry instead
-    # of leaking a new block set per build.
-    shx = shingle_rows(df, text_col, id_col, shingle_k).persist()
+    # of leaking a new block set per build. r16 ADVICE: that sharing
+    # only dedups IDENTICAL plans — a long-lived session doing
+    # incremental dedup over CHANGING batches still accumulates one
+    # MEMORY_AND_DISK entry per distinct input until app end, so the
+    # bounded cachereg LRU-evicts old plans (unpersist is safe
+    # mid-flight: lineage is intact) while identical rebuilds refresh
+    # their slot and keep the bench's cross-build cache hits.
+    from solarpaneldatawrangler_spark.operators.cachereg import (
+        register_persisted,
+    )
+
+    shx = register_persisted(
+        shingle_rows(df, text_col, id_col, shingle_k).persist(),
+        scope="dedup-shingles",
+    )
     sh = shx.groupBy("id").agg(F.collect_list("t").alias("shingles"))
     sig = minhash_from_shingle_rows(shx, num_hashes, reproducible)
 
