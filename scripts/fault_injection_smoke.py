@@ -175,6 +175,72 @@ def cc_arm(spark, rec: dict) -> None:
     _wait_executors(app_id, 2)
 
 
+def cc_reliable_arm(spark, rec: dict) -> None:
+    """r16 VERDICT item 4: the SAME kill as cc_arm, but with
+    resilience='reliable' (persist()ed inputs + reliable-checkpointed
+    loop frames) the ONE driver call must complete through the
+    executor loss — in-job survival via task/stage retry and
+    checkpoint-file reads, no app-level rerun — with labels
+    bit-identical to the healthy truth. This is the stronger
+    translation of the reference's resume-without-redo
+    (run_inference.py:101-128): at 100 TB, losing an hour-long CC job
+    to one preempted node is the cost this mode removes."""
+    from pyspark.sql import functions as F
+
+    from solarpaneldatawrangler_spark.operators.clustering import (
+        connected_components,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    arm: dict = {}
+    rec["cc_reliable"] = arm
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_fi_ckpt_")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    arm["checkpoint_dir"] = ckpt
+
+    def build():
+        tiles = spark.range(2000).select(
+            F.col("id").cast("int").alias("column"),
+            F.lit(0).cast("int").alias("row"),
+        )
+        return connected_components(
+            tiles, local_max_nodes=0, resilience="reliable"
+        )
+
+    truth = sorted(map(tuple, build().collect()))
+    t0 = time.monotonic()
+    warm = sorted(map(tuple, build().collect()))
+    healthy_s = time.monotonic() - t0
+    assert warm == truth
+    arm["healthy_s"] = round(healthy_s, 3)
+    arm["n_labels"] = len(truth)
+
+    outcome, got = None, None
+    for attempt, frac in enumerate((0.4, 0.15, 0.6)):
+        kill_log: dict = {}
+        _kill_one_executor_after(app_id, frac * healthy_s, kill_log)
+        t0 = time.monotonic()
+        try:
+            got = sorted(map(tuple, build().collect()))
+            outcome = "survived"
+        except Exception as ex:  # noqa: BLE001 — NOT acceptable here
+            arm["error"] = f"{type(ex).__name__}: {str(ex)[:300]}"
+            outcome = "failed"
+            got = None
+        wall = time.monotonic() - t0
+        arm["faulted_s"] = round(wall, 3)
+        arm["kill"] = kill_log
+        if "killed_pid" in kill_log and wall > frac * healthy_s:
+            arm["kill_landed"] = True
+            break
+        arm["kill_landed"] = False
+        outcome = f"{outcome}_but_kill_missed_window"
+        _wait_executors(app_id, 2)
+    arm["outcome"] = outcome
+    arm["match"] = got == truth
+    _wait_executors(app_id, 2)
+
+
 def _store_fps(spark, path: str) -> tuple[int, list[str]]:
     """(row_count, sorted distinct fingerprints) of the store's current
     committed generation."""
@@ -344,7 +410,7 @@ def main() -> None:
     n = _wait_executors(app_id, 2)
     rec["executors_at_start"] = n
 
-    for arm_fn in (cc_arm, store_arm, ttl_arm):
+    for arm_fn in (cc_arm, cc_reliable_arm, store_arm, ttl_arm):
         try:
             arm_fn(spark, rec)
         except Exception as ex:  # noqa: BLE001 — record, keep going
@@ -356,6 +422,12 @@ def main() -> None:
         "cc_recovered_identical": bool(
             rec.get("cc", {}).get("match")
             and rec.get("cc", {}).get("kill_landed")
+        ),
+        # r16 item 4: reliable mode must survive IN-JOB (no app retry)
+        "cc_reliable_survived_in_job": bool(
+            rec.get("cc_reliable", {}).get("outcome") == "survived"
+            and rec.get("cc_reliable", {}).get("match")
+            and rec.get("cc_reliable", {}).get("kill_landed")
         ),
         "store_recovered_identical": bool(
             rec.get("store", {}).get("match")

@@ -12,6 +12,13 @@ suite's local[32] session) and asserts its three verdicts:
                             smoke measured exactly that failure:
                             CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND, and the
                             rerun converged bit-identical)
+  cc_reliable_survived_in_job  (r16 VERDICT item 4) same kill with
+                            resilience='reliable': the ONE driver call
+                            must complete through the executor loss —
+                            persist()ed inputs recompute from lineage,
+                            loop frames read back from reliable
+                            checkpoint files — labels bit-identical,
+                            no app retry allowed
   store_recovered_identical executor SIGKILLed mid fingerprint-store
                             append; the SAME driver call must complete
                             via task/stage retry, release the lease,
@@ -54,7 +61,7 @@ def test_fault_injection_verdicts():
                                       "fault_injection_smoke.py")],
         capture_output=True,
         text=True,
-        timeout=720,
+        timeout=1080,
         cwd=REPO,
         env=env,
     )
@@ -68,6 +75,7 @@ def test_fault_injection_verdicts():
     )
     assert verdict == {
         "cc_recovered_identical": True,
+        "cc_reliable_survived_in_job": True,
         "store_recovered_identical": True,
         "lease_ttl_reaped": True,
     }, f"fault-injection verdicts: {verdict}\nstderr={out.stderr[-800:]}"
