@@ -40,6 +40,25 @@ def tokens(text: Column) -> Column:
     )
 
 
+def let(expr: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``expr`` ONCE per row and
+    pass it to ``body`` as a bound lambda variable —
+    ``transform(array(expr), x -> body(x))[0]``.
+
+    Why this exists (r16, the q52 post-mortem): a Column subtree
+    embedded inside a higher-order-function lambda body is re-evaluated
+    on EVERY lambda invocation — Catalyst neither hoists loop-invariant
+    subtrees out of HOF lambdas nor CSEs across invocations. word_ngrams
+    built ``transform(sequence(1, m), i -> slice(<whole tokenize
+    subtree>, i, n))``, re-tokenizing the document once per n-gram:
+    O(m^2) per document, measured textbook-quadratic (2x tokens -> 4x
+    wall) and 90% of q52's entire execution cost at sf0.1. Binding the
+    subtree as a lambda variable makes inner references O(1) variable
+    lookups. HOFs stay interpreted either way — this changes asymptotic
+    shape, not codegen."""
+    return F.transform(F.array(expr), body)[0]
+
+
 def bpe_ish_tokens(text: Column) -> Column:
     """BPE-ish token segmentation: split into word pieces, numbers, and
     punctuation runs (a GPT-2-style pre-tokenizer regex, simplified).
@@ -61,13 +80,20 @@ def char_ngrams(text: Column, n: int = 3) -> Column:
     Built with sequence+transform (pure expressions): substrings of
     length n at every offset.
     """
-    t = F.lower(text)
-    count = F.length(t) - F.lit(n - 1)
-    # guard: sequence(1, 0) would produce a DESCENDING range in Spark
-    return F.when(
-        count >= 1,
-        F.transform(F.sequence(F.lit(1), count), lambda i: t.substr(i, F.lit(n))),
-    ).otherwise(F.array().cast("array<string>"))
+    # let-bound (r16): lower(text) inside the per-offset lambda would
+    # re-lowercase the whole document once per character — O(len^2)
+    def body(t: Column) -> Column:
+        count = F.length(t) - F.lit(n - 1)
+        # guard: sequence(1, 0) would produce a DESCENDING range
+        return F.when(
+            count >= 1,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: t.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return let(F.lower(text), body)
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
@@ -78,10 +104,14 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
-    toks = tokens(text)
     sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
-    n_sw = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    return n_sw.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    return let(
+        tokens(text),
+        lambda toks: F.size(
+            F.filter(toks, lambda t: F.array_contains(sw, t))
+        ).cast("double")
+        / F.greatest(F.size(toks), F.lit(1)).cast("double"),
+    )
 
 
 def punct_ratio(text: Column) -> Column:
@@ -93,11 +123,13 @@ def punct_ratio(text: Column) -> Column:
 
 
 def mean_word_length(text: Column) -> Column:
-    toks = tokens(text)
-    total = F.aggregate(
-        toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+    return let(
+        tokens(text),
+        lambda toks: F.aggregate(
+            toks, F.lit(0.0), lambda acc, t: acc + F.length(t).cast("double")
+        )
+        / F.greatest(F.size(toks), F.lit(1)).cast("double"),
     )
-    return total / F.greatest(F.size(toks), F.lit(1)).cast("double")
 
 
 def quality_score(text: Column) -> Column:
@@ -114,21 +146,35 @@ def quality_score(text: Column) -> Column:
     2*b <= sum_token_chars <= 12*b (equivalent to the old double
     mwl in [2,12] everywhere the division is representable, and exact
     at the boundary where it is not)."""
-    toks = tokens(text)
     sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    a = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("long")
-    b = F.greatest(F.size(toks), F.lit(1)).cast("long")
-    c = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("long")
-    d = F.greatest(F.length(text), F.lit(1)).cast("long")
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t).cast("long")
-    )
-    e = F.when(
-        (sum_len >= 2 * b) & (sum_len <= 12 * b), F.lit(1).cast("long")
-    ).otherwise(F.lit(0).cast("long"))
-    num = F.lit(5).cast("long") * a * d + F.lit(3).cast("long") * b * (d - c) \
-        + F.lit(2).cast("long") * b * d * e
-    return round_ratio_half_away(num, F.lit(10).cast("long") * b * d, 6)
+
+    # let-bound (r16): toks is referenced by a/b/sum_len — the
+    # tokenize subtree evaluated 3x per row before the binding
+    def body(toks: Column) -> Column:
+        a = F.size(
+            F.filter(toks, lambda t: F.array_contains(sw, t))
+        ).cast("long")
+        b = F.greatest(F.size(toks), F.lit(1)).cast("long")
+        c = F.length(
+            F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+        ).cast("long")
+        d = F.greatest(F.length(text), F.lit(1)).cast("long")
+        sum_len = F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.length(t).cast("long"),
+        )
+        e = F.when(
+            (sum_len >= 2 * b) & (sum_len <= 12 * b), F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        num = (
+            F.lit(5).cast("long") * a * d
+            + F.lit(3).cast("long") * b * (d - c)
+            + F.lit(2).cast("long") * b * d * e
+        )
+        return round_ratio_half_away(num, F.lit(10).cast("long") * b * d, 6)
+
+    return let(tokens(text), body)
 
 
 # the Gopher quality-filter rule set (Rae et al. 2021, "Scaling
@@ -272,11 +318,11 @@ def lang_marker_score(text: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
 
 
-def word_ngrams(text: Column, n: int = 2) -> Column:
-    """Word n-grams WITH multiplicity (word_shingles = this,
-    distincted) → array<string>. The repetition signals below need the
-    duplicates."""
-    toks = tokens(text)
+def _ngrams_of(toks: Column, n: int) -> Column:
+    """n-gram array from an ALREADY-BOUND token array (a lambda
+    variable or attribute — never a recomputable subtree: the slice
+    inside the lambda touches ``toks`` once per gram, so an embedded
+    tokenize subtree would re-execute per gram, the q52 O(m^2))."""
     count = F.size(toks) - F.lit(n - 1)
     return F.when(
         count >= 1,
@@ -285,6 +331,14 @@ def word_ngrams(text: Column, n: int = 2) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (word_shingles = this,
+    distincted) → array<string>. The repetition signals below need the
+    duplicates. Tokenization is let-bound (r16): it runs once per row,
+    not once per gram."""
+    return let(tokens(text), lambda toks: _ngrams_of(toks, n))
 
 
 def nonempty_lines(text: Column) -> Column:
@@ -306,17 +360,21 @@ def duplicate_line_fraction(text: Column) -> Column:
     repeats of an earlier line (1 - distinct/total; 0 for line-less
     docs). Boilerplate-heavy scrapes (nav menus, cookie banners) score
     high. Pure expressions — runs inside the scan at 100 TB."""
-    ls = nonempty_lines(text)
     # exact-rational 6dp rounding (r13): (total - distinct) / total in
-    # pure integer arithmetic, engine-identical at decimal ties
-    return F.when(
-        F.size(ls) >= 1,
-        round_ratio_half_away(
-            (F.size(ls) - F.size(F.array_distinct(ls))).cast("long"),
-            F.size(ls).cast("long"),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
+    # pure integer arithmetic, engine-identical at decimal ties.
+    # let-bound (r16): the line-split subtree was re-evaluated per
+    # reference (3x per row) before the binding
+    return let(
+        nonempty_lines(text),
+        lambda ls: F.when(
+            F.size(ls) >= 1,
+            round_ratio_half_away(
+                (F.size(ls) - F.size(F.array_distinct(ls))).cast("long"),
+                F.size(ls).cast("long"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def paragraphs_array(text: Column) -> Column:
@@ -339,15 +397,17 @@ def duplicate_paragraph_fraction(text: Column) -> Column:
     """Gopher repetition signal: fraction of non-empty paragraphs that
     are repeats of an earlier paragraph (1 - distinct/total; 0 for
     paragraph-less docs)."""
-    ps = paragraphs_array(text)
-    return F.when(
-        F.size(ps) >= 1,
-        round_ratio_half_away(
-            (F.size(ps) - F.size(F.array_distinct(ps))).cast("long"),
-            F.size(ps).cast("long"),
-            6,
-        ),
-    ).otherwise(F.lit(0.0))
+    return let(
+        paragraphs_array(text),
+        lambda ps: F.when(
+            F.size(ps) >= 1,
+            round_ratio_half_away(
+                (F.size(ps) - F.size(F.array_distinct(ps))).cast("long"),
+                F.size(ps).cast("long"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)),
+    )
 
 
 def _dup_char_fraction(arr: Column) -> Column:
@@ -355,18 +415,24 @@ def _dup_char_fraction(arr: Column) -> Column:
     array's elements: 1 - chars(distinct)/chars(all). Both sums are
     aggregate folds with O(1) lambdas over collection arguments —
     inlining-safe (the span-dedup CollapseProject lesson: lambdas here
-    never reference an O(doc) subtree)."""
-    tot = F.aggregate(
-        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-    )
-    dis = F.aggregate(
-        F.array_distinct(arr),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + F.length(x),
-    )
-    return F.when(
-        tot >= 1, round_ratio_half_away(tot - dis, tot, 6)
-    ).otherwise(F.lit(0.0))
+    never reference an O(doc) subtree). let-bound (r16): ``arr`` is
+    referenced twice (total + distinct folds), so a computed subtree
+    argument would otherwise evaluate twice per row."""
+
+    def body(a: Column) -> Column:
+        tot = F.aggregate(
+            a, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        dis = F.aggregate(
+            F.array_distinct(a),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.length(x),
+        )
+        return F.when(
+            tot >= 1, round_ratio_half_away(tot - dis, tot, 6)
+        ).otherwise(F.lit(0.0))
+
+    return let(arr, body)
 
 
 def duplicate_line_char_fraction(text: Column) -> Column:
@@ -389,37 +455,45 @@ def top_ngram_char_fraction(text: Column, n: int = 2) -> Column:
     text ("the the the ...") can exceed 1; the gate only compares
     against a threshold.
 
-    Shape: one O(m log m) sort of the gram array, then ONE aggregate
-    fold carrying (prev gram, current run length, best score) — the
-    lambda touches only its element and the accumulator, never an
-    O(doc) subtree, so CollapseProject inlining cannot make it
-    quadratic (the span-dedup lesson). Ties on count resolve to the
-    LONGEST character claim (max over runs of count x len), which is
-    the quantity the rule thresholds."""
-    gs = F.sort_array(word_ngrams(text, n))
-    # acc: (prev gram value, run length of prev, best count*len so far)
-    init = F.struct(
-        F.lit(None).cast("string").alias("v"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("best"),
-    )
-    def step(acc, g):
-        run = F.when(
-            acc["v"].isNotNull() & (acc["v"] == g), acc["run"] + 1
-        ).otherwise(F.lit(1).cast("long"))
-        return F.struct(
-            g.alias("v"),
-            run.alias("run"),
-            F.greatest(acc["best"], run * F.length(g)).alias("best"),
+    Shape (r16): the token array is let-bound — evaluated once per
+    row, shared by the gram build, the fold, and the denominator
+    (before the binding, the tokenize subtree inlined into the gram
+    transform re-ran per gram: O(m^2) per doc, 90% of q52's execution
+    at sf0.1). Then one O(m log m) sort of the gram array and ONE
+    aggregate fold carrying (prev gram, current run length, best
+    score) — the fold lambda touches only its element and the
+    accumulator, never an O(doc) subtree (the span-dedup lesson).
+    Ties on count resolve to the LONGEST character claim (max over
+    runs of count x len), which is the quantity the rule thresholds."""
+
+    def body(toks: Column) -> Column:
+        gs = F.sort_array(_ngrams_of(toks, n))
+        # acc: (prev gram value, run length, best count*len so far)
+        init = F.struct(
+            F.lit(None).cast("string").alias("v"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
         )
-    best = F.aggregate(gs, init, step)["best"]
-    toks = tokens(text)
-    denom = F.aggregate(
-        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
-    ) + F.greatest(F.size(toks) - 1, F.lit(0))
-    return F.when(
-        denom >= 1, round_ratio_half_away(best, denom, 6)
-    ).otherwise(F.lit(0.0))
+
+        def step(acc, g):
+            run = F.when(
+                acc["v"].isNotNull() & (acc["v"] == g), acc["run"] + 1
+            ).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                g.alias("v"),
+                run.alias("run"),
+                F.greatest(acc["best"], run * F.length(g)).alias("best"),
+            )
+
+        best = F.aggregate(gs, init, step)["best"]
+        denom = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ) + F.greatest(F.size(toks) - 1, F.lit(0))
+        return F.when(
+            denom >= 1, round_ratio_half_away(best, denom, 6)
+        ).otherwise(F.lit(0.0))
+
+    return let(tokens(text), body)
 
 
 # Rae et al. 2021 Table A1 thresholds for the repetition battery:

@@ -35,7 +35,7 @@ from solarpaneldatawrangler_spark.functions.rounding import (
     round_ratio_half_away_py,
     round_ratio_half_away_sql,
 )
-from solarpaneldatawrangler_spark.functions.text import md5_long, tokens
+from solarpaneldatawrangler_spark.functions.text import let, md5_long, tokens
 
 # RE2-safe (no lookarounds): works identically as a Java regex (Spark)
 # and in DuckDB's RE2 — the oracle replays it verbatim.
@@ -61,11 +61,16 @@ def host_suffix_chain(host: Column) -> Column:
     the blocklist, no theta-join. (Public-suffix-list nuances are out
     of scope; entries are matched as whole label suffixes.)
     """
-    parts = F.split(host, r"\.")
-    n = F.size(parts)
-    return F.transform(
-        F.sequence(F.lit(1), n),
-        lambda i: F.array_join(F.slice(parts, i, n - i + 1), "."),
+    # let-bound (r16): the split subtree inside the per-suffix lambda
+    # would re-split the host once per label otherwise
+    return let(
+        F.split(host, r"\."),
+        lambda parts: F.transform(
+            F.sequence(F.lit(1), F.size(parts)),
+            lambda i: F.array_join(
+                F.slice(parts, i, F.size(parts) - i + 1), "."
+            ),
+        ),
     )
 
 
@@ -902,17 +907,22 @@ def bigram_rows(
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         n_parts = spark.sparkContext.defaultParallelism
-    toks = tokens(F.col("_txt"))
-    pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.struct(
-                F.element_at(toks, i).alias("w1"),
-                F.element_at(toks, i + 1).alias("w2"),
+    # let-bound (r16, the q52 O(m^2) class): element_at(toks, i) inside
+    # the per-pair lambda re-ran the whole tokenize subtree once per
+    # bigram before the binding — quadratic in document length
+    pairs = let(
+        tokens(F.col("_txt")),
+        lambda toks: F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.struct(
+                    F.element_at(toks, i).alias("w1"),
+                    F.element_at(toks, i + 1).alias("w2"),
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>")),
+    )
     return (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_txt"))
         .repartition(n_parts, F.col("id"))
