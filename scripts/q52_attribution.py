@@ -153,7 +153,16 @@ def main() -> None:
     from solarpaneldatawrangler_spark.session import get_spark
 
     spark = get_spark("q52-attribution")
+    # merge into an existing record: runs at different sf dirs
+    # accumulate under "scales" instead of clobbering each other
     rec: dict = {"scales": {}}
+    if os.path.exists(RECORD):
+        try:
+            with open(RECORD) as fh:
+                rec = json.load(fh)
+            rec.setdefault("scales", {})
+        except (OSError, ValueError):
+            pass
     for sf_dir in dirs:
         arms = _arms(spark, sf_dir)
         warm_arms = _arms(spark, WARM_DIR)
