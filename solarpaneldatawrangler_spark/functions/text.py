@@ -145,36 +145,44 @@ def quality_score(text: Column) -> Column:
     identical in any engine; the gate itself is the integer compare
     2*b <= sum_token_chars <= 12*b (equivalent to the old double
     mwl in [2,12] everywhere the division is representable, and exact
-    at the boundary where it is not)."""
-    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    at the boundary where it is not).
 
-    # let-bound (r16): toks is referenced by a/b/sum_len — the
-    # tokenize subtree evaluated 3x per row before the binding
-    def body(toks: Column) -> Column:
-        a = F.size(
-            F.filter(toks, lambda t: F.array_contains(sw, t))
-        ).cast("long")
-        b = F.greatest(F.size(toks), F.lit(1)).cast("long")
-        c = F.length(
-            F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
-        ).cast("long")
-        d = F.greatest(F.length(text), F.lit(1)).cast("long")
-        sum_len = F.aggregate(
-            toks,
-            F.lit(0).cast("long"),
-            lambda acc, t: acc + F.length(t).cast("long"),
-        )
-        e = F.when(
-            (sum_len >= 2 * b) & (sum_len <= 12 * b), F.lit(1).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        num = (
-            F.lit(5).cast("long") * a * d
-            + F.lit(3).cast("long") * b * (d - c)
-            + F.lit(2).cast("long") * b * d * e
-        )
-        return round_ratio_half_away(num, F.lit(10).cast("long") * b * d, 6)
-
-    return let(tokens(text), body)
+    r16-opt (guide §4.1 "prefer built-ins"): every token statistic here
+    is a COUNT, so the token array never needs to exist — a = tokens
+    equal to a stopword = regexp_count over full-token matches, b =
+    token count = regexp_count of \\S+ runs (a token IS a maximal
+    non-whitespace run of the lowercased text), sum_token_chars =
+    non-whitespace char count = length minus whitespace. That removes
+    every higher-order function: HOFs evaluate INTERPRETED (lambda
+    bodies walk the expression tree per element, and a let() binding
+    drags the whole arithmetic into interpreted land with it), while
+    this form is one whole-stage-codegen'd expression. Measured at
+    sf0.1 (noop sink, interleaved best-of-6): let-bound HOF 0.69-0.75 s
+    -> 0.41 s, values bit-identical at sf0.001/0.01/0.1
+    (tests/test_quality_codegen_equivalence.py pins equivalence on
+    adversarial texts; the DuckDB oracle still replays the token-array
+    form, so the gate cross-checks the rewrite every run)."""
+    low = F.lower(text)
+    # full-token stopword match: token boundaries are string edges or
+    # whitespace; lookarounds are zero-width so each matched token is
+    # consumed exactly once and matches cannot overlap
+    stopword_alt = "|".join(EN_STOPWORDS)
+    a = F.regexp_count(
+        low, F.lit(rf"(?<=^|\s)(?:{stopword_alt})(?=\s|$)")
+    ).cast("long")
+    b = F.greatest(F.regexp_count(low, F.lit(r"\S+")), F.lit(1)).cast("long")
+    c = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("long")
+    d = F.greatest(F.length(text), F.lit(1)).cast("long")
+    sum_len = F.length(F.regexp_replace(low, r"\s+", "")).cast("long")
+    e = F.when(
+        (sum_len >= 2 * b) & (sum_len <= 12 * b), F.lit(1).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    num = (
+        F.lit(5).cast("long") * a * d
+        + F.lit(3).cast("long") * b * (d - c)
+        + F.lit(2).cast("long") * b * d * e
+    )
+    return round_ratio_half_away(num, F.lit(10).cast("long") * b * d, 6)
 
 
 # the Gopher quality-filter rule set (Rae et al. 2021, "Scaling

@@ -43,7 +43,6 @@ def test_tokenize_subtree_appears_once_in_token_functions(spark):
     for name, col in {
         "word_ngrams": word_ngrams(t, 2),
         "top_ngram_char_fraction": top_ngram_char_fraction(t, 3),
-        "quality_score": quality_score(t),
         "stopword_ratio": stopword_ratio(t),
         "mean_word_length": mean_word_length(t),
     }.items():
@@ -53,6 +52,16 @@ def test_tokenize_subtree_appears_once_in_token_functions(spark):
             "— the let-binding was dropped (each extra occurrence "
             "re-tokenizes per row or, inside a lambda, per element)"
         )
+
+
+def test_quality_score_is_tokenizer_free(spark):
+    """r16-opt: quality_score's token statistics are pure counts, so it
+    was rewritten to regexp_count/length codegen — no token array, no
+    HOF, no let(). A reappearing split() means someone reintroduced the
+    interpreted form (measured ~1.8x slower at sf0.1)."""
+    p = _plan(spark, quality_score(F.col("text")))
+    assert p.count("split(") == 0, p
+    assert "lambdafunction" not in p.lower(), p
 
 
 def test_line_and_paragraph_splits_appear_once(spark):
