@@ -122,19 +122,19 @@ def train_bpe_merges_distributed(
       iteration reads cached (word, n) rows, never the corpus. Its
       size is the DISTINCT vocabulary, orders of magnitude below the
       corpus.
-    - Per iteration: one mapInPandas pass over the word table emits
-      per-batch PARTIAL (a, b, count) adjacent-symbol-pair sums —
-      each word re-segmented with the merges learned so far via the
-      shared encode_word (per-task memo, same fixpoint-replace rule
-      as every other path) — and the driver merges the partials and
+    - Per iteration (r16-opt, see _bpe_merge_loop): one pure-JVM pass
+      over the MATERIALIZED word-state table applies the newly learned
+      merge (literal replace-all passes, _apply_merge's exact
+      semantics, residual-checked) and emits map-side-combined
+      (a, b, count) adjacent-pair sums; the driver merges partials and
       picks the (count DESC, pair lex ASC) best, exactly
       train_bpe_merges' tie-break. Partial rows are bounded by
-      distinct symbol pairs (~symbol-vocab^2), not corpus size.
-    - The merge list is the rebroadcast driver state; iteration i
-      re-applies i-1 merges per word, so total work is
-      O(vocab x n_merges^2) worst case — with the per-task word memo
-      and a vocabulary far smaller than the corpus, this is the
-      standard trade for never materializing evolving word states.
+      distinct symbol pairs (~symbol-vocab^2), not corpus size. The
+      evolving states ARE materialized (localCheckpoint per round, the
+      CC-loop idiom) so iteration i applies 1 merge, not i —
+      O(vocab x n_merges) total work, and no Python boundary inside
+      the loop (a measured ~0.19 s fixed cost per mapInPandas job that
+      the old re-encode-from-scratch loop paid every iteration).
 
     Word counting runs through Python's ``str.lower().split()`` — the
     SAME tokenizer as train_bpe_merges and bpe_encode (NOT the JVM
@@ -194,47 +194,175 @@ def train_bpe_merges_distributed(
         words.unpersist()
 
 
+def _pair_count_rows(states: DataFrame, residual_pat: str | None):
+    """One distributed pass: adjacent symbol-pair counts (weighted by
+    word frequency) over the materialized state strings, as pure JVM
+    expressions — split / transform / explode / map-side-combined SUM.
+
+    r16-opt (guide §4): the previous loop body was a mapInPandas that
+    re-encoded every word from scratch each iteration. The Python
+    boundary costs a measured ~0.19 s of fixed latency per job on this
+    box (worker handshake + Arrow stream setup; the 31-row payload
+    itself is microseconds) — 24 iterations paid it 24 times. The JVM
+    pass runs the same count in ~0.06 s/job.
+
+    ``residual_pat``: when set, any state still containing the pattern
+    appends a (NULL, NULL) marker pair — the driver's signal that the
+    bounded literal-replace chain has not reached the fixpoint
+    ``_apply_merge``'s while-loop would (rare: only chains like
+    ' a b a b ' that re-form the pattern across a consumed separator
+    need more passes). Real pairs can never be NULL, so the marker
+    cannot collide."""
+    # ONE selectExpr string, parsed JVM-side in a single py4j call (the
+    # r15 minhash chatter lesson: composing this tree from Column ops
+    # measured ~0.12 s of driver build time PER ITERATION — half the
+    # loop's cost). The token array is let-bound via the transform-of-
+    # array trick (the q52 O(m^2) class): element_at(tk, i) inside the
+    # per-pair lambda must reference a bound variable, not re-split s.
+    empty = "cast(array() as array<struct<a:string,b:string>>)"
+    pairs_sql = (
+        "transform(array(split(trim(s), ' ')), tk -> "
+        "case when size(tk) >= 2 then "
+        "transform(sequence(1, size(tk) - 1), i -> "
+        "struct(element_at(tk, i) as a, element_at(tk, i + 1) as b)) "
+        f"else {empty} end)[0]"
+    )
+    base = states.selectExpr("n", "s", f"{pairs_sql} as _pairs")
+    if residual_pat is not None:
+        # the pattern is corpus-derived — keep it OUT of the SQL string
+        # (no escaping risk); a handful of Column calls is cheap
+        marker = F.when(
+            F.col("s").contains(F.lit(residual_pat)),
+            F.array(
+                F.struct(
+                    F.lit(None).cast("string").alias("a"),
+                    F.lit(None).cast("string").alias("b"),
+                )
+            ),
+        ).otherwise(F.expr(empty))
+        base = base.withColumn("_pairs", F.concat(F.col("_pairs"), marker))
+    return (
+        base.select(F.explode("_pairs").alias("p"), F.col("n"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").alias("c"))
+        .collect()
+    )
+
+
+# literal-replace passes applied per merge before the driver checks the
+# residual marker; 3 covers every observed chain, and the check makes
+# more passes a correctness non-event (just another cheap job)
+_BPE_FIX_PASSES = 3
+
+
 def _bpe_merge_loop(
     words: DataFrame, n_merges: int
 ) -> list[tuple[str, str]]:
-    import pandas as pd
+    """Distributed BPE merge loop over the (w, n) word table.
 
+    r16-opt rewrite — two changes, outputs bit-identical (consistency
+    test + adversarial fixpoint tests):
+
+    - **Incremental states instead of re-encoding.** The word states
+      (' a b c '-style symbol strings) are materialized with
+      localCheckpoint; iteration i applies ONLY the newly learned merge
+      (JVM literal replace, the same replace-all-pass semantics as
+      ``_apply_merge``) instead of re-applying all i merges per word —
+      O(vocab x n_merges) total work instead of O(vocab x n_merges^2),
+      exactly the incremental update the driver-local
+      ``_train_from_counts`` does with its states dict.
+    - **No Python boundary in the loop.** Pair counting is pure JVM
+      expressions (see ``_pair_count_rows``); each iteration is one job
+      that materializes the new state checkpoint and returns the
+      bounded (a, b, count) partials. Fixpoint safety: the bounded
+      replace chain is re-extended whenever the residual marker fires,
+      so the composition of replace-all passes equals ``_apply_merge``'s
+      while-loop for every word.
+    """
+    if n_merges <= 0:
+        return []
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        frozen = list(merges)
+    spark = words.sparkSession
+    # initial states: ' '-joined code points. F.split(w, '') yields one
+    # element per code point exactly like Python's str iteration
+    # (verified on astral/combining/NUL chars in test_bpe.py)
+    states = words.select(
+        "w",
+        F.concat(
+            F.lit(" "), F.array_join(F.split(F.col("w"), ""), " "), F.lit(" ")
+        ).alias("s"),
+        "n",
+    ).localCheckpoint(eager=False)
+    dead: list[DataFrame] = []
 
-        def pair_counts(batches, _m=frozen):
-            memo: dict[str, list[str]] = {}
-            agg: Counter[tuple[str, str]] = Counter()
-            for pdf in batches:
-                for w, n in zip(pdf["w"], pdf["n"]):
-                    toks = memo.get(w)
-                    if toks is None:
-                        toks = memo[w] = encode_word(w, _m)
-                    for a, b in zip(toks, toks[1:]):
-                        agg[(a, b)] += int(n)
-            if agg:
-                yield pd.DataFrame(
-                    {
-                        "a": [p[0] for p in agg],
-                        "b": [p[1] for p in agg],
-                        "c": list(agg.values()),
-                    }
-                )
-
+    def count(st: DataFrame, pat: str | None) -> Counter:
         total: Counter[tuple[str, str]] = Counter()
-        for r in words.mapInPandas(
-            pair_counts, "a string, b string, c long"
-        ).collect():
-            total[(r["a"], r["b"])] += r["c"]
-        if not total:
-            break
-        best, cnt = min(
-            total.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
-        )
-        if cnt < 2:
-            break
-        merges.append(best)
+        residual = False
+        for r in _pair_count_rows(st, pat):
+            if r["a"] is None and r["b"] is None:
+                residual = True
+            else:
+                total[(r["a"], r["b"])] += r["c"]
+        return total, residual
+
+    # loop-conf right-sizing (the CC _min_label_loop idiom, guide §2.2):
+    # the loop shuffles the SAME small pair relation n_merges times, so
+    # per-partition fixed cost is multiplied by rounds. Derive the
+    # reduce-partition count from the word table's own partitioning
+    # (known without a job: the RDD is checkpointed) — 1 for a coalesced
+    # small vocab, the session conf for a 100 TB vocabulary. AQE is off
+    # only in the single-partition degenerate geometry, where it has
+    # nothing to coalesce and only adds a replanning pause per job.
+    conf_key = "spark.sql.shuffle.partitions"
+    aqe_key = "spark.sql.adaptive.enabled"
+    orig_parts = spark.conf.get(conf_key)
+    orig_aqe = spark.conf.get(aqe_key)
+    try:
+        orig_num = int(orig_parts)
+    except (TypeError, ValueError):
+        orig_num = spark.sparkContext.defaultParallelism
+    loop_parts = max(1, min(orig_num, words.rdd.getNumPartitions()))
+    try:
+        spark.conf.set(conf_key, str(loop_parts))
+        if loop_parts == 1:
+            spark.conf.set(aqe_key, "false")
+        total, _ = count(states, None)
+        while True:
+            if not total:
+                break
+            best, cnt = min(
+                total.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if cnt < 2:
+                break
+            merges.append(best)
+            if len(merges) >= n_merges:
+                break
+            a, b = best
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            new_s = F.col("s")
+            for _ in range(_BPE_FIX_PASSES):
+                new_s = F.replace(new_s, F.lit(pat), F.lit(rep))
+            while True:
+                nxt = states.select(
+                    "w", new_s.alias("s"), "n"
+                ).localCheckpoint(eager=False)
+                total, residual = count(nxt, pat)  # materializes nxt
+                dead.append(states)
+                states = nxt
+                if not residual:
+                    break
+                # fixpoint not reached within the bounded passes for
+                # some word: extend by one more replace-all pass
+                new_s = F.replace(F.col("s"), F.lit(pat), F.lit(rep))
+    finally:
+        spark.conf.set(conf_key, orig_parts)
+        spark.conf.set(aqe_key, orig_aqe)
+        for df in (*dead, states):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — best-effort block release
+                pass
     return merges
 
 

@@ -174,3 +174,33 @@ def test_bpe_routing_boundary_just_over_threshold(spark):
 
     with _pytest.raises(AssertionError, match="over its 2 bound"):
         assert_bounded_collect([1, 2, 3], 2, "probe")
+
+
+def test_distributed_loop_fixpoint_residual_and_unicode(spark):
+    """r16-opt: the JVM merge loop applies each merge as a bounded
+    chain of literal replace-all passes plus a residual-marker recheck.
+    These corpora force multi-pass fixpoints (' a a a a ' / ' a b a b '
+    chains re-form the pattern across consumed separators) and
+    non-ASCII/astral symbols (state built via split(w, '') must equal
+    Python's per-code-point iteration) — the loop must still match the
+    driver trainer exactly."""
+    from solarpaneldatawrangler_spark.operators.bpe import (
+        train_bpe_merges,
+        train_bpe_merges_distributed,
+    )
+
+    corpora = [
+        ["aaaaaa aaaa aa", "aaaaaaa aaa", "aaaaaaaa"],
+        ["abababab abab", "ababab ab ab", "ba abab"],
+        ["日本語 日本 語日本", "naïve naïve café café", "日日日日 ïïïï"],
+        ["😀😀😀😀 😀😀 x😀x", "zzz zz z 😀😀😀"],
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+        )
+        got = train_bpe_merges_distributed(
+            docs.repartition(3), n_merges=12, local_max_words=0
+        )
+        want = train_bpe_merges(texts, n_merges=12)
+        assert got == want, (texts, got, want)
