@@ -349,29 +349,6 @@ def _min_label_loop(
         keep_input, ckpt_loop = _keepers(active.sparkSession, "local")
     labels = active.select("id", F.col("id").alias("label"))
 
-    def _round(lab: DataFrame) -> DataFrame:
-        """One min-label propagation + pointer jump."""
-        neighbor_labels = (
-            edges.join(lab, edges.src == lab.id, "inner")
-            .select(F.col("dst").alias("id"), F.col("label"))
-        )
-        propagated = (
-            lab.unionByName(neighbor_labels)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
-        )
-        # pointer jump (path compression): label <- label's label. Takes
-        # convergence from O(diameter) to O(log diameter) hops — the
-        # difference between ~10 and ~1000 iterations on a long snake of
-        # tiles. Labels always reference active node ids, so the
-        # self-join hits; coalesce guards the root (label == own id).
-        lab2 = propagated.select(
-            F.col("id").alias("lid"), F.col("label").alias("llabel")
-        )
-        return propagated.join(lab2, propagated.label == lab2.lid, "left").select(
-            "id", F.coalesce("llabel", "label").alias("label")
-        )
-
     # min-labels only ever decrease, so the global label sum is a strict
     # monotone: equal sums <=> fixpoint. One scalar agg per check instead
     # of a join-based diff. TWO rounds run per action: Catalyst plans
@@ -401,17 +378,55 @@ def _min_label_loop(
     except (TypeError, ValueError):
         orig_num = spark.sparkContext.defaultParallelism
     loop_parts = max(1, min(orig_num, (n_active + 249_999) // 250_000))
-    # Right-size the EDGES side too: the conf above only governs new
-    # exchanges, but the checkpointed edges frame keeps its creation-
-    # time partitioning (neighbor_edges' two joins + symmetrizing union
-    # => 4x the session conf, e.g. 128 RDD partitions for a 2000-edge
-    # snake), and every round's join re-scans it map-side. Dozens of
-    # rounds x 128 near-empty tasks is pure scheduler overhead — the
-    # dominant cost on small high-diameter graphs (measured ~2x on the
-    # diameter-1000 snake). One explicit repartition to loop_parts,
-    # paid once, caps every subsequent per-round stage.
-    if loop_parts < edges.rdd.getNumPartitions():
-        edges = keep_input(edges.repartition(loop_parts, "src"))
+    # Self-loops folded into the edge relation ONCE (r16-opt): with an
+    # (id, id) edge per active node, one round's propagation is a
+    # single join+groupBy over the edge relation — the old
+    # lab UNION ALL join(edges, lab) shape scanned the label frame
+    # twice per round. It also keeps the per-action label temp view
+    # single-referenced, which matters because a lazily-checkpointed
+    # frame referenced twice through a view trips the checkpointer's
+    # attribute mapping (NoSuchElementException in DeduplicateRelations
+    # -> localCheckpoint, found while building the fused-SQL round).
+    #
+    # Right-sizing the relation (r11 lesson, kept): the checkpointed
+    # edges frame keeps its creation-time partitioning (4x session conf
+    # for the snake) and every round re-scans it; dozens of rounds x
+    # 128 near-empty tasks is pure scheduler overhead (measured ~2x on
+    # the diameter-1000 snake). One explicit repartition, paid once.
+    loop_edges = edges.select("src", "dst").unionByName(
+        active.select(F.col("id").alias("src"), F.col("id").alias("dst"))
+    )
+    if loop_parts < loop_edges.rdd.getNumPartitions():
+        loop_edges = loop_edges.repartition(loop_parts, "src")
+    loop_edges = keep_input(loop_edges)
+    # The fused two-round query is built ONCE as SQL and parsed
+    # JVM-side in a single call per action (r16-opt): composing the
+    # same two rounds from DataFrame ops measured 0.35-0.5 s of
+    # driver-side py4j/analysis time PER ACTION on the snake — more
+    # than the executors spend running the round. Unique view names
+    # keep concurrent loops on one session independent.
+    import uuid
+
+    tag = uuid.uuid4().hex[:10]
+    edges_view, labels_view = f"cc_edges_{tag}", f"cc_labels_{tag}"
+    loop_edges.createOrReplaceTempView(edges_view)
+    # one round: min-label propagation over the self-looped edges, then
+    # the pointer jump (label <- label's label; coalesce guards roots).
+    # The jump's self-join duplicates the prop CTE in the plan, but the
+    # two copies are identical exchanges and ReuseExchange computes
+    # them once.
+    round_sql = (
+        "WITH prop AS ("
+        f" SELECT e.dst AS id, min(l.label) AS label FROM {edges_view} e"
+        " JOIN ({lab}) l ON e.src = l.id GROUP BY e.dst)"
+        " SELECT p.id AS id, coalesce(q.llabel, p.label) AS label"
+        " FROM prop p LEFT JOIN"
+        " (SELECT id AS lid, label AS llabel FROM prop) q"
+        " ON p.label = q.lid"
+    )
+    fused_sql = round_sql.format(
+        lab=round_sql.format(lab=f"SELECT id, label FROM {labels_view}")
+    )
     prev_sum = None
     aqe_key = "spark.sql.adaptive.enabled"
     orig_aqe = spark.conf.get(aqe_key)
@@ -437,7 +452,8 @@ def _min_label_loop(
         # plans cost Catalyst/AQE more per shuffle, so fewer collect
         # barriers don't pay for themselves.
         for _ in range(max(max_iterations // 2, 1)):
-            labels = ckpt_loop(_round(_round(labels)))
+            labels.createOrReplaceTempView(labels_view)
+            labels = ckpt_loop(spark.sql(fused_sql))
             # decimal(38,0): packed labels reach ~2^45, so a long SUM
             # overflows past ~300k active nodes (scripts/scale_smoke.py)
             label_sum = labels.agg(
@@ -449,5 +465,10 @@ def _min_label_loop(
     finally:
         spark.conf.set(conf_key, orig_parts)
         spark.conf.set(aqe_key, orig_aqe)
+        for v in (edges_view, labels_view):
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:  # noqa: BLE001 — view may not exist yet
+                pass
 
     return labels

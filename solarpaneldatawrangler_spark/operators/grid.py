@@ -119,16 +119,25 @@ def neighbor_edges(
     slippy rows satisfy by 10 orders of magnitude). A one-column bigint
     equi-join hash-partitions tighter than a two-expression key and
     halves the shuffle payload. Only E/S generated, then symmetrized.
+
+    r16-opt (guide §2.4): the E and S candidates are exploded from each
+    tile and matched in ONE equi-join — the previous per-delta join
+    pair shuffled the tile relation twice more (4 exchanges vs 2) for
+    the identical edge set.
     """
     packed = tiles.select(pack_cell(col_name, row_name).alias("id"))
-    other = packed.select(F.col("id").alias("dst"))
-    edges = []
-    for delta in (4294967296, 1):  # east (+1 column), south (+1 row)
-        e = packed.join(
-            other, F.col("id") + F.lit(delta).cast("long") == F.col("dst"), "inner"
-        ).select(F.col("id").alias("src"), F.col("dst"))
-        edges.append(e)
-    half = edges[0].unionByName(edges[1])
+    cand = packed.select(
+        F.col("id").alias("src"),
+        F.explode(
+            F.array(
+                F.col("id") + F.lit(4294967296).cast("long"),  # east
+                F.col("id") + F.lit(1).cast("long"),  # south
+            )
+        ).alias("dst"),
+    )
+    half = cand.join(
+        packed.select(F.col("id").alias("dst")), "dst", "inner"
+    ).select("src", "dst")
     return half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
