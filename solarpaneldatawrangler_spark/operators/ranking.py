@@ -160,7 +160,7 @@ def tfidf_keywords(
     text_col: str = "text",
     stopwords: list[str] | None = None,
     round_dp: int = 6,
-    materialize_tf: bool = False,
+    materialize_tf: bool = True,
 ) -> DataFrame:
     """Per-document top-k keywords by tf-idf — the classic corpus-wide
     keyword extractor (topic tagging, slice discovery, index terms).
