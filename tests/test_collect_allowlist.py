@@ -35,8 +35,11 @@ ALLOWLIST: dict[tuple[str, str, str], tuple[int, str]] = {
             "warmup_dir gate, adding its own 7-row collect)"),
     ("operators/bpe.py", "train_bpe_merges_distributed", "collect"):
         (1, "size-aware route, <= local_max_words rows, guard-asserted"),
-    ("operators/bpe.py", "_bpe_merge_loop", "collect"):
-        (1, "per-iteration PARTIAL pair counts, bounded by symbol vocab^2"),
+    ("operators/bpe.py", "_pair_count_rows", "collect"):
+        (1, "per-iteration AGGREGATED pair counts, bounded by symbol "
+            "vocab^2 (+1 residual marker row); r16-opt moved the "
+            "collect from _bpe_merge_loop's mapInPandas partials into "
+            "the JVM pair-count helper — same bound"),
     ("operators/clustering.py", "connected_components", "collect"):
         (2, "size-aware route, <= local_max_nodes / 4x edges, guard-asserted"),
     ("operators/clustering.py", "connected_components_edges", "collect"):
