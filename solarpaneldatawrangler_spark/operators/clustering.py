@@ -330,6 +330,39 @@ def connected_components_edges(
     return labels.select("id", F.col("label").alias("component"))
 
 
+def _round_sql(edges_view: str, broadcast: bool) -> str:
+    """One propagation+jump round as a SQL template (``{lab}`` is the
+    label relation slot; the loop nests it twice for the fused 2-round
+    action). ``broadcast=True`` is the small-geometry form: hint
+    BROADCAST on the label side of the propagation join and on the
+    jump's lookup side. The checkpointed label RDD carries no stats, so
+    the planner assumes it is huge and shuffle-joins by default;
+    broadcasting pipelines both joins into the probe stage (measured
+    per-action collect job 182 -> 59 ms on the diameter-1000 snake;
+    per round the plan goes 4 shuffle Exchanges + 2 SortMergeJoins ->
+    1 Exchange + 2 BroadcastHashJoins, and ReuseExchange still feeds
+    the jump's broadcast build from the prop groupBy exchange —
+    plans/r16/cc_loop_round_{before,after}.txt).
+    Callers pass broadcast=True ONLY for a measured-small active set
+    (n_active <= 250k — the count the loop already takes; NOT inferred
+    from loop_parts, which a shuffle.partitions=1 session conf can pin
+    to 1 on an arbitrarily large graph): at scale the label relation
+    is the big side and must never be broadcast. Join strategy cannot
+    change label values — min/coalesce are deterministic."""
+    bh_l = "/*+ BROADCAST(l) */ " if broadcast else ""
+    bh_q = "/*+ BROADCAST(q) */ " if broadcast else ""
+    return (
+        "WITH prop AS ("
+        f" SELECT {bh_l}e.dst AS id, min(l.label) AS label"
+        f" FROM {edges_view} e"
+        " JOIN ({lab}) l ON e.src = l.id GROUP BY e.dst)"
+        f" SELECT {bh_q}p.id AS id, coalesce(q.llabel, p.label) AS label"
+        " FROM prop p LEFT JOIN"
+        " (SELECT id AS lid, label AS llabel FROM prop) q"
+        " ON p.label = q.lid"
+    )
+
+
 def _min_label_loop(
     active: DataFrame,
     edges: DataFrame,
@@ -415,15 +448,12 @@ def _min_label_loop(
     # The jump's self-join duplicates the prop CTE in the plan, but the
     # two copies are identical exchanges and ReuseExchange computes
     # them once.
-    round_sql = (
-        "WITH prop AS ("
-        f" SELECT e.dst AS id, min(l.label) AS label FROM {edges_view} e"
-        " JOIN ({lab}) l ON e.src = l.id GROUP BY e.dst)"
-        " SELECT p.id AS id, coalesce(q.llabel, p.label) AS label"
-        " FROM prop p LEFT JOIN"
-        " (SELECT id AS lid, label AS llabel FROM prop) q"
-        " ON p.label = q.lid"
-    )
+    # Small-geometry broadcast (r16-opt, guide §3.1): see _round_sql —
+    # hints only when the label relation is bounded by MEASURED size
+    # (n_active, not loop_parts: a shuffle.partitions=1 session conf
+    # also yields loop_parts == 1 on an arbitrarily large graph, and
+    # that geometry must never broadcast the label side).
+    round_sql = _round_sql(edges_view, broadcast=n_active <= 250_000)
     fused_sql = round_sql.format(
         lab=round_sql.format(lab=f"SELECT id, label FROM {labels_view}")
     )

@@ -199,3 +199,61 @@ def test_cc_resilience_validation():
     finally:
         if old is not None:
             os.environ["SPARK_GRAFT_CHECKPOINT_DIR"] = old
+
+
+def test_round_sql_broadcast_hints_small_geometry_only(spark):
+    """r16-opt: the fused loop round broadcast-hints the label/lookup
+    sides ONLY in the bounded small geometry (loop_parts == 1). Text
+    level: hints present iff broadcast=True. Plan level: the hinted
+    round actually plans both joins as BroadcastHashJoin over a real
+    (stats-free) label relation — the whole point, since the planner's
+    default for it is a shuffle join."""
+    from solarpaneldatawrangler_spark.operators.clustering import _round_sql
+
+    hinted = _round_sql("cc_e_test", broadcast=True)
+    plain = _round_sql("cc_e_test", broadcast=False)
+    assert "/*+ BROADCAST(l) */" in hinted and "/*+ BROADCAST(q) */" in hinted
+    assert "BROADCAST" not in plain
+    # identical modulo the hints: strategy, never semantics
+    assert plain == hinted.replace("/*+ BROADCAST(l) */ ", "").replace(
+        "/*+ BROADCAST(q) */ ", ""
+    )
+
+    # Plan level, with auto-broadcast OFF (threshold -1) to emulate the
+    # planner treating the label side as huge — the loop's real
+    # condition the hint exists for. The hint must force both joins to
+    # BroadcastHashJoin anyway (hints override the threshold); the
+    # plain form must fall back to shuffle joins.
+    edges = spark.range(9).selectExpr("id as src", "id + 1 as dst")
+    labels = spark.range(10).selectExpr("id", "id as label")
+    edges.createOrReplaceTempView("cc_e_test")
+    labels.createOrReplaceTempView("cc_l_test")
+    lab = "SELECT id, label FROM cc_l_test"
+    thr_key = "spark.sql.autoBroadcastJoinThreshold"
+    orig_thr = spark.conf.get(thr_key)
+    try:
+        spark.conf.set(thr_key, "-1")
+        hinted_plan = (
+            spark.sql(hinted.format(lab=lab))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        plain_plan = (
+            spark.sql(plain.format(lab=lab))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set(thr_key, orig_thr)
+        spark.catalog.dropTempView("cc_e_test")
+        spark.catalog.dropTempView("cc_l_test")
+    assert hinted_plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in hinted_plan
+    assert "SortMergeJoin" not in hinted_plan
+    assert "ShuffledHashJoin" not in hinted_plan
+    assert "BroadcastHashJoin" not in plain_plan
+    assert ("SortMergeJoin" in plain_plan) or (
+        "ShuffledHashJoin" in plain_plan
+    )
