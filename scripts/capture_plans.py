@@ -21,7 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from solarpaneldatawrangler_spark.plans import CATALOG  # noqa: E402
 from solarpaneldatawrangler_spark.session import get_spark, sf_dir_from_env  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+# r17: the plans dir follows the current round (was hardcoded r16)
+from roundtag import current_round  # noqa: E402
+
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    f"r{current_round():02d}",
+)
 
 
 def main() -> None:

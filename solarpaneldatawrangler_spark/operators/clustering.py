@@ -41,6 +41,15 @@ from solarpaneldatawrangler_spark.operators.grid import neighbor_edges, pack_cel
 # distributed pointer-jumping loop runs, exactly as before.
 LOCAL_CC_MAX_NODES = 100_000
 
+# the ONE small-geometry bound of the distributed loop (r17, ADVICE):
+# an active set at or under this count (a) fits one loop shuffle
+# partition (~250k labels/partition — loop_parts sizing) and (b) is
+# safe to BROADCAST as the label/jump sides of the round joins
+# (_round_sql hints). Both derive from here so the invariant "the
+# broadcast relation is single-partition-small" cannot silently break
+# by editing one site without the other.
+CC_SMALL_GEOMETRY_MAX_ACTIVE = 250_000
+
 # shared guard lives in operators.guards (review-caught: BPE importing
 # clustering for a 10-line assert coupled unrelated operators); the
 # alias keeps existing importers working
@@ -344,7 +353,8 @@ def _round_sql(edges_view: str, broadcast: bool) -> str:
     the jump's broadcast build from the prop groupBy exchange —
     plans/r16/cc_loop_round_{before,after}.txt).
     Callers pass broadcast=True ONLY for a measured-small active set
-    (n_active <= 250k — the count the loop already takes; NOT inferred
+    (n_active <= CC_SMALL_GEOMETRY_MAX_ACTIVE — the count the loop
+    already takes; NOT inferred
     from loop_parts, which a shuffle.partitions=1 session conf can pin
     to 1 on an arbitrarily large graph): at scale the label relation
     is the big side and must never be broadcast. Join strategy cannot
@@ -410,7 +420,8 @@ def _min_label_loop(
         orig_num = int(orig_parts)
     except (TypeError, ValueError):
         orig_num = spark.sparkContext.defaultParallelism
-    loop_parts = max(1, min(orig_num, (n_active + 249_999) // 250_000))
+    small_max = CC_SMALL_GEOMETRY_MAX_ACTIVE
+    loop_parts = max(1, min(orig_num, (n_active + small_max - 1) // small_max))
     # Self-loops folded into the edge relation ONCE (r16-opt): with an
     # (id, id) edge per active node, one round's propagation is a
     # single join+groupBy over the edge relation — the old
@@ -453,7 +464,7 @@ def _min_label_loop(
     # (n_active, not loop_parts: a shuffle.partitions=1 session conf
     # also yields loop_parts == 1 on an arbitrarily large graph, and
     # that geometry must never broadcast the label side).
-    round_sql = _round_sql(edges_view, broadcast=n_active <= 250_000)
+    round_sql = _round_sql(edges_view, broadcast=n_active <= small_max)
     fused_sql = round_sql.format(
         lab=round_sql.format(lab=f"SELECT id, label FROM {labels_view}")
     )

@@ -203,11 +203,14 @@ def test_cc_resilience_validation():
 
 def test_round_sql_broadcast_hints_small_geometry_only(spark):
     """r16-opt: the fused loop round broadcast-hints the label/lookup
-    sides ONLY in the bounded small geometry (loop_parts == 1). Text
-    level: hints present iff broadcast=True. Plan level: the hinted
-    round actually plans both joins as BroadcastHashJoin over a real
-    (stats-free) label relation — the whole point, since the planner's
-    default for it is a shuffle join."""
+    sides ONLY when the active set is MEASURED small (n_active <=
+    CC_SMALL_GEOMETRY_MAX_ACTIVE — not loop_parts, which a
+    shuffle.partitions=1 session conf would pin to 1 on arbitrarily
+    large graphs; r17 ADVICE reword). Text level: hints present iff
+    broadcast=True. Plan level: the hinted round actually plans both
+    joins as BroadcastHashJoin over a real (stats-free) label relation
+    — the whole point, since the planner's default for it is a shuffle
+    join."""
     from solarpaneldatawrangler_spark.operators.clustering import _round_sql
 
     hinted = _round_sql("cc_e_test", broadcast=True)
@@ -257,3 +260,43 @@ def test_round_sql_broadcast_hints_small_geometry_only(spark):
     assert ("SortMergeJoin" in plain_plan) or (
         "ShuffledHashJoin" in plain_plan
     )
+
+
+def test_fused_round_sql_broadcast_hints_resolve(spark):
+    """r17 ADVICE item 3: the single-round assertion above does not
+    cover what production executes — _min_label_loop nests round_sql
+    inside itself (round_sql.format(lab=round_sql.format(...))), so the
+    fused query carries TWO same-name 'prop' CTEs and the riskier hint-
+    resolution case UPGRADING.md warns about. Build the fused form
+    exactly as the loop does and assert the hints resolve in BOTH
+    nesting levels: >= 4 BroadcastHashJoin (2 joins x 2 rounds), zero
+    shuffle joins, with auto-broadcast disabled so only the hints can
+    produce them."""
+    from solarpaneldatawrangler_spark.operators.clustering import _round_sql
+
+    hinted = _round_sql("cc_e_fused_test", broadcast=True)
+    fused = hinted.format(
+        lab=hinted.format(lab="SELECT id, label FROM cc_l_fused_test")
+    )
+    edges = spark.range(9).selectExpr("id as src", "id + 1 as dst")
+    labels = spark.range(10).selectExpr("id", "id as label")
+    edges.createOrReplaceTempView("cc_e_fused_test")
+    labels.createOrReplaceTempView("cc_l_fused_test")
+    thr_key = "spark.sql.autoBroadcastJoinThreshold"
+    orig_thr = spark.conf.get(thr_key)
+    try:
+        spark.conf.set(thr_key, "-1")
+        fused_plan = (
+            spark.sql(fused)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set(thr_key, orig_thr)
+        spark.catalog.dropTempView("cc_e_fused_test")
+        spark.catalog.dropTempView("cc_l_fused_test")
+    assert fused_plan.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in fused_plan
+    assert "SortMergeJoin" not in fused_plan
+    assert "ShuffledHashJoin" not in fused_plan
