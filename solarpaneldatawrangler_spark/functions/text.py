@@ -363,6 +363,23 @@ def nonempty_lines(text: Column) -> Column:
     )
 
 
+def dup_fraction_of_array(arr: Column) -> Column:
+    """(total - distinct) / total repetition fraction of an ALREADY-
+    BOUND array (an attribute/column reference or lambda variable —
+    never a recomputable subtree: ``arr`` is referenced three times, so
+    a computed argument would evaluate three times per row). r17:
+    extracted so q52 can project the line/paragraph arrays once and
+    derive both the count and char fractions from the same column."""
+    return F.when(
+        F.size(arr) >= 1,
+        round_ratio_half_away(
+            (F.size(arr) - F.size(F.array_distinct(arr))).cast("long"),
+            F.size(arr).cast("long"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
 def duplicate_line_fraction(text: Column) -> Column:
     """Gopher repetition signal: fraction of non-empty lines that are
     repeats of an earlier line (1 - distinct/total; 0 for line-less
@@ -372,17 +389,7 @@ def duplicate_line_fraction(text: Column) -> Column:
     # pure integer arithmetic, engine-identical at decimal ties.
     # let-bound (r16): the line-split subtree was re-evaluated per
     # reference (3x per row) before the binding
-    return let(
-        nonempty_lines(text),
-        lambda ls: F.when(
-            F.size(ls) >= 1,
-            round_ratio_half_away(
-                (F.size(ls) - F.size(F.array_distinct(ls))).cast("long"),
-                F.size(ls).cast("long"),
-                6,
-            ),
-        ).otherwise(F.lit(0.0)),
-    )
+    return let(nonempty_lines(text), dup_fraction_of_array)
 
 
 def paragraphs_array(text: Column) -> Column:
@@ -405,42 +412,34 @@ def duplicate_paragraph_fraction(text: Column) -> Column:
     """Gopher repetition signal: fraction of non-empty paragraphs that
     are repeats of an earlier paragraph (1 - distinct/total; 0 for
     paragraph-less docs)."""
-    return let(
-        paragraphs_array(text),
-        lambda ps: F.when(
-            F.size(ps) >= 1,
-            round_ratio_half_away(
-                (F.size(ps) - F.size(F.array_distinct(ps))).cast("long"),
-                F.size(ps).cast("long"),
-                6,
-            ),
-        ).otherwise(F.lit(0.0)),
+    return let(paragraphs_array(text), dup_fraction_of_array)
+
+
+def dup_char_fraction_of_array(arr: Column) -> Column:
+    """Char-fraction twin of dup_fraction_of_array over an ALREADY-
+    BOUND array: 1 - chars(distinct)/chars(all). Both sums are
+    aggregate folds with O(1) lambdas over collection arguments —
+    inlining-safe (the span-dedup CollapseProject lesson: lambdas here
+    never reference an O(doc) subtree)."""
+    tot = F.aggregate(
+        arr, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
+    dis = F.aggregate(
+        F.array_distinct(arr),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    return F.when(
+        tot >= 1, round_ratio_half_away(tot - dis, tot, 6)
+    ).otherwise(F.lit(0.0))
 
 
 def _dup_char_fraction(arr: Column) -> Column:
-    """Fraction of CHARACTERS sitting in repeated occurrences of the
-    array's elements: 1 - chars(distinct)/chars(all). Both sums are
-    aggregate folds with O(1) lambdas over collection arguments —
-    inlining-safe (the span-dedup CollapseProject lesson: lambdas here
-    never reference an O(doc) subtree). let-bound (r16): ``arr`` is
-    referenced twice (total + distinct folds), so a computed subtree
-    argument would otherwise evaluate twice per row."""
-
-    def body(a: Column) -> Column:
-        tot = F.aggregate(
-            a, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        )
-        dis = F.aggregate(
-            F.array_distinct(a),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + F.length(x),
-        )
-        return F.when(
-            tot >= 1, round_ratio_half_away(tot - dis, tot, 6)
-        ).otherwise(F.lit(0.0))
-
-    return let(arr, body)
+    """let-bound (r16) wrapper of dup_char_fraction_of_array: ``arr``
+    is referenced multiple times (total + distinct folds), so a
+    computed subtree argument would otherwise evaluate per
+    reference."""
+    return let(arr, dup_char_fraction_of_array)
 
 
 def duplicate_line_char_fraction(text: Column) -> Column:

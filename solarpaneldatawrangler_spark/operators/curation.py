@@ -522,6 +522,102 @@ def hashed_linear_score_r6_sql(text_expr: str, n_buckets: int = 1 << 18) -> str:
 # --- repetition battery) ----------------------------------------------------
 
 GOPHER_DUP_NGRAM_NS = (5, 6, 7, 8, 9, 10)
+GOPHER_TOP_NGRAM_NS = (2, 3)
+
+
+def gopher_rep_battery_fracs(text: Column) -> Column:
+    """struct<top2,top3,d5..d10: double>: BOTH halves of the Gopher
+    repetition battery that q52 evaluates over the same derived text,
+    in ONE Arrow-batched pass — the top-n-gram character fractions
+    (n=2,3; occurrences(g*) x len(g*) over the canonical single-spaced
+    join length, exactly functions.text.top_ngram_char_fraction's
+    arithmetic) fused with the dup-n-gram union char coverages (n=5..10,
+    exactly gopher_dup_ngram_char_fracs).
+
+    Why (r17, guide §4.1/§4.2 + §1.2 per-task work): q52's sf1
+    decomposition (bench_out/r17_q52_decomp_testdata_sf1.json) put
+    rep_topgram at 34.7 s and rep_dupngram at 14.2 s — the top-gram
+    Catalyst form is an interpreted sort_array + aggregate fold whose
+    per-element cost (struct alloc + expression-tree walk per gram)
+    dwarfs a C-speed dict count, and the two signals tokenized the SAME
+    rtext twice more than needed. One fused pass tokenizes once, counts
+    grams as TUPLES (tokens cannot contain whitespace, so tuple
+    equality == the joined-string equality both engines hash), and
+    reuses the token-length prefix sums across all eight outputs.
+
+    Value contract: bit-identical to the two Catalyst/UDF forms it
+    replaces (same PY_JAVA_WS_RE tokenizer twin, same integer-exact
+    half-away 6dp rounding); pinned by
+    tests/test_rep_battery_fused.py and the untouched q52 oracle,
+    which still replays the component-form SQL every run. Null text
+    normalizes to '' (the UDF-half convention; q52's rtext is
+    concat_ws-derived and never null)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(PY_JAVA_WS_RE)
+    dns = GOPHER_DUP_NGRAM_NS
+    tns = GOPHER_TOP_NGRAM_NS
+    fields = [f"top{n}" for n in tns] + [f"d{n}" for n in dns]
+    schema = ", ".join(f"{f} double" for f in fields)
+
+    @pandas_udf(schema)
+    def _fracs(texts):
+        # type: (pd.Series) -> pd.DataFrame
+        rows = []
+        for t in texts:
+            toks = [x for x in ws.split((t or "").lower()) if x]
+            m = len(toks)
+            lens = [len(x) for x in toks]
+            total = sum(lens)
+            # prefix sums of token lengths: len(" ".join(toks[i:i+n]))
+            # = (pref[i+n] - pref[i]) + (n - 1)
+            pref = [0] * (m + 1)
+            acc = 0
+            for i, l in enumerate(lens):
+                acc += l
+                pref[i + 1] = acc
+            out = []
+            # top-n half: max over distinct grams of count * len(gram),
+            # denominator = total token chars + separators (m-1)
+            den_top = total + (m - 1 if m >= 1 else 0)
+            for n in tns:
+                if m == 0:
+                    out.append(0.0)
+                    continue
+                best = 0
+                if m >= n:
+                    d: dict = {}
+                    for i in range(m - n + 1):
+                        g = tuple(toks[i : i + n])
+                        e = d.get(g)
+                        if e is None:
+                            d[g] = [1, pref[i + n] - pref[i] + n - 1]
+                        else:
+                            e[0] += 1
+                    best = max(c * l for c, l in d.values())
+                out.append(round_ratio_half_away_py(best, den_top, 6))
+            # dup-n half: union char coverage of grams occurring >= 2x
+            for n in dns:
+                if total == 0 or m < n:
+                    out.append(0.0)
+                    continue
+                grams = list(zip(*(toks[i:] for i in range(n))))
+                cnt: dict = {}
+                for g in grams:
+                    cnt[g] = cnt.get(g, 0) + 1
+                covered = bytearray(m)
+                for i, g in enumerate(grams):
+                    if cnt[g] >= 2:
+                        covered[i : i + n] = b"\x01" * n
+                num = sum(l for l, c in zip(lens, covered) if c)
+                out.append(round_ratio_half_away_py(num, total, 6))
+            rows.append(out)
+        return pd.DataFrame(rows, columns=fields)
+
+    return _fracs(text)
 
 
 def gopher_dup_ngram_char_fracs(text: Column) -> Column:

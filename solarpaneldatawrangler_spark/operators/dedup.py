@@ -254,6 +254,56 @@ def ngram_jaccard(a: Column, b: Column) -> Column:
     ).cast("double")
 
 
+def char_ngram_set_jaccard_r6(
+    lower_a: Column, lower_b: Column, n: int = 3
+) -> Column:
+    """Exact character-n-gram SET Jaccard between two ALREADY-LOWERCASED
+    texts, 6dp integer-exact rounded — the q57 'adjacent' verify kernel
+    as ONE Arrow-batched pass.
+
+    Why (r17, guide §4.2): the Catalyst form built the per-offset
+    substring array with an interpreted transform (one lambda-tree walk
+    + string alloc per character), array_distinct'd it, shuffled the
+    ~3-4x-text-size gram arrays through the adjacency self-join, and
+    ran array_intersect + array_union per pair — 53.4 s at sf1
+    (bench_out/r17_q52_decomp_testdata_sf1.json, q57_char_ngrams_adj)
+    for work a C-speed set comprehension does in ~1 ms/doc. Here only
+    the TEXT crosses the join and the boundary, and both gram sets and
+    the intersection are Python set ops on whole Arrow batches.
+
+    Value contract: the caller lowercases IN THE JVM (F.lower), so
+    Python never case-maps — slicing is by code points on both sides
+    (Python str slices == Spark substr semantics), gram-set equality is
+    exact, and |A∪B| = |A|+|B|−|A∩B| holds for sets. Rounding is the
+    shared round_ratio_half_away_py twin. NULL text normalizes to ''
+    (the array form's char_ngrams(NULL) is the guard's EMPTY array, so
+    a null-sided pair scored 0.0 — preserved here). Pinned by
+    tests/test_rep_battery_fused.py and the untouched q57 oracle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from solarpaneldatawrangler_spark.functions.rounding import (
+        round_ratio_half_away_py,
+    )
+
+    @pandas_udf("double")
+    def _jacc(xa, xb):
+        # type: (pd.Series, pd.Series) -> pd.Series
+        out = []
+        for x, y in zip(xa, xb):
+            x, y = x or "", y or ""
+            ga = {x[i : i + n] for i in range(len(x) - n + 1)}
+            gb = {y[i : i + n] for i in range(len(y) - n + 1)}
+            inter = len(ga & gb)
+            union = len(ga) + len(gb) - inter
+            out.append(
+                round_ratio_half_away_py(inter, union if union >= 1 else 1, 6)
+            )
+        return pd.Series(out, dtype="float64")
+
+    return _jacc(lower_a, lower_b)
+
+
 def simhash_df(
     df: DataFrame,
     text_col: str = "text",

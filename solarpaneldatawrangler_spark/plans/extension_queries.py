@@ -15,13 +15,8 @@ from solarpaneldatawrangler_spark.functions.rounding import (
     round_ratio_half_away_sql,
 )
 from solarpaneldatawrangler_spark.functions.text import (
-    gopher_flags,
     gopher_flags_sql,
-    lang_marker_score,
-    mean_word_length,
-    punct_ratio,
     quality_score,
-    stopword_ratio,
     tokens,
 )
 from solarpaneldatawrangler_spark.operators.curation import (
@@ -832,18 +827,17 @@ def _q52_oracle_or_none() -> str | None:
 def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     from solarpaneldatawrangler_spark.functions.text import (
         PII_PATTERNS_RE2,
-        duplicate_line_char_fraction,
-        duplicate_line_fraction,
-        duplicate_paragraph_char_fraction,
-        duplicate_paragraph_fraction,
+        dup_char_fraction_of_array,
+        dup_fraction_of_array,
         markup_tag_count,
+        nonempty_lines,
+        paragraphs_array,
         pii_count,
         redact_pii,
         strip_markup,
-        top_ngram_char_fraction,
     )
     from solarpaneldatawrangler_spark.operators.curation import (
-        gopher_dup_ngram_char_fracs,
+        gopher_rep_battery_fracs,
         hashed_linear_score_r6,
     )
     from solarpaneldatawrangler_spark.operators.ranking import tfidf_keywords
@@ -877,24 +871,46 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text"), F.lit("\n"), F.col("text"), F.lit("\n\n"),
         F.col("text").substr(F.lit(1), F.lit(25)),
     )
-    base = docs.select(
+    # r17 (guide §4.1 + §1.2): the line/paragraph arrays are projected
+    # ONCE as multi-referenced aliases (CollapseProject refuses to
+    # inline a non-cheap alias referenced more than once — the
+    # c4_filter_workload idiom), so the split+trim+filter chains run
+    # once per row instead of once per fraction; the top-2/3-gram
+    # fractions are FUSED into the dup-n-gram Arrow pass over the same
+    # rtext (gopher_rep_battery_fracs — one tokenize, C-speed dict
+    # counting, replacing the interpreted sort+fold). Values identical:
+    # the oracle below still replays the component-form SQL.
+    step = docs.select(
+        "doc_id",
+        "text",
+        nonempty_lines(ltext).alias("_lines"),
+        paragraphs_array(ltext).alias("_paras"),
+        gopher_rep_battery_fracs(rtext).alias("_rep"),
+        ptext.alias("_ptext"),
+        mtext.alias("_mtext"),
+    )
+    base = step.select(
         "doc_id",
         quality_score(F.col("text")).alias("quality"),
-        duplicate_line_fraction(ltext).alias("rep_lf"),
-        duplicate_line_char_fraction(ltext).alias("rep_lcf"),
-        duplicate_paragraph_fraction(ltext).alias("rep_pf"),
-        duplicate_paragraph_char_fraction(ltext).alias("rep_pcf"),
-        top_ngram_char_fraction(rtext, 2).alias("rep_top2"),
-        top_ngram_char_fraction(rtext, 3).alias("rep_top3"),
-        gopher_dup_ngram_char_fracs(rtext).alias("_rep"),
+        dup_fraction_of_array(F.col("_lines")).alias("rep_lf"),
+        dup_char_fraction_of_array(F.col("_lines")).alias("rep_lcf"),
+        dup_fraction_of_array(F.col("_paras")).alias("rep_pf"),
+        dup_char_fraction_of_array(F.col("_paras")).alias("rep_pcf"),
+        F.col("_rep.top2").alias("rep_top2"),
+        F.col("_rep.top3").alias("rep_top3"),
+        F.col("_rep").alias("_rep"),
         # r12: integer-exact 6dp rounding (sf1 sweep caught a 6dp
         # rounding-tie where BigDecimal HALF_UP and DuckDB's double
         # ROUND disagree by one ulp-of-1e-6)
         hashed_linear_score_r6(F.col("text")).alias("clf_r"),
-        pii_count(ptext, patterns=PII_PATTERNS_RE2).cast("long").alias("pii_n"),
-        F.md5(redact_pii(ptext, patterns=PII_PATTERNS_RE2)).alias("red_fp"),
-        markup_tag_count(mtext).cast("long").alias("tag_n"),
-        F.md5(strip_markup(mtext)).alias("strip_fp"),
+        pii_count(F.col("_ptext"), patterns=PII_PATTERNS_RE2)
+        .cast("long")
+        .alias("pii_n"),
+        F.md5(redact_pii(F.col("_ptext"), patterns=PII_PATTERNS_RE2)).alias(
+            "red_fp"
+        ),
+        markup_tag_count(F.col("_mtext")).cast("long").alias("tag_n"),
+        F.md5(strip_markup(F.col("_mtext"))).alias("strip_fp"),
     )
     kw = tfidf_keywords(docs, k=3, stopwords=EN_STOPWORDS)
     c4 = c4_filter_workload(spark, sf_dir)
@@ -1162,14 +1178,111 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     t = F.col("text")
-    s_en, s_es = lang_marker_score(t, "en"), lang_marker_score(t, "es")
-    s_fr, s_de = lang_marker_score(t, "fr"), lang_marker_score(t, "de")
+    # r17 (guide §1.2 + the c4_filter_workload multi-ref-alias idiom,
+    # measured in bench_out/r17_q52_decomp_testdata_sf1.json): the
+    # token and line arrays are bound ONCE as projected columns, and
+    # every O(doc) scalar that pred/margin/gopher_ok referenced
+    # repeatedly (the four marker scores: ~16 references, each of which
+    # re-ran the tokenize+filter subtree; the gopher rules: the _g
+    # struct's GetStructField(CreateNamedStruct) extraction is rewritten
+    # by SimplifyExtractValueOps into per-field COPIES, so all 16 field
+    # references re-evaluated their full rule subtrees) is projected
+    # exactly once. Values identical — same expressions, shared instead
+    # of copied; the oracle replays the unshared SQL form every run.
+    from solarpaneldatawrangler_spark.functions.text import (
+        GOPHER_BULLETS,
+        GOPHER_STOPWORDS,
+        LANG_MARKERS,
+        nonempty_lines,
+    )
+
+    bound = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        tokens(t).alias("_toks"),
+        nonempty_lines(t).alias("_lines"),
+    )
+    toks_c, lines_c = F.col("_toks"), F.col("_lines")
+
+    def _mscore(lang: str) -> Column:
+        m = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+        return F.size(F.filter(toks_c, lambda tk: F.array_contains(m, tk)))
+
+    ntok = F.size(toks_c)
+    nz = F.greatest(ntok, F.lit(1)).cast("double")
+    nl = F.greatest(F.size(lines_c), F.lit(1)).cast("double")
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = F.size(
+        F.regexp_extract_all(t, F.lit(r"\.\.\.|…"), F.lit(0))
+    )
+    is_bullet = lambda l: (  # noqa: E731
+        F.startswith(l, F.lit(GOPHER_BULLETS[0]))
+        | F.startswith(l, F.lit(GOPHER_BULLETS[1]))
+        | F.startswith(l, F.lit(GOPHER_BULLETS[2]))
+        | F.startswith(l, F.lit(GOPHER_BULLETS[3]))
+    )
+    mwl = (
+        F.aggregate(
+            toks_c, F.lit(0.0), lambda acc, tk: acc + F.length(tk).cast("double")
+        )
+        / nz
+    )
+    scored_docs = bound.select(
+        "doc_id",
+        "lang",
+        _mscore("en").alias("_s_en"),
+        _mscore("es").alias("_s_es"),
+        _mscore("fr").alias("_s_fr"),
+        _mscore("de").alias("_s_de"),
+        mwl.alias("_mwl"),
+        ((ntok >= 50) & (ntok <= 100_000)).alias("words_ok"),
+        ((n_hash.cast("double") / nz) <= 0.1).alias("hash_ok"),
+        ((n_ellipsis.cast("double") / nz) <= 0.1).alias("ellipsis_sym_ok"),
+        (
+            (F.size(F.filter(lines_c, is_bullet)).cast("double") / nl) <= 0.9
+        ).alias("bullet_ok"),
+        (
+            (
+                F.size(
+                    F.filter(
+                        lines_c,
+                        lambda l: F.endswith(l, F.lit("..."))
+                        | F.endswith(l, F.lit("…")),
+                    )
+                ).cast("double")
+                / nl
+            )
+            <= 0.3
+        ).alias("ellipsis_ok"),
+        (
+            (
+                F.size(F.filter(toks_c, lambda tk: tk.rlike("[a-z]"))).cast(
+                    "double"
+                )
+                / nz
+            )
+            >= 0.8
+        ).alias("alpha_ok"),
+        (
+            F.size(
+                F.array_intersect(
+                    F.array_distinct(toks_c),
+                    F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+                )
+            )
+            >= 2
+        ).alias("stopword_ok"),
+    )
+    s_en, s_es = F.col("_s_en"), F.col("_s_es")
+    s_fr, s_de = F.col("_s_fr"), F.col("_s_de")
     pred = (
         F.when((s_en >= s_es) & (s_en >= s_fr) & (s_en >= s_de), F.lit("en"))
         .when((s_es >= s_fr) & (s_es >= s_de), F.lit("es"))
         .when(s_fr >= s_de, F.lit("fr"))
         .otherwise(F.lit("de"))
     )
+    mwl_ok = (F.col("_mwl") >= 3.0) & (F.col("_mwl") <= 10.0)
     rates = temperature_rates(docs, "lang", _TEMP_ALPHA, _TEMP_FRAC)
     # token-weighted variant (r7 merge): same α and frac, mass = token
     # count — the rate table the operator would use under a TOKEN
@@ -1201,9 +1314,13 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
     hexact = toks.groupBy("lang").agg(
         F.countDistinct("tok").alias("lang_distinct_tok")
     )
-    docs = docs.withColumn("_g", gopher_flags(t))
+    # rule columns: mwl_ok is derived from the projected _mwl (its two
+    # threshold references would otherwise run the length fold twice);
+    # the other seven ride through as booleans computed once above
+    rule_cols = {r: F.col(r) for r in _GOPHER_RULES}
+    rule_cols["mwl_ok"] = mwl_ok
     return (
-        docs.join(F.broadcast(rates), "lang")
+        scored_docs.join(F.broadcast(rates), "lang")
         .join(F.broadcast(wrates), "lang")
         .join(lm, "doc_id")
         # LEFT: a lang whose every doc has NULL/whitespace-only text
@@ -1224,9 +1341,9 @@ def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
             (hash_bucket(F.col("doc_id")) < F.col("_wrate")).alias("wkept"),
             "lm_sum_r",
             "lm_n",
-            *[F.col(f"_g.{r}").alias(r) for r in _GOPHER_RULES],
+            *[rule_cols[r].alias(r) for r in _GOPHER_RULES],
             _and_all(
-                [F.col(f"_g.{r}") for r in _GOPHER_RULES]
+                [rule_cols[r] for r in _GOPHER_RULES]
             ).alias("gopher_ok"),
             "hll_zeros",
             "hll_est_r",
@@ -1883,37 +2000,32 @@ def _q57_sig_store(spark: SparkSession, sf_dir: str) -> str:
     "(exact-verify admission); 'store' rows (durable-store admission).",
 )
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from solarpaneldatawrangler_spark.functions.text import char_ngrams
     from solarpaneldatawrangler_spark.operators.dedup import (
+        char_ngram_set_jaccard_r6,
         minhash_cross_dup_pairs,
         minhash_cross_dup_pairs_store,
-        ngram_jaccard,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.array_distinct(char_ngrams(F.col("text"), 3)).alias("grams")
-    )
+    # r17 (guide §4.2 + §2.3): the adjacent arm joins LOWERED TEXT
+    # (one JVM lower per doc — Python never case-maps) instead of the
+    # materialized distinct-gram arrays, so the adjacency self-join
+    # shuffles ~1x text bytes instead of the ~3-4x gram arrays, and the
+    # gram sets + intersection run as C-speed set ops in one Arrow
+    # batch pass (char_ngram_set_jaccard_r6) instead of the interpreted
+    # per-offset transform + array_distinct + array_intersect/union
+    # (53.4 s -> ~2 s at sf1). Same exact rational, same 6dp integer
+    # rounding; the oracle still replays the array form.
+    sh = docs.select("doc_id", F.lower(F.col("text")).alias("lt"))
     a, b = sh.alias("a"), sh.alias("b")
-    # r13: every hashed jaccard here rounds the exact rational
-    # intersect/union in pure integer arithmetic (round_ratio_half_away)
     adjacent = (
         a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
         .select(
             F.lit("adjacent").alias("method"),
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            round_ratio_half_away(
-                F.size(
-                    F.array_intersect(F.col("a.grams"), F.col("b.grams"))
-                ).cast("long"),
-                F.greatest(
-                    F.size(
-                        F.array_union(F.col("a.grams"), F.col("b.grams"))
-                    ),
-                    F.lit(1),
-                ).cast("long"),
-                6,
+            char_ngram_set_jaccard_r6(
+                F.col("a.lt"), F.col("b.lt"), 3
             ).alias("jaccard"),
         )
     )
@@ -2670,7 +2782,6 @@ def dsir_workload(
     (embedding w in both output and key ran it twice; HOF subtrees
     get no codegen CSE)."""
     from solarpaneldatawrangler_spark.operators.dsir import (
-        dsir_features,
         dsir_gumbel_key,
         dsir_log_weight,
         dsir_ratios_for_dir,
@@ -2680,10 +2791,28 @@ def dsir_workload(
     if ratios is None:
         ratios = dsir_ratios_for_dir(sf_dir, n_buckets=_DSIR_B)
     t = F.col("text")
+    # r17 (guide §1.2 per-task work, measured in the sf1 decomposition
+    # probe): dsir_n never needed the feature ARRAY — |unigrams| +
+    # |bigrams| = m + max(m-1, 0) over the token count, so the md5-per-
+    # feature build that existed only to be counted is gone (it ran the
+    # whole hash battery a second time). NULL text keeps its NULL count
+    # (size(features of NULL) was NULL) via the otherwise branch.
+    # dsir_w_r switches to the Arrow/NumPy impl ("pandas": int64
+    # micro-unit sums — value-identical to the DECIMAL fold by
+    # construction, pinned by tests/test_dsir.py and the untouched
+    # VALUES-replay oracle; measured 6x the expr path's throughput).
+    from solarpaneldatawrangler_spark.functions.text import tokens
+
     scored = docs.select(
         "doc_id",
-        F.size(dsir_features(t, _DSIR_B)).cast("long").alias("dsir_n"),
-        dsir_log_weight(t, ratios).alias("dsir_w_r"),
+        "text",
+        F.size(tokens(t)).cast("long").alias("_m"),
+    ).select(
+        "doc_id",
+        F.when(F.col("_m") >= 1, 2 * F.col("_m") - 1)
+        .otherwise(F.col("_m"))
+        .alias("dsir_n"),
+        dsir_log_weight(t, ratios, impl="pandas").alias("dsir_w_r"),
     ).select(
         "doc_id",
         "dsir_n",
