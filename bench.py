@@ -119,6 +119,15 @@ def _dedup_clusters_bench(spark, sf_dir):
     )
 
 
+# exec units that get ONE untimed warmup write before the timed
+# repeats (r17, verdict item 4): units whose plan persists an internal
+# relation (cachereg/localCheckpoint), so the repeat that pays the
+# one-time materialization measures different work than the others —
+# q55's exec spread was 0.293-0.517 s across three certified r16 runs
+# for exactly this reason. The warmup pins all timed repeats to the
+# same (post-persist) work; best-of-N continues the same series.
+EXEC_WARMUP_UNITS = {"q55_minhash_neardup"}
+
 # headline entries whose CATALOG fn has diverged from the stable bench
 # workload (merged correctness-rotation columns): the bench times the
 # pinned original operator
@@ -1902,6 +1911,19 @@ def main() -> None:
                 build_timings[name] = min(
                     b, build_timings.get(name, float("inf"))
                 )
+                # r17 (measurement-stability fix, r16 verdict item 4 —
+                # flagged in OPTIMIZATION_r17.md): q55's plan persists
+                # the shingle relation internally (cachereg), so
+                # whichever repeat pays that one-time materialization
+                # is not measuring the same work as the others — the
+                # unit's spread was 0.293-0.517 s across three r16
+                # certified runs. ONE untimed warmup write pins every
+                # timed repeat to the identical (post-persist) work;
+                # the best-of-N value continues the same series (the
+                # min was already the post-persist repeat), it just
+                # stops depending on where materialization lands.
+                if name in EXEC_WARMUP_UNITS:
+                    df.write.format("noop").mode("overwrite").save()
                 best = float("inf")
                 for _ in range(max(repeats, 1)):
                     t0 = time.perf_counter()

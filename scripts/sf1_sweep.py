@@ -108,6 +108,16 @@ def generate(
     def src(t):
         return f"read_parquet('{base_dir}/{t}.parquet')"
 
+    # r17: DuckDB's default COPY wrote the scaled documents/embeddings
+    # as ONE parquet row group, so every cache-off sf1 scan ran as a
+    # single task no matter the core count — the r16 scaling block's
+    # flat ratios were data layout, not engine shape. Size row groups
+    # to ~64 per table (the layout a real multi-file corpus has); row
+    # CONTENT is bit-identical, only the grouping changes.
+    def rgs(t):
+        n = con.execute(f"SELECT count(*) FROM {src(t)}").fetchone()[0]
+        return max(1024, (n * replicas) // 64)
+
     # precondition: the uniform shift must keep replicas disjoint —
     # including documents.doc_id, which is shifted in its own block
     for t, cols in {
@@ -137,7 +147,8 @@ def generate(
         )
         con.execute(
             f"COPY (SELECT {proj} FROM {src(t)} CROSS JOIN range({replicas}) r(r)) "
-            f"TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)"
+            f"TO '{out_dir}/{t}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {rgs(t)})"
         )
         n = con.execute(
             f"SELECT count(*) FROM read_parquet('{out_dir}/{t}.parquet')"
@@ -167,7 +178,8 @@ def generate(
                  END AS embedding,
                  label
           FROM {src('embeddings')} CROSS JOIN range({replicas}) r(r)
-        ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
+        ) TO '{out_dir}/embeddings.parquet'
+          (FORMAT PARQUET, ROW_GROUP_SIZE {rgs("embeddings")})
         """
     )
     n = con.execute(
@@ -190,7 +202,8 @@ def generate(
                                             '\\1g' || CAST(r.r AS VARCHAR), 'g')
                         END) AS n_chars
           FROM {src('documents')} CROSS JOIN range({replicas}) r(r)
-        ) TO '{out_dir}/documents.parquet' (FORMAT PARQUET)
+        ) TO '{out_dir}/documents.parquet'
+          (FORMAT PARQUET, ROW_GROUP_SIZE {rgs("documents")})
         """
     )
     n = con.execute(

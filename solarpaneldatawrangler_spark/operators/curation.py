@@ -460,7 +460,49 @@ def hashed_linear_score_sql(
     )
 
 
-def hashed_linear_score_r6(text: Column, n_buckets: int = 1 << 18) -> Column:
+def _hashed_linear_score_r6_pandas(text: Column, n_buckets: int) -> Column:
+    """Arrow-batched twin of hashed_linear_score_r6's expr form (r17,
+    guide §4.2 — the dsir_log_weight impl="pandas" idiom): the md5
+    bucket is memoized per DISTINCT token across batches, the numerator
+    is an exact Python-int sum, and the 6dp rounding is the same pure
+    integer floor division (Python `//` on ints is exact at any
+    magnitude, like the DECIMAL path). Value-identical by construction;
+    pinned by tests/test_rep_battery_fused.py. Null text normalizes to
+    '' (the expr form coalesces), scoring 0.0."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    ws = re.compile(PY_JAVA_WS_RE)
+    memo: dict[str, int] = {}
+    _CAP = 1 << 21
+
+    @pandas_udf("double")
+    def _score(texts):
+        # type: (pd.Series) -> pd.Series
+        out = []
+        for t in texts:
+            toks = [x for x in ws.split((t or "").lower()) if x]
+            num = 0
+            for tok in toks:
+                w = memo.get(tok)
+                if w is None:
+                    w = (py_md5_bucket(tok, n_buckets) % _W_MOD) - _W_SHIFT
+                    if len(memo) < _CAP:
+                        memo[tok] = w
+                num += w
+            n_tok = max(len(toks), 1)
+            q = (2_000_000 * abs(num) + 512 * n_tok) // (1024 * n_tok)
+            out.append((-q if num < 0 else q) / 1_000_000.0)
+        return pd.Series(out, dtype="float64")
+
+    return _score(text)
+
+
+def hashed_linear_score_r6(
+    text: Column, n_buckets: int = 1 << 18, impl: str = "expr"
+) -> Column:
     """The pseudo-weight hashed_linear_score rounded to 6dp with
     ENGINE-EXACT integer arithmetic (r12; found by the sf1.0 sweep):
     Spark's F.round goes through BigDecimal HALF_UP on the double while
@@ -476,7 +518,16 @@ def hashed_linear_score_r6(text: Column, n_buckets: int = 1 << 18) -> Column:
     through DECIMAL (review-caught: a double division is only exact
     below 2^53, i.e. docs under ~9M tokens — DECIMAL division of the
     remainder-stripped exact multiple is exact at ANY int64 size,
-    matching DuckDB's HUGEINT `//`)."""
+    matching DuckDB's HUGEINT `//`).
+
+    ``impl="pandas"`` (r17): the Arrow-batched twin — same integer
+    arithmetic, md5 memoized per distinct token; measured ~4x on the
+    q52 clf component at sf1 (the expr fold runs interpreted with one
+    JVM md5+conv per token occurrence)."""
+    if impl not in ("expr", "pandas"):
+        raise ValueError(f"impl must be expr|pandas, got {impl!r}")
+    if impl == "pandas":
+        return _hashed_linear_score_r6_pandas(text, n_buckets)
     toks = tokens(F.coalesce(text, F.lit("")))
     num = F.aggregate(
         toks,

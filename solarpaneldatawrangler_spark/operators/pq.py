@@ -297,9 +297,15 @@ def write_ivfpq_store(
     (pruning, the write_ivf_store win) of a table that is itself
     ~32-64x smaller per row (compression, the pq_encode win). bench.py
     measures the product as ivfpq_io."""
-    ivfpq_assign_encode(df, centroids, codebooks, id_col, vec_col).write.partitionBy(
-        "list_id"
-    ).mode(mode).parquet(path)
+    # r17 (guide §6): cluster by the partition key before the write —
+    # the assign+encode is a narrow map, so a multi-partition input
+    # would otherwise write input_parts x n_lists small files (see
+    # write_ivf_store).
+    ivfpq_assign_encode(
+        df, centroids, codebooks, id_col, vec_col
+    ).repartition("list_id").write.partitionBy("list_id").mode(mode).parquet(
+        path
+    )
 
 
 def ivfpq_topk(

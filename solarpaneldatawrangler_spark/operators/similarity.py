@@ -668,7 +668,16 @@ def write_ivf_store(
     assigned = ivf_assign(df, centroids, id_col, vec_col).select(
         F.col("_i").alias(id_col), F.col("_v").alias(vec_col), F.col("list_id")
     )
-    assigned.write.partitionBy("list_id").mode(mode).parquet(path)
+    # r17 (guide §6): cluster by the partition key before the write —
+    # ivf_assign is a NARROW map, so without this every INPUT partition
+    # writes its own file per list_id (input_parts x n_lists small
+    # files; the bench-mode cache is now multi-partition, and at scale
+    # the scan is). One hash shuffle on list_id makes it <= 1 file per
+    # list per reducer; AQE coalescing keeps reducer counts sized to
+    # the data.
+    assigned.repartition("list_id").write.partitionBy("list_id").mode(
+        mode
+    ).parquet(path)
 
 
 def _half_up(x, dp: int):

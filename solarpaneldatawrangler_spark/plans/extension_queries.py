@@ -902,7 +902,7 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r12: integer-exact 6dp rounding (sf1 sweep caught a 6dp
         # rounding-tie where BigDecimal HALF_UP and DuckDB's double
         # ROUND disagree by one ulp-of-1e-6)
-        hashed_linear_score_r6(F.col("text")).alias("clf_r"),
+        hashed_linear_score_r6(F.col("text"), impl="pandas").alias("clf_r"),
         pii_count(F.col("_ptext"), patterns=PII_PATTERNS_RE2)
         .cast("long")
         .alias("pii_n"),
@@ -2821,6 +2821,13 @@ def dsir_workload(
             F.col("dsir_w_r"), F.col("doc_id"), _DSIR_SEED
         ).alias("dsir_key_r"),
     )
+    # r17: the scored relation feeds BOTH the top-k branch and the
+    # join-back — without materialization the scan + weight scorer
+    # execute once per branch (the plan showed two ArrowEvalPython
+    # twins). Lazy localCheckpoint is the tfidf materialize_tf /
+    # MinHash-shingle idiom; the relation is narrow (4 numeric cols,
+    # text never moves), so it is the 100 TB shape too.
+    scored = scored.localCheckpoint(eager=False)
     top = (
         scored.orderBy(F.col("dsir_key_r").desc(), "doc_id")
         .limit(_DSIR_K)

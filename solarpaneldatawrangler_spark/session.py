@@ -59,6 +59,19 @@ def get_spark(
         # the driver testdata stores events.ts as parquet TIMESTAMP(NANOS),
         # which Spark refuses by default; read as long + convert in sources.star
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # r17 (guide §6): maxSplitBytes = min(maxPartitionBytes,
+        # max(openCostInBytes, totalBytes/minPartitionNum)) — the 4 MB
+        # openCost default FLOORS the split size, so a small-but-
+        # compute-heavy table (sf-scale documents: ~6 MB of text whose
+        # per-row cost is the whole q52 battery) scanned as 1-2 tasks
+        # no matter how many row groups or cores. 128 KB still prevents
+        # absurd fragment packing of many-small-file stores, and at
+        # 100 TB totalBytes/minPartitionNum >> openCost so the value is
+        # inert. Env-overridable for deployments.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST_BYTES", str(128 * 1024)),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

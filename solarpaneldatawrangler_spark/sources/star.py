@@ -36,6 +36,76 @@ STAR_TABLES = [
 
 _MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
+# bench-mode cache layout (r17): ONLY the tables whose operators are
+# compute-bound PER ROW (the text battery over documents, the BLAS /
+# hash kernels over embeddings) get hash-repartitioned by primary id —
+# for them one cached partition serializes seconds of per-row work per
+# core. The relational tables (lineitem/orders/events/...) carry
+# shuffle-light scan+agg queries whose sf-scale cached footprint is a
+# few MB: measured at sf0.1, spreading them over 32 partitions only
+# added task-scheduling + 32x32 shuffle-block overhead (q12 0.22 ->
+# 0.43 s, q20 0.17 -> 0.46 s), so they keep the scan layout — at real
+# scale their file splits provide the parallelism anyway.
+_CACHE_PART_KEYS = {
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# minimum input bytes per cached partition: below this, task
+# scheduling + shuffle-block fan-out cost more than the parallelism
+# returns (measured at sf0.1: q50's light md5-agg was flat at <= 8
+# partitions and 2.5x slower at 32, while q52's text battery kept
+# winning — scripts/r17_cache_layout_ab.py + the nparts sweep in
+# OPTIMIZATION_r17.md). At real scale bytes/64KB >> cores and the
+# defaultParallelism cap governs.
+_CACHE_REPART_MIN_BYTES_PER_PART = 64 * 1024
+
+
+def _table_bytes(path: str) -> int:
+    try:
+        if os.path.isdir(path):
+            return sum(
+                e.stat().st_size
+                for e in os.scandir(path)
+                if e.is_file()
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
+def _repartition_for_cache(
+    spark: SparkSession, df: DataFrame, sf_dir: str, name: str
+) -> DataFrame:
+    """Bench-mode cache LAYOUT (r17, guide §2/§6 — flagged as a bench
+    harness change in OPTIMIZATION_r17.md): the driver's testdata
+    parquet is ONE ROW GROUP per table, so the raw scan — and the
+    in-memory cache built directly on it — is a single partition, and
+    every downstream per-row computation ran on one core regardless of
+    $SPARK_GRAFT_CPUS (the r16 scaling block's flat 8-vs-32-core ratios
+    were exactly this). Hash-repartitioning by the table's primary id
+    BEFORE persisting spreads the cached batches across the executor
+    cores: n = min(defaultParallelism, bytes / 64KB-per-partition) —
+    the per-partition floor keeps toy-scale tables from fragmenting
+    into pure scheduling overhead, the core cap (derived from
+    $SPARK_GRAFT_CPUS) governs at scale. As a §2.4 bonus, the cached
+    relation keeps hashpartitioning(id), so id-equi-joins over cached
+    tables can skip an exchange. Deterministic
+    (hash of the id, never rand), so retried tasks reproduce the same
+    layout. Row VALUES are untouched; correctness runs (cache off)
+    never take this path."""
+    key = _CACHE_PART_KEYS.get(name)
+    if key is None:
+        return df
+    size = _table_bytes(f"{sf_dir}/{name}.parquet")
+    n = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, size // _CACHE_REPART_MIN_BYTES_PER_PART),
+    )
+    if n <= 1:
+        return df
+    return df.repartition(n, key)
+
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """Self-defense for externally-created sessions (the driver harness
@@ -126,7 +196,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         df = normalize_event_ts(df)
     if os.environ.get("SPARK_GRAFT_CACHE_TABLES") == "1":
-        df = df.cache()
+        df = _repartition_for_cache(spark, df, sf_dir, name).cache()
     _MEMO[key] = df
     return df
 

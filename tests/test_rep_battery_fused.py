@@ -200,6 +200,33 @@ def test_dsir_n_closed_form_matches_feature_count(spark):
         assert r.new == r.old, f"{r.text!r:.40}: {r.new} != {r.old}"
 
 
+def test_hashed_linear_r6_pandas_matches_expr(spark):
+    from solarpaneldatawrangler_spark.operators.curation import (
+        hashed_linear_score_r6,
+    )
+
+    df = spark.createDataFrame([(t,) for t in ADVERSARIAL], "text string")
+    got = df.select(
+        hashed_linear_score_r6(F.col("text")).alias("old"),
+        hashed_linear_score_r6(F.col("text"), impl="pandas").alias("new"),
+    ).collect()
+    for i, r in enumerate(got):
+        assert r.new == r.old, f"row {i} ({ADVERSARIAL[i]!r:.40}): {r.new} != {r.old}"
+
+    from solarpaneldatawrangler_spark.sources.star import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    bad = (
+        docs.select(
+            hashed_linear_score_r6(F.col("text")).alias("old"),
+            hashed_linear_score_r6(F.col("text"), impl="pandas").alias("new"),
+        )
+        .filter(~(F.col("new") == F.col("old")))
+        .count()
+    )
+    assert bad == 0
+
+
 def test_q53_shared_rules_match_struct_form(spark):
     """The q53 restructure's per-rule columns and marker scores equal
     the gopher_flags struct / lang_marker_score originals."""
