@@ -34,7 +34,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-HOT_ROWS = 1_000_000
+HOT_ROWS = 8_000_000
 COLD_KEYS = 1_000
 COLD_ROWS_PER_KEY = 1_000
 REPEATS = 3
@@ -52,15 +52,28 @@ def main() -> None:
     # fact: one hot polygon (key 0) with HOT_ROWS tiles, COLD_KEYS
     # polygons with COLD_ROWS_PER_KEY tiles each; a ~64-byte payload
     # gives the hot partition real bytes for the size-based skew gate
+    # payload must be INCOMPRESSIBLE (md5 chains): the skew gate is on
+    # COMPRESSED shuffle bytes, and a repeat('x',64) payload lz4'd the
+    # 1M-row hot partition under the 8 MB threshold — the first probe
+    # run showed 'coalesced', never 'skewed' (kept in git history as
+    # the cautionary tale)
+    def payload(col):
+        return F.concat(
+            F.md5(col.cast("string")),
+            F.md5((col + 1).cast("string")),
+            F.md5((col + 2).cast("string")),
+            F.md5((col + 3).cast("string")),
+        )
+
     hot = spark.range(HOT_ROWS).select(
         F.lit(0).alias("poly"),
         F.col("id").alias("tile_id"),
-        F.repeat(F.lit("x"), 64).alias("payload"),
+        payload(F.col("id")).alias("payload"),
     )
     cold = spark.range(COLD_KEYS * COLD_ROWS_PER_KEY).select(
         (F.col("id") % COLD_KEYS + 1).alias("poly"),
         (F.col("id") + HOT_ROWS).alias("tile_id"),
-        F.repeat(F.lit("y"), 64).alias("payload"),
+        payload(F.col("id") + HOT_ROWS).alias("payload"),
     )
     fact = hot.unionByName(cold).localCheckpoint()  # pin inputs once
     dim = (
@@ -108,9 +121,12 @@ def main() -> None:
     def arm(name: str, build, skew_on: bool) -> None:
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
         sc.setJobDescription(f"skew-probe:{name}")
-        df = build()
         best = float("inf")
         for _ in range(REPEATS):
+            # REBUILD per repeat: re-collecting the same DataFrame
+            # reuses its completed shuffle map stages, so repeats 2+
+            # skipped the very work the probe measures
+            df = build()
             t0 = time.perf_counter()
             row = df.collect()[0]
             best = min(best, time.perf_counter() - t0)
