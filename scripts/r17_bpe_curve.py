@@ -131,6 +131,54 @@ def main() -> None:
         )
         spark.sparkContext.setJobDescription(None)
     words.unpersist()
+
+    # Part B — the corpus vocabulary is synthetic and tiny (310 distinct
+    # words at sf1), so BOTH loops above are per-iteration job-overhead
+    # bound and the O(V*m^2) re-encode term cannot express. Synthesize a
+    # LARGE compound-word vocabulary (V words of 8 two-letter atoms, so
+    # merges keep finding >= 2-count pairs for many rounds) and re-run
+    # the curve where the asymptotic factor actually bites.
+    v_big = int(os.environ.get("R17_BPE_SYNTH_V", "2000000"))
+    # word_i = first 16 hex chars of md5(i): ~2M distinct words over a
+    # 16-symbol alphabet, so char-level pair counts stay >= 2 for many
+    # merge rounds and every iteration of the OLD loop re-encodes all V
+    # words with all i merges learned so far
+    sw = (
+        spark.range(v_big)
+        .select(
+            F.substring(F.md5(F.col("id").cast("string")), 1, 16).alias("w"),
+            F.lit(1).cast("long").alias("n"),
+        )
+        .groupBy("w")
+        .agg(F.sum("n").alias("n"))
+        .localCheckpoint()
+    )
+    out["synth_vocab"] = sw.count()
+    out["synth_old_s"] = {}
+    out["synth_new_s"] = {}
+    out["synth_identical"] = {}
+    out["synth_loads"] = {}
+    for m in (8, 16, 32):
+        spark.sparkContext.setJobDescription(f"bpe-curve:synth-new:{m}")
+        t0 = time.perf_counter()
+        new = bpe._bpe_merge_loop(sw, m)
+        out["synth_new_s"][m] = round(time.perf_counter() - t0, 3)
+        spark.sparkContext.setJobDescription(f"bpe-curve:synth-old:{m}")
+        t0 = time.perf_counter()
+        old = old_merge_loop(sw, m)
+        out["synth_old_s"][m] = round(time.perf_counter() - t0, 3)
+        out["synth_identical"][m] = bool(old == new)
+        out["synth_loads"][m] = [round(x, 2) for x in os.getloadavg()]
+        print(
+            f"# synth m={m}: old={out['synth_old_s'][m]}s "
+            f"new={out['synth_new_s'][m]}s "
+            f"identical={out['synth_identical'][m]} "
+            f"load={out['synth_loads'][m]}",
+            flush=True,
+        )
+        spark.sparkContext.setJobDescription(None)
+    sw.unpersist()
+
     tag = os.path.basename(SF_DIR.rstrip("/"))
     path = os.path.join(REPO, "bench_out", f"r17_bpe_curve_{tag}.json")
     with open(path, "w") as fh:
